@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify first,
+then this script compares each query's parquet output against the DuckDB
+oracle (sort columns by name, compare row-by-row).
+
+Usage: python3 scripts/oracle_check.py <sfDir> <verifyOutDir>
+"""
+import json, sys, math
+import duckdb
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return float(v)
+    if isinstance(v, (list, np.ndarray)):
+        return tuple(norm(x) for x in v)
+    if isinstance(v, np.generic):
+        return norm(v.item())
+    return v
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            exp = con.execute(sql).fetch_df()
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetch_df()
+            exp = exp.reindex(sorted(exp.columns), axis=1)
+            got = got.reindex(sorted(got.columns), axis=1)
+            status = []
+            if list(exp.columns) != list(got.columns):
+                status.append(f"cols: oracle={list(exp.columns)} got={list(got.columns)}")
+            if len(exp) != len(got):
+                status.append(f"rows: oracle={len(exp)} got={len(got)}")
+            if not status:
+                erows = [tuple(norm(v) for v in r) for r in exp.itertuples(index=False)]
+                grows = [tuple(norm(v) for v in r) for r in got.itertuples(index=False)]
+                diff = [(i, a, b) for i, (a, b) in enumerate(zip(erows, grows)) if a != b]
+                if diff:
+                    i, a, b = diff[0]
+                    status.append(f"{len(diff)} row diffs; first at {i}:\n  oracle: {a}\n  got:    {b}")
+            if status:
+                n_fail += 1
+                print(f"FAIL {name}: " + "; ".join(status))
+            else:
+                n_pass += 1
+                print(f"PASS {name} ({len(got)} rows)")
+        except Exception as e:
+            n_fail += 1
+            print(f"ERROR {name}: {e}")
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

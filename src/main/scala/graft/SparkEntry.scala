@@ -1,13 +1,59 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator from SURVEY.md §2 (or a
+  * 100TB-pipeline extension operator); entries with a key in [[oracleSql]]
+  * are hash-checked against DuckDB on the same parquet tables.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * full synth-log → parse → sessionize → events pipeline. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    PipelineQueries.e2e(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- log pipeline (SURVEY §2.2-2.4: P1-P11, T1-T3, A1-A6, E2, S1) --
+    "pipeline_e2e" -> (PipelineQueries.e2e _),
+    "pipeline_subject_mime" -> (PipelineQueries.subjectMime _),
+    "pipeline_subject_ascii" -> (PipelineQueries.subjectAscii _),
+    "pipeline_dovecot_join" -> (PipelineQueries.dovecotJoin _),
+    "pipeline_faults" -> (PipelineQueries.faults _),
+    // -- implied ClickHouse-side surface (SURVEY §2.5) --
+    "events_time_range" -> (AnalyticsQueries.eventsTimeRange _),
+    "events_json_props" -> (AnalyticsQueries.eventsJsonProps _),
+    "events_sessionize_gap" -> (AnalyticsQueries.eventsSessionize _),
+    "top_words" -> (AnalyticsQueries.topWords _),
+    // -- core analytics operators (SURVEY §2.6 "free from Catalyst") --
+    "q1_pricing" -> (AnalyticsQueries.q1Pricing _),
+    "q3_shipping" -> (AnalyticsQueries.q3Shipping _),
+    "q5_local_supplier" -> (AnalyticsQueries.q5LocalSupplier _),
+    "window_top_orders" -> (AnalyticsQueries.windowTopOrders _),
+    "rollup_returns" -> (AnalyticsQueries.rollupReturns _),
+    "setops_customers" -> (AnalyticsQueries.setOpsCustomers _),
+    "part_brand_stats" -> (AnalyticsQueries.partBrandStats _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "pipeline_e2e" -> PipelineQueries.e2eOracle,
+    "pipeline_subject_mime" -> PipelineQueries.subjectMimeOracle,
+    "pipeline_subject_ascii" -> PipelineQueries.subjectAsciiOracle,
+    "pipeline_dovecot_join" -> PipelineQueries.dovecotOracle,
+    "pipeline_faults" -> PipelineQueries.faultsOracle,
+    "events_time_range" -> AnalyticsQueries.eventsTimeRangeOracle,
+    "events_json_props" -> AnalyticsQueries.eventsJsonPropsOracle,
+    "events_sessionize_gap" -> AnalyticsQueries.eventsSessionizeOracle,
+    "top_words" -> AnalyticsQueries.topWordsOracle,
+    "q1_pricing" -> AnalyticsQueries.q1PricingOracle,
+    "q3_shipping" -> AnalyticsQueries.q3ShippingOracle,
+    "q5_local_supplier" -> AnalyticsQueries.q5LocalSupplierOracle,
+    "window_top_orders" -> AnalyticsQueries.windowTopOrdersOracle,
+    "rollup_returns" -> AnalyticsQueries.rollupReturnsOracle,
+    "setops_customers" -> AnalyticsQueries.setOpsCustomersOracle,
+    "part_brand_stats" -> AnalyticsQueries.partBrandStatsOracle
+  )
 }

@@ -1,0 +1,292 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The analytic SQL surface the reference delegates to ClickHouse
+  * (SURVEY.md §2.5-§2.6): time-range scans, group-bys, array explode,
+  * joins, windows, rollup, set ops — all built-in Catalyst operators; our
+  * work is declaring plans that push filters/pruning to the parquet scan
+  * and keep everything in whole-stage codegen.
+  *
+  * Float determinism note: SUMs over doubles are computed in exact
+  * fixed-point integer space — `floor(x*scale + 0.5)` is bit-identical in
+  * every engine (IEEE multiply + floor have no rounding-mode ambiguity,
+  * unlike double→DECIMAL casts, which Spark does via the shortest decimal
+  * string and DuckDB via binary rounding). Integer sums are
+  * order-independent, so the result is stable under any partitioning and
+  * hash-matches the DuckDB oracle. */
+object AnalyticsQueries {
+
+  /** floor(c*scale + 0.5) as long — exact fixed-point of a double. */
+  private def fx(c: Column, scale: Long): Column =
+    floor(c * lit(scale.toDouble) + lit(0.5)).cast("long")
+
+  /** Σ price·(1−discount) via cents × (100−d100), rescaled to a double. */
+  private def revenueSum(price: Column, discount: Column): Column =
+    (sum(fx(price, 100) * (lit(100L) - fx(discount, 100))).cast("double") / lit(1.0e4))
+
+  // ---- events-table surface (§2.5) ----------------------------------------
+
+  def eventsTimeRange(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "events")
+      .filter($"ts" >= lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")) &&
+              $"ts" <  lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00")))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum(fx($"value", 1000000L)).cast("double") / lit(1.0e6)).as("sum_value"),
+        unix_micros(min($"ts")).as("first_us"), unix_micros(max($"ts")).as("last_us"))
+      .orderBy($"event_type")
+  }
+
+  val eventsTimeRangeOracle: String = """
+SELECT event_type, count(*) AS n,
+       CAST(SUM(CAST(floor(value*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value,
+       epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+GROUP BY event_type ORDER BY event_type"""
+
+  def eventsJsonProps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "events")
+      .select($"user_id", (get_json_object($"props", "$.k").cast("long") % 10).as("k_bucket"))
+      .groupBy($"k_bucket")
+      .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("users"))
+      .orderBy($"k_bucket")
+  }
+
+  val eventsJsonPropsOracle: String = """
+SELECT CAST(props->>'$.k' AS BIGINT) % 10 AS k_bucket,
+       count(*) AS n, count(DISTINCT user_id) AS users
+FROM events GROUP BY 1 ORDER BY 1"""
+
+  /** Gap-based sessionization of the events stream table (30-min gap) —
+    * the generic analogue of the reference's session concept, pure window
+    * functions, shuffle only on user_id. */
+  def eventsSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "events").createOrReplaceTempView("ev_sess_in")
+    spark.sql("""
+WITH t AS (
+  SELECT user_id, unix_micros(ts) AS us,
+         CASE WHEN unix_micros(ts) - lag(unix_micros(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+              OR lag(unix_micros(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev_sess_in),
+s AS (
+  SELECT user_id, us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM t)
+SELECT user_id, min(us) AS session_start_us, max(us) AS session_end_us,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start_us""")
+  }
+
+  val eventsSessionizeOracle: String = """
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+              OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+s AS (
+  SELECT user_id, us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM t)
+SELECT user_id, min(us) AS session_start_us, max(us) AS session_end_us,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start_us"""
+
+  /** ARRAY JOIN analogue: explode document tokens, global top-50. */
+  def topWords(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .select(explode(split($"text", " ")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"word")
+      .limit(50)
+  }
+
+  val topWordsOracle: String = """
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word ORDER BY n DESC, word LIMIT 50"""
+
+  // ---- TPC-H-ish core operators -------------------------------------------
+
+  /** Q1-style pricing summary: the scan+agg backbone; exercises
+    * filter pushdown, partial aggregation, decimal-exact sums. */
+  def q1Pricing(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "lineitem")
+      .filter($"l_shipdate" <= lit(java.sql.Timestamp.valueOf("2000-09-02 00:00:00")))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(fx($"l_quantity", 1)).as("sum_qty"),
+        (sum(fx($"l_extendedprice", 100)).cast("double") / lit(100.0)).as("sum_base_price"),
+        revenueSum($"l_extendedprice", $"l_discount").as("sum_disc_price"),
+        (sum(fx($"l_extendedprice", 100) * (lit(100L) - fx($"l_discount", 100)) *
+             (lit(100L) + fx($"l_tax", 100))).cast("double") / lit(1.0e6)).as("sum_charge"),
+        (sum(fx($"l_quantity", 1)).cast("double") / count(lit(1))).as("avg_qty"),
+        ((sum(fx($"l_discount", 100)).cast("double") / count(lit(1))) / lit(100.0)).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q1PricingOracle: String = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(floor(l_extendedprice*100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(SUM(CAST(floor(l_extendedprice*100.0 + 0.5) AS BIGINT) *
+                (100 - CAST(floor(l_discount*100.0 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(SUM(CAST(floor(l_extendedprice*100.0 + 0.5) AS BIGINT) *
+                (100 - CAST(floor(l_discount*100.0 + 0.5) AS BIGINT)) *
+                (100 + CAST(floor(l_tax*100.0 + 0.5) AS BIGINT))) AS DOUBLE) / 1000000.0 AS sum_charge,
+       CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+       (CAST(SUM(CAST(floor(l_discount*100.0 + 0.5) AS BIGINT)) AS DOUBLE) / count(*)) / 100.0 AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
+  /** Q3-style: 3-way join + agg + top-10; customer filter prunes early. */
+  def q3Shipping(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cutoff = lit(java.sql.Timestamp.valueOf("1998-03-15 00:00:00"))
+    val cust = Tables(spark, sfDir, "customer").filter($"c_mktsegment" === "BUILDING")
+    val ord = Tables(spark, sfDir, "orders").filter($"o_orderdate" < cutoff)
+    val li = Tables(spark, sfDir, "lineitem").filter($"l_shipdate" > cutoff)
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(revenueSum($"l_extendedprice", $"l_discount").as("revenue"))
+      .select($"l_orderkey", $"revenue",
+        unix_micros($"o_orderdate".cast("timestamp")).as("o_orderdate_us"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  val q3ShippingOracle: String = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(floor(l_extendedprice*100.0 + 0.5) AS BIGINT) *
+                (100 - CAST(floor(l_discount*100.0 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
+       epoch_us(o_orderdate) AS o_orderdate_us
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+  /** Q5-style: 6-way join with broadcast dims, group by nation. */
+  def q5LocalSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val region = Tables(spark, sfDir, "region").filter($"r_name" === "ASIA")
+    val nation = Tables(spark, sfDir, "nation")
+    val cust = Tables(spark, sfDir, "customer")
+    val supp = Tables(spark, sfDir, "supplier")
+    val ord = Tables(spark, sfDir, "orders")
+      .filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+              $"o_orderdate" <  lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+    val li = Tables(spark, sfDir, "lineitem")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(revenueSum($"l_extendedprice", $"l_discount").as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  val q5LocalSupplierOracle: String = """
+SELECT n_name,
+       CAST(SUM(CAST(floor(l_extendedprice*100.0 + 0.5) AS BIGINT) *
+                (100 - CAST(floor(l_discount*100.0 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name ORDER BY revenue DESC, n_name"""
+
+  /** Window functions: top-3 orders per customer by price. */
+  def windowTopOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables(spark, sfDir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  val windowTopOrdersOracle: String = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+ORDER BY o_custkey, rn"""
+
+  /** ROLLUP grouping sets. */
+  def rollupReturns(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), sum(fx($"l_quantity", 1)).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  }
+
+  val rollupReturnsOracle: String = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+
+  /** Set operators: INTERSECT / EXCEPT / UNION ALL in one result. */
+  def setOpsCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ck = Tables(spark, sfDir, "customer").select($"c_custkey")
+    val ok = Tables(spark, sfDir, "orders").select($"o_custkey")
+    val withOrders = ck.intersect(ok).select(lit("with_orders").as("segment"), $"c_custkey".as("custkey"))
+    val noOrders = ck.except(ok).select(lit("no_orders").as("segment"), $"c_custkey".as("custkey"))
+    withOrders.unionAll(noOrders).orderBy($"segment", $"custkey")
+  }
+
+  val setOpsCustomersOracle: String = """
+SELECT 'with_orders' AS segment, c_custkey AS custkey
+FROM (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)
+UNION ALL
+SELECT 'no_orders' AS segment, c_custkey AS custkey
+FROM (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)
+ORDER BY segment, custkey"""
+
+  /** Semi/anti joins + distinct aggregate over part dims. */
+  def partBrandStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val shipped = Tables(spark, sfDir, "lineitem").select($"l_partkey")
+    Tables(spark, sfDir, "part")
+      .join(shipped, $"p_partkey" === $"l_partkey", "left_semi")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"), countDistinct($"p_type").as("n_types"),
+        min($"p_retailprice").as("min_price"), max($"p_retailprice").as("max_price"))
+      .orderBy($"p_brand")
+  }
+
+  val partBrandStatsOracle: String = """
+SELECT p_brand, count(*) AS n, count(DISTINCT p_type) AS n_types,
+       min(p_retailprice) AS min_price, max(p_retailprice) AS max_price
+FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+GROUP BY p_brand ORDER BY p_brand"""
+}

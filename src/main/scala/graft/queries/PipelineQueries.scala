@@ -1,0 +1,203 @@
+package graft.queries
+
+import graft.operators.Sessionize
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The correctness gate for the log pipeline (SURVEY.md §2.2-§2.4).
+  *
+  * Strategy: deterministically synthesize postfix syslog sessions FROM the
+  * driver's `events` table inside Spark, push them through the REAL
+  * parse→sessionize pipeline, and let the DuckDB oracle compute the
+  * expected output *directly* from `events` with plain SQL — an
+  * independent recomputation, so any parser/fold/join bug shows up as a
+  * hash mismatch.
+  *
+  * Per event_id the synthetic session contains: client line, message-id
+  * line, from/size/nrcpt line (skipped when event_id%97==0 → fault path),
+  * 1-2 to/status lines (2 when odd → `to` accumulation + domains dedup),
+  * an RFC2047 (%4==0) or plain (%4==1) subject header, a dovecot sieve
+  * line (%3==0), and the `removed` terminator.
+  */
+object PipelineQueries {
+
+  private def s(c: Column): Column = c.cast("string")
+
+  /** Synthesized log lines (seq, raw) from the events table. */
+  def synthLines(spark: SparkSession, sfDir: String): Dataset[(Long, String)] = {
+    import spark.implicits._
+    val ev = Tables(spark, sfDir, "events")
+      .select($"event_id", $"user_id", $"ts")
+
+    val qid = lpad(hex($"event_id"), 11, "0")
+    val iso = concat(date_format($"ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), lit("+00:00"))
+    val bounced = $"event_id" % 13 === 0
+    val rcpt1 = concat(lit("r"), s($"event_id"), lit("@rd"), s($"event_id" % 7), lit(".example"))
+    val rcpt2 = concat(lit("r"), s($"event_id"), lit("b@rd"), s($"event_id" % 7), lit(".example"))
+    val lastRcpt = when($"event_id" % 2 === 1, rcpt2).otherwise(rcpt1)
+    val descSent = concat(lit("250 2.0."), s($"event_id" % 4), lit(" <"), lastRcpt, lit("> ok"))
+    val descBounced = concat(
+      lit("host mx"), s($"event_id" % 5), lit(".example said: 550 5."), s($"event_id" % 3),
+      lit(".1 <"), lastRcpt, lit("> rejected (in reply to RCPT TO command)"))
+
+    def toLine(rcpt: Column): Column = concat(
+      iso, lit(" mx1 postfix/lmtp[104]: "), qid, lit(": to=<"), rcpt,
+      lit(">, orig_to=<o"), s($"event_id"),
+      lit(">, relay=mx"), s($"event_id" % 5), lit(".example, delay=0."), s($"event_id" % 10),
+      lit(", delays=0.1/0.2/0.0/0.1, dsn="), when(bounced, "5.1.1").otherwise("2.0.0"),
+      lit(", status="), when(bounced, "bounced").otherwise("sent"),
+      lit(" ("), when(bounced, descBounced).otherwise(descSent), lit(")"))
+
+    val lines: Seq[Column] = Seq(
+      // 0: client line (P7 k=v, client field)
+      concat(iso, lit(" mx1 postfix/smtpd[101]: "), qid, lit(": client=host"),
+        s($"user_id" % 50), lit(".example[10.0.0."), s($"user_id" % 200), lit("]")),
+      // 1: message-id
+      concat(iso, lit(" mx1 postfix/cleanup[102]: "), qid,
+        lit(": message-id=<m"), s($"event_id"), lit("@example.com>")),
+      // 2: from/size/nrcpt — missing for %97==0 (fault-channel coverage)
+      when($"event_id" % 97 =!= 0, concat(
+        iso, lit(" mx1 postfix/qmgr[103]: "), qid, lit(": from=<u"), s($"user_id"),
+        lit("@d"), s($"user_id" % 20), lit(".example>, size="), s(($"event_id" % 9000) + 100),
+        lit(", nrcpt="), s(($"event_id" % 2) + 1), lit(" (queue active)"))),
+      // 3: first recipient + status
+      toLine(rcpt1),
+      // 4: second recipient when nrcpt=2 (to-accumulation, domains dedup)
+      when($"event_id" % 2 === 1, toLine(rcpt2)),
+      // 5: subject header — RFC2047 B-encoded or plain ASCII with `from local;`
+      when($"event_id" % 4 === 0, concat(
+        iso, lit(" mx1 postfix/cleanup[102]: "), qid, lit(": warning: header Subject: =?UTF-8?B?"),
+        base64(encode(concat(lit("Re: order "), s($"event_id"), lit(" Тест")), "UTF-8")),
+        lit("?= from host.example[1.2.3.4]; from=<x@y> to=<z@w>")))
+        .when($"event_id" % 4 === 1, concat(
+          iso, lit(" mx1 postfix/cleanup[102]: "), qid, lit(": warning: header Subject: Report "),
+          s($"event_id"), lit(" ready from local; from=<x@y> to=<z@w>"))),
+      // 6: dovecot sieve line (non-ISO syslog timestamp, joined by msgid)
+      when($"event_id" % 3 === 0, concat(
+        lit("Apr 30 15:09:27 lmtp(x)<1><Y>: Info: sieve: msgid=<m"), s($"event_id"),
+        lit("@example.com>: fileinto action: stored mail into mailbox 'Box"),
+        s($"event_id" % 11), lit("'"))),
+      // 7: removed — closes the session
+      concat(iso, lit(" mx1 postfix/qmgr[105]: "), qid, lit(": removed"))
+    )
+
+    val structs = lines.zipWithIndex.map { case (c, k) =>
+      struct(($"event_id" * 8 + k).as("seq"), c.as("raw"))
+    }
+    ev.select(explode(array(structs: _*)).as("l"))
+      .select($"l.seq", $"l.raw")
+      .filter($"raw".isNotNull)
+      .as[(Long, String)]
+  }
+
+  /** Run the real pipeline over the synthesized log. */
+  def sessionized(spark: SparkSession, sfDir: String): Sessionize.Result =
+    Sessionize(spark, synthLines(spark, sfDir))
+
+  /** Flagship: every event field, one row per successful session. */
+  def e2e(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    sessionized(spark, sfDir).events.toDF()
+      .select(
+        $"queue_id", unix_micros($"timestamp").as("ts_us"), $"domain_from", $"domains_to",
+        $"message_from", $"message_to", $"message_id", $"message_subject", $"status",
+        $"status_code", $"status_postfix_code", $"status_description", $"client", $"orig_to",
+        $"dovecot_fileinto_action", $"delay", $"delays", $"dsn", $"nrcpt", $"relay", $"size")
+      .orderBy($"queue_id")
+  }
+
+  def subjectMime(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    sessionized(spark, sfDir).events.toDF()
+      .filter(conv($"queue_id", 16, 10).cast("long") % 4 === 0)
+      .select($"queue_id", $"message_subject").orderBy($"queue_id")
+  }
+
+  def subjectAscii(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    sessionized(spark, sfDir).events.toDF()
+      .filter(conv($"queue_id", 16, 10).cast("long") % 4 === 1)
+      .select($"queue_id", $"message_subject").orderBy($"queue_id")
+  }
+
+  def dovecotJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    sessionized(spark, sfDir).events.toDF()
+      .filter($"dovecot_fileinto_action".isNotNull)
+      .select($"queue_id", $"message_id", $"dovecot_fileinto_action").orderBy($"queue_id")
+  }
+
+  def faults(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    sessionized(spark, sfDir).faults.toDF().select($"line").orderBy($"line")
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  /** Shared CTE: the oracle recomputes expected fields straight from the
+    * events table. */
+  private val oracleBase = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         event_id % 13 = 0 AS bounced,
+         upper(printf('%011x', event_id)) AS queue_id,
+         'r' || event_id || '@rd' || (event_id % 7) || '.example' AS rcpt1,
+         'r' || event_id || 'b@rd' || (event_id % 7) || '.example' AS rcpt2,
+         CASE WHEN event_id % 4 = 0 THEN 'Re: order ' || event_id || ' Тест'
+              WHEN event_id % 4 = 1 THEN 'Report ' || event_id || ' ready'
+              ELSE NULL END AS subj
+  FROM events
+  WHERE event_id % 97 <> 0
+)"""
+
+  val e2eOracle: String = oracleBase + """
+SELECT queue_id,
+       epoch_us(ts) AS ts_us,
+       'd' || (user_id % 20) || '.example' AS domain_from,
+       ['rd' || (event_id % 7) || '.example'] AS domains_to,
+       'u' || user_id || '@d' || (user_id % 20) || '.example' AS message_from,
+       CASE WHEN event_id % 2 = 1 THEN [rcpt1, rcpt2] ELSE [rcpt1] END AS message_to,
+       'm' || event_id || '@example.com' AS message_id,
+       subj AS message_subject,
+       CASE WHEN bounced THEN 'bounced' ELSE 'sent' END AS status,
+       CASE WHEN bounced THEN 550 ELSE 250 END AS status_code,
+       CASE WHEN bounced THEN '5.' || (event_id % 3) || '.1'
+            ELSE '2.0.' || (event_id % 4) END AS status_postfix_code,
+       CASE WHEN bounced
+            THEN 'host mx' || (event_id % 5) || '.example said: 550 5.' || (event_id % 3) ||
+                 '.1 <' || (CASE WHEN event_id % 2 = 1 THEN rcpt2 ELSE rcpt1 END) ||
+                 '> rejected (in reply to RCPT TO command'
+            ELSE '250 2.0.' || (event_id % 4) || ' <' ||
+                 (CASE WHEN event_id % 2 = 1 THEN rcpt2 ELSE rcpt1 END) || '> ok'
+       END AS status_description,
+       'host' || (user_id % 50) || '.example[10.0.0.' || (user_id % 200) || ']' AS client,
+       '<o' || event_id || '>' AS orig_to,
+       CASE WHEN event_id % 3 = 0
+            THEN 'stored mail into mailbox ''Box' || (event_id % 11) || ''''
+            ELSE NULL END AS dovecot_fileinto_action,
+       '0.' || (event_id % 10) AS delay,
+       '0.1/0.2/0.0/0.1' AS delays,
+       CASE WHEN bounced THEN '5.1.1' ELSE '2.0.0' END AS dsn,
+       CAST(1 + event_id % 2 AS VARCHAR) AS nrcpt,
+       'mx' || (event_id % 5) || '.example' AS relay,
+       CAST(100 + event_id % 9000 AS VARCHAR) AS size
+FROM e
+ORDER BY queue_id"""
+
+  val subjectMimeOracle: String = oracleBase + """
+SELECT queue_id, subj AS message_subject FROM e WHERE event_id % 4 = 0 ORDER BY queue_id"""
+
+  val subjectAsciiOracle: String = oracleBase + """
+SELECT queue_id, subj AS message_subject FROM e WHERE event_id % 4 = 1 ORDER BY queue_id"""
+
+  val dovecotOracle: String = oracleBase + """
+SELECT queue_id,
+       'm' || event_id || '@example.com' AS message_id,
+       'stored mail into mailbox ''Box' || (event_id % 11) || '''' AS dovecot_fileinto_action
+FROM e WHERE event_id % 3 = 0 ORDER BY queue_id"""
+
+  val faultsOracle: String = """
+SELECT strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || '+00:00 mx1 postfix/qmgr[105]: ' ||
+       upper(printf('%011x', event_id)) || ': removed' AS line
+FROM events WHERE event_id % 97 = 0 ORDER BY line"""
+}
