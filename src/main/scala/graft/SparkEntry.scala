@@ -35,7 +35,20 @@ object SparkEntry {
     "window_top_orders" -> (AnalyticsQueries.windowTopOrders _),
     "rollup_returns" -> (AnalyticsQueries.rollupReturns _),
     "setops_customers" -> (AnalyticsQueries.setOpsCustomers _),
-    "part_brand_stats" -> (AnalyticsQueries.partBrandStats _)
+    "part_brand_stats" -> (AnalyticsQueries.partBrandStats _),
+    // -- 100TB training-data pipeline extension operators --
+    "dedup_exact" -> (ExtensionQueries.dedupExact _),
+    "dedup_ngram_jaccard" -> (ExtensionQueries.dedupNgramJaccard _),
+    "dedup_minhash_lsh" -> (ExtensionQueries.dedupMinhashLsh _),
+    "dedup_simhash" -> (ExtensionQueries.dedupSimhash _),
+    "dedup_embedding_cosine" -> (ExtensionQueries.dedupEmbeddingCosine _),
+    "ann_cosine_topk" -> (ExtensionQueries.annCosineTopK _),
+    "ann_lsh_topk" -> (ExtensionQueries.annLshTopK _),
+    "text_stats" -> (ExtensionQueries.textStats _),
+    "text_langid" -> (ExtensionQueries.textLangId _),
+    "text_token_count" -> (ExtensionQueries.textTokenCount _),
+    "text_fingerprint" -> (ExtensionQueries.textFingerprint _),
+    "multimodal_features" -> (ExtensionQueries.multimodalFeatures _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -54,6 +67,17 @@ object SparkEntry {
     "window_top_orders" -> AnalyticsQueries.windowTopOrdersOracle,
     "rollup_returns" -> AnalyticsQueries.rollupReturnsOracle,
     "setops_customers" -> AnalyticsQueries.setOpsCustomersOracle,
-    "part_brand_stats" -> AnalyticsQueries.partBrandStatsOracle
+    "part_brand_stats" -> AnalyticsQueries.partBrandStatsOracle,
+    "dedup_exact" -> ExtensionQueries.dedupExactOracle,
+    "dedup_ngram_jaccard" -> ExtensionQueries.dedupNgramJaccardOracle,
+    "dedup_embedding_cosine" -> ExtensionQueries.dedupEmbeddingCosineOracle,
+    "ann_cosine_topk" -> ExtensionQueries.annCosineTopKOracle,
+    "text_stats" -> ExtensionQueries.textStatsOracle,
+    "text_langid" -> ExtensionQueries.textLangIdOracle,
+    "text_token_count" -> ExtensionQueries.textTokenCountOracle,
+    "text_fingerprint" -> ExtensionQueries.textFingerprintOracle,
+    "multimodal_features" -> ExtensionQueries.multimodalFeaturesOracle
+    // dedup_minhash_lsh / dedup_simhash / ann_lsh_topk: LSH-candidate-
+    // dependent → rows-only driver check + ScalaTest recall assertions.
   )
 }

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around one shuffle pattern that survives 100 TB:
+  *
+  *  - [[exact]]: hash-groupBy on a 256-bit content hash — shuffles 32-byte
+  *    keys, never full documents.
+  *  - [[minhashLsh]]: shingle → minhash signature → banded LSH buckets →
+  *    candidate pairs verified with exact shingle Jaccard. Work is
+  *    O(docs × bands) rows through one shuffle; bucket size is capped so a
+  *    degenerate band cannot quadratically explode a task.
+  *  - [[simhash]]: 64-bit SimHash + banded hamming candidates.
+  *  - [[ngramJaccard]]: exact n-gram Jaccard via an inverted-index
+  *    self-join (document-frequency-capped to bound the pair blowup).
+  *
+  * All hashes are Spark's codegen'd `xxhash64` — deterministic across
+  * runs/partitions, no UDFs in the hot path.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: representative (min id) + member count per
+    * distinct content. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("content_sha"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word w-shingles of a document as distinct xxhash64 values. */
+  def shingleHashes(text: Column, w: Int): Column = {
+    val words = split(text, " ")
+    // sliding window of w words, hashed; distinct for set semantics
+    val idx = sequence(lit(0), size(words) - w)
+    array_distinct(transform(idx, i => xxhash64(concat_ws(" ", slice(words, i + 1, lit(w))))))
+  }
+
+  /** One minhash value: min over shingles of a salted rehash. */
+  private def minhash(shingles: Column, seed: Int): Column =
+    array_min(transform(shingles, h => xxhash64(h, lit(seed))))
+
+  /** MinHash signature as an array column of `k` 64-bit minima. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map(i => minhash(shingles, i)): _*)
+
+  /** Near-duplicate candidate pairs via banded MinHash-LSH, verified with
+    * exact shingle Jaccard.
+    *
+    * @param bands     number of LSH bands (signature length = bands*rowsPerBand)
+    * @param rowsPerBand minhashes per band
+    * @param threshold   exact-Jaccard acceptance threshold
+    * @param maxBucket   drop degenerate buckets larger than this (skew guard;
+    *                    at 100 TB a hot bucket means near-identical boilerplate
+    *                    better handled by exact dedup first)
+    */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 bands: Int = 16, rowsPerBand: Int = 4,
+                 shingleWidth: Int = 3, threshold: Double = 0.7,
+                 maxBucket: Int = 64): DataFrame = {
+    val k = bands * rowsPerBand
+    val docs = df.select(col(idCol).as("doc_id"),
+        shingleHashes(col(textCol), shingleWidth).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", minhashSignature(col("shingles"), k))
+
+    // (band, bandHash) bucket key per doc — bands explode is x`bands` rows,
+    // but only (id, 2 longs) wide; full shingle sets stay behind.
+    val buckets = docs.select(col("doc_id"), col("shingles"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
+      .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "band")
+
+    val wBucket = Window.partitionBy("band", "bucket")
+    val bounded = buckets.withColumn("bsize", count(lit(1)).over(wBucket))
+      .filter(col("bsize") <= maxBucket)
+
+    val a = bounded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+    val b = bounded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    val pairs = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
+
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
+    pairs.withColumn("jaccard", inter / union)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash of the token multiset. */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(split(text, " "), w => xxhash64(w))
+    val counts = aggregate(hashes, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (c, bit) => c + when(call_function("shiftright", h, bit).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
+    aggregate(zip_with(counts, sequence(lit(0), lit(63)),
+        (c, bit) => when(c > 0, call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** SimHash near-duplicates: candidates share one of 4 16-bit bands,
+    * verified by hamming distance ≤ maxHamming. */
+  def simhashDups(df: DataFrame, idCol: String, textCol: String,
+                  maxHamming: Int = 6): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sim"))
+    val banded = sh.select(col("doc_id"), col("sim"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("sim"), b * 16).bitwiseAND(0xFFFFL))))
+      .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "band")
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("sim").as("sim_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard ≥ threshold via inverted index:
+    * explode distinct n-grams → self-join on ngram (df-capped) → count
+    * shared → Jaccard. The only shuffle keys are 8-byte ngram hashes. */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.5,
+                   maxDocFreq: Int = 100): DataFrame = {
+    val grams = df.select(col(idCol).as("doc_id"),
+        shingleHashes(col(textCol), n).as("grams"))
+      .filter(size(col("grams")) > 0)
+    val sizes = grams.select(col("doc_id"), size(col("grams")).as("n_grams"))
+    val inverted = grams.select(col("doc_id"), explode(col("grams")).as("g"))
+    val wG = Window.partitionBy("g")
+    val capped = inverted.withColumn("df", count(lit(1)).over(wG))
+      .filter(col("df") <= maxDocFreq)
+    val shared = capped.as("x").join(capped.as("y"), col("x.g") === col("y.g"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

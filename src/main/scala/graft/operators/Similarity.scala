@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * - [[cosine]]: sequential double fold over the arrays (zip_with +
+  *   aggregate) — element order fixed, so the result is bit-deterministic
+  *   and matches an oracle computing the same fold.
+  * - [[bruteForceTopK]]: exact baseline — broadcast the (small) query set
+  *   against the corpus, per-query top-k via window. Scales linearly in
+  *   corpus size: the corpus is never shuffled, only scanned.
+  * - [[lshTopK]]: scale path — deterministic random-hyperplane signatures;
+  *   candidates must share one of `tables` sub-signatures, then exact
+  *   re-rank. Turns the all-pairs product into bucket-local work.
+  */
+object Similarity {
+
+  /** Deterministic double-precision cosine similarity of two float
+    * array columns (sequential fold ⇒ reproducible bit-for-bit). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries` is expected to be small (broadcast side). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     qId: String = "vec_id", qVec: String = "embedding",
+                     cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val q = queries.select(col(qId).as("query_id"), col(qVec).as("qv"))
+    val c = corpus.select(col(cId).as("cand_id"), col(cVec).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 → uniform in [-1, 1). No RNG state, so signatures are
+    * reproducible across runs and executors. */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (xxhash64(lit(plane), dim).cast("double") / lit(9.223372036854776e18))
+
+  /** `nBits`-bit random-hyperplane signature of a float-array column. */
+  def rhpSignature(vec: Column, nBits: Int): Column = {
+    val dims = sequence(lit(0), size(vec) - 1)
+    val bits = (0 until nBits).map { p =>
+      val dotp = aggregate(
+        zip_with(vec, dims, (v, i) => v.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(dotp >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN top-k: candidates share at least one of `tables` sub-signatures
+    * (bitsPerTable bits each), exact cosine re-rank within candidates. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              tables: Int = 8, bitsPerTable: Int = 8): DataFrame = {
+    val nBits = tables * bitsPerTable
+    val mask = (1L << bitsPerTable) - 1
+    def sigTables(df: DataFrame, id: String, vec: String, side: String): DataFrame =
+      df.select(col(id).as(s"${side}_id"), col(vec).as(s"${side}v"),
+          rhpSignature(col(vec), nBits).as("sig"))
+        .select(col(s"${side}_id"), col(s"${side}v"),
+          posexplode(transform(sequence(lit(0), lit(tables - 1)),
+            t => call_function("shiftright", col("sig"), t * bitsPerTable).bitwiseAND(mask))))
+        .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "table")
+
+    val q = sigTables(queries, "vec_id", "embedding", "query")
+    val c = sigTables(corpus, "vec_id", "embedding", "cand")
+    val cands = q.join(c, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "queryv", "cand_id", "candv")
+      .dropDuplicates("query_id", "cand_id")
+      .withColumn("sim", cosine(col("queryv"), col("candv")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
+    cands.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs (cosine ≥ threshold) — LSH-bucketed
+    * self-join + exact verify. */
+  def cosineDedup(df: DataFrame, threshold: Double,
+                  tables: Int = 8, bitsPerTable: Int = 8): DataFrame = {
+    val nBits = tables * bitsPerTable
+    val mask = (1L << bitsPerTable) - 1
+    val sigs = df.select(col("vec_id"), col("embedding"),
+        rhpSignature(col("embedding"), nBits).as("sig"))
+      .select(col("vec_id"), col("embedding"),
+        posexplode(transform(sequence(lit(0), lit(tables - 1)),
+          t => call_function("shiftright", col("sig"), t * bitsPerTable).bitwiseAND(mask))))
+      .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "table")
+    val a = sigs.select(col("table"), col("bucket"), col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = sigs.select(col("table"), col("bucket"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, Seq("table", "bucket")).filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+}

