@@ -1,0 +1,153 @@
+package graft.streaming
+
+import graft.core._
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming sessionization — the same [[SessionFold]] semantics
+  * as the batch operator.
+  *
+  * Architecture: ONE stateful operator (Spark supports arbitrary chained
+  * stateful stages only for event-time window aggregations, and a second
+  * `flatMapGroupsWithState` stage stalls the micro-batch planner — found
+  * empirically). The keyed stage handles A1/A2/A5/A6 + the TTL (A3) via
+  * `ProcessingTimeTimeout`; dovecot correlation (A4) is a per-micro-batch
+  * equi-join in `foreachBatch` against the actions accumulated so far.
+  *
+  * Exactness of the dovecot join: the reference enriches only sessions
+  * live when the sieve line arrives (parse.py:373-375). With arrival-order
+  * sequence numbers this is `firstSeq < doveSeq < removedSeq` — and any
+  * action satisfying that inequality is necessarily in the same or an
+  * earlier micro-batch than the event's `removed` line, so joining each
+  * batch's events against all-actions-so-far reproduces the live-window
+  * semantics exactly.
+  *
+  * Sessions close on `removed` punctuation, which Spark's built-in
+  * time-gap `session_window` cannot express — hence the custom state
+  * function (SURVEY.md §7.3).
+  */
+object StreamingSessionize {
+
+  /** Classified transport row. kind: 0=session line, 1=dovecot, 2=fault. */
+  case class InRow(seq: Long, kind: Int, queueId: String, tsMicros: Long,
+                   raw: String, msgid: String, action: String, error: String)
+
+  /** Stage-1 state: session buffer + seq of its first line. */
+  case class S1State(buf: SessionBuf, firstSeq: Long)
+
+  /** Output row: exactly one of event / fault / dovecot action is set.
+    * Events carry their live window [firstSeq, removedSeq) and raw
+    * (bracketed) message id for the dovecot join. */
+  case class StreamOut(kind: Int, event: Option[PostfixEvent], fault: Option[ParseFault],
+                       msgidRaw: String, firstSeq: Long, removedSeq: Long,
+                       doveSeq: Long, doveAction: String)
+
+  val TtlMs: Long = 10L * 60L * 1000L // parse.py:77
+
+  def classify(lines: Dataset[(Long, String)]): Dataset[InRow] = {
+    import lines.sparkSession.implicits._
+    lines.flatMap { case (seq, raw) =>
+      LineParser.classify(raw).map {
+        case LineParser.SessionLine(qid, ts, r) => InRow(seq, 0, qid, ts, r, "", "", "")
+        case LineParser.DovecotLine(m, a)       => InRow(seq, 1, "", -1L, raw, m, a, "")
+        case LineParser.Fault(l, e)             => InRow(seq, 2, "", -1L, l, "", "", e)
+      }
+    }
+  }
+
+  /** The keyed stateful update: replay this batch's lines for one queue id
+    * in seq order through the shared fold; TTL-evict silently (A3). */
+  def updateSession(ttlMs: Option[Long])(queueId: String, rows: Iterator[InRow],
+                    state: GroupState[S1State]): Iterator[StreamOut] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    var st = state.getOption.getOrElse(S1State(SessionBuf.empty, Long.MaxValue))
+    val out = Vector.newBuilder[StreamOut]
+    rows.toArray.sortBy(_.seq).foreach { row =>
+      val firstSeq = math.min(st.firstSeq, row.seq)
+      val res = SessionFold.step(st.buf, LineParser.SessionLine(queueId, row.tsMicros, row.raw))
+      st = res.state match {
+        case Some(b) => S1State(b, firstSeq)
+        case None    => S1State(SessionBuf.empty, Long.MaxValue)
+      }
+      res.event.foreach(ev => out += StreamOut(0, Some(ev), None,
+        res.msgidRaw.getOrElse(""), firstSeq, row.seq, -1L, ""))
+      res.fault.foreach(f => out += StreamOut(2, None, Some(f), "", -1L, -1L, -1L, ""))
+    }
+    if (st.buf.isEmpty) state.remove()
+    else {
+      state.update(st)
+      ttlMs.foreach(state.setTimeoutDuration)
+    }
+    out.result().iterator
+  }
+
+  /** Raw (seq, line) stream → events (un-enriched) + faults + dovecot
+    * action rows. Single stateful operator; works on batch Datasets too.
+    *
+    * @param ttlMs session TTL (A3 eviction). With a timeout registered the
+    *              engine schedules extra no-data micro-batches to evaluate
+    *              expiry — use a ProcessingTime trigger in production, and
+    *              None in synchronous tests (`processAllAvailable` would
+    *              otherwise never settle — found empirically). */
+  def apply(lines: Dataset[(Long, String)], ttlMs: Option[Long] = Some(TtlMs)): Dataset[StreamOut] = {
+    import lines.sparkSession.implicits._
+    val rows = classify(lines)
+    val timeoutConf = if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                      else GroupStateTimeout.NoTimeout
+    val stage1 = rows.filter(_.kind == 0)
+      .groupByKey(_.queueId)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(updateSession(ttlMs))
+    val dove = rows.filter(_.kind == 1)
+      .map(r => StreamOut(1, None, None, r.msgid, -1L, -1L, r.seq, r.action))
+    val faults = rows.filter(_.kind == 2)
+      .map(r => StreamOut(2, None, Some(ParseFault(r.raw, r.error)), "", -1L, -1L, -1L, ""))
+    stage1.union(dove).union(faults)
+  }
+
+  /** Dovecot enrichment (A4) as a batch join: last action inside each
+    * event's live window wins (reference overwrites, parse.py:375).
+    *
+    * @param events  dataframe of StreamOut event rows (kind 0)
+    * @param actions dataframe of StreamOut dovecot rows (kind 1) — ALL
+    *                actions seen so far, not just this batch's
+    */
+  def enrich(events: Dataset[StreamOut], actions: DataFrame): Dataset[PostfixEvent] = {
+    import events.sparkSession.implicits._
+    val ev = events.toDF().select(col("event"), col("msgidRaw").as("e_msgid"),
+      col("firstSeq"), col("removedSeq"))
+    val acts = actions.select(col("msgidRaw").as("a_msgid"),
+      col("doveSeq").as("a_seq"), col("doveAction").as("a_action"))
+    ev.join(acts, col("e_msgid") === col("a_msgid") &&
+        col("a_seq") > col("firstSeq") && col("a_seq") < col("removedSeq"), "left_outer")
+      .groupBy(col("event"), col("e_msgid"), col("firstSeq"), col("removedSeq"))
+      .agg(max_by(col("a_action"), col("a_seq")).as("last_action"))
+      .select(col("event"), col("last_action"))
+      .as[(PostfixEvent, Option[String])]
+      .map { case (evt, act) =>
+        evt.copy(dovecot_fileinto_action = act.orElse(evt.dovecot_fileinto_action)) }
+  }
+
+  /** Convenience sink: write enriched events + faults as parquet, with the
+    * dovecot action log accumulated under the same root. Use as
+    * `sessionized.writeStream.foreachBatch(parquetSink(outDir)).start()`. */
+  def parquetSink(outDir: String): (Dataset[StreamOut], Long) => Unit = {
+    (batch: Dataset[StreamOut], batchId: Long) => {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val cached = batch.cache()
+      try {
+        cached.filter(_.kind == 1).toDF().write.mode("append")
+          .parquet(s"$outDir/dovecot_actions")
+        val allActions = spark.read.parquet(s"$outDir/dovecot_actions")
+        enrich(cached.filter(_.kind == 0), allActions)
+          .write.mode("append").parquet(s"$outDir/events")
+        cached.filter(_.kind == 2).flatMap(_.fault).write.mode("append")
+          .parquet(s"$outDir/faults")
+      } finally { cached.unpersist(); () }
+    }
+  }
+}

@@ -1,0 +1,68 @@
+package graft.tools
+
+import graft.streaming.StreamingSessionize
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming CLI — the continuous analogue of the reference's stdin loop:
+  * watch a directory of syslog text files, sessionize incrementally with
+  * keyed state + 10-minute TTL, write enriched events/faults parquet.
+  *
+  * Sequence numbers: the file source exposes no offsets, so lines are
+  * stamped on a single partition with `(file-mtime-seconds-since-2020
+  * << 31) | line index` — exact arrival order within a file, monotone
+  * across micro-batches for tailed logs (later files have later mtimes),
+  * and — critically — DETERMINISTIC: the plan's union branches make Spark
+  * recompute this stage more than once per batch, so a wall-clock stamp
+  * would give the branches inconsistent seqs (found empirically: it broke
+  * every dovecot window join). The single-partition stamping only affects
+  * the classify stage of a replay CLI; the stateful stage re-shuffles to
+  * full parallelism. An offset-bearing source (e.g. Kafka) should use its
+  * offsets instead.
+  *
+  * Usage: StreamLogs <inputDir> <outDir> [--follow]
+  *   default: Trigger.AvailableNow (process everything present, then stop)
+  *   --follow: 5-second micro-batches, runs until killed.
+  */
+object StreamLogs {
+  def main(args: Array[String]): Unit = {
+    val inputDir = args(0)
+    val outDir = args(1)
+    val follow = args.length > 2 && args(2) == "--follow"
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+      .appName("graft-stream-logs")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val epoch2020s = 1577836800L
+    val lines = spark.readStream.text(inputDir)
+      .select(col("value"),
+        unix_timestamp(col("_metadata.file_modification_time")).as("fsec"))
+      .as[(String, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        it.zipWithIndex.map { case ((l, fsec), i) =>
+          (((fsec - epoch2020s) << 31) | i.toLong, l)
+        }
+      }
+
+    val writer = StreamingSessionize(lines)
+      .writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .foreachBatch(StreamingSessionize.parquetSink(outDir))
+
+    val q = (if (follow) writer.trigger(Trigger.ProcessingTime("5 seconds"))
+             else writer.trigger(Trigger.AvailableNow())).start()
+    q.awaitTermination()
+    val n = spark.read.parquet(s"$outDir/events").count()
+    println(s"[stream-logs] events=$n out=$outDir")
+    spark.stop()
+  }
+}

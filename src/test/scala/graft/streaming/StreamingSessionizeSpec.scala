@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.core.Fixtures
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference fixtures through Structured Streaming, fed across several
+  * micro-batches to prove state survives batch boundaries. */
+class StreamingSessionizeSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+
+  /** Run lines through the streaming pipeline `batchSize` lines at a time,
+    * then apply the dovecot enrichment join the way parquetSink does. */
+  private def run(input: String, batchSize: Int): (Seq[graft.core.PostfixEvent], Seq[graft.core.ParseFault]) = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val name = s"stream_out_${System.nanoTime()}"
+    val q = StreamingSessionize(mem.toDS(), ttlMs = None)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .start()
+    try {
+      val lines = input.split("\n", -1).zipWithIndex.map { case (l, i) => (i.toLong, l) }
+      lines.grouped(batchSize).foreach { batch =>
+        mem.addData(batch.toSeq)
+        q.processAllAvailable()
+      }
+      val out = spark.table(name).as[StreamingSessionize.StreamOut]
+      val events = StreamingSessionize.enrich(
+          out.filter(_.kind == 0), out.filter(_.kind == 1).toDF())
+        .collect().sortBy(_.timestamp.getTime).toSeq
+      (events, out.filter(_.kind == 2).collect().flatMap(_.fault).toSeq)
+    } finally q.stop()
+  }
+
+  test("basic fixture, one line per micro-batch") {
+    val (events, faults) = run(Fixtures.basic, 1)
+    assert(faults.isEmpty)
+    assert(events.size == 1)
+    val e = events.head
+    assert(e.queue_id == "85C6C10208A")
+    assert(e.status_code.contains(250))
+    assert(e.raw_log == Fixtures.basicRawLog)
+    assert(e.client.contains("mail.localhost[192.168.0.1]"))
+  }
+
+  test("mixed fixture interleaved across batches") {
+    val input = Fixtures.mixedPart1 + "\n" + Fixtures.mixedSentLine +
+      "\n2024-04-09T20:22:43.039628+03:00 localhost postfix/qmgr[837]: 85C6C10208A: removed" +
+      "\n" + Fixtures.mixedBouncedLine +
+      "\n2024-04-09T20:25:02.570564+03:00 localhost postfix/qmgr[837]: 2D7291020EE: removed"
+    val (events, faults) = run(input, 3)
+    assert(faults.isEmpty)
+    assert(events.size == 2)
+    assert(events.map(_.status).toSet == Set("sent", "bounced"))
+  }
+
+  test("dovecot sieve line enriches only the live session (cross-batch)") {
+    val (events, faults) = run(Fixtures.dovecot, 2)
+    assert(faults.isEmpty)
+    assert(events.size == 1)
+    assert(events.head.dovecot_fileinto_action.contains("stored mail into mailbox 'Junk'"))
+  }
+
+  test("dovecot line AFTER removal does not enrich (live-window semantics)") {
+    val lines = Fixtures.dovecot.split("\n").filter(_.nonEmpty)
+    val (doveLine, rest) = lines.partition(_.startsWith("Apr 30"))
+    val reordered = (rest :+ doveLine.head).mkString("\n")
+    val (events, faults) = run(reordered, 4)
+    assert(faults.isEmpty)
+    assert(events.size == 1)
+    assert(events.head.dovecot_fileinto_action.isEmpty)
+  }
+
+  test("subject decoding across batch boundary") {
+    val (events, faults) = run(Fixtures.utf8Subject, 2)
+    assert(faults.isEmpty)
+    assert(events.head.message_subject.contains("test - Тест"))
+  }
+
+  test("parquet foreachBatch sink end-to-end") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingSessionize(mem.toDS(), ttlMs = None)
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch(StreamingSessionize.parquetSink(dir))
+      .start()
+    try {
+      val lines = Fixtures.dovecot.split("\n", -1).zipWithIndex.map { case (l, i) => (i.toLong, l) }
+      lines.grouped(3).foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      val events = spark.read.parquet(s"$dir/events").as[graft.core.PostfixEvent].collect()
+      assert(events.length == 1)
+      assert(events.head.dovecot_fileinto_action.contains("stored mail into mailbox 'Junk'"))
+    } finally q.stop()
+  }
+}
