@@ -48,7 +48,11 @@ object SparkEntry {
     "text_langid" -> (ExtensionQueries.textLangId _),
     "text_token_count" -> (ExtensionQueries.textTokenCount _),
     "text_fingerprint" -> (ExtensionQueries.textFingerprint _),
-    "multimodal_features" -> (ExtensionQueries.multimodalFeatures _)
+    "text_winnow_fingerprint" -> (ExtensionQueries.textWinnow _),
+    "multimodal_features" -> (ExtensionQueries.multimodalFeatures _),
+    // -- spark.sql surface over registered views + custom SQL functions --
+    "sql_events_arrayjoin" -> (PipelineQueries.sqlArrayJoin _),
+    "sql_mime_decode" -> (ExtensionQueries.sqlMimeDecode _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -76,8 +80,11 @@ object SparkEntry {
     "text_langid" -> ExtensionQueries.textLangIdOracle,
     "text_token_count" -> ExtensionQueries.textTokenCountOracle,
     "text_fingerprint" -> ExtensionQueries.textFingerprintOracle,
-    "multimodal_features" -> ExtensionQueries.multimodalFeaturesOracle
-    // dedup_minhash_lsh / dedup_simhash / ann_lsh_topk: LSH-candidate-
-    // dependent → rows-only driver check + ScalaTest recall assertions.
+    "multimodal_features" -> ExtensionQueries.multimodalFeaturesOracle,
+    "sql_events_arrayjoin" -> PipelineQueries.sqlArrayJoinOracle,
+    "sql_mime_decode" -> ExtensionQueries.sqlMimeDecodeOracle
+    // dedup_minhash_lsh / dedup_simhash / ann_lsh_topk /
+    // text_winnow_fingerprint: engine-internal hash families → rows-only
+    // driver check + ScalaTest recall/overlap assertions.
   )
 }

@@ -30,9 +30,21 @@ object LineParser {
   /** Parse error → the reference's `on_fault` channel (parse.py:422-423). */
   final case class Fault(line: String, error: String) extends Classified
 
-  /** Python `str.split()`: any-whitespace split, empties discarded. */
-  def tokenize(s: String): Array[String] =
-    s.split("\\s+").filter(_.nonEmpty)
+  /** Python `str.split()`: any-whitespace split, empties discarded.
+    * Hand-rolled single-pass scan — `String.split("\\s+")` recompiles its
+    * regex per call and this runs twice per line in the hot path. */
+  def tokenize(s: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuilder.ofRef[String]
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) out += s.substring(start, i)
+    }
+    out.result()
+  }
 
   /** Queue-id predicate: 11 chars of [0-9A-F] followed by ':'
     * (parse.py:237-256). */
@@ -42,17 +54,37 @@ object LineParser {
 
   /** `datetime.fromisoformat` analogue (parse.py:398): accepts offset,
     * naive datetime, or bare date; anything else → None (line dropped).
-    * Naive timestamps are taken as UTC (the engine normalizes to UTC). */
+    * Naive timestamps are taken as UTC (the engine normalizes to UTC).
+    *
+    * The cheap shape guard matters: this predicate rejects every noise
+    * line (dovecot syslog `Apr 30 ...`, junk), and JVM exceptions cost
+    * microseconds each — an exception-driven reject path dominated the
+    * classify stage profile. */
   def parseIsoMicros(tok: String): Option[Long] = {
-    try Some(TimeUtil.toMicros(OffsetDateTime.parse(tok).toInstant))
-    catch { case _: Exception =>
+    // ISO shapes start "dddd-dd-dd"; everything else can't parse.
+    if (tok.length < 10) return None
+    var i = 0
+    while (i < 4) { if (!isDigit(tok.charAt(i))) return None; i += 1 }
+    if (tok.charAt(4) != '-' || tok.charAt(7) != '-') return None
+    if (!isDigit(tok.charAt(5)) || !isDigit(tok.charAt(6)) ||
+        !isDigit(tok.charAt(8)) || !isDigit(tok.charAt(9))) return None
+    if (tok.length == 10) {
+      try return Some(TimeUtil.toMicros(LocalDate.parse(tok).atStartOfDay.toInstant(ZoneOffset.UTC)))
+      catch { case _: Exception => return None }
+    }
+    // offset forms contain +/-/Z after the date part, naive forms don't
+    val hasOffset = tok.indexOf('+', 10) >= 0 || tok.indexOf('-', 10) >= 0 ||
+      tok.indexOf('Z', 10) >= 0 || tok.indexOf('z', 10) >= 0
+    if (hasOffset) {
+      try Some(TimeUtil.toMicros(OffsetDateTime.parse(tok).toInstant))
+      catch { case _: Exception => None }
+    } else {
       try Some(TimeUtil.toMicros(LocalDateTime.parse(tok).toInstant(ZoneOffset.UTC)))
-      catch { case _: Exception =>
-        try Some(TimeUtil.toMicros(LocalDate.parse(tok).atStartOfDay.toInstant(ZoneOffset.UTC)))
-        catch { case _: Exception => None }
-      }
+      catch { case _: Exception => None }
     }
   }
+
+  private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
 
   /** Dovecot sieve guard (parse.py:362-369). Python evaluates the
     * conjunction lazily, so a line whose tokens run out mid-check raises

@@ -1,0 +1,139 @@
+package graft.functions
+
+import graft.core.Rfc2047
+import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text-processing Catalyst expressions:
+  *
+  *  - [[DecodeMimeHeader]] — the reference's RFC 2047 subject decode
+  *    (parse.py:324-326) exposed as a SQL scalar function. The pipeline's
+  *    fold keeps exception semantics (fault channel); the SQL surface
+  *    returns NULL on malformed input, the conventional SQL contract.
+  *  - [[WinnowFingerprint]] — document fingerprinting by winnowing
+  *    (Schleimer/Wilkerson/Aiken, SIGMOD 2003): k-gram rolling hashes,
+  *    keep the minimum of each sliding window → a compact, position-robust
+  *    fingerprint set for near-dup detection / provenance.
+  */
+object TextExpressions {
+
+  case class DecodeMimeHeader(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "decode_mime_header"
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      try UTF8String.fromString(Rfc2047.decodeFirstWord(s))
+      catch { case _: Exception => null }
+    }
+
+    // Calls back into Scala — still participates in whole-stage codegen
+    // via a bound reference to this expression instance.
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("decodeMime", this,
+        classOf[DecodeMimeHeader].getName)
+      val tmp = ctx.freshName("decoded")
+      nullSafeCodeGen(ctx, ev, a => {
+        s"""
+        Object $tmp = $ref.nullSafeEval($a);
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $tmp; }
+        """
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Winnowing fingerprints: rolling polynomial hash over each k-char
+    * gram, then per sliding window of `w` grams keep the rightmost
+    * minimum; result is the sorted distinct set of kept hashes. */
+  case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "winnow_fingerprint"
+
+    private val Base = 1000003L
+    private val Mod = (1L << 61) - 1
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      if (s.length < k) return new GenericArrayData(Array.empty[Long])
+      // rolling k-gram hashes
+      val n = s.length - k + 1
+      val hs = new Array[Long](n)
+      var pow = 1L
+      var i = 0
+      while (i < k - 1) { pow = mulmod(pow, Base); i += 1 }
+      var h = 0L
+      i = 0
+      while (i < k) { h = addmod(mulmod(h, Base), s.charAt(i).toLong); i += 1 }
+      hs(0) = h
+      i = 1
+      while (i < n) {
+        h = addmod(mulmod(addmod(h, Mod - mulmod(s.charAt(i - 1).toLong, pow)), Base),
+          s.charAt(i + k - 1).toLong)
+        hs(i) = h
+        i += 1
+      }
+      // winnow: rightmost minimum of each window of w hashes
+      val kept = scala.collection.mutable.SortedSet.empty[Long]
+      if (n <= w) kept += hs.min
+      else {
+        var j = 0
+        while (j + w <= n) {
+          var m = hs(j)
+          var mi = j
+          var t = j
+          while (t < j + w) {
+            if (hs(t) <= m) { m = hs(t); mi = t }
+            t += 1
+          }
+          kept += hs(mi)
+          j += 1
+        }
+      }
+      new GenericArrayData(kept.toArray)
+    }
+
+    private def mulmod(a: Long, b: Long): Long = {
+      val r = BigInt(a) * BigInt(b) % BigInt(Mod)
+      r.toLong
+    }
+    private def addmod(a: Long, b: Long): Long = {
+      val r = a + b
+      if (r >= Mod) r - Mod else r
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("winnow", this, classOf[WinnowFingerprint].getName)
+      nullSafeCodeGen(ctx, ev, a => {
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($a);"
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def decodeMimeHeader(c: Column): Column =
+    GraftBridge.column(DecodeMimeHeader(GraftBridge.expr(c)))
+  def winnowFingerprint(c: Column, k: Int = 8, w: Int = 4): Column =
+    GraftBridge.column(WinnowFingerprint(GraftBridge.expr(c), k, w))
+
+  /** Register the SQL-facing function names. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("decode_mime_header",
+      exprs => DecodeMimeHeader(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("winnow_fingerprint",
+      exprs => WinnowFingerprint(exprs.head, 8, 4), "scala_udf")
+  }
+}

@@ -36,13 +36,12 @@ object Dedup {
     array_distinct(transform(idx, i => xxhash64(concat_ws(" ", slice(words, i + 1, lit(w))))))
   }
 
-  /** One minhash value: min over shingles of a salted rehash. */
-  private def minhash(shingles: Column, seed: Int): Column =
-    array_min(transform(shingles, h => xxhash64(h, lit(seed))))
-
-  /** MinHash signature as an array column of `k` 64-bit minima. */
+  /** MinHash signature as an array column of `k` 64-bit minima —
+    * semantically `array_min(transform(shingles, h => xxhash64(h, i)))`
+    * per salt i, computed in one codegen'd pass
+    * ([[graft.functions.VectorExpressions.MinHashSignature]]). */
   def minhashSignature(shingles: Column, k: Int): Column =
-    array((0 until k).map(i => minhash(shingles, i)): _*)
+    graft.functions.VectorExpressions.minhashSig(shingles, k)
 
   /** Near-duplicate candidate pairs via banded MinHash-LSH, verified with
     * exact shingle Jaccard.
@@ -89,16 +88,11 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash of the token multiset. */
-  def simhash64(text: Column): Column = {
-    val hashes = transform(split(text, " "), w => xxhash64(w))
-    val counts = aggregate(hashes, array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
-        (c, bit) => c + when(call_function("shiftright", h, bit).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
-    aggregate(zip_with(counts, sequence(lit(0), lit(63)),
-        (c, bit) => when(c > 0, call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
-  }
+  /** 64-bit SimHash of the token multiset (codegen'd fold over the
+    * xxhash64 token hashes). */
+  def simhash64(text: Column): Column =
+    graft.functions.VectorExpressions.simhashFromHashes(
+      transform(split(text, " "), w => xxhash64(w)))
 
   /** SimHash near-duplicates: candidates share one of 4 16-bit bands,
     * verified by hamming distance ≤ maxHamming. */

@@ -71,33 +71,74 @@ object Sessionize {
     out.result().iterator
   }
 
-  def apply(spark: SparkSession, lines: Dataset[(Long, String)]): Result = {
-    import spark.implicits._
-    val classified = classify(spark, lines)
+  /** Streaming fold over a partition pre-sorted by (queueId, seq) —
+    * secondary-sort pattern: detects key runs and folds each session line
+    * as it streams past, O(1) memory beyond one in-flight SessionBuf.
+    * Chosen over `groupByKey.flatMapGroups` because the typed-key path
+    * deserializes and re-serializes every row around the exchange
+    * (measured ~3× slower end-to-end); here the exchange stays in Tungsten
+    * rows and each row is decoded exactly once. */
+  def foldRuns(rows: Iterator[ClassifiedRow]): Iterator[FoldOut] = new Iterator[FoldOut] {
+    private val in = rows.buffered
+    private var st = SessionBuf.empty
+    private var qid: String = null
+    private var pending: Iterator[FoldOut] = Iterator.empty
 
-    val folded = classified
-      .filter(_.kind == 0)
-      .groupByKey(_.queueId)
-      .flatMapGroups((qid: String, it: Iterator[ClassifiedRow]) => foldGroup(qid, it))
+    private def advance(): Unit = {
+      while (!pending.hasNext && in.hasNext) {
+        val row = in.next()
+        if (row.queueId != qid) { qid = row.queueId; st = SessionBuf.empty }
+        val res = SessionFold.step(st, LineParser.SessionLine(qid, row.tsMicros, row.raw))
+        st = res.state.getOrElse(SessionBuf.empty)
+        if (res.event.isDefined || res.fault.isDefined)
+          pending = Iterator.single(FoldOut(res.event, res.fault, res.msgidRaw))
+      }
+    }
+    override def hasNext: Boolean = { advance(); pending.hasNext }
+    override def next(): FoldOut = { advance(); pending.next() }
+  }
+
+  /** @param persistIntermediate cache the classified + folded datasets so
+    *        consuming BOTH events and faults (or several projections of
+    *        one) costs a single parse/shuffle pass. Off by default — a
+    *        library caller owning exactly one downstream action shouldn't
+    *        pay the cache. */
+  def apply(spark: SparkSession, lines: Dataset[(Long, String)],
+            persistIntermediate: Boolean = false): Result = {
+    import spark.implicits._
+    val classified0 = classify(spark, lines)
+    val classified = if (persistIntermediate) classified0.persist() else classified0
+
+    // Everything below the fold is COLUMNAR (where/select, no typed
+    // lambdas): a lambda filter would deserialize every cached row, while
+    // column predicates let Catalyst prune columns straight out of the
+    // (columnar) cache / shuffle files.
+    val folded0 = classified
+      .where($"kind" === 0)
+      .repartition($"queueId")
+      .sortWithinPartitions($"queueId", $"seq")
+      .as[ClassifiedRow]
+      .mapPartitions(foldRuns _)
+    val folded = if (persistIntermediate) folded0.persist() else folded0
 
     // Last sieve line wins per message id (parse.py:375 keeps overwriting).
-    val doveAgg = classified
-      .filter(_.kind == 1)
-      .groupByKey(_.msgid)
-      .mapGroups((_: String, it: Iterator[ClassifiedRow]) => { val m = it.maxBy(_.seq); (m.msgid, m.action) })
-      .toDF("msgid", "dovecot_action")
+    val doveAgg = classified.where($"kind" === 1)
+      .groupBy($"msgid")
+      .agg(max_by($"action", $"seq").as("dovecot_action"))
 
     val events = folded
-      .filter(_.event.isDefined)
-      .map(f => (f.event.get, f.msgidRaw.orNull))
-      .toDF("event", "msgid_raw")
+      .where($"event".isNotNull)
+      .select($"event", $"msgidRaw".as("msgid_raw"))
       .join(doveAgg, $"msgid_raw" === $"msgid", "left_outer")
-      .select(col("event"), col("dovecot_action"))
-      .as[(PostfixEvent, Option[String])]
-      .map { case (ev, action) => ev.copy(dovecot_fileinto_action = action.orElse(ev.dovecot_fileinto_action)) }
+      .select($"event".withField("dovecot_fileinto_action",
+        coalesce($"dovecot_action", $"event.dovecot_fileinto_action")).as("event"))
+      .select("event.*")
+      .as[PostfixEvent]
 
-    val faults = classified.filter(_.kind == 2).map(r => ParseFault(r.raw, r.error))
-      .unionAll(folded.filter(_.fault.isDefined).map(_.fault.get))
+    val faults = classified.where($"kind" === 2)
+      .select($"raw".as("line"), $"error").as[ParseFault]
+      .unionAll(folded.where($"fault".isNotNull)
+        .select($"fault.line".as("line"), $"fault.error".as("error")).as[ParseFault])
 
     Result(events, faults)
   }

@@ -18,48 +18,42 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Deterministic double-precision cosine similarity of two float
-    * array columns (sequential fold ⇒ reproducible bit-for-bit). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  import graft.functions.VectorExpressions.vecDot
+
+  /** Deterministic double-precision cosine similarity of two float array
+    * columns (sequential codegen'd fold ⇒ reproducible bit-for-bit). */
+  def cosine(a: Column, b: Column): Column =
+    vecDot(a, b) / (sqrt(vecDot(a, a)) * sqrt(vecDot(b, b)))
+
+  /** Euclidean norm of a float array column. */
+  def vecNorm(a: Column): Column = sqrt(vecDot(a, a))
 
   /** Exact top-k cosine neighbors for each query vector.
-    * `queries` is expected to be small (broadcast side). */
+    * `queries` is expected to be small (broadcast side). Norms are
+    * precomputed per vector — one dot per pair instead of three. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      qId: String = "vec_id", qVec: String = "embedding",
                      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    val q = queries.select(col(qId).as("query_id"), col(qVec).as("qv"))
-    val c = corpus.select(col(cId).as("cand_id"), col(cVec).as("cv"))
+    val q = queries.select(col(qId).as("query_id"), col(qVec).as("qv"),
+      vecNorm(col(qVec)).as("qn"))
+    val c = corpus.select(col(cId).as("cand_id"), col(cVec).as("cv"),
+      vecNorm(col(cVec)).as("cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 → uniform in [-1, 1). No RNG state, so signatures are
-    * reproducible across runs and executors. */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (xxhash64(lit(plane), dim).cast("double") / lit(9.223372036854776e18))
-
-  /** `nBits`-bit random-hyperplane signature of a float-array column. */
-  def rhpSignature(vec: Column, nBits: Int): Column = {
-    val dims = sequence(lit(0), size(vec) - 1)
-    val bits = (0 until nBits).map { p =>
-      val dotp = aggregate(
-        zip_with(vec, dims, (v, i) => v.cast("double") * planeComponent(p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(dotp >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  /** `nBits`-bit random-hyperplane signature of a float-array column:
+    * bit p = sign of the dot product with a hyperplane whose components
+    * are `xxhash64-derived uniforms in [-1, 1)` — no RNG state, so
+    * signatures are reproducible across runs and executors. Codegen'd
+    * ([[graft.functions.VectorExpressions.RhpSignature]]). */
+  def rhpSignature(vec: Column, nBits: Int): Column =
+    graft.functions.VectorExpressions.rhpSig(vec, nBits)
 
   /** ANN top-k: candidates share at least one of `tables` sub-signatures
     * (bitsPerTable bits each), exact cosine re-rank within candidates. */

@@ -66,11 +66,14 @@ ORDER BY id_a, id_b"""
       .orderBy("id_a", "id_b")
 
   def dedupEmbeddingCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorExpressions.vecDot
     val e = Tables(spark, sfDir, "embeddings")
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      Similarity.vecNorm(col("embedding")).as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      Similarity.vecNorm(col("embedding")).as("nb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
+      .withColumn("sim", vecDot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("sim") >= 0.4)
       .select("id_a", "id_b", "sim")
       .orderBy("id_a", "id_b")
@@ -193,6 +196,30 @@ SELECT doc_id,
   CAST(len(string_split(text,' ')) +
        len(list_filter(string_split(text,' '), w -> length(w) > 8)) AS BIGINT) AS n_pieces
 FROM documents ORDER BY doc_id"""
+
+  /** RFC 2047 decode as a REGISTERED SQL function (custom Catalyst
+    * expression), driven through literal spark.sql text. */
+  def sqlMimeDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.TextExpressions.register(spark)
+    Tables(spark, sfDir, "documents").createOrReplaceTempView("graft_docs")
+    spark.sql("""
+      SELECT doc_id,
+             decode_mime_header(concat('=?UTF-8?B?',
+               base64(encode(substring(text, 1, 32), 'UTF-8')), '?=')) AS decoded
+      FROM graft_docs ORDER BY doc_id""")
+  }
+
+  val sqlMimeDecodeOracle: String = """
+SELECT doc_id, substring(text, 1, 32) AS decoded FROM documents ORDER BY doc_id"""
+
+  /** Winnowing fingerprints (rows-only: hash family is engine-internal;
+    * overlap semantics asserted in TextExpressionsSpec). */
+  def textWinnow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.winnowFingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), size(col("fp")).as("n_fp"), col("fp"))
+      .orderBy("doc_id")
 
   def textFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "documents")

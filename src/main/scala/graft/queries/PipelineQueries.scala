@@ -90,9 +90,19 @@ object PipelineQueries {
       .as[(Long, String)]
   }
 
-  /** Run the real pipeline over the synthesized log. */
+  /** Run the real pipeline over the synthesized log.
+    *
+    * Memoized + persisted per (session, sfDir): five verify queries view
+    * the same sessionized result, so the parse/shuffle/fold runs once per
+    * scale factor instead of five times (it dominated bench time). */
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Sessionize.Result]
+
   def sessionized(spark: SparkSession, sfDir: String): Sessionize.Result =
-    Sessionize(spark, synthLines(spark, sfDir))
+    memo.getOrElseUpdate((spark, sfDir), {
+      val r = Sessionize(spark, synthLines(spark, sfDir), persistIntermediate = true)
+      Sessionize.Result(r.events.persist(), r.faults.persist())
+    })
 
   /** Flagship: every event field, one row per successful session. */
   def e2e(spark: SparkSession, sfDir: String): DataFrame = {
@@ -130,6 +140,18 @@ object PipelineQueries {
   def faults(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     sessionized(spark, sfDir).faults.toDF().select($"line").orderBy($"line")
+  }
+
+  /** ClickHouse-side surface (SURVEY §2.5) as literal SQL over the
+    * registered events view: `ARRAY JOIN domains_to` ≈ LATERAL VIEW
+    * explode. Proves the spark.sql path end-to-end over pipeline output. */
+  def sqlArrayJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    sessionized(spark, sfDir).events.toDF().createOrReplaceTempView("graft_events")
+    spark.sql("""
+      SELECT d AS domain, count(*) AS n_events,
+             count(DISTINCT queue_id) AS n_sessions
+      FROM graft_events LATERAL VIEW explode(domains_to) t AS d
+      GROUP BY d ORDER BY d""")
   }
 
   // ---------------------------------------------------------------- oracle
@@ -195,6 +217,11 @@ SELECT queue_id,
        'm' || event_id || '@example.com' AS message_id,
        'stored mail into mailbox ''Box' || (event_id % 11) || '''' AS dovecot_fileinto_action
 FROM e WHERE event_id % 3 = 0 ORDER BY queue_id"""
+
+  val sqlArrayJoinOracle: String = oracleBase + """
+SELECT 'rd' || (event_id % 7) || '.example' AS domain,
+       count(*) AS n_events, count(DISTINCT queue_id) AS n_sessions
+FROM e GROUP BY 1 ORDER BY 1"""
 
   val faultsOracle: String = """
 SELECT strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || '+00:00 mx1 postfix/qmgr[105]: ' ||

@@ -1,0 +1,60 @@
+package graft.sources
+
+import graft.core.PostfixEvent
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The `events` analytic table — our replacement for the reference's
+  * ClickHouse side (DDL parse.py:27-54, sink parse.py:447-505).
+  *
+  * Mapping of `ENGINE MergeTree ORDER BY timestamp` (parse.py:53) onto
+  * parquet/Spark:
+  *   - range-repartition on `timestamp` → files cover disjoint time
+  *     ranges (MergeTree parts),
+  *   - sortWithinPartitions → rows inside each file are time-ordered, so
+  *     parquet row-group min/max statistics give the same time-range scan
+  *     pruning a MergeTree primary index provides,
+  *   - optional day partitioning (`partitioned=true`) adds directory-level
+  *     partition pruning for multi-month retention at cluster scale.
+  *
+  * The reference's per-row synchronous insert becomes a bulk columnar
+  * write — a documented semantic difference (batch atomicity), not one to
+  * replicate (SURVEY.md §4).
+  */
+object EventsTable {
+
+  val TableName = "events_log"
+
+  /** Write events time-clustered; `buckets` controls output file count. */
+  def write(events: Dataset[PostfixEvent], path: String,
+            mode: SaveMode = SaveMode.Overwrite,
+            buckets: Int = 0): Unit = {
+    val n = if (buckets > 0) buckets
+            else events.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    events.toDF()
+      .repartitionByRange(n, col("timestamp"))
+      .sortWithinPartitions("timestamp")
+      .write.mode(mode).parquet(path)
+  }
+
+  /** Day-partitioned variant for long retention. */
+  def writePartitioned(events: Dataset[PostfixEvent], path: String,
+                       mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val df = events.toDF().withColumn("event_date", to_date(col("timestamp")))
+    df.repartitionByRange(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("event_date"), col("timestamp"))
+      .sortWithinPartitions("timestamp")
+      .write.mode(mode).partitionBy("event_date").parquet(path)
+  }
+
+  /** Read + register as a SQL view so `spark.sql("... FROM events_log")`
+    * serves the reference's implied ClickHouse query surface
+    * (SURVEY.md §2.5): time-range scans hit parquet row-group pruning,
+    * `ARRAY JOIN domains_to` ≈ `explode(domains_to)` / LATERAL VIEW. */
+  def register(spark: SparkSession, path: String,
+               name: String = TableName): DataFrame = {
+    val df = spark.read.parquet(path)
+    df.createOrReplaceTempView(name)
+    df
+  }
+}

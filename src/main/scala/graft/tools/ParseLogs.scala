@@ -27,14 +27,7 @@ object ParseLogs {
     spark.sparkContext.setLogLevel("WARN")
 
     val res = Sessionize.fromTextFiles(spark, input)
-    // MergeTree ORDER BY timestamp analogue (parse.py:53): range-partition
-    // + sort within partitions so parquet row groups are time-clustered
-    // and min/max stats enable time-range pruning.
-    res.events
-      .repartitionByRange(spark.conf.get("spark.sql.shuffle.partitions").toInt,
-        org.apache.spark.sql.functions.col("timestamp"))
-      .sortWithinPartitions("timestamp")
-      .write.mode("overwrite").parquet(s"$outDir/events")
+    graft.sources.EventsTable.write(res.events, s"$outDir/events")
     res.faults.write.mode("overwrite").parquet(s"$outDir/faults")
 
     val n = spark.read.parquet(s"$outDir/events").count()
