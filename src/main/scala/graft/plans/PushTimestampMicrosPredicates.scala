@@ -1,0 +1,86 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Custom optimizer rule: rewrite comparisons of
+  * `timestamp_micros(a div K)` against timestamp literals into plain
+  * integer comparisons on `a`.
+  *
+  * Why it exists: the driver's events table stores INT64 TIMESTAMP(NANOS),
+  * which we read as a long and rebuild with `timestamp_micros(ts div
+  * 1000)` ([[graft.queries.Tables]]). A time-range predicate written
+  * against the rebuilt column stops at that expression — Catalyst has no
+  * rule to invert `timestamp_micros`, so nothing reaches the parquet scan
+  * and a 100 TB time-range query degrades to a full scan. After this
+  * rewrite the predicate is a bare attribute comparison and
+  * FileSourceStrategy pushes it into PushedFilters → row-group pruning on
+  * the time axis, which is the entire point of the MergeTree
+  * `ORDER BY timestamp` analogue (reference parse.py:53).
+  *
+  * Floor-division inversion (valid for non-negative a, d > 0):
+  *   a div d >= M  ⇔  a >= M*d          a div d > M  ⇔  a >= (M+1)*d
+  *   a div d <  M  ⇔  a <  M*d          a div d <= M ⇔  a <  (M+1)*d
+  */
+object PushTimestampMicrosPredicates extends Rule[LogicalPlan] {
+
+  /** Matches timestamp_micros(a div K) → (a, K). */
+  private object TsOfDiv {
+    def unapply(e: Expression): Option[(Expression, Long)] = e match {
+      case MicrosToTimestamp(IntegralDivide(a, Literal(k: Long, LongType), _)) if k > 0 =>
+        Some((a, k))
+      case _ => None
+    }
+  }
+
+  /** TimestampType literal → its epoch-micros internal value. */
+  private object TsLit {
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, TimestampType) => Some(v)
+      case _ => None
+    }
+  }
+
+  private def times(m: Long, k: Long): Option[Long] =
+    try Some(Math.multiplyExact(m, k)) catch { case _: ArithmeticException => None }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case e @ GreaterThanOrEqual(TsOfDiv(a, k), TsLit(m)) =>
+      times(m, k).map(v => GreaterThanOrEqual(a, Literal(v, LongType))).getOrElse(e)
+    case e @ GreaterThan(TsOfDiv(a, k), TsLit(m)) =>
+      times(m + 1, k).map(v => GreaterThanOrEqual(a, Literal(v, LongType))).getOrElse(e)
+    case e @ LessThan(TsOfDiv(a, k), TsLit(m)) =>
+      times(m, k).map(v => LessThan(a, Literal(v, LongType))).getOrElse(e)
+    case e @ LessThanOrEqual(TsOfDiv(a, k), TsLit(m)) =>
+      times(m + 1, k).map(v => LessThan(a, Literal(v, LongType))).getOrElse(e)
+    // mirrored literal-on-left forms
+    case e @ GreaterThanOrEqual(TsLit(m), TsOfDiv(a, k)) =>   // lit >= div ⇔ div <= lit
+      times(m + 1, k).map(v => LessThan(a, Literal(v, LongType))).getOrElse(e)
+    case e @ GreaterThan(TsLit(m), TsOfDiv(a, k)) =>
+      times(m, k).map(v => LessThan(a, Literal(v, LongType))).getOrElse(e)
+    case e @ LessThan(TsLit(m), TsOfDiv(a, k)) =>
+      times(m + 1, k).map(v => GreaterThanOrEqual(a, Literal(v, LongType))).getOrElse(e)
+    case e @ LessThanOrEqual(TsLit(m), TsOfDiv(a, k)) =>
+      times(m, k).map(v => GreaterThanOrEqual(a, Literal(v, LongType))).getOrElse(e)
+  }
+
+  /** Idempotently attach to a session's extra optimizer batch. */
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(this))
+      spark.experimental.extraOptimizations = cur :+ this
+  }
+}
+
+/** `spark.sql.extensions`-style registration for cluster deployments:
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => PushTimestampMicrosPredicates)
+  }
+}

@@ -16,6 +16,9 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // make ts-range predicates written against the rebuilt column reach
+      // the parquet scan (see the rule's scaladoc)
+      graft.plans.PushTimestampMicrosPredicates.install(spark)
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       if (df.schema("ts").dataType == LongType)
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
