@@ -36,6 +36,8 @@ object SparkEntry {
     "rollup_returns" -> (AnalyticsQueries.rollupReturns _),
     "setops_customers" -> (AnalyticsQueries.setOpsCustomers _),
     "part_brand_stats" -> (AnalyticsQueries.partBrandStats _),
+    "subquery_not_exists" -> (AnalyticsQueries.notExistsRecentOrders _),
+    "subquery_scalar_avg" -> (AnalyticsQueries.scalarSubqueryAboveAvg _),
     // -- 100TB training-data pipeline extension operators --
     "dedup_exact" -> (ExtensionQueries.dedupExact _),
     "dedup_ngram_jaccard" -> (ExtensionQueries.dedupNgramJaccard _),
@@ -49,6 +51,7 @@ object SparkEntry {
     "text_token_count" -> (ExtensionQueries.textTokenCount _),
     "text_fingerprint" -> (ExtensionQueries.textFingerprint _),
     "text_winnow_fingerprint" -> (ExtensionQueries.textWinnow _),
+    "corpus_clean" -> (ExtensionQueries.corpusClean _),
     "multimodal_features" -> (ExtensionQueries.multimodalFeatures _),
     // -- spark.sql surface over registered views + custom SQL functions --
     "sql_events_arrayjoin" -> (PipelineQueries.sqlArrayJoin _),
@@ -72,6 +75,9 @@ object SparkEntry {
     "rollup_returns" -> AnalyticsQueries.rollupReturnsOracle,
     "setops_customers" -> AnalyticsQueries.setOpsCustomersOracle,
     "part_brand_stats" -> AnalyticsQueries.partBrandStatsOracle,
+    "subquery_not_exists" -> AnalyticsQueries.notExistsRecentOrdersOracle,
+    "subquery_scalar_avg" -> AnalyticsQueries.scalarSubqueryAboveAvgOracle,
+    "corpus_clean" -> ExtensionQueries.corpusCleanOracle,
     "dedup_exact" -> ExtensionQueries.dedupExactOracle,
     "dedup_ngram_jaccard" -> ExtensionQueries.dedupNgramJaccardOracle,
     "dedup_embedding_cosine" -> ExtensionQueries.dedupEmbeddingCosineOracle,

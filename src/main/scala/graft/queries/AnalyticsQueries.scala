@@ -272,6 +272,47 @@ SELECT 'no_orders' AS segment, c_custkey AS custkey
 FROM (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)
 ORDER BY segment, custkey"""
 
+  /** NOT EXISTS correlated subquery: customers with no order in 1998+. */
+  def notExistsRecentOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "customer").createOrReplaceTempView("sq_customer")
+    Tables(spark, sfDir, "orders").createOrReplaceTempView("sq_orders")
+    spark.sql("""
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM sq_customer c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM sq_orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+      ORDER BY c_custkey""")
+  }
+
+  val notExistsRecentOrdersOracle: String = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+ORDER BY c_custkey"""
+
+  /** Scalar subquery: orders priced above the global average. */
+  def scalarSubqueryAboveAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "orders").createOrReplaceTempView("sq2_orders")
+    spark.sql("""
+      SELECT o_orderkey, o_totalprice
+      FROM sq2_orders
+      WHERE o_totalprice > 1.5 * (SELECT CAST(SUM(CAST(floor(o_totalprice*100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                                         / (100.0 * count(*)) FROM sq2_orders)
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")
+  }
+
+  val scalarSubqueryAboveAvgOracle: String = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 1.5 * (SELECT CAST(SUM(CAST(floor(o_totalprice*100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                                   / (100.0 * count(*)) FROM orders)
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""
+
   /** Semi/anti joins + distinct aggregate over part dims. */
   def partBrandStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

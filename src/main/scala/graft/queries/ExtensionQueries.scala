@@ -230,6 +230,61 @@ SELECT doc_id, substring(text, 1, 32) AS decoded FROM documents ORDER BY doc_id"
 SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
 FROM documents ORDER BY doc_id"""
 
+  /** Composite training-data cleaning step — the operators composed the
+    * way a real corpus pipeline runs them in ONE pass: content-hash
+    * canonicalization (exact dedup keep-first), quality gate, language
+    * tag. Output is the cleaned-corpus manifest. */
+  def corpusClean(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text", "lang")
+    val stats = TextAnalysis.withQuality(docs, "text")
+      .withColumn("fingerprint", TextAnalysis.fingerprintMd5(col("text")))
+      .withColumn("predicted_lang", TextAnalysis.langId(col("text")))
+    val w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    stats
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("quality_score") >= 0.5)
+      .select(col("doc_id"), col("fingerprint"), col("predicted_lang"),
+        col("n_tokens"), col("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  val corpusCleanOracle: String = """
+WITH s AS (
+  SELECT doc_id,
+    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+    CASE WHEN len(list_filter(string_split(text,' '),
+           w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) >=
+         len(list_filter(string_split(text,' '),
+           w -> w IN ('el','la','de','y','en','es','que','los','las','un')))
+         AND len(list_filter(string_split(text,' '),
+           w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) >=
+         len(list_filter(string_split(text,' '),
+           w -> w IN ('der','die','das','und','zu','ist','von','mit','den','ein')))
+         THEN 'en'
+         WHEN len(list_filter(string_split(text,' '),
+           w -> w IN ('el','la','de','y','en','es','que','los','las','un'))) >=
+         len(list_filter(string_split(text,' '),
+           w -> w IN ('der','die','das','und','zu','ist','von','mit','den','ein')))
+         THEN 'es' ELSE 'de' END AS predicted_lang,
+    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+    (CASE WHEN len(string_split(text,' ')) >= 20 AND len(string_split(text,' ')) <= 2000
+          THEN 0.4 ELSE 0.1 END)
+    + 0.4 * (CAST(len(list_filter(string_split(text,' '),
+        w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+        / len(string_split(text,' ')))
+    + (CASE WHEN (CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+                  / len(string_split(text,' '))) >= 3.0
+             AND (CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+                  / len(string_split(text,' '))) <= 9.0
+            THEN 0.2 ELSE 0.0 END) AS quality_score,
+    row_number() OVER (PARTITION BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+                       ORDER BY doc_id) AS rn
+  FROM documents)
+SELECT doc_id, fingerprint, predicted_lang, n_tokens, quality_score
+FROM s WHERE rn = 1 AND quality_score >= 0.5
+ORDER BY doc_id"""
+
   // --------------------------------------------------------- multimodal ----
 
   def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame =

@@ -47,6 +47,17 @@ object EventsTable {
       .write.mode(mode).partitionBy("event_date").parquet(path)
   }
 
+  /** JDBC bulk sink — the drop-in replacement for the reference's per-row
+    * ClickHouse insert (parse.py:447-505): point it at a ClickHouse JDBC
+    * URL and the 22-column events schema lands in the reference's DDL
+    * (array columns via the driver's Array(String) mapping). Uses Spark's
+    * partition-parallel batched INSERT writer. Untestable in this
+    * container (no JDBC driver jar / server) — the parquet path above is
+    * the tested sink. */
+  def writeJdbc(events: Dataset[PostfixEvent], url: String, table: String,
+                props: java.util.Properties): Unit =
+    events.toDF().write.mode(SaveMode.Append).jdbc(url, table, props)
+
   /** Read + register as a SQL view so `spark.sql("... FROM events_log")`
     * serves the reference's implied ClickHouse query surface
     * (SURVEY.md §2.5): time-range scans hit parquet row-group pruning,

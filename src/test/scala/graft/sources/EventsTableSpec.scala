@@ -1,0 +1,46 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.core.Fixtures
+import graft.operators.Sessionize
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S2/S3: time-clustered sink + SQL registration round trip. */
+class EventsTableSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+
+  test("write → register → spark.sql over the events table") {
+    import spark.implicits._
+    val input = Fixtures.all.mkString("\n")
+    val lines = input.split("\n", -1).toSeq.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+    val res = Sessionize(spark, lines.toDS())
+    val dir = java.nio.file.Files.createTempDirectory("events_tbl").toString
+
+    EventsTable.write(res.events, dir, buckets = 2)
+    EventsTable.register(spark, dir, "events_spec")
+
+    val byStatus = spark.sql(
+      "SELECT status, count(*) AS n FROM events_spec GROUP BY status ORDER BY status")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStatus("sent") >= 4 && byStatus("bounced") >= 1)
+
+    // ARRAY JOIN surface over the written table
+    val domains = spark.sql(
+      "SELECT d, count(*) n FROM events_spec LATERAL VIEW explode(domains_to) t AS d GROUP BY d")
+      .collect().map(_.getString(0)).toSet
+    assert(domains.contains("localhost"))
+
+    // time-range scan with a pushed filter
+    val ranged = spark.sql(
+      "SELECT count(*) FROM events_spec WHERE timestamp >= TIMESTAMP '2024-05-01 00:00:00'")
+    assert(ranged.queryExecution.executedPlan.toString.contains("GreaterThanOrEqual(timestamp"))
+    assert(ranged.collect().head.getLong(0) >= 2)
+
+    // day-partitioned variant
+    val dir2 = java.nio.file.Files.createTempDirectory("events_part").toString
+    EventsTable.writePartitioned(res.events, dir2)
+    val part = spark.read.parquet(dir2)
+    assert(part.columns.contains("event_date"))
+    assert(part.count() == res.events.count())
+  }
+}
