@@ -26,6 +26,9 @@ object PipelineQueries {
   /** Synthesized log lines (seq, raw) from the events table. */
   def synthLines(spark: SparkSession, sfDir: String): Dataset[(Long, String)] = {
     import spark.implicits._
+    // the ISO strings below carry a literal +00:00 offset, so date_format
+    // must run in UTC regardless of what session the driver hands us
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val ev = Tables(spark, sfDir, "events")
       .select($"event_id", $"user_id", $"ts")
 

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class StreamingAnalyticsSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("watermarked tumbling window emits closed windows, drops late data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val name = s"win_${System.nanoTime()}"
+    val q = StreamingAnalytics.windowedStatusCounts(
+        mem.toDF().toDF("timestamp", "status"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(name).start()
+    try {
+      mem.addData((ts(1), "sent"), (ts(2), "sent"), (ts(3), "bounced"))
+      q.processAllAvailable()
+      // advance watermark far past the first window (10-min lateness)
+      mem.addData((ts(30), "sent"))
+      q.processAllAvailable()
+      // a VERY late event for the first window — must be dropped
+      mem.addData((ts(1), "sent"))
+      q.processAllAvailable()
+      mem.addData((ts(59), "sent"))
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .select("window_start", "status", "n_events")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows.contains((Timestamp.valueOf("2024-01-01 10:00:00"), "sent", 2L)))
+      assert(rows.contains((Timestamp.valueOf("2024-01-01 10:00:00"), "bounced", 1L)))
+      // the late (ts(1)) event did NOT bump the closed window
+      assert(!rows.contains((Timestamp.valueOf("2024-01-01 10:00:00"), "sent", 3L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps first per content hash within watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val name = s"dedup_${System.nanoTime()}"
+    val q = StreamingAnalytics.streamingDedup(
+        mem.toDF().toDF("timestamp", "doc_id", "text"), "text")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(name).start()
+    try {
+      mem.addData((ts(1), 1L, "same text"), (ts(2), 2L, "same text"), (ts(3), 3L, "other"))
+      q.processAllAvailable()
+      mem.addData((ts(4), 4L, "same text"))   // dup within horizon → dropped
+      q.processAllAvailable()
+      val ids = spark.table(name).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids.intersect(Set(1L, 2L)).size == 1)  // exactly one of the dups kept
+      assert(ids.contains(3L))
+      assert(!ids.contains(4L))
+    } finally q.stop()
+  }
+}
