@@ -53,6 +53,9 @@ object SparkEntry {
     "text_winnow_fingerprint" -> (ExtensionQueries.textWinnow _),
     "corpus_clean" -> (ExtensionQueries.corpusClean _),
     "multimodal_features" -> (ExtensionQueries.multimodalFeatures _),
+    "multimodal_resize" -> (ExtensionQueries.multimodalResize _),
+    "multimodal_frames" -> (ExtensionQueries.multimodalFrames _),
+    "events_session_window" -> (AnalyticsQueries.eventsSessionWindow _),
     // -- spark.sql surface over registered views + custom SQL functions --
     "sql_events_arrayjoin" -> (PipelineQueries.sqlArrayJoin _),
     "sql_mime_decode" -> (ExtensionQueries.sqlMimeDecode _)
@@ -87,6 +90,9 @@ object SparkEntry {
     "text_token_count" -> ExtensionQueries.textTokenCountOracle,
     "text_fingerprint" -> ExtensionQueries.textFingerprintOracle,
     "multimodal_features" -> ExtensionQueries.multimodalFeaturesOracle,
+    "multimodal_resize" -> ExtensionQueries.multimodalResizeOracle,
+    "multimodal_frames" -> ExtensionQueries.multimodalFramesOracle,
+    "events_session_window" -> AnalyticsQueries.eventsSessionWindowOracle,
     "sql_events_arrayjoin" -> PipelineQueries.sqlArrayJoinOracle,
     "sql_mime_decode" -> ExtensionQueries.sqlMimeDecodeOracle
     // dedup_minhash_lsh / dedup_simhash / ann_lsh_topk /

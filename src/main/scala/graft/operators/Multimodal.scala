@@ -57,4 +57,38 @@ object Multimodal {
       }
     }
   }
+
+  case class ResizedMedia(doc_id: Long, width: Int, height: Int,
+                          out_width: Int, out_height: Int, n_bytes_out: Long)
+  case class FrameRef(doc_id: Long, frame_idx: Int, frame_count: Int)
+
+  /** Resize-to-fit plumbing: aspect-preserving target-dim computation is
+    * real; the pixel transform itself is the stubbed codec step (a real
+    * impl hands bytes + target dims to the image library here). */
+  def resizeTo(rows: Dataset[MediaRow], maxDim: Int): Dataset[ResizedMedia] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val (w, h, _) = StubDecoder.decode(r.media)
+        val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+        val (ow, oh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+        // stub: a real decoder returns re-encoded bytes; we return the
+        // deterministic would-be RGB buffer size
+        ResizedMedia(r.doc_id, w, h, ow, oh, ow.toLong * oh * 3)
+      }
+    }
+  }
+
+  /** Frame sampling for video-ish media: every `everyN`-th frame index,
+    * exploded one row per sampled frame — the shape a caption/embedding
+    * stage consumes. The decode of each frame is the stubbed step. */
+  def sampleFrames(rows: Dataset[MediaRow], everyN: Int): Dataset[FrameRef] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        val (_, _, frames) = StubDecoder.decode(r.media)
+        (0 until frames by everyN).iterator.map(i => FrameRef(r.doc_id, i, frames))
+      }
+    }
+  }
 }

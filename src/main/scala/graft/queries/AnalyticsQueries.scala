@@ -104,6 +104,37 @@ SELECT user_id, min(us) AS session_start_us, max(us) AS session_end_us,
 FROM s GROUP BY user_id, sid
 ORDER BY user_id, session_start_us"""
 
+  /** Spark's built-in gap-based session_window over the events stream
+    * table (the declarative sibling of the manual window-function
+    * sessionization above). */
+  def eventsSessionWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "events")
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), unix_micros(min($"ts")).as("session_start_us"))
+      .select($"user_id", $"session_start_us", $"n_events")
+      .orderBy($"user_id", $"session_start_us")
+  }
+
+  // NB >= not >: Spark's session_window end is exclusive — an event at
+  // exactly prev_ts + gap starts a NEW session.
+  val eventsSessionWindowOracle: String = """
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) >= 1800000000
+              OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+s AS (
+  SELECT user_id, us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM t)
+SELECT user_id, min(us) AS session_start_us, count(*) AS n_events
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start_us"""
+
   /** ARRAY JOIN analogue: explode document tokens, global top-50. */
   def topWords(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

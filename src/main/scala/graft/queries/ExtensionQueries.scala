@@ -292,6 +292,39 @@ ORDER BY doc_id"""
         Multimodal.ingest(spark, Tables(spark, sfDir, "documents")))
       .toDF().orderBy("doc_id")
 
+  def multimodalResize(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.resizeTo(
+        Multimodal.ingest(spark, Tables(spark, sfDir, "documents")), maxDim = 224)
+      .toDF().orderBy("doc_id")
+
+  val multimodalResizeOracle: String = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+         CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height
+  FROM documents),
+r AS (
+  SELECT doc_id, width, height,
+         least(1.0, 224.0 / greatest(width, height)) AS scale
+  FROM m)
+SELECT doc_id, width, height,
+       greatest(1, CAST(floor(width * scale) AS INTEGER)) AS out_width,
+       greatest(1, CAST(floor(height * scale) AS INTEGER)) AS out_height,
+       CAST(greatest(1, CAST(floor(width * scale) AS INTEGER)) AS BIGINT) *
+         greatest(1, CAST(floor(height * scale) AS INTEGER)) * 3 AS n_bytes_out
+FROM r ORDER BY doc_id"""
+
+  def multimodalFrames(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.sampleFrames(
+        Multimodal.ingest(spark, Tables(spark, sfDir, "documents")), everyN = 5)
+      .toDF().orderBy("doc_id", "frame_idx")
+
+  val multimodalFramesOracle: String = """
+SELECT doc_id,
+       CAST(unnest(range(0, octet_length(encode(text)) % 30 + 1, 5)) AS INTEGER) AS frame_idx,
+       CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS frame_count
+FROM documents ORDER BY doc_id, frame_idx"""
+
   val multimodalFeaturesOracle: String = """
 SELECT doc_id,
        'image/t' || (doc_id % 3) AS media_type,
