@@ -46,6 +46,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> (ExtensionQueries.dedupEmbeddingCosine _),
     "ann_cosine_topk" -> (ExtensionQueries.annCosineTopK _),
     "ann_lsh_topk" -> (ExtensionQueries.annLshTopK _),
+    "ann_ivf_topk" -> (ExtensionQueries.annIvfTopK _),
     "text_stats" -> (ExtensionQueries.textStats _),
     "text_langid" -> (ExtensionQueries.textLangId _),
     "text_token_count" -> (ExtensionQueries.textTokenCount _),

@@ -76,6 +76,15 @@ object SessionBuf {
     SessionBuf(-1L, Vector.empty, Vector.empty, Map.empty, None, None, None)
 }
 
+/** A half-open seq-interval during which `msgid` was the session's current
+  * `message-id=` value: set at `fromSeq`, replaced/closed at `toSeq`.
+  * Dovecot enrichment (parse.py:373-375) applies an action to a session
+  * iff the sieve line arrived inside such an interval — carrying the
+  * intervals out of the fold lets the batch/streaming join reproduce the
+  * reference's live-scan semantics exactly, including sessions whose
+  * message-id changed (fault-kept state merged into a reused queue id). */
+case class MsgidInterval(msgid: String, fromSeq: Long, toSeq: Long)
+
 object TimeUtil {
   def toTimestamp(micros: Long): Timestamp =
     Timestamp.from(Instant.ofEpochSecond(

@@ -36,9 +36,11 @@ object Sessionize {
       seq: Long, kind: Int, queueId: String, tsMicros: Long,
       raw: String, msgid: String, action: String, error: String)
 
-  /** Fold output: exactly one of event/fault is set; msgidRaw carries the
-    * dovecot join key for emitted events. */
-  case class FoldOut(event: Option[PostfixEvent], fault: Option[ParseFault], msgidRaw: Option[String])
+  /** Fold output: exactly one of event/fault is set. `emitSeq` (seq of
+    * the emitting line) is a unique row key; `intervals` are the emitted
+    * session's message-id validity windows for the dovecot join. */
+  case class FoldOut(event: Option[PostfixEvent], fault: Option[ParseFault],
+                     emitSeq: Long, intervals: Seq[MsgidInterval])
 
   case class Result(events: Dataset[PostfixEvent], faults: Dataset[ParseFault])
 
@@ -56,42 +58,53 @@ object Sessionize {
     }
   }
 
-  /** Replay one queue id's lines in input order through the shared fold.
-    * May emit several events (queue-id reuse after `removed`). */
-  def foldGroup(queueId: String, rows: Iterator[ClassifiedRow]): Iterator[FoldOut] = {
-    val sorted = rows.toArray.sortBy(_.seq)
-    val out = Vector.newBuilder[FoldOut]
-    var st = SessionBuf.empty
-    sorted.foreach { row =>
-      val res = SessionFold.step(st, LineParser.SessionLine(queueId, row.tsMicros, row.raw))
-      st = res.state.getOrElse(SessionBuf.empty)
-      if (res.event.isDefined || res.fault.isDefined)
-        out += FoldOut(res.event, res.fault, res.msgidRaw)
-    }
-    out.result().iterator
-  }
-
   /** Streaming fold over a partition pre-sorted by (queueId, seq) —
     * secondary-sort pattern: detects key runs and folds each session line
     * as it streams past, O(1) memory beyond one in-flight SessionBuf.
     * Chosen over `groupByKey.flatMapGroups` because the typed-key path
     * deserializes and re-serializes every row around the exchange
     * (measured ~3× slower end-to-end); here the exchange stays in Tungsten
-    * rows and each row is decoded exactly once. */
+    * rows and each row is decoded exactly once.
+    *
+    * Alongside the session buffer it maintains the message-id validity
+    * intervals ([[MsgidInterval]]): an interval opens when a line sets a
+    * new `message-id=` value and closes when the value changes or the
+    * session finalizes. Intervals survive failed finalizes (the reference
+    * keeps state on KeyError, parse.py:352-353). */
   def foldRuns(rows: Iterator[ClassifiedRow]): Iterator[FoldOut] = new Iterator[FoldOut] {
     private val in = rows.buffered
     private var st = SessionBuf.empty
     private var qid: String = null
     private var pending: Iterator[FoldOut] = Iterator.empty
+    private var closed = List.empty[MsgidInterval]
+    private var curMsgid: String = null
+    private var curFrom = 0L
 
     private def advance(): Unit = {
       while (!pending.hasNext && in.hasNext) {
         val row = in.next()
-        if (row.queueId != qid) { qid = row.queueId; st = SessionBuf.empty }
+        if (row.queueId != qid) {
+          qid = row.queueId; st = SessionBuf.empty
+          closed = Nil; curMsgid = null
+        }
         val res = SessionFold.step(st, LineParser.SessionLine(qid, row.tsMicros, row.raw))
         st = res.state.getOrElse(SessionBuf.empty)
-        if (res.event.isDefined || res.fault.isDefined)
-          pending = Iterator.single(FoldOut(res.event, res.fault, res.msgidRaw))
+        res.state.foreach { b =>
+          val m = b.kv.getOrElse("message-id", null)
+          if (m != curMsgid) {
+            if (curMsgid != null) closed ::= MsgidInterval(curMsgid, curFrom, row.seq)
+            curMsgid = m
+            curFrom = row.seq
+          }
+        }
+        if (res.event.isDefined) {
+          val all = (if (curMsgid != null) MsgidInterval(curMsgid, curFrom, row.seq) :: closed
+                     else closed).reverse
+          pending = Iterator.single(FoldOut(res.event, None, row.seq, all))
+          closed = Nil; curMsgid = null
+        } else res.fault.foreach { f =>
+          pending = Iterator.single(FoldOut(None, Some(f), row.seq, Nil))
+        }
       }
     }
     override def hasNext: Boolean = { advance(); pending.hasNext }
@@ -121,15 +134,20 @@ object Sessionize {
       .mapPartitions(foldRuns _)
     val folded = if (persistIntermediate) folded0.persist() else folded0
 
-    // Last sieve line wins per message id (parse.py:375 keeps overwriting).
-    val doveAgg = classified.where($"kind" === 1)
-      .groupBy($"msgid")
-      .agg(max_by($"action", $"seq").as("dovecot_action"))
+    // Dovecot enrichment with the reference's live-scan semantics
+    // (parse.py:373-375): an action applies iff its arrival seq falls
+    // inside an interval when its msgid was the session's current value;
+    // the LAST matching action wins (the reference keeps overwriting).
+    val doveActs = classified.where($"kind" === 1)
+      .select($"msgid".as("d_msgid"), $"seq".as("d_seq"), $"action")
 
     val events = folded
       .where($"event".isNotNull)
-      .select($"event", $"msgidRaw".as("msgid_raw"))
-      .join(doveAgg, $"msgid_raw" === $"msgid", "left_outer")
+      .select($"event", $"emitSeq", explode($"intervals").as("iv"))
+      .join(doveActs, $"iv.msgid" === $"d_msgid" &&
+        $"d_seq" > $"iv.fromSeq" && $"d_seq" < $"iv.toSeq", "left_outer")
+      .groupBy($"emitSeq", $"event")
+      .agg(max_by($"action", $"d_seq").as("dovecot_action"))
       .select($"event".withField("dovecot_fileinto_action",
         coalesce($"dovecot_action", $"event.dovecot_fileinto_action")).as("event"))
       .select("event.*")

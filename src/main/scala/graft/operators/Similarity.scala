@@ -82,6 +82,51 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN: coarse-quantize the corpus into `nlist`
+    * centroid cells, search only the `nprobe` cells nearest each query,
+    * exact cosine re-rank inside them — the classic
+    * cluster-prune-then-rerank scale path (complements [[lshTopK]]).
+    *
+    * Centroids are a deterministic corpus sample (every N/nlist-th
+    * vector) rather than k-means iterates: no RNG, reproducible plans,
+    * and at 100 TB the assignment pass (a broadcast argmax over ≤2^12
+    * centroids) is the only full-corpus scan — the per-cell inverted
+    * lists then bound every query's work. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.expressions.Window
+
+    val n = corpus.count()
+    val stride = math.max(1L, n / nlist)
+    val centroids = corpus
+      .filter(col("vec_id") % stride === 0).orderBy("vec_id").limit(nlist)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
+        vecNorm(col("embedding")).as("cn"))
+
+    def assign(df: DataFrame, id: String, vec: String, keep: Int, side: String): DataFrame = {
+      val scored = df.select(col(id).as(s"${side}_id"), col(vec).as(s"${side}v"),
+          vecNorm(col(vec)).as(s"${side}n"))
+        .crossJoin(broadcast(centroids))
+        .withColumn("csim", vecDot(col(s"${side}v"), col("cv")) / (col(s"${side}n") * col("cn")))
+      val w = Window.partitionBy(s"${side}_id").orderBy(col("csim").desc, col("cent_id"))
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .select(col(s"${side}_id"), col(s"${side}v"), col(s"${side}n"), col("cent_id"))
+    }
+
+    val lists = assign(corpus, "vec_id", "embedding", 1, "cand")     // inverted lists
+    val probes = assign(queries, "vec_id", "embedding", nprobe, "query")
+    val cands = probes.join(lists, Seq("cent_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .dropDuplicates("query_id", "cand_id")
+      .withColumn("sim", vecDot(col("queryv"), col("candv")) / (col("queryn") * col("candn")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
+    cands.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs (cosine ≥ threshold) — LSH-bucketed
     * self-join + exact verify. */
   def cosineDedup(df: DataFrame, threshold: Double,

@@ -131,6 +131,14 @@ ORDER BY query_id, rank"""
       .orderBy("query_id", "rank")
   }
 
+  /** IVF ANN — centroid-cell candidates, rows-only check; recall asserted
+    * in ExtensionSpec. */
+  def annIvfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+    Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   // ------------------------------------------------------ text analysis ----
 
   def textStats(spark: SparkSession, sfDir: String): DataFrame =

@@ -16,12 +16,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * equi-join in `foreachBatch` against the actions accumulated so far.
   *
   * Exactness of the dovecot join: the reference enriches only sessions
-  * live when the sieve line arrives (parse.py:373-375). With arrival-order
-  * sequence numbers this is `firstSeq < doveSeq < removedSeq` — and any
-  * action satisfying that inequality is necessarily in the same or an
-  * earlier micro-batch than the event's `removed` line, so joining each
-  * batch's events against all-actions-so-far reproduces the live-window
-  * semantics exactly.
+  * whose CURRENT message-id matches when the sieve line arrives
+  * (parse.py:373-375). With arrival-order sequence numbers this is "the
+  * action's seq falls inside one of the session's [[MsgidInterval]]s" —
+  * and any such action is necessarily in the same or an earlier
+  * micro-batch than the event's `removed` line, so joining each batch's
+  * events against all-actions-so-far reproduces the live semantics
+  * exactly (same join as the batch operator).
   *
   * Sessions close on `removed` punctuation, which Spark's built-in
   * time-gap `session_window` cannot express — hence the custom state
@@ -33,15 +34,17 @@ object StreamingSessionize {
   case class InRow(seq: Long, kind: Int, queueId: String, tsMicros: Long,
                    raw: String, msgid: String, action: String, error: String)
 
-  /** Stage-1 state: session buffer + seq of its first line. */
-  case class S1State(buf: SessionBuf, firstSeq: Long)
+  /** Stage-1 state: session buffer + message-id validity intervals
+    * (closed ones plus the currently-open one). */
+  case class S1State(buf: SessionBuf, closed: List[MsgidInterval],
+                     curMsgid: String, curFrom: Long)
 
   /** Output row: exactly one of event / fault / dovecot action is set.
-    * Events carry their live window [firstSeq, removedSeq) and raw
-    * (bracketed) message id for the dovecot join. */
+    * Events carry their message-id validity intervals for the dovecot
+    * join ([[MsgidInterval]] semantics — see the batch operator). */
   case class StreamOut(kind: Int, event: Option[PostfixEvent], fault: Option[ParseFault],
-                       msgidRaw: String, firstSeq: Long, removedSeq: Long,
-                       doveSeq: Long, doveAction: String)
+                       emitSeq: Long, intervals: Seq[MsgidInterval],
+                       msgidRaw: String, doveSeq: Long, doveAction: String)
 
   val TtlMs: Long = 10L * 60L * 1000L // parse.py:77
 
@@ -64,18 +67,27 @@ object StreamingSessionize {
       state.remove()
       return Iterator.empty
     }
-    var st = state.getOption.getOrElse(S1State(SessionBuf.empty, Long.MaxValue))
+    var st = state.getOption.getOrElse(S1State(SessionBuf.empty, Nil, null, 0L))
     val out = Vector.newBuilder[StreamOut]
     rows.toArray.sortBy(_.seq).foreach { row =>
-      val firstSeq = math.min(st.firstSeq, row.seq)
       val res = SessionFold.step(st.buf, LineParser.SessionLine(queueId, row.tsMicros, row.raw))
       st = res.state match {
-        case Some(b) => S1State(b, firstSeq)
-        case None    => S1State(SessionBuf.empty, Long.MaxValue)
+        case Some(b) =>
+          val m = b.kv.getOrElse("message-id", null)
+          if (m != st.curMsgid) {
+            val closed = if (st.curMsgid != null)
+              MsgidInterval(st.curMsgid, st.curFrom, row.seq) :: st.closed else st.closed
+            S1State(b, closed, m, row.seq)
+          } else st.copy(buf = b)
+        case None => S1State(SessionBuf.empty, st.closed, st.curMsgid, st.curFrom)
       }
-      res.event.foreach(ev => out += StreamOut(0, Some(ev), None,
-        res.msgidRaw.getOrElse(""), firstSeq, row.seq, -1L, ""))
-      res.fault.foreach(f => out += StreamOut(2, None, Some(f), "", -1L, -1L, -1L, ""))
+      res.event.foreach { ev =>
+        val all = (if (st.curMsgid != null)
+          MsgidInterval(st.curMsgid, st.curFrom, row.seq) :: st.closed else st.closed).reverse
+        out += StreamOut(0, Some(ev), None, row.seq, all, "", -1L, "")
+        st = S1State(SessionBuf.empty, Nil, null, 0L)
+      }
+      res.fault.foreach(f => out += StreamOut(2, None, Some(f), -1L, Nil, "", -1L, ""))
     }
     if (st.buf.isEmpty) state.remove()
     else {
@@ -102,9 +114,9 @@ object StreamingSessionize {
       .groupByKey(_.queueId)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(updateSession(ttlMs))
     val dove = rows.filter(_.kind == 1)
-      .map(r => StreamOut(1, None, None, r.msgid, -1L, -1L, r.seq, r.action))
+      .map(r => StreamOut(1, None, None, -1L, Nil, r.msgid, r.seq, r.action))
     val faults = rows.filter(_.kind == 2)
-      .map(r => StreamOut(2, None, Some(ParseFault(r.raw, r.error)), "", -1L, -1L, -1L, ""))
+      .map(r => StreamOut(2, None, Some(ParseFault(r.raw, r.error)), -1L, Nil, "", -1L, ""))
     stage1.union(dove).union(faults)
   }
 
@@ -117,13 +129,13 @@ object StreamingSessionize {
     */
   def enrich(events: Dataset[StreamOut], actions: DataFrame): Dataset[PostfixEvent] = {
     import events.sparkSession.implicits._
-    val ev = events.toDF().select(col("event"), col("msgidRaw").as("e_msgid"),
-      col("firstSeq"), col("removedSeq"))
+    val ev = events.toDF()
+      .select(col("event"), col("emitSeq"), explode(col("intervals")).as("iv"))
     val acts = actions.select(col("msgidRaw").as("a_msgid"),
       col("doveSeq").as("a_seq"), col("doveAction").as("a_action"))
-    ev.join(acts, col("e_msgid") === col("a_msgid") &&
-        col("a_seq") > col("firstSeq") && col("a_seq") < col("removedSeq"), "left_outer")
-      .groupBy(col("event"), col("e_msgid"), col("firstSeq"), col("removedSeq"))
+    ev.join(acts, col("iv.msgid") === col("a_msgid") &&
+        col("a_seq") > col("iv.fromSeq") && col("a_seq") < col("iv.toSeq"), "left_outer")
+      .groupBy(col("emitSeq"), col("event"))
       .agg(max_by(col("a_action"), col("a_seq")).as("last_action"))
       .select(col("event"), col("last_action"))
       .as[(PostfixEvent, Option[String])]

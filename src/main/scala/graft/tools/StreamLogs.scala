@@ -53,7 +53,12 @@ object StreamLogs {
         }
       }
 
-    val writer = StreamingSessionize(lines)
+    // TTL eviction only makes sense while tailing (--follow); a bounded
+    // AvailableNow replay is batch semantics (no eviction, SURVEY §7.3) —
+    // and pending processing-time timeouts keep an AvailableNow query
+    // alive until they fire, which would stall the replay for 10 minutes.
+    val ttl = if (follow) Some(StreamingSessionize.TtlMs) else None
+    val writer = StreamingSessionize(lines, ttlMs = ttl)
       .writeStream
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .foreachBatch(StreamingSessionize.parquetSink(outDir))

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.{IncrementalSessionizer, ParseFault, PostfixEvent}
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable.ArrayBuffer
+import scala.util.Random
+
+/** Differential test: randomized session streams (every quirk the
+  * reference exercises — missing required fields, multi-recipient,
+  * queue-id reuse, both subject encodings, dovecot lines, noise,
+  * malformed guards) through the single-node incremental path and the
+  * distributed batch path must produce identical events and fault
+  * counts. The incremental path is the executable spec (it mirrors
+  * feed_line statement-for-statement), so agreement pins the batch
+  * operator's shuffle/ordering semantics. */
+class DifferentialSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+
+  private def genLog(seed: Long, nSessions: Int): Seq[String] = {
+    val rnd = new Random(seed)
+    val lines = ArrayBuffer[(Double, String)]()  // (sortTime, line)
+    var t = 1700000000.0
+    for (i <- 0 until nSessions) {
+      // ~25% queue-id reuse
+      val qid = f"${if (rnd.nextInt(4) == 0 && i > 4) i - 4 else i}%011X"
+      t += rnd.nextDouble() * 2
+      val base = t
+      def iso(off: Double) = {
+        val inst = java.time.Instant.ofEpochMilli(((base + off) * 1000).toLong)
+        java.time.OffsetDateTime.ofInstant(inst, java.time.ZoneOffset.ofHours(3))
+          .format(java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME)
+      }
+      val msgid = s"<m$i@ex.com>"
+      lines += ((base, s"${iso(0)} h postfix/smtpd[1]: $qid: client=c$i[1.2.3.$i]"))
+      if (rnd.nextInt(10) != 0)  // 10% missing message-id → fault
+        lines += ((base + 0.1, s"${iso(0.1)} h postfix/cleanup[2]: $qid: message-id=$msgid"))
+      if (rnd.nextInt(10) != 0)  // 10% missing from → fault
+        lines += ((base + 0.2, s"${iso(0.2)} h postfix/qmgr[3]: $qid: from=<u$i@d${i % 5}.ex>, size=$i, nrcpt=1 (queue active)"))
+      val nTo = 1 + rnd.nextInt(3)
+      for (j <- 0 until nTo)
+        lines += ((base + 0.3 + j * 0.01,
+          s"${iso(0.3 + j * 0.01)} h postfix/lmtp[4]: $qid: to=<r$j@d${j % 2}.ex>, relay=rl$j, delay=0.$j, dsn=2.0.0, status=sent (250 2.0.$j <r$j@d${j % 2}.ex> ok)"))
+      rnd.nextInt(4) match {
+        case 0 => lines += ((base + 0.4,
+          s"${iso(0.4)} h postfix/cleanup[2]: $qid: warning: header Subject: =?UTF-8?B?${java.util.Base64.getEncoder.encodeToString(s"Тема $i".getBytes("UTF-8"))}?= from x.ex[1.1.1.1]; from=<a@b> to=<c@d>"))
+        case 1 => lines += ((base + 0.4,
+          s"${iso(0.4)} h postfix/cleanup[2]: $qid: warning: header Subject: plain subject $i from local; from=<a@b> to=<c@d>"))
+        case 2 => lines += ((base + 0.4,
+          s"${iso(0.4)} h postfix/cleanup[2]: $qid: warning: header Subject:"))  // truncated → fault
+        case _ => ()
+      }
+      if (rnd.nextInt(3) == 0)
+        lines += ((base + 0.45,
+          s"Apr 30 15:09:27 lmtp(x)<1><Y>: Info: sieve: msgid=$msgid: fileinto action: stored into 'Box$i'"))
+      if (rnd.nextInt(5) == 0)
+        lines += ((base + 0.05, s"${iso(0.05)} h postfix/smtpd[1]: disconnect from c$i[1.2.3.$i] ehlo=1 quit=1"))
+      lines += ((base + 0.5, s"${iso(0.5)} h postfix/qmgr[5]: $qid: removed"))
+    }
+    lines.sortBy(_._1).map(_._2).toSeq
+  }
+
+  private def key(e: PostfixEvent) =
+    (e.queue_id, e.message_id, e.timestamp.getTime, e.message_to, e.message_subject,
+      e.status_code, e.dovecot_fileinto_action, e.client, e.raw_log)
+
+  test("incremental and batch agree on 30 random streams") {
+    import spark.implicits._
+    for (seed <- 1 to 30) {
+      val log = genLog(seed, 40)
+      val incEvents = ArrayBuffer[PostfixEvent]()
+      val incFaults = ArrayBuffer[ParseFault]()
+      val inc = new IncrementalSessionizer(incEvents += _, incFaults += _)
+      log.foreach(inc.feedLine)
+
+      val res = Sessionize(spark,
+        log.zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDS())
+      val batchEvents = res.events.collect()
+      val batchFaults = res.faults.count()
+
+      assert(batchEvents.length == incEvents.length, s"seed=$seed event count")
+      assert(batchFaults == incFaults.length, s"seed=$seed fault count")
+      assert(batchEvents.map(key).sortBy(_.toString()).toSeq ==
+        incEvents.map(key).sortBy(_.toString()).toSeq, s"seed=$seed event content")
+    }
+  }
+}

@@ -71,6 +71,18 @@ class ExtensionSpec extends AnyFunSuite {
     assert(found >= 18, s"LSH found source vector for only $found/20 perturbed queries")
   }
 
+  test("IVF ANN finds planted near-duplicate vectors") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+      .select(($"vec_id" + 10000).as("vec_id"),
+        transform($"embedding", v => v * lit(1.01f) + lit(0.003f)).as("embedding"))
+    val hits = Similarity.ivfTopK(q, e, 1)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toMap
+    val found = (0L until 20L).count(i => hits.get(i + 10000).contains(i))
+    assert(found >= 15, s"IVF found source vector for only $found/20 perturbed queries")
+  }
+
   test("exact dedup groups identical texts") {
     import spark.implicits._
     val dups = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
