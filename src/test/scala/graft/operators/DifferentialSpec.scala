@@ -17,7 +17,7 @@ import scala.util.Random
 class DifferentialSpec extends AnyFunSuite {
   lazy val spark = SparkSpec.spark
 
-  private def genLog(seed: Long, nSessions: Int): Seq[String] = {
+  def genLog(seed: Long, nSessions: Int): Seq[String] = {
     val rnd = new Random(seed)
     val lines = ArrayBuffer[(Double, String)]()  // (sortTime, line)
     var t = 1700000000.0
@@ -60,7 +60,7 @@ class DifferentialSpec extends AnyFunSuite {
     lines.sortBy(_._1).map(_._2).toSeq
   }
 
-  private def key(e: PostfixEvent) =
+  def key(e: PostfixEvent) =
     (e.queue_id, e.message_id, e.timestamp.getTime, e.message_to, e.message_subject,
       e.status_code, e.dovecot_fileinto_action, e.client, e.raw_log)
 
