@@ -167,7 +167,7 @@ object Sessionize {
   def fromTextFiles(spark: SparkSession, paths: String*): Result = {
     import spark.implicits._
     val lines = spark.read.textFile(paths: _*)
-      .rdd.zipWithIndex.map { case (l, i) => (i, l) }
+      .rdd.zipWithIndex().map { case (l, i) => (i, l) }
       .toDS()
     apply(spark, lines)
   }
