@@ -14,15 +14,15 @@ import org.apache.spark.sql.functions._
   *      shuffle; noise lines die here so only postfix session lines carry
   *      into the exchange (reference's manual predicate ordering,
   *      parse.py:388-405, is free here).
-  *   2. ONE hash shuffle on `queue_id` (`groupByKey`) + per-group fold.
-  *      Groups are individual mail deliveries — a handful of lines each —
-  *      so the in-memory per-group sort by input sequence number is O(10)
-  *      and can never skew: queue ids are uniformly random 11-hex-char
-  *      strings.
-  *   3. dovecot enrichment as an equi-join on the bracketed message-id
-  *      (replaces the reference's O(state) nested scan per sieve line,
-  *      parse.py:373-375, with a hash join; AQE picks broadcast when the
-  *      sieve side is small).
+  *   2. ONE hash exchange on `queue_id` + Tungsten sort within partitions
+  *      + streaming run fold ([[foldRuns]], secondary-sort pattern).
+  *      Sessions are individual mail deliveries — a handful of lines
+  *      each — and queue ids are uniformly random 11-hex-char strings, so
+  *      the exchange cannot skew.
+  *   3. dovecot enrichment as an equi-join on message-id validity
+  *      intervals (replaces the reference's O(state) nested scan per
+  *      sieve line, parse.py:373-375, with a hash join; AQE picks
+  *      broadcast when the sieve side is small).
   *
   * The input sequence number re-imposes the reference's arrival order
   * (last-write-wins k=v, first-seen timestamp, raw_log order) across the
