@@ -141,13 +141,24 @@ object Sessionize {
     val doveActs = classified.where($"kind" === 1)
       .select($"msgid".as("d_msgid"), $"seq".as("d_seq"), $"action")
 
+    // Matches are resolved on (emitSeq, interval) rows only — the wide
+    // event struct never travels through the explode/join/aggregate
+    // (grouping by a struct with array fields hashes every row's full
+    // payload; keying by the long emitSeq is ~10× cheaper). The matched
+    // side is tiny (only dovecot-enriched sessions), so the final join
+    // back is a broadcast.
+    val matched = folded
+      .where($"event".isNotNull)
+      .select($"emitSeq", explode($"intervals").as("iv"))
+      .join(doveActs, $"iv.msgid" === $"d_msgid" &&
+        $"d_seq" > $"iv.fromSeq" && $"d_seq" < $"iv.toSeq")
+      .groupBy($"emitSeq")
+      .agg(max_by($"action", $"d_seq").as("dovecot_action"))
+
     val events = folded
       .where($"event".isNotNull)
-      .select($"event", $"emitSeq", explode($"intervals").as("iv"))
-      .join(doveActs, $"iv.msgid" === $"d_msgid" &&
-        $"d_seq" > $"iv.fromSeq" && $"d_seq" < $"iv.toSeq", "left_outer")
-      .groupBy($"emitSeq", $"event")
-      .agg(max_by($"action", $"d_seq").as("dovecot_action"))
+      .select($"event", $"emitSeq")
+      .join(matched, Seq("emitSeq"), "left_outer")
       .select($"event".withField("dovecot_fileinto_action",
         coalesce($"dovecot_action", $"event.dovecot_fileinto_action")).as("event"))
       .select("event.*")

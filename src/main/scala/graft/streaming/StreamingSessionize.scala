@@ -129,14 +129,19 @@ object StreamingSessionize {
     */
   def enrich(events: Dataset[StreamOut], actions: DataFrame): Dataset[PostfixEvent] = {
     import events.sparkSession.implicits._
-    val ev = events.toDF()
-      .select(col("event"), col("emitSeq"), explode(col("intervals")).as("iv"))
     val acts = actions.select(col("msgidRaw").as("a_msgid"),
       col("doveSeq").as("a_seq"), col("doveAction").as("a_action"))
-    ev.join(acts, col("iv.msgid") === col("a_msgid") &&
-        col("a_seq") > col("iv.fromSeq") && col("a_seq") < col("iv.toSeq"), "left_outer")
-      .groupBy(col("emitSeq"), col("event"))
+    // same emitSeq-keyed shape as the batch operator: the wide event
+    // struct never travels through the interval explode/join
+    val matched = events.toDF()
+      .select(col("emitSeq"), explode(col("intervals")).as("iv"))
+      .join(acts, col("iv.msgid") === col("a_msgid") &&
+        col("a_seq") > col("iv.fromSeq") && col("a_seq") < col("iv.toSeq"))
+      .groupBy(col("emitSeq"))
       .agg(max_by(col("a_action"), col("a_seq")).as("last_action"))
+      .withColumnRenamed("emitSeq", "m_seq").alias("mt")
+    events.toDF().select(col("event"), col("emitSeq")).alias("ev")
+      .join(matched, col("ev.emitSeq") === col("mt.m_seq"), "left_outer")
       .select(col("event"), col("last_action"))
       .as[(PostfixEvent, Option[String])]
       .map { case (evt, act) =>
