@@ -17,11 +17,15 @@ object TextAnalysis {
   /** Whitespace tokens (the corpus is single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** A BPE-ish subword count proxy: word pieces after splitting on
-    * non-alphanumerics, plus 1 per 4 chars of long words. */
+  /** GPT-style pre-tokenizer pattern: letter runs, digit runs, and
+    * punctuation runs are separate pieces (ASCII variant so Java regex
+    * and RE2-based engines agree). */
+  val BpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+
+  /** (whitespace word count, BPE-ish piece count). */
   def tokenCounts(text: Column): (Column, Column) = {
     val words = tokens(text)
-    val pieces = size(words) + size(filter(words, w => length(w) > 8))
+    val pieces = size(regexp_extract_all(text, lit(BpePattern), lit(0)))
     (size(words), pieces)
   }
 

@@ -201,8 +201,7 @@ FROM c ORDER BY doc_id"""
   val textTokenCountOracle: String = """
 SELECT doc_id,
   CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
-  CAST(len(string_split(text,' ')) +
-       len(list_filter(string_split(text,' '), w -> length(w) > 8)) AS BIGINT) AS n_pieces
+  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS BIGINT) AS n_pieces
 FROM documents ORDER BY doc_id"""
 
   /** RFC 2047 decode as a REGISTERED SQL function (custom Catalyst
