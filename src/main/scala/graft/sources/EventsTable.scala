@@ -48,15 +48,20 @@ object EventsTable {
   }
 
   /** JDBC bulk sink — the drop-in replacement for the reference's per-row
-    * ClickHouse insert (parse.py:447-505): point it at a ClickHouse JDBC
-    * URL and the 22-column events schema lands in the reference's DDL
-    * (array columns via the driver's Array(String) mapping). Uses Spark's
-    * partition-parallel batched INSERT writer. Untestable in this
-    * container (no JDBC driver jar / server) — the parquet path above is
-    * the tested sink. */
+    * ClickHouse insert (parse.py:447-505), using Spark's partition-
+    * parallel batched INSERT writer. Spark's generic JDBC path has no
+    * ArrayType mapping, so the three array columns are serialized as JSON
+    * text (`domains_to`/`message_to`/`raw_log`); a ClickHouse deployment
+    * can `JSONExtract(Array(String))` them or register a JdbcDialect with
+    * native array support. Untestable in this container (no JDBC driver
+    * jar / server) — the parquet path above is the tested sink. */
   def writeJdbc(events: Dataset[PostfixEvent], url: String, table: String,
                 props: java.util.Properties): Unit =
-    events.toDF().write.mode(SaveMode.Append).jdbc(url, table, props)
+    events.toDF()
+      .withColumn("domains_to", to_json(col("domains_to")))
+      .withColumn("message_to", to_json(col("message_to")))
+      .withColumn("raw_log", to_json(col("raw_log")))
+      .write.mode(SaveMode.Append).jdbc(url, table, props)
 
   /** Read + register as a SQL view so `spark.sql("... FROM events_log")`
     * serves the reference's implied ClickHouse query surface

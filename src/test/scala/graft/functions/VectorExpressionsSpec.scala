@@ -1,0 +1,62 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the codegen kernels: the generated code must agree
+  * with a straightforward Scala reference implementation, and results
+  * must be partitioning-invariant. */
+class VectorExpressionsSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val vecGen = Gen.listOfN(16, Gen.chooseNum(-10.0f, 10.0f))
+
+  test("property: vec_dot codegen equals sequential Scala fold") {
+    import spark.implicits._
+    check(Prop.forAll(vecGen, vecGen) { (a: List[Float], b: List[Float]) =>
+      val expected = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(VectorExpressions.vecDot($"a", $"b")).collect().head.getDouble(0)
+      got == expected
+    })
+  }
+
+  test("property: simhash codegen equals bit-count reference") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.long)) { (hs: List[Long]) =>
+      val counts = Array.fill(64)(0)
+      hs.foreach(h => (0 until 64).foreach(b => counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)))
+      val expected = (0 until 64).foldLeft(0L)((acc, b) => if (counts(b) > 0) acc | (1L << b) else acc)
+      val got = Seq(Tuple1(hs)).toDF("h")
+        .select(VectorExpressions.simhashFromHashes($"h")).collect().head.getLong(0)
+      got == expected
+    })
+  }
+
+  test("minhash signature is partitioning-invariant and order-sensitive only to set content") {
+    import spark.implicits._
+    val doc = (1 to 50).map(_.toLong)
+    val sig1 = Seq(Tuple1(doc)).toDF("h")
+      .select(VectorExpressions.minhashSig($"h", 32)).collect().head.getSeq[Long](0)
+    val sig2 = Seq(Tuple1(scala.util.Random.shuffle(doc))).toDF("h")
+      .select(VectorExpressions.minhashSig($"h", 32)).collect().head.getSeq[Long](0)
+    assert(sig1 == sig2)   // min over a set: element order irrelevant
+    assert(sig1.length == 32 && sig1.distinct.length > 16)
+  }
+
+  test("winnow fingerprint invariant under repartitioning") {
+    import spark.implicits._
+    val docs = (0 until 64).map(i => (i.toLong, s"document number $i with some shared words " * 3))
+    def fps(parts: Int) = docs.toDF("id", "text").repartition(parts)
+      .select($"id", TextExpressions.winnowFingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fps(1) == fps(7))
+  }
+}
