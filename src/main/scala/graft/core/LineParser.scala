@@ -32,15 +32,20 @@ object LineParser {
 
   /** Python `str.split()`: any-whitespace split, empties discarded.
     * Hand-rolled single-pass scan — `String.split("\\s+")` recompiles its
-    * regex per call and this runs twice per line in the hot path. */
+    * regex per call and this runs twice per line in the hot path.
+    * `Character.isWhitespace` misses the non-breaking spaces Python's
+    * `str.isspace` includes (U+00A0/U+2007/U+202F) — added explicitly. */
+  private def isPySpace(c: Char): Boolean =
+    Character.isWhitespace(c) || c == '\u00a0' || c == '\u2007' || c == '\u202f'
+
   def tokenize(s: String): Array[String] = {
     val out = new scala.collection.mutable.ArrayBuilder.ofRef[String]
     var i = 0
     val len = s.length
     while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && isPySpace(s.charAt(i))) i += 1
       val start = i
-      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && !isPySpace(s.charAt(i))) i += 1
       if (i > start) out += s.substring(start, i)
     }
     out.result()
