@@ -224,6 +224,50 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Distinct w-gram hashes from an array of per-word hashes: each gram
+    * hash chains its words' hashes through XXH64 — replaces the
+    * slice+concat+hash-string HOF formulation (which built 1M+ strings
+    * per 5k docs and dominated the dedup profile). Output is sorted
+    * (set semantics downstream: intersection/minhash). */
+  case class HashShingles(child: Expression, w: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "hash_shingles"
+
+    override def nullSafeEval(input: Any): Any = {
+      val hs = input.asInstanceOf[ArrayData]
+      val n = hs.numElements() - w + 1
+      if (n <= 0) return new GenericArrayData(Array.empty[Long])
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        var h = XXH64.hashLong(hs.getLong(i), 42L)
+        var j = 1
+        while (j < w) { h = XXH64.hashLong(hs.getLong(i + j), h); j += 1 }
+        out(i) = h
+        i += 1
+      }
+      java.util.Arrays.sort(out)
+      var uniq = 1
+      i = 1
+      while (i < n) {
+        if (out(i) != out(uniq - 1)) { out(uniq) = out(i); uniq += 1 }
+        i += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(out, uniq))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("hashShingles", this, classOf[HashShingles].getName)
+      nullSafeCodeGen(ctx, ev, a => {
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($a);"
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // Column-facing wrappers.
   def vecDot(a: Column, b: Column): Column =
     GraftBridge.column(FloatVecDot(GraftBridge.expr(a), GraftBridge.expr(b)))
@@ -233,6 +277,8 @@ object VectorExpressions {
     GraftBridge.column(MinHashSignature(GraftBridge.expr(h), k))
   def rhpSig(vec: Column, nBits: Int): Column =
     GraftBridge.column(RhpSignature(GraftBridge.expr(vec), nBits))
+  def hashShingles(wordHashes: Column, w: Int): Column =
+    GraftBridge.column(HashShingles(GraftBridge.expr(wordHashes), w))
 
   /** Register SQL-facing names so `spark.sql("SELECT vec_dot(a,b) ...")`
     * works (FunctionRegistry extension point). */

@@ -28,13 +28,13 @@ object Dedup {
     df.groupBy(sha2(col(textCol), 256).as("content_sha"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word w-shingles of a document as distinct xxhash64 values. */
-  def shingleHashes(text: Column, w: Int): Column = {
-    val words = split(text, " ")
-    // sliding window of w words, hashed; distinct for set semantics
-    val idx = sequence(lit(0), size(words) - w)
-    array_distinct(transform(idx, i => xxhash64(concat_ws(" ", slice(words, i + 1, lit(w))))))
-  }
+  /** Word w-shingles of a document as distinct 64-bit hashes: per-word
+    * xxhash64 (codegen'd builtin) chained through the
+    * [[graft.functions.VectorExpressions.HashShingles]] kernel — no
+    * per-shingle string materialization. */
+  def shingleHashes(text: Column, w: Int): Column =
+    graft.functions.VectorExpressions.hashShingles(
+      transform(split(text, " "), wd => xxhash64(wd)), w)
 
   /** MinHash signature as an array column of `k` 64-bit minima —
     * semantically `array_min(transform(shingles, h => xxhash64(h, i)))`
@@ -58,14 +58,18 @@ object Dedup {
                  shingleWidth: Int = 3, threshold: Double = 0.7,
                  maxBucket: Int = 64): DataFrame = {
     val k = bands * rowsPerBand
+    // Shingling + signatures are the expensive stage and would otherwise
+    // be recomputed once per self-join side — cache the per-doc result
+    // (narrow: one row per doc) and keep the join sides shingle-free.
     val docs = df.select(col(idCol).as("doc_id"),
         shingleHashes(col(textCol), shingleWidth).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .withColumn("sig", minhashSignature(col("shingles"), k))
+      .persist()
 
     // (band, bandHash) bucket key per doc — bands explode is x`bands` rows,
     // but only (id, 2 longs) wide; full shingle sets stay behind.
-    val buckets = docs.select(col("doc_id"), col("shingles"),
+    val buckets = docs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
       .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "band")
@@ -73,13 +77,15 @@ object Dedup {
     val wBucket = Window.partitionBy("band", "bucket")
     val bounded = buckets.withColumn("bsize", count(lit(1)).over(wBucket))
       .filter(col("bsize") <= maxBucket)
+      .select("band", "bucket", "doc_id")
+      .persist()
 
-    val a = bounded.select(col("band"), col("bucket"),
-      col("doc_id").as("id_a"), col("shingles").as("sh_a"))
-    val b = bounded.select(col("band"), col("bucket"),
-      col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    val a = bounded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+    val b = bounded.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
     val pairs = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+      .join(docs.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
 
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
@@ -118,14 +124,18 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxDocFreq: Int = 100): DataFrame = {
+    // cached: consumed by the inverted index, both self-join sides, and
+    // the two size lookups
     val grams = df.select(col(idCol).as("doc_id"),
         shingleHashes(col(textCol), n).as("grams"))
       .filter(size(col("grams")) > 0)
+      .persist()
     val sizes = grams.select(col("doc_id"), size(col("grams")).as("n_grams"))
     val inverted = grams.select(col("doc_id"), explode(col("grams")).as("g"))
     val wG = Window.partitionBy("g")
     val capped = inverted.withColumn("df", count(lit(1)).over(wG))
       .filter(col("df") <= maxDocFreq)
+      .persist()
     val shared = capped.as("x").join(capped.as("y"), col("x.g") === col("y.g"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
