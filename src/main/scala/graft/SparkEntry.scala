@@ -44,6 +44,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (ExtensionQueries.dedupMinhashLsh _),
     "dedup_simhash" -> (ExtensionQueries.dedupSimhash _),
     "dedup_embedding_cosine" -> (ExtensionQueries.dedupEmbeddingCosine _),
+    "dedup_embedding_exact" -> (ExtensionQueries.dedupEmbeddingExact _),
     "ann_cosine_topk" -> (ExtensionQueries.annCosineTopK _),
     "ann_lsh_topk" -> (ExtensionQueries.annLshTopK _),
     "ann_ivf_topk" -> (ExtensionQueries.annIvfTopK _),
@@ -84,7 +85,7 @@ object SparkEntry {
     "corpus_clean" -> ExtensionQueries.corpusCleanOracle,
     "dedup_exact" -> ExtensionQueries.dedupExactOracle,
     "dedup_ngram_jaccard" -> ExtensionQueries.dedupNgramJaccardOracle,
-    "dedup_embedding_cosine" -> ExtensionQueries.dedupEmbeddingCosineOracle,
+    "dedup_embedding_exact" -> ExtensionQueries.dedupEmbeddingExactOracle,
     "ann_cosine_topk" -> ExtensionQueries.annCosineTopKOracle,
     "text_stats" -> ExtensionQueries.textStatsOracle,
     "text_langid" -> ExtensionQueries.textLangIdOracle,
@@ -96,8 +97,10 @@ object SparkEntry {
     "events_session_window" -> AnalyticsQueries.eventsSessionWindowOracle,
     "sql_events_arrayjoin" -> PipelineQueries.sqlArrayJoinOracle,
     "sql_mime_decode" -> ExtensionQueries.sqlMimeDecodeOracle
-    // dedup_minhash_lsh / dedup_simhash / ann_lsh_topk /
-    // text_winnow_fingerprint: engine-internal hash families → rows-only
-    // driver check + ScalaTest recall/overlap assertions.
+    // dedup_minhash_lsh / dedup_simhash / dedup_embedding_cosine /
+    // ann_lsh_topk / ann_ivf_topk / text_winnow_fingerprint:
+    // engine-internal hash families → rows-only driver check + ScalaTest
+    // recall/overlap assertions (each LSH operator has an oracle-checked
+    // exact twin: ngram_jaccard, embedding_exact, cosine_topk).
   )
 }

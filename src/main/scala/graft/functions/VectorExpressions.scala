@@ -268,6 +268,74 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Top-`keep` nearest centroids (cosine, ties by centroid id) of a
+    * float-vector column, computed MAP-SIDE against a driver-collected
+    * centroid matrix — the IVF assignment step with zero shuffle (replaces
+    * a corpus×nlist crossJoin + row_number window, which shuffled the
+    * whole corpus keyed by vector id). `centroids` is small by contract
+    * (nlist ≤ 2^12), so it rides into codegen as a reference object the
+    * way a broadcast var would ride into a task. */
+  case class NearestCentroids(child: Expression, centIds: Array[Long],
+                              centroids: Array[Array[Float]], keep: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "nearest_centroids"
+
+    @transient private lazy val centNorms: Array[Double] = centroids.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i).toDouble * c(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      var vn = 0.0
+      var i = 0
+      while (i < n) { val x = v.getFloat(i).toDouble; vn += x * x; i += 1 }
+      vn = math.sqrt(vn)
+      val m = centroids.length
+      val sims = new Array[Double](m)
+      var c = 0
+      while (c < m) {
+        val cent = centroids(c)
+        val len = math.min(n, cent.length)
+        var dot = 0.0
+        i = 0
+        while (i < len) { dot += v.getFloat(i).toDouble * cent(i).toDouble; i += 1 }
+        sims(c) = dot / (vn * centNorms(c))
+        c += 1
+      }
+      // partial selection: keep ≤ nprobe is tiny, m ≤ 2^12
+      val out = new Array[Long](math.min(keep, m))
+      val taken = new Array[Boolean](m)
+      var r = 0
+      while (r < out.length) {
+        var best = -1
+        c = 0
+        while (c < m) {
+          if (!taken(c) && (best < 0 || sims(c) > sims(best) ||
+              (sims(c) == sims(best) && centIds(c) < centIds(best)))) best = c
+          c += 1
+        }
+        taken(best) = true
+        out(r) = centIds(best)
+        r += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("nearestCentroids", this, classOf[NearestCentroids].getName)
+      nullSafeCodeGen(ctx, ev, a => {
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($a);"
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // Column-facing wrappers.
   def vecDot(a: Column, b: Column): Column =
     GraftBridge.column(FloatVecDot(GraftBridge.expr(a), GraftBridge.expr(b)))
@@ -279,6 +347,9 @@ object VectorExpressions {
     GraftBridge.column(RhpSignature(GraftBridge.expr(vec), nBits))
   def hashShingles(wordHashes: Column, w: Int): Column =
     GraftBridge.column(HashShingles(GraftBridge.expr(wordHashes), w))
+  def nearestCentroids(vec: Column, centIds: Array[Long],
+                       centroids: Array[Array[Float]], keep: Int): Column =
+    GraftBridge.column(NearestCentroids(GraftBridge.expr(vec), centIds, centroids, keep))
 
   /** Register SQL-facing names so `spark.sql("SELECT vec_dot(a,b) ...")`
     * works (FunctionRegistry extension point). */

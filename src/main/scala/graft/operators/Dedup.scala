@@ -101,14 +101,25 @@ object Dedup {
       transform(split(text, " "), w => xxhash64(w)))
 
   /** SimHash near-duplicates: candidates share one of 4 16-bit bands,
-    * verified by hamming distance ≤ maxHamming. */
+    * verified by hamming distance ≤ maxHamming.
+    *
+    * @param maxBucket drop degenerate (band, bucket) groups larger than
+    *                  this — same skew guard as [[minhashLsh]]. Without it
+    *                  every empty/near-empty doc hashes to simhash 0 and
+    *                  shares bucket 0 in all 4 bands → quadratic pair
+    *                  blowup at corpus scale.
+    */
   def simhashDups(df: DataFrame, idCol: String, textCol: String,
-                  maxHamming: Int = 6): DataFrame = {
+                  maxHamming: Int = 6, maxBucket: Int = 64): DataFrame = {
     val sh = df.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sim"))
-    val banded = sh.select(col("doc_id"), col("sim"),
+    val banded0 = sh.select(col("doc_id"), col("sim"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sim"), b * 16).bitwiseAND(0xFFFFL))))
       .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "band")
+    val wBucket = Window.partitionBy("band", "bucket")
+    val banded = banded0.withColumn("bsize", count(lit(1)).over(wBucket))
+      .filter(col("bsize") <= maxBucket)
+      .select("band", "bucket", "doc_id", "sim")
     val a = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("sim").as("sim_a"))
     val b = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"), col("sim").as("sim_b"))
     a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))

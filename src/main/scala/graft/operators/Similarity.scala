@@ -87,39 +87,41 @@ object Similarity {
     * exact cosine re-rank inside them — the classic
     * cluster-prune-then-rerank scale path (complements [[lshTopK]]).
     *
-    * Centroids are a deterministic corpus sample (every N/nlist-th
-    * vector) rather than k-means iterates: no RNG, reproducible plans,
-    * and at 100 TB the assignment pass (a broadcast argmax over ≤2^12
-    * centroids) is the only full-corpus scan — the per-cell inverted
-    * lists then bound every query's work. */
+    * Centroids are a deterministic pseudo-random corpus sample — the
+    * `nlist` vectors with the smallest `xxhash64(vec_id)` — fetched with
+    * one `TakeOrderedAndProject` pass (per-partition top-k, driver merge:
+    * no count() job, no shuffle), then carried into the assignment
+    * expression the way a broadcast var rides into a task. Assignment of
+    * every corpus vector to its cell is MAP-SIDE
+    * ([[graft.functions.VectorExpressions.NearestCentroids]]): at 100 TB
+    * the corpus is scanned once and never shuffled by the assignment —
+    * the only corpus-wide movement left is the final per-query top-k
+    * window over candidates inside probed cells, which `nprobe/nlist`
+    * bounds. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val spark = corpus.sparkSession
-    import org.apache.spark.sql.expressions.Window
+    val centroidRows = corpus
+      .select(col("vec_id").cast("long").as("cent_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nlist)
+      .collect()
+    val centIds = centroidRows.map(_.getLong(0))
+    val cents = centroidRows.map(_.getSeq[Float](1).toArray)
+    def nearest(vec: Column, keep: Int): Column =
+      graft.functions.VectorExpressions.nearestCentroids(vec, centIds, cents, keep)
 
-    val n = corpus.count()
-    val stride = math.max(1L, n / nlist)
-    val centroids = corpus
-      .filter(col("vec_id") % stride === 0).orderBy("vec_id").limit(nlist)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
-        vecNorm(col("embedding")).as("cn"))
-
-    def assign(df: DataFrame, id: String, vec: String, keep: Int, side: String): DataFrame = {
-      val scored = df.select(col(id).as(s"${side}_id"), col(vec).as(s"${side}v"),
-          vecNorm(col(vec)).as(s"${side}n"))
-        .crossJoin(broadcast(centroids))
-        .withColumn("csim", vecDot(col(s"${side}v"), col("cv")) / (col(s"${side}n") * col("cn")))
-      val w = Window.partitionBy(s"${side}_id").orderBy(col("csim").desc, col("cent_id"))
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .select(col(s"${side}_id"), col(s"${side}v"), col(s"${side}n"), col("cent_id"))
-    }
-
-    val lists = assign(corpus, "vec_id", "embedding", 1, "cand")     // inverted lists
-    val probes = assign(queries, "vec_id", "embedding", nprobe, "query")
-    val cands = probes.join(lists, Seq("cent_id"))
+    // inverted lists: single nearest cell per corpus vector, zero-shuffle
+    val lists = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("candv"),
+      vecNorm(col("embedding")).as("candn"),
+      element_at(nearest(col("embedding"), 1), 1).as("cent_id"))
+    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("queryv"),
+      vecNorm(col("embedding")).as("queryn"),
+      explode(nearest(col("embedding"), nprobe)).as("cent_id"))
+    // query side is small by contract → broadcast; corpus streams past it.
+    // cand appears in exactly one cell and probe cells are distinct per
+    // query, so (query_id, cand_id) pairs are already unique — no dedup.
+    val cands = lists.join(broadcast(probes), Seq("cent_id"))
       .filter(col("query_id") =!= col("cand_id"))
-      .dropDuplicates("query_id", "cand_id")
       .withColumn("sim", vecDot(col("queryv"), col("candv")) / (col("queryn") * col("candn")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
     cands.withColumn("rank", row_number().over(w).cast("long"))

@@ -65,7 +65,19 @@ ORDER BY id_a, id_b"""
         maxHamming = 3)
       .orderBy("id_a", "id_b")
 
-  def dedupEmbeddingCosine(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Embedding near-dup pairs, LSH scale path (RHP signatures → banded
+    * bucket self-join → exact cosine verify) — the registered operator.
+    * Candidates are hash-family-dependent → rows-only driver check;
+    * recall vs [[dedupEmbeddingExact]] is asserted in ExtensionSpec
+    * (mirrors the dedup_minhash_lsh / dedup_ngram_jaccard pairing). */
+  def dedupEmbeddingCosine(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.cosineDedup(Tables(spark, sfDir, "embeddings"), threshold = 0.4)
+      .orderBy("id_a", "id_b")
+
+  /** Exact all-pairs baseline — the oracle-checkable twin of
+    * [[dedupEmbeddingCosine]]. O(n²) by definition: run at oracle scale
+    * (or post-LSH) only, never as the corpus-wide operator. */
+  def dedupEmbeddingExact(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.VectorExpressions.vecDot
     val e = Tables(spark, sfDir, "embeddings")
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
@@ -79,7 +91,7 @@ ORDER BY id_a, id_b"""
       .orderBy("id_a", "id_b")
   }
 
-  val dedupEmbeddingCosineOracle: String = """
+  val dedupEmbeddingExactOracle: String = """
 WITH p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          generate_subscripts(a.embedding, 1) AS i,
@@ -220,12 +232,14 @@ FROM documents ORDER BY doc_id"""
 SELECT doc_id, substring(text, 1, 32) AS decoded FROM documents ORDER BY doc_id"""
 
   /** Winnowing fingerprints (rows-only: hash family is engine-internal;
-    * overlap semantics asserted in TextExpressionsSpec). */
+    * overlap semantics asserted in TextExpressionsSpec). The fingerprint
+    * array is emitted as a JSON string so the driver's pandas-side
+    * sort/hash can handle the row (raw array columns crash its sort). */
   def textWinnow(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "documents")
       .select(col("doc_id"),
         graft.functions.TextExpressions.winnowFingerprint(col("text")).as("fp"))
-      .select(col("doc_id"), size(col("fp")).as("n_fp"), col("fp"))
+      .select(col("doc_id"), size(col("fp")).as("n_fp"), to_json(col("fp")).as("fp_json"))
       .orderBy("doc_id")
 
   def textFingerprint(spark: SparkSession, sfDir: String): DataFrame =

@@ -107,13 +107,20 @@ object PipelineQueries {
       Sessionize.Result(r.events.persist(), r.faults.persist())
     })
 
-  /** Flagship: every event field, one row per successful session. */
+  /** Flagship: every event field, one row per successful session.
+    *
+    * The two array fields are emitted as JSON strings (`to_json`) so the
+    * driver's pandas-side sort/hash can handle them; the oracle builds the
+    * identical `["a","b"]` strings (values contain no chars needing JSON
+    * escapes). */
   def e2e(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     sessionized(spark, sfDir).events.toDF()
       .select(
-        $"queue_id", unix_micros($"timestamp").as("ts_us"), $"domain_from", $"domains_to",
-        $"message_from", $"message_to", $"message_id", $"message_subject", $"status",
+        $"queue_id", unix_micros($"timestamp").as("ts_us"), $"domain_from",
+        to_json($"domains_to").as("domains_to"),
+        $"message_from", to_json($"message_to").as("message_to"),
+        $"message_id", $"message_subject", $"status",
         $"status_code", $"status_postfix_code", $"status_description", $"client", $"orig_to",
         $"dovecot_fileinto_action", $"delay", $"delays", $"dsn", $"nrcpt", $"relay", $"size")
       .orderBy($"queue_id")
@@ -179,9 +186,10 @@ WITH e AS (
 SELECT queue_id,
        epoch_us(ts) AS ts_us,
        'd' || (user_id % 20) || '.example' AS domain_from,
-       ['rd' || (event_id % 7) || '.example'] AS domains_to,
+       '["rd' || (event_id % 7) || '.example"]' AS domains_to,
        'u' || user_id || '@d' || (user_id % 20) || '.example' AS message_from,
-       CASE WHEN event_id % 2 = 1 THEN [rcpt1, rcpt2] ELSE [rcpt1] END AS message_to,
+       CASE WHEN event_id % 2 = 1 THEN '["' || rcpt1 || '","' || rcpt2 || '"]'
+            ELSE '["' || rcpt1 || '"]' END AS message_to,
        'm' || event_id || '@example.com' AS message_id,
        subj AS message_subject,
        CASE WHEN bounced THEN 'bounced' ELSE 'sent' END AS status,

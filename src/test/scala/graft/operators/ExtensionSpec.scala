@@ -83,6 +83,25 @@ class ExtensionSpec extends AnyFunSuite {
     assert(found >= 15, s"IVF found source vector for only $found/20 perturbed queries")
   }
 
+  /** Recall contract for the LSH embedding-dedup scale path, tested where
+    * LSH can work: planted high-sim twins (the real near-dup use case).
+    * Random-vector pairs at cos 0.4-0.5 are below any hyperplane-LSH
+    * pruning horizon — the exact twin query covers that regime. */
+  test("embedding cosine dedup (LSH) finds planted twins, no cartesian in plan") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val twins = e.filter(col("vec_id") < 20)
+      .select(($"vec_id" + 10000).as("vec_id"),
+        transform($"embedding", v => v * lit(1.01f) + lit(0.003f)).as("embedding"))
+    val out = Similarity.cosineDedup(e.unionByName(twins), threshold = 0.9)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"cosineDedup plan must be bucket-joined, got:\n$plan")
+    val pairs = out.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val found = (0L until 20L).count(i => pairs.contains((i, i + 10000)))
+    assert(found >= 18, s"LSH cosine dedup found only $found/20 planted near-dup pairs")
+  }
+
   test("exact dedup groups identical texts") {
     import spark.implicits._
     val dups = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
