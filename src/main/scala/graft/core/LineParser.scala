@@ -1,6 +1,6 @@
 package graft.core
 
-import java.time.{LocalDate, LocalDateTime, OffsetDateTime, ZoneOffset}
+import java.time.LocalDate
 
 /** Pure, Spark-free per-line classification — the projection/filter stage
   * of the pipeline (reference: lognormalizer/parse.py:380-405 dispatch
@@ -57,36 +57,204 @@ object LineParser {
     tok.length == 12 && tok.charAt(11) == ':' &&
       tok.substring(0, 11).forall(c => (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F'))
 
-  /** `datetime.fromisoformat` analogue (parse.py:398): accepts offset,
-    * naive datetime, or bare date; anything else → None (line dropped).
-    * Naive timestamps are taken as UTC (the engine normalizes to UTC).
+  /** `datetime.fromisoformat` analogue (parse.py:398) — a hand-rolled
+    * scanner of CPython 3.11's C implementation
+    * (Modules/_datetimemodule.c: `_find_isoformat_datetime_separator`,
+    * `parse_isoformat_date`, `parse_hh_mm_ss_ff`), pinned by a fuzz table
+    * generated from the actual interpreter
+    * (LineParserSpec "fromisoformat parity table"):
     *
-    * The cheap shape guard matters: this predicate rejects every noise
-    * line (dovecot syslog `Apr 30 ...`, junk), and JVM exceptions cost
-    * microseconds each — an exception-driven reject path dominated the
-    * classify stage profile. */
+    *   date  = YYYY-MM-DD | YYYYMMDD | YYYY-Www[-D] | YYYYWwwD?  — the
+    *           date length is decided UP FRONT by format-discrimination
+    *           rules (not greedily), then parsed strictly
+    *   sep   = any ONE character at the predetermined position
+    *   time  = HH[:MM[:SS]] | HH[MM[SS]]: 2-digit comps, ':' use is
+    *           all-or-nothing; a fraction (first 6 digits = micros) may
+    *           follow ANY component after `.`/`,` — or follow the seconds
+    *           with `:` (sep mode) / no separator at all (basic mode)
+    *   tz    = trailing 'Z', or ±time-grammar with NO per-component range
+    *           checks (CPython normalizes via timedelta), |off| < 24 h,
+    *           and a zero-second offset collapses to UTC dropping its
+    *           fraction
+    *
+    * Naive timestamps are taken as UTC (the engine normalizes to UTC).
+    * Exception-free on every reject path: this predicate filters all
+    * noise lines (dovecot syslog `Apr 30 ...`, junk) and JVM exceptions
+    * cost microseconds each — an exception-driven reject dominated the
+    * classify-stage profile in round 1. */
   def parseIsoMicros(tok: String): Option[Long] = {
-    // ISO shapes start "dddd-dd-dd"; everything else can't parse.
-    if (tok.length < 10) return None
+    val n = tok.length
+    if (n < 7) return None // shortest accepted form is "YYYYWwwD"-less "YYYYWww"
     var i = 0
     while (i < 4) { if (!isDigit(tok.charAt(i))) return None; i += 1 }
-    if (tok.charAt(4) != '-' || tok.charAt(7) != '-') return None
-    if (!isDigit(tok.charAt(5)) || !isDigit(tok.charAt(6)) ||
-        !isDigit(tok.charAt(8)) || !isDigit(tok.charAt(9))) return None
-    if (tok.length == 10) {
-      try return Some(TimeUtil.toMicros(LocalDate.parse(tok).atStartOfDay.toInstant(ZoneOffset.UTC)))
-      catch { case _: Exception => return None }
-    }
-    // offset forms contain +/-/Z after the date part, naive forms don't
-    val hasOffset = tok.indexOf('+', 10) >= 0 || tok.indexOf('-', 10) >= 0 ||
-      tok.indexOf('Z', 10) >= 0 || tok.indexOf('z', 10) >= 0
-    if (hasOffset) {
-      try Some(TimeUtil.toMicros(OffsetDateTime.parse(tok).toInstant))
-      catch { case _: Exception => None }
+    val year = (tok.charAt(0) - '0') * 1000 + (tok.charAt(1) - '0') * 100 +
+      (tok.charAt(2) - '0') * 10 + (tok.charAt(3) - '0')
+    if (year < 1) return None
+
+    // ---- date length via CPython's format discrimination ------------
+    val dateLen: Int =
+      if (n == 7) 7
+      else if (tok.charAt(4) == '-') {
+        if (tok.charAt(5) == 'W') {
+          if (n > 8 && tok.charAt(8) == '-') {
+            if (n == 9) -1
+            else if (n > 10 && isDigit(tok.charAt(10))) 8
+            else 10
+          } else 8
+        } else 10
+      } else if (tok.charAt(4) == 'W') {
+        var idx = 7
+        while (idx < n && isDigit(tok.charAt(idx))) idx += 1
+        if (idx < 9) idx else if (idx % 2 == 0) 7 else 8
+      } else 8
+    if (dateLen < 0 || dateLen > n) return None
+
+    def twoDigitIn(at: Int, end: Int): Int =
+      if (at + 1 < end && isDigit(tok.charAt(at)) && isDigit(tok.charAt(at + 1)))
+        (tok.charAt(at) - '0') * 10 + (tok.charAt(at + 1) - '0')
+      else -1
+
+    // ---- date part → epoch day (strict parse of tok[0, dateLen)) ----
+    val hasDash = tok.charAt(4) == '-'
+    var pos = if (hasDash) 5 else 4
+    if (pos >= dateLen) return None
+    var epochDay = 0L
+    if (tok.charAt(pos) == 'W') {
+      pos += 1
+      val week = twoDigitIn(pos, dateLen); if (week < 0) return None
+      pos += 2
+      var dow = 1
+      if (dateLen > pos) {
+        // "Inconsistent use of dash separator" check (datetime.py:336)
+        if ((tok.charAt(pos) == '-') != hasDash) return None
+        if (hasDash) pos += 1
+        if (pos >= dateLen || !isDigit(tok.charAt(pos))) return None
+        dow = tok.charAt(pos) - '0'
+        pos += 1
+      }
+      if (pos != dateLen) return None
+      if (week < 1 || week > isoWeeksInYear(year) || dow < 1 || dow > 7) return None
+      val jan4 = LocalDate.of(year, 1, 4)
+      epochDay = jan4.toEpochDay - (jan4.getDayOfWeek.getValue - 1) +
+        (week - 1) * 7L + (dow - 1)
     } else {
-      try Some(TimeUtil.toMicros(LocalDateTime.parse(tok).toInstant(ZoneOffset.UTC)))
-      catch { case _: Exception => None }
+      val month = twoDigitIn(pos, dateLen); if (month < 0) return None
+      pos += 2
+      if (pos < dateLen) {
+        if ((tok.charAt(pos) == '-') != hasDash) return None
+      } else if (hasDash) return None
+      if (hasDash) pos += 1
+      val day = twoDigitIn(pos, dateLen); if (day < 0) return None
+      pos += 2
+      if (pos != dateLen) return None
+      if (month < 1 || month > 12 || day < 1 || day > daysInMonth(year, month)) return None
+      epochDay = LocalDate.of(year, month, day).toEpochDay
     }
+
+    val dateMicros = epochDay * 86400000000L
+    if (dateLen == n) return Some(dateMicros)
+    pos = dateLen + 1 // the predetermined separator position: ANY one char
+    if (n - pos < 2) return None // "Isoformat time too short"
+
+    // ---- locate tz: first occurrence of 'Z'/'+'/'-' ------------------
+    var tzPos = pos
+    while (tzPos < n && { val c = tok.charAt(tzPos); c != 'Z' && c != '+' && c != '-' })
+      tzPos += 1
+
+    // parse_hh_mm_ss_ff over [s, e): comps + fraction micros, or null.
+    // validateComps: time components get datetime's range checks; tz
+    // components do NOT (CPython routes them through timedelta).
+    def parseHms(s: Int, e: Int, validateComps: Boolean): (Long, Long) = {
+      var p = s
+      val comps = Array(0, 0, 0)
+      var frac = 0L
+      var ci = 0
+      var done = false
+      // ':' use is all-or-nothing, decided by the char after the hour
+      val hasSep = s + 2 < e && tok.charAt(s + 2) == ':'
+      while (!done && ci < 3) {
+        val v = twoDigitIn(p, e); if (v < 0) return null
+        comps(ci) = v
+        p += 2
+        if (p >= e) done = true
+        else {
+          val c = tok.charAt(p)
+          if (c == '.' || c == ',') {
+            // explicit fraction separator after any component
+            p += 1
+            if (p >= e || !isDigit(tok.charAt(p))) return null
+            var scale = 100000L
+            var k = 0
+            while (p < e) {
+              if (!isDigit(tok.charAt(p))) return null
+              if (k < 6) { frac += (tok.charAt(p) - '0') * scale; scale /= 10 }
+              k += 1; p += 1
+            }
+            done = true
+          } else if (ci < 2) {
+            if (hasSep) { if (c != ':') return null; p += 1 }
+            else if (!isDigit(c)) return null
+            ci += 1
+          } else {
+            // after seconds: ':'+digits (sep mode) or bare digits (basic
+            // mode) are ALSO a fraction in CPython's C scanner
+            if (hasSep) { if (c != ':') return null; p += 1 }
+            else if (!isDigit(c)) return null
+            if (p >= e || !isDigit(tok.charAt(p))) return null
+            var scale = 100000L
+            var k = 0
+            while (p < e) {
+              if (!isDigit(tok.charAt(p))) return null
+              if (k < 6) { frac += (tok.charAt(p) - '0') * scale; scale /= 10 }
+              k += 1; p += 1
+            }
+            done = true
+          }
+        }
+      }
+      if (validateComps && (comps(0) > 23 || comps(1) > 59 || comps(2) > 59)) return null
+      (comps(0) * 3600L + comps(1) * 60L + comps(2), frac)
+    }
+
+    val t = parseHms(pos, tzPos, validateComps = true)
+    if (t == null) return None
+    val timeMicros = t._1 * 1000000L + t._2
+    if (tzPos == n) return Some(dateMicros + timeMicros) // naive → UTC
+
+    // ---- timezone ----------------------------------------------------
+    val marker = tok.charAt(tzPos)
+    if (marker == 'Z') {
+      if (tzPos + 1 != n) return None
+      Some(dateMicros + timeMicros)
+    } else {
+      val tzLen = n - (tzPos + 1)
+      if (tzLen == 0 || tzLen == 1 || tzLen == 3) return None // datetime.py:445
+      val o = parseHms(tzPos + 1, n, validateComps = false)
+      if (o == null) return None
+      val offMicros =
+        if (o._1 == 0L) 0L // zero-second offset collapses to UTC, fraction dropped
+        else {
+          val total = o._1 * 1000000L + o._2
+          if (total >= 86400000000L) return None // |offset| must be < 24 h
+          if (marker == '+') total else -total
+        }
+      Some(dateMicros + timeMicros - offMicros)
+    }
+  }
+
+  /** 53 iff the ISO year starts on Thursday, or is a leap year starting
+    * on Wednesday; else 52. */
+  private def isoWeeksInYear(year: Int): Int = {
+    val jan1 = LocalDate.of(year, 1, 1).getDayOfWeek.getValue
+    if (jan1 == 4 || (jan1 == 3 && isLeap(year))) 53 else 52
+  }
+
+  private def isLeap(y: Int): Boolean = (y % 4 == 0 && y % 100 != 0) || y % 400 == 0
+
+  private def daysInMonth(y: Int, m: Int): Int = m match {
+    case 2 => if (isLeap(y)) 29 else 28
+    case 4 | 6 | 9 | 11 => 30
+    case _ => 31
   }
 
   private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'

@@ -150,8 +150,15 @@ object Sessionize {
     val matched = folded
       .where($"event".isNotNull)
       .select($"emitSeq", explode($"intervals").as("iv"))
+      // Bounds: strict at fromSeq (a line that SETS the msgid and is also
+      // dovecot-shaped applies its action before the set — reference runs
+      // the dovecot branch before _set_fields, parse.py:378,393-394), but
+      // INCLUSIVE at toSeq: that same branch ordering means a combined
+      // dovecot + message-id-CHANGING line acts against the pre-line
+      // msgid, whose interval closes at exactly that line's seq. Equal
+      // seqs only arise from one physical line, so <= is safe.
       .join(doveActs, $"iv.msgid" === $"d_msgid" &&
-        $"d_seq" > $"iv.fromSeq" && $"d_seq" < $"iv.toSeq")
+        $"d_seq" > $"iv.fromSeq" && $"d_seq" <= $"iv.toSeq")
       .groupBy($"emitSeq")
       .agg(max_by($"action", $"d_seq").as("dovecot_action"))
 

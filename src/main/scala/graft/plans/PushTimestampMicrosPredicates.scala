@@ -22,9 +22,14 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * the time axis, which is the entire point of the MergeTree
   * `ORDER BY timestamp` analogue (reference parse.py:53).
   *
-  * Floor-division inversion (valid for non-negative a, d > 0):
-  *   a div d >= M  ⇔  a >= M*d          a div d > M  ⇔  a >= (M+1)*d
-  *   a div d <  M  ⇔  a <  M*d          a div d <= M ⇔  a <  (M+1)*d
+  * Inversion under Spark's `div` (truncation toward ZERO, k > 0) — exact
+  * for every long `a`, including negatives (pre-1970 nanos):
+  *   trunc(a/k) >= M  ⇔  a >= B(M)  where  B(M) = M*k        if M > 0
+  *                                               = (M-1)*k+1  if M <= 0
+  * (for M <= 0 the truncated quotient rounds up on negative a, so the
+  * boundary shifts by k-1). The other comparisons derive from it:
+  *   trunc(a/k) >  M  ⇔  a >= B(M+1)      trunc(a/k) <  M  ⇔  a < B(M)
+  *   trunc(a/k) <= M  ⇔  a <  B(M+1)
   */
 object PushTimestampMicrosPredicates extends Rule[LogicalPlan] {
 
@@ -45,27 +50,36 @@ object PushTimestampMicrosPredicates extends Rule[LogicalPlan] {
     }
   }
 
-  private def times(m: Long, k: Long): Option[Long] =
-    try Some(Math.multiplyExact(m, k)) catch { case _: ArithmeticException => None }
+  private def exact(f: => Long): Option[Long] =
+    try Some(f) catch { case _: ArithmeticException => None }
+
+  /** B(M) of the scaladoc: the exact lower bound on `a` equivalent to
+    * `trunc(a/k) >= M`. None on overflow → leave the predicate alone. */
+  private def lowerBound(m: Long, k: Long): Option[Long] =
+    if (m > 0) exact(Math.multiplyExact(m, k))
+    else exact(Math.addExact(Math.multiplyExact(Math.subtractExact(m, 1L), k), 1L))
+
+  private def lowerBoundSucc(m: Long, k: Long): Option[Long] =
+    exact(Math.addExact(m, 1L)).flatMap(lowerBound(_, k))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case e @ GreaterThanOrEqual(TsOfDiv(a, k), TsLit(m)) =>
-      times(m, k).map(v => GreaterThanOrEqual(a, Literal(v, LongType))).getOrElse(e)
+      lowerBound(m, k).map(v => GreaterThanOrEqual(a, Literal(v, LongType))).getOrElse(e)
     case e @ GreaterThan(TsOfDiv(a, k), TsLit(m)) =>
-      times(m + 1, k).map(v => GreaterThanOrEqual(a, Literal(v, LongType))).getOrElse(e)
+      lowerBoundSucc(m, k).map(v => GreaterThanOrEqual(a, Literal(v, LongType))).getOrElse(e)
     case e @ LessThan(TsOfDiv(a, k), TsLit(m)) =>
-      times(m, k).map(v => LessThan(a, Literal(v, LongType))).getOrElse(e)
+      lowerBound(m, k).map(v => LessThan(a, Literal(v, LongType))).getOrElse(e)
     case e @ LessThanOrEqual(TsOfDiv(a, k), TsLit(m)) =>
-      times(m + 1, k).map(v => LessThan(a, Literal(v, LongType))).getOrElse(e)
+      lowerBoundSucc(m, k).map(v => LessThan(a, Literal(v, LongType))).getOrElse(e)
     // mirrored literal-on-left forms
     case e @ GreaterThanOrEqual(TsLit(m), TsOfDiv(a, k)) =>   // lit >= div ⇔ div <= lit
-      times(m + 1, k).map(v => LessThan(a, Literal(v, LongType))).getOrElse(e)
+      lowerBoundSucc(m, k).map(v => LessThan(a, Literal(v, LongType))).getOrElse(e)
     case e @ GreaterThan(TsLit(m), TsOfDiv(a, k)) =>
-      times(m, k).map(v => LessThan(a, Literal(v, LongType))).getOrElse(e)
+      lowerBound(m, k).map(v => LessThan(a, Literal(v, LongType))).getOrElse(e)
     case e @ LessThan(TsLit(m), TsOfDiv(a, k)) =>
-      times(m + 1, k).map(v => GreaterThanOrEqual(a, Literal(v, LongType))).getOrElse(e)
+      lowerBoundSucc(m, k).map(v => GreaterThanOrEqual(a, Literal(v, LongType))).getOrElse(e)
     case e @ LessThanOrEqual(TsLit(m), TsOfDiv(a, k)) =>
-      times(m, k).map(v => GreaterThanOrEqual(a, Literal(v, LongType))).getOrElse(e)
+      lowerBound(m, k).map(v => GreaterThanOrEqual(a, Literal(v, LongType))).getOrElse(e)
   }
 
   /** Idempotently attach to a session's extra optimizer batch. */

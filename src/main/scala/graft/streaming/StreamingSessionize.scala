@@ -35,9 +35,13 @@ object StreamingSessionize {
                    raw: String, msgid: String, action: String, error: String)
 
   /** Stage-1 state: session buffer + message-id validity intervals
-    * (closed ones plus the currently-open one). */
+    * (closed ones plus the currently-open one).
+    * `firstSeenMs` is the processing time when the state was created —
+    * TTL expiry is measured from it (reference evicts 10 min after a
+    * session's FIRST-seen timestamp regardless of later activity,
+    * parse.py:272-284; the timestamp is never refreshed). */
   case class S1State(buf: SessionBuf, closed: List[MsgidInterval],
-                     curMsgid: String, curFrom: Long)
+                     curMsgid: String, curFrom: Long, firstSeenMs: Long = -1L)
 
   /** Output row: exactly one of event / fault / dovecot action is set.
     * Events carry their message-id validity intervals for the dovecot
@@ -67,6 +71,12 @@ object StreamingSessionize {
       state.remove()
       return Iterator.empty
     }
+    // absolute TTL anchor: the reference's eviction clock starts at first
+    // sight of the queue id and is never refreshed, so re-arming a sliding
+    // inactivity timeout here would keep long-lived sessions alive that
+    // the reference silently drops
+    val firstSeenMs = state.getOption.map(_.firstSeenMs)
+      .getOrElse(state.getCurrentProcessingTimeMs())
     var st = state.getOption.getOrElse(S1State(SessionBuf.empty, Nil, null, 0L))
     val out = Vector.newBuilder[StreamOut]
     rows.toArray.sortBy(_.seq).foreach { row =>
@@ -91,8 +101,15 @@ object StreamingSessionize {
     }
     if (st.buf.isEmpty) state.remove()
     else {
-      state.update(st)
-      ttlMs.foreach(state.setTimeoutDuration)
+      state.update(st.copy(firstSeenMs = firstSeenMs))
+      // GroupState clears a pending timeout whenever the function runs for
+      // the key, so re-arm with the REMAINING duration from the absolute
+      // first-seen anchor (≥1 ms: already-expired sessions die at the next
+      // timeout sweep rather than emitting further)
+      ttlMs.foreach { t =>
+        state.setTimeoutDuration(
+          math.max(1L, firstSeenMs + t - state.getCurrentProcessingTimeMs()))
+      }
     }
     out.result().iterator
   }
@@ -135,8 +152,10 @@ object StreamingSessionize {
     // struct never travels through the interval explode/join
     val matched = events.toDF()
       .select(col("emitSeq"), explode(col("intervals")).as("iv"))
+      // inclusive toSeq for combined dovecot+msgid-change lines — see the
+      // batch operator's join for the boundary rationale
       .join(acts, col("iv.msgid") === col("a_msgid") &&
-        col("a_seq") > col("iv.fromSeq") && col("a_seq") < col("iv.toSeq"))
+        col("a_seq") > col("iv.fromSeq") && col("a_seq") <= col("iv.toSeq"))
       .groupBy(col("emitSeq"))
       .agg(max_by(col("a_action"), col("a_seq")).as("last_action"))
       .withColumnRenamed("emitSeq", "m_seq").alias("mt")

@@ -110,6 +110,27 @@ class LineParserSpec extends AnyFunSuite {
     })
   }
 
+  /** parseIsoMicros vs the ACTUAL CPython 3.11 interpreter: the table is
+    * every template + seeded-mutation token from
+    * scripts/gen_pyiso_table.py with fromisoformat's verdict (epoch
+    * micros, naive→UTC; null = raised). Full-surface parity: week dates,
+    * basic forms, arbitrary separators, comma fractions, offset grammar,
+    * range validation. */
+  test("fromisoformat parity table (1430 interpreter-generated tokens)") {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/pyiso_table.json"), "UTF-8")
+    val json = try src.mkString finally src.close()
+    val entry = """\["((?:[^"\\]|\\.)*)",\s*(-?\d+|null)\]""".r
+    val rows = entry.findAllMatchIn(json).map { m =>
+      (m.group(1), Option(m.group(2)).filter(_ != "null").map(_.toLong))
+    }.toVector
+    assert(rows.length > 1400, s"table parse found only ${rows.length} rows")
+    val bad = rows.filter { case (tok, exp) => LineParser.parseIsoMicros(tok) != exp }
+    assert(bad.isEmpty, s"${bad.length} divergences, first 10: " +
+      bad.take(10).map { case (t, e) =>
+        s"'$t' python=$e graft=${LineParser.parseIsoMicros(t)}" }.mkString("; "))
+  }
+
   test("property: domains_to dedup preserves first-occurrence order") {
     val mailsGen = Gen.listOf(Gen.oneOf("a", "b", "c", "d").map(d => s"u@$d"))
     checkProp(Prop.forAll(mailsGen) { (mails: List[String]) =>

@@ -53,6 +53,14 @@ class DifferentialSpec extends AnyFunSuite {
       if (rnd.nextInt(3) == 0)
         lines += ((base + 0.45,
           s"Apr 30 15:09:27 lmtp(x)<1><Y>: Info: sieve: msgid=$msgid: fileinto action: stored into 'Box$i'"))
+      // combined dovecot + message-id-CHANGING session line: the dovecot
+      // branch must act against the PRE-line msgid (whose validity
+      // interval closes at exactly this line's seq — inclusive-toSeq
+      // boundary), and any LATER dovecot line for the old msgid must NOT
+      // apply
+      if (rnd.nextInt(4) == 0)
+        lines += ((base + 0.25,
+          s"${iso(0.25)} h lmtp(x)[9]: $qid: Info: sieve: msgid=$msgid: fileinto action: stored into 'Combo$i' message-id=<chg$i@ex.com>"))
       if (rnd.nextInt(5) == 0)
         lines += ((base + 0.05, s"${iso(0.05)} h postfix/smtpd[1]: disconnect from c$i[1.2.3.$i] ehlo=1 quit=1"))
       lines += ((base + 0.5, s"${iso(0.5)} h postfix/qmgr[5]: $qid: removed"))
