@@ -179,14 +179,60 @@ object Sessionize {
     Result(events, faults)
   }
 
-  /** Convenience: read text files (one line per row) and sessionize.
-    * The per-file line index is the arrival order within a file — matching
-    * the reference's `cat file | parse.py` contract (README.md:4). */
-  def fromTextFiles(spark: SparkSession, paths: String*): Result = {
+  /** Convenience: read text files (one line per row) and sessionize in
+    * `cat`-order — matching the reference's `cat /var/log/mail.log* |
+    * parse.py` contract (README.md:4, parse.py:515-516). */
+  def fromTextFiles(spark: SparkSession, paths: String*): Result =
+    apply(spark, catOrderedLines(spark, paths: _*))
+
+  /** Maximum in-file byte offset: 44 bits → 16 TiB per file, 2^19 files. */
+  private val OffsetBits = 44
+
+  /** Lines of `paths` (files, globs, or directories) stamped with seq
+    * numbers order-isomorphic to `cat $(ls <paths>)`:
+    *
+    *   seq = (lexicographic file rank << 44) | in-file byte offset
+    *
+    * Shell globs sort matches lexicographically, so ranking the resolved
+    * file list the same way reproduces the reference's rotation-replay
+    * order. The in-file component is the record's byte offset from
+    * `TextInputFormat` — a property of the FILE, not of Spark's split
+    * packing — so the stamping is deterministic and correct even when a
+    * file is read as many splits in any order (Spark packs splits by size
+    * descending, so a plain `zipWithIndex` over the scan numbers lines in
+    * an order that can contradict `cat`). Also avoids `zipWithIndex`'s
+    * extra partition-count job: this is a single narrow pass. */
+  def catOrderedLines(spark: SparkSession, paths: String*): Dataset[(Long, String)] = {
     import spark.implicits._
-    val lines = spark.read.textFile(paths: _*)
-      .rdd.zipWithIndex().map { case (l, i) => (i, l) }
-      .toDS()
-    apply(spark, lines)
+    import org.apache.hadoop.fs.{FileStatus, Path}
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapred.TextInputFormat
+
+    val sc = spark.sparkContext
+    val conf = sc.hadoopConfiguration
+    val files: Seq[String] = paths.flatMap { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf)
+      val matched = Option(fs.globStatus(hp)).getOrElse(Array.empty[FileStatus])
+      matched.flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+        else Array(st)
+      }.map(_.getPath.toUri.toString)
+    }.distinct.sorted
+    require(files.nonEmpty, s"no input files matched: ${paths.mkString(",")}")
+    require(files.size < (1 << (63 - OffsetBits)),
+      s"too many input files for 44-bit offset seqs: ${files.size}")
+
+    val maxOff = 1L << OffsetBits
+    val rdds = files.zipWithIndex.map { case (path, rank) =>
+      val base = rank.toLong << OffsetBits
+      sc.hadoopFile(path, classOf[TextInputFormat], classOf[LongWritable], classOf[Text])
+        .map { case (off, text) =>
+          val o = off.get
+          require(o < maxOff, s"file exceeds 16 TiB offset budget: $path")
+          (base | o, new String(text.getBytes, 0, text.getLength, java.nio.charset.StandardCharsets.UTF_8))
+        }
+    }
+    sc.union(rdds.toSeq).toDS()
   }
 }

@@ -72,6 +72,45 @@ class DifferentialSpec extends AnyFunSuite {
     (e.queue_id, e.message_id, e.timestamp.getTime, e.message_to, e.message_subject,
       e.status_code, e.dovecot_fileinto_action, e.client, e.raw_log)
 
+  test("fromTextFiles multi-file rotation replay matches cat-order incremental") {
+    // The reference's primary usage is `cat /var/log/mail.log* | parse.py`
+    // (parse.py:515-516): lines arrive in lexicographic-filename order,
+    // files concatenated. Split a generated log across 3 rotation files at
+    // arbitrary mid-session boundaries, then verify the distributed read
+    // (per-file byte-offset seqs; files read as multiple splits that Spark
+    // may pack in any order) is field-identical to the single-node
+    // incremental path fed the exact `cat` concatenation.
+    val log = genLog(seed = 99, nSessions = 60)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rotation").toFile
+    try {
+      val cuts = Seq(0, log.length / 3 + 1, 2 * log.length / 3 - 1, log.length)
+      for (i <- 0 until 3) {
+        val f = new java.io.File(dir, s"mail.log.$i")
+        val w = new java.io.PrintWriter(f, "UTF-8")
+        log.slice(cuts(i), cuts(i + 1)).foreach(w.println)
+        w.close()
+      }
+
+      val incEvents = ArrayBuffer[PostfixEvent]()
+      val incFaults = ArrayBuffer[ParseFault]()
+      val inc = new IncrementalSessionizer(incEvents += _, incFaults += _)
+      log.foreach(inc.feedLine)  // cat order == lexicographic file order here
+
+      val res = Sessionize.fromTextFiles(spark, s"${dir.getAbsolutePath}/mail.log*")
+      val batchEvents = res.events.collect()
+      assert(batchEvents.length == incEvents.length, "event count")
+      assert(res.faults.count() == incFaults.length.toLong, "fault count")
+      assert(batchEvents.map(key).sortBy(_.toString()).toSeq ==
+        incEvents.map(key).sortBy(_.toString()).toSeq, "event content")
+
+      // directory form resolves to the same file set
+      val resDir = Sessionize.fromTextFiles(spark, dir.getAbsolutePath)
+      assert(resDir.events.count() == incEvents.length.toLong, "dir-form event count")
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("incremental and batch agree on 30 random streams") {
     import spark.implicits._
     for (seed <- 1 to 30) {
