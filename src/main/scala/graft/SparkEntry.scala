@@ -53,6 +53,16 @@ object SparkEntry {
     "text_token_count" -> (ExtensionQueries.textTokenCount _),
     "text_fingerprint" -> (ExtensionQueries.textFingerprint _),
     "text_winnow_fingerprint" -> (ExtensionQueries.textWinnow _),
+    // -- violation queries: hash-green emptiness proofs for the LSH family.
+    //    Each recomputes the operator's exact-verify contract through an
+    //    independent path; the oracle is the guaranteed constant (0
+    //    violations, liveness flag 1). --
+    "dedup_minhash_violations" -> (ExtensionQueries.dedupMinhashViolations _),
+    "dedup_simhash_violations" -> (ExtensionQueries.dedupSimhashViolations _),
+    "dedup_embedding_violations" -> (ExtensionQueries.dedupEmbeddingViolations _),
+    "ann_lsh_violations" -> (ExtensionQueries.annLshViolations _),
+    "ann_ivf_violations" -> (ExtensionQueries.annIvfViolations _),
+    "text_winnow_violations" -> (ExtensionQueries.textWinnowViolations _),
     "corpus_clean" -> (ExtensionQueries.corpusClean _),
     "multimodal_features" -> (ExtensionQueries.multimodalFeatures _),
     "multimodal_resize" -> (ExtensionQueries.multimodalResize _),
@@ -96,11 +106,18 @@ object SparkEntry {
     "multimodal_frames" -> ExtensionQueries.multimodalFramesOracle,
     "events_session_window" -> AnalyticsQueries.eventsSessionWindowOracle,
     "sql_events_arrayjoin" -> PipelineQueries.sqlArrayJoinOracle,
-    "sql_mime_decode" -> ExtensionQueries.sqlMimeDecodeOracle
+    "sql_mime_decode" -> ExtensionQueries.sqlMimeDecodeOracle,
+    "dedup_minhash_violations" -> ExtensionQueries.violationOracle,
+    "dedup_simhash_violations" -> ExtensionQueries.violationOracle,
+    "dedup_embedding_violations" -> ExtensionQueries.violationOracle,
+    "ann_lsh_violations" -> ExtensionQueries.violationOracle,
+    "ann_ivf_violations" -> ExtensionQueries.violationOracle,
+    "text_winnow_violations" -> ExtensionQueries.textWinnowViolationsOracle
     // dedup_minhash_lsh / dedup_simhash / dedup_embedding_cosine /
-    // ann_lsh_topk / ann_ivf_topk / text_winnow_fingerprint:
-    // engine-internal hash families → rows-only driver check + ScalaTest
-    // recall/overlap assertions (each LSH operator has an oracle-checked
-    // exact twin: ngram_jaccard, embedding_exact, cosine_topk).
+    // ann_lsh_topk / ann_ivf_topk / text_winnow_fingerprint stay
+    // rows-only (engine-internal hash families), but each is now PAIRED
+    // with a hash-green *_violations row proving its exact-verify
+    // contract, plus an oracle-checked exact twin (ngram_jaccard,
+    // embedding_exact, cosine_topk) and ScalaTest recall assertions.
   )
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline extension operators over the documents /
@@ -106,6 +106,108 @@ s AS (
 SELECT id_a, id_b, dot / (sqrt(na) * sqrt(nb)) AS sim
 FROM s WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
 ORDER BY id_a, id_b"""
+
+  // ------------------------------------------- LSH violation queries ----
+  //
+  // The LSH-family operators (minhash/simhash/embedding-LSH/ANN) have
+  // hash-family-dependent CANDIDATE sets — not DuckDB-expressible — but
+  // their exact-verify contract IS: every emitted pair/neighbor must pass
+  // an independent exact recomputation, so the violation set is empty BY
+  // GUARANTEE, and DuckDB can oracle the constant. Each query recomputes
+  // the check through a different code path than the operator used
+  // (string shingles vs hashed; the oracle-green brute-force ranking as
+  // ANN ground truth), and carries a `has_pairs` liveness flag so a
+  // degenerate empty LSH result cannot green-wash the row.
+
+  /** Distinct word w-shingles as STRINGS — the hash-free recomputation
+    * path used only by the violation queries (the operators shingle via
+    * xxhash64; agreement rules out kernel bugs, modulo 64-bit hash
+    * collisions). */
+  private def stringShingles(text: Column, w: Int): Column = {
+    val words = split(text, " ")
+    array_distinct(
+      when(size(words) >= w,
+        transform(sequence(lit(0), size(words) - w),
+          i => concat_ws(" ", slice(words, i + lit(1), lit(w)))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  private def violationSummary(df: DataFrame, isViolation: Column): DataFrame =
+    df.agg(count(when(isViolation, 1)).as("n_violations"),
+      least(count(lit(1)), lit(1L)).as("has_pairs"))
+
+  val violationOracle: String =
+    "SELECT CAST(0 AS BIGINT) AS n_violations, CAST(1 AS BIGINT) AS has_pairs"
+
+  /** MinHash-LSH precision contract: every emitted pair has exact
+    * 3-shingle Jaccard ≥ threshold, recomputed over string shingles. */
+  def dedupMinhashViolations(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      bands = 16, rowsPerBand = 4, shingleWidth = 3, threshold = 0.5)
+    val sh = docs.select(col("doc_id"), stringShingles(col("text"), 3).as("sh"))
+    val joined = pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val uni = size(col("sh_a")).cast("double") + size(col("sh_b")) - inter
+    violationSummary(joined, inter / uni < 0.5)
+  }
+
+  /** SimHash contract: emitted hamming matches a fresh recomputation of
+    * both signatures and respects maxHamming. */
+  def dedupSimhashViolations(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val pairs = Dedup.simhashDups(docs, "doc_id", "text", maxHamming = 3)
+    val sh = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sim"))
+    val joined = pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("sim").as("sim_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sim").as("sim_b")), "id_b")
+    val hamTrue = bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
+    violationSummary(joined, hamTrue =!= col("hamming") || hamTrue > 3)
+  }
+
+  /** Embedding-LSH precision contract: every emitted pair must also be
+    * found by the brute-force exact path at the same threshold. */
+  def dedupEmbeddingViolations(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorExpressions.vecDot
+    val e = Tables(spark, sfDir, "embeddings")
+    val lsh = Similarity.cosineDedup(e, threshold = 0.4).select("id_a", "id_b")
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      Similarity.vecNorm(col("embedding")).as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      Similarity.vecNorm(col("embedding")).as("nb"))
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(vecDot(col("va"), col("vb")) / (col("na") * col("nb")) >= 0.4)
+      .select(col("id_a"), col("id_b"), lit(1).as("ok"))
+    violationSummary(lsh.join(exact, Seq("id_a", "id_b"), "left_outer"),
+      col("ok").isNull)
+  }
+
+  /** ANN contract shared by LSH and IVF: an approximate result may MISS
+    * true neighbors, but each returned row's `sim` must equal the true
+    * cosine, and its reported rank can never beat its global exact rank
+    * (candidates are a subset of the corpus, ranked by the same
+    * (sim DESC, cand_id) key). Ground truth is [[Similarity.bruteForceTopK]]
+    * unlimited — the same code path the oracle-green ann_cosine_topk
+    * proves against DuckDB. */
+  private def annViolations(spark: SparkSession, sfDir: String,
+                            ann: DataFrame): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+    val truth = Similarity
+      .bruteForceTopK(e.filter(col("vec_id") < 10), e, k = Int.MaxValue)
+      .select(col("query_id"), col("cand_id"),
+        col("sim").as("sim_true"), col("rank").as("true_rank"))
+    violationSummary(ann.join(truth, Seq("query_id", "cand_id"), "left_outer"),
+      col("sim_true").isNull || abs(col("sim") - col("sim_true")) > 1e-9 ||
+        col("true_rank") < col("rank"))
+  }
+
+  def annLshViolations(spark: SparkSession, sfDir: String): DataFrame =
+    annViolations(spark, sfDir, annLshTopK(spark, sfDir))
+
+  def annIvfViolations(spark: SparkSession, sfDir: String): DataFrame =
+    annViolations(spark, sfDir, annIvfTopK(spark, sfDir))
 
   // -------------------------------------------------------- similarity ----
 
@@ -241,6 +343,35 @@ SELECT doc_id, substring(text, 1, 32) AS decoded FROM documents ORDER BY doc_id"
         graft.functions.TextExpressions.winnowFingerprint(col("text")).as("fp"))
       .select(col("doc_id"), size(col("fp")).as("n_fp"), to_json(col("fp")).as("fp_json"))
       .orderBy("doc_id")
+
+  /** Winnowing invariants (Schleimer et al. §2) checkable without the
+    * hash family: a doc shorter than k has no fingerprints; otherwise
+    * 1 ≤ |fp| ≤ (len − k + 1) distinct selected hashes, emitted sorted
+    * ascending; and fingerprinting is a pure function of the text
+    * (identical texts → identical fp sets). */
+  def textWinnowViolations(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 8
+    val fp = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"),
+        graft.functions.TextExpressions.winnowFingerprint(col("text")).as("fp"))
+      .withColumn("n_fp", size(col("fp")))
+      .withColumn("len", length(col("text")))
+    val sanityViol = when(col("len") < k, col("n_fp") =!= 0)
+      .otherwise(col("n_fp") < 1 || col("n_fp") > col("len") - (k - 1))
+    val sortedViol = to_json(col("fp")) =!=
+      to_json(array_sort(array_distinct(col("fp"))))
+    val perDoc = fp.agg(
+      count(when(sanityViol || sortedViol, 1)).as("n_violations"),
+      least(count(lit(1)), lit(1L)).as("has_pairs"))
+    val determinism = fp.groupBy("text")
+      .agg(count_distinct(to_json(col("fp"))).as("nd"))
+      .agg(count(when(col("nd") > 1, 1)).as("n_nondeterministic"))
+    perDoc.crossJoin(determinism)
+  }
+
+  val textWinnowViolationsOracle: String =
+    """SELECT CAST(0 AS BIGINT) AS n_violations, CAST(1 AS BIGINT) AS has_pairs,
+       CAST(0 AS BIGINT) AS n_nondeterministic"""
 
   def textFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "documents")
