@@ -83,29 +83,53 @@ object TextExpressions {
         hs(i) = h
         i += 1
       }
-      // winnow: rightmost minimum of each window of w hashes
-      val kept = scala.collection.mutable.SortedSet.empty[Long]
-      if (n <= w) kept += hs.min
-      else {
+      // winnow: rightmost minimum of each window of w hashes, collected
+      // into a primitive buffer → sort → in-place dedup (the result
+      // contract is the sorted distinct set; a SortedSet[Long] here boxed
+      // every insert in the per-row hot loop)
+      var kept: Array[Long] = null
+      var nk = 0
+      if (n <= w) {
+        var m = hs(0)
+        var t = 1
+        while (t < n) { if (hs(t) < m) m = hs(t); t += 1 }
+        kept = Array(m); nk = 1
+      } else {
+        kept = new Array[Long](n - w + 1)
+        var lastMi = -1
         var j = 0
         while (j + w <= n) {
           var m = hs(j)
           var mi = j
-          var t = j
+          var t = j + 1
           while (t < j + w) {
             if (hs(t) <= m) { m = hs(t); mi = t }
             t += 1
           }
-          kept += hs(mi)
+          if (mi != lastMi) { kept(nk) = m; nk += 1; lastMi = mi }
           j += 1
         }
       }
-      new GenericArrayData(kept.toArray)
+      java.util.Arrays.sort(kept, 0, nk)
+      var out = 1
+      var i2 = 1
+      while (i2 < nk) {
+        if (kept(i2) != kept(out - 1)) { kept(out) = kept(i2); out += 1 }
+        i2 += 1
+      }
+      if (nk == 0) out = 0
+      new GenericArrayData(java.util.Arrays.copyOf(kept, out))
     }
 
+    /** a*b mod (2^61−1) in pure longs for a,b ∈ [0, Mod): 128-bit product
+      * via multiplyHigh, then Mersenne fold (2^61 ≡ 1 ⇒ add the high part
+      * shifted down by 61). */
     private def mulmod(a: Long, b: Long): Long = {
-      val r = BigInt(a) * BigInt(b) % BigInt(Mod)
-      r.toLong
+      val hi = Math.multiplyHigh(a, b)
+      val lo = a * b
+      var r = (lo & Mod) + ((hi << 3) | (lo >>> 61))
+      r = (r & Mod) + (r >>> 61)
+      if (r >= Mod) r - Mod else r
     }
     private def addmod(a: Long, b: Long): Long = {
       val r = a + b
