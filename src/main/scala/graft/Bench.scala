@@ -26,8 +26,11 @@ object Bench {
     // *_violations rows are correctness diagnostics (empty-set proofs for
     // the LSH family), not operators — excluded so the headline total
     // stays comparable across rounds and against BASELINE.md.
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated name filter (local iteration)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.endsWith("_violations"))
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = queries.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

@@ -51,6 +51,27 @@ object LineParser {
     out.result()
   }
 
+  /** First `max` tokens of [[tokenize]] — the count is exact when the line
+    * has fewer. [[classify]] only ever inspects tokens 0-8 (timestamp,
+    * queue id, dovecot guard), so scanning and allocating the full ~20
+    * tokens of every line — including all noise lines — was wasted work in
+    * the classify stage; the full tokenize is deferred to the rare dovecot
+    * match and the post-shuffle session fold. */
+  def tokenizePrefix(s: String, max: Int): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuilder.ofRef[String]
+    out.sizeHint(max)
+    var i = 0
+    var n = 0
+    val len = s.length
+    while (i < len && n < max) {
+      while (i < len && isPySpace(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isPySpace(s.charAt(i))) i += 1
+      if (i > start) { out += s.substring(start, i); n += 1 }
+    }
+    out.result()
+  }
+
   /** Queue-id predicate: 11 chars of [0-9A-F] followed by ':'
     * (parse.py:237-256). */
   def isQueueId(tok: String): Boolean =
@@ -161,10 +182,12 @@ object LineParser {
     while (tzPos < n && { val c = tok.charAt(tzPos); c != 'Z' && c != '+' && c != '-' })
       tzPos += 1
 
-    // parse_hh_mm_ss_ff over [s, e): comps + fraction micros, or null.
+    // parse_hh_mm_ss_ff over [s, e): packed micros (secs*1e6 + frac), or
+    // -1 on reject — unboxed; a (Long, Long) tuple here allocated once per
+    // parsed line in the classify hot path.
     // validateComps: time components get datetime's range checks; tz
     // components do NOT (CPython routes them through timedelta).
-    def parseHms(s: Int, e: Int, validateComps: Boolean): (Long, Long) = {
+    def parseHms(s: Int, e: Int, validateComps: Boolean): Long = {
       var p = s
       val comps = Array(0, 0, 0)
       var frac = 0L
@@ -173,7 +196,7 @@ object LineParser {
       // ':' use is all-or-nothing, decided by the char after the hour
       val hasSep = s + 2 < e && tok.charAt(s + 2) == ':'
       while (!done && ci < 3) {
-        val v = twoDigitIn(p, e); if (v < 0) return null
+        val v = twoDigitIn(p, e); if (v < 0) return -1L
         comps(ci) = v
         p += 2
         if (p >= e) done = true
@@ -182,29 +205,29 @@ object LineParser {
           if (c == '.' || c == ',') {
             // explicit fraction separator after any component
             p += 1
-            if (p >= e || !isDigit(tok.charAt(p))) return null
+            if (p >= e || !isDigit(tok.charAt(p))) return -1L
             var scale = 100000L
             var k = 0
             while (p < e) {
-              if (!isDigit(tok.charAt(p))) return null
+              if (!isDigit(tok.charAt(p))) return -1L
               if (k < 6) { frac += (tok.charAt(p) - '0') * scale; scale /= 10 }
               k += 1; p += 1
             }
             done = true
           } else if (ci < 2) {
-            if (hasSep) { if (c != ':') return null; p += 1 }
-            else if (!isDigit(c)) return null
+            if (hasSep) { if (c != ':') return -1L; p += 1 }
+            else if (!isDigit(c)) return -1L
             ci += 1
           } else {
             // after seconds: ':'+digits (sep mode) or bare digits (basic
             // mode) are ALSO a fraction in CPython's C scanner
-            if (hasSep) { if (c != ':') return null; p += 1 }
-            else if (!isDigit(c)) return null
-            if (p >= e || !isDigit(tok.charAt(p))) return null
+            if (hasSep) { if (c != ':') return -1L; p += 1 }
+            else if (!isDigit(c)) return -1L
+            if (p >= e || !isDigit(tok.charAt(p))) return -1L
             var scale = 100000L
             var k = 0
             while (p < e) {
-              if (!isDigit(tok.charAt(p))) return null
+              if (!isDigit(tok.charAt(p))) return -1L
               if (k < 6) { frac += (tok.charAt(p) - '0') * scale; scale /= 10 }
               k += 1; p += 1
             }
@@ -212,13 +235,12 @@ object LineParser {
           }
         }
       }
-      if (validateComps && (comps(0) > 23 || comps(1) > 59 || comps(2) > 59)) return null
-      (comps(0) * 3600L + comps(1) * 60L + comps(2), frac)
+      if (validateComps && (comps(0) > 23 || comps(1) > 59 || comps(2) > 59)) return -1L
+      (comps(0) * 3600L + comps(1) * 60L + comps(2)) * 1000000L + frac
     }
 
-    val t = parseHms(pos, tzPos, validateComps = true)
-    if (t == null) return None
-    val timeMicros = t._1 * 1000000L + t._2
+    val timeMicros = parseHms(pos, tzPos, validateComps = true)
+    if (timeMicros < 0) return None
     if (tzPos == n) return Some(dateMicros + timeMicros) // naive → UTC
 
     // ---- timezone ----------------------------------------------------
@@ -230,13 +252,14 @@ object LineParser {
       val tzLen = n - (tzPos + 1)
       if (tzLen == 0 || tzLen == 1 || tzLen == 3) return None // datetime.py:445
       val o = parseHms(tzPos + 1, n, validateComps = false)
-      if (o == null) return None
+      if (o < 0) return None
       val offMicros =
-        if (o._1 == 0L) 0L // zero-second offset collapses to UTC, fraction dropped
+        // zero-SECOND offset collapses to UTC, fraction dropped (packed
+        // micros < 1e6 ⟺ the h/m/s components were all zero)
+        if (o < 1000000L) 0L
         else {
-          val total = o._1 * 1000000L + o._2
-          if (total >= 86400000000L) return None // |offset| must be < 24 h
-          if (marker == '+') total else -total
+          if (o >= 86400000000L) return None // |offset| must be < 24 h
+          if (marker == '+') o else -o
         }
       Some(dateMicros + timeMicros - offMicros)
     }
@@ -261,8 +284,10 @@ object LineParser {
 
   /** Dovecot sieve guard (parse.py:362-369). Python evaluates the
     * conjunction lazily, so a line whose tokens run out mid-check raises
-    * IndexError → on_fault; `tok` reproduces that. */
-  private def dovecotMatch(tokens: Array[String]): Option[(String, String)] = {
+    * IndexError → on_fault; `tok` reproduces that. `tokens` is the 9-token
+    * prefix — all the guard ever indexes; the action's tail tokens are
+    * re-scanned from `raw` only on a match (dovecot lines are rare). */
+  private def dovecotMatch(raw: String, tokens: Array[String]): Option[(String, String)] = {
     def tok(i: Int): String =
       if (i < tokens.length) tokens(i)
       else throw new IndexOutOfBoundsException(s"list index out of range: $i")
@@ -270,7 +295,7 @@ object LineParser {
         tok(7) == "fileinto" && tok(8) == "action:") {
       // msgid=<...>:  →  drop "msgid=", then the trailing ':' (parse.py:370-372)
       val msgid = tok(6).split("=", 2)(1).dropRight(1)
-      Some(msgid -> tokens.drop(9).mkString(" "))
+      Some(msgid -> tokenize(raw).drop(9).mkString(" "))
     } else None
   }
 
@@ -278,9 +303,9 @@ object LineParser {
     * (parse.py:380-405). Returns Nil for dropped/noise lines. */
   def classify(raw: String): List[Classified] =
     try {
-      val tokens = tokenize(raw)
+      val tokens = tokenizePrefix(raw, 9)
       if (tokens.length < 5) return Nil
-      val dove = dovecotMatch(tokens).map { case (m, a) => DovecotLine(m, a) }.toList
+      val dove = dovecotMatch(raw, tokens).map { case (m, a) => DovecotLine(m, a) }.toList
       parseIsoMicros(tokens(0)) match {
         case None => dove
         case Some(ts) =>

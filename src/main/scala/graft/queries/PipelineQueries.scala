@@ -110,9 +110,10 @@ object PipelineQueries {
   /** Flagship: every event field, one row per successful session.
     *
     * The two array fields are emitted as JSON strings (`to_json`) so the
-    * driver's pandas-side sort/hash can handle them; the oracle builds the
-    * identical `["a","b"]` strings (values contain no chars needing JSON
-    * escapes). */
+    * driver's pandas-side sort/hash can handle them; the oracle builds
+    * them with DuckDB's own `to_json(list_value(...))` so both sides share
+    * a real JSON encoder (a fixture value with a quote/backslash escapes
+    * identically instead of silently breaking the hash). */
   def e2e(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     sessionized(spark, sfDir).events.toDF()
@@ -186,10 +187,10 @@ WITH e AS (
 SELECT queue_id,
        epoch_us(ts) AS ts_us,
        'd' || (user_id % 20) || '.example' AS domain_from,
-       '["rd' || (event_id % 7) || '.example"]' AS domains_to,
+       CAST(to_json(list_value('rd' || (event_id % 7) || '.example')) AS VARCHAR) AS domains_to,
        'u' || user_id || '@d' || (user_id % 20) || '.example' AS message_from,
-       CASE WHEN event_id % 2 = 1 THEN '["' || rcpt1 || '","' || rcpt2 || '"]'
-            ELSE '["' || rcpt1 || '"]' END AS message_to,
+       CAST(CASE WHEN event_id % 2 = 1 THEN to_json(list_value(rcpt1, rcpt2))
+            ELSE to_json(list_value(rcpt1)) END AS VARCHAR) AS message_to,
        'm' || event_id || '@example.com' AS message_id,
        subj AS message_subject,
        CASE WHEN bounced THEN 'bounced' ELSE 'sent' END AS status,
