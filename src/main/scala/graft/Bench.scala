@@ -35,6 +35,7 @@ object Bench {
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        finally graft.operators.CacheRegistry.releaseAll()
         (System.nanoTime() - t0) / 1e9
       }.sorted
       name -> times(times.length / 2)

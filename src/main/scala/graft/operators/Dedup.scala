@@ -66,6 +66,7 @@ object Dedup {
       .filter(size(col("shingles")) > 0)
       .withColumn("sig", minhashSignature(col("shingles"), k))
       .persist()
+    CacheRegistry.track(docs)
 
     // (band, bandHash) bucket key per doc — bands explode is x`bands` rows,
     // but only (id, 2 longs) wide; full shingle sets stay behind.
@@ -79,6 +80,7 @@ object Dedup {
       .filter(col("bsize") <= maxBucket)
       .select("band", "bucket", "doc_id")
       .persist()
+    CacheRegistry.track(bounded)
 
     val a = bounded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
     val b = bounded.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
@@ -141,12 +143,14 @@ object Dedup {
         shingleHashes(col(textCol), n).as("grams"))
       .filter(size(col("grams")) > 0)
       .persist()
+    CacheRegistry.track(grams)
     val sizes = grams.select(col("doc_id"), size(col("grams")).as("n_grams"))
     val inverted = grams.select(col("doc_id"), explode(col("grams")).as("g"))
     val wG = Window.partitionBy("g")
     val capped = inverted.withColumn("df", count(lit(1)).over(wG))
       .filter(col("df") <= maxDocFreq)
       .persist()
+    CacheRegistry.track(capped)
     val shared = capped.as("x").join(capped.as("y"), col("x.g") === col("y.g"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))

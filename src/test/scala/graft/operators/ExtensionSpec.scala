@@ -47,6 +47,28 @@ class ExtensionSpec extends AnyFunSuite {
       s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("dedup caches are released by CacheRegistry after materialization") {
+    def settled(target: => Boolean): Boolean = {
+      val deadline = System.currentTimeMillis() + 10000
+      while (!target && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      target
+    }
+    // drain anything earlier tests in this suite left tracked
+    CacheRegistry.releaseAll()
+    settled(true)
+    Thread.sleep(300)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.minhashLsh(planted, "doc_id", "text", threshold = 0.5).count()
+    Dedup.ngramJaccard(planted, "doc_id", "text", n = 3, threshold = 0.5).count()
+    assert(spark.sparkContext.getPersistentRDDs.keySet != before,
+      "operators should persist intermediates while running")
+    CacheRegistry.releaseAll()
+    // non-blocking unpersist → poll briefly
+    assert(settled(spark.sparkContext.getPersistentRDDs.keySet == before),
+      s"release must leave no retained dedup caches; " +
+        s"left=${spark.sparkContext.getPersistentRDDs.keySet}")
+  }
+
   test("simhash flags exact dup with hamming 0") {
     val pairs = Dedup.simhashDups(planted, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number]("hamming").longValue)).toList
