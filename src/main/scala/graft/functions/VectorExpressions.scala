@@ -279,6 +279,7 @@ object VectorExpressions {
                               centroids: Array[Array[Float]], keep: Int)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
     override def prettyName: String = "nearest_centroids"
 
     @transient private lazy val centNorms: Array[Double] = centroids.map { c =>
@@ -299,10 +300,13 @@ object VectorExpressions {
       var c = 0
       while (c < m) {
         val cent = centroids(c)
-        val len = math.min(n, cent.length)
+        // A dimension mismatch would silently truncate the dot product and
+        // mis-assign cells — return null (SQL contract) instead so the row
+        // drops out visibly rather than landing in a wrong cell.
+        if (cent.length != n) return null
         var dot = 0.0
         i = 0
-        while (i < len) { dot += v.getFloat(i).toDouble * cent(i).toDouble; i += 1 }
+        while (i < n) { dot += v.getFloat(i).toDouble * cent(i).toDouble; i += 1 }
         sims(c) = dot / (vn * centNorms(c))
         c += 1
       }
@@ -327,8 +331,13 @@ object VectorExpressions {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val ref = ctx.addReferenceObj("nearestCentroids", this, classOf[NearestCentroids].getName)
+      val tmp = ctx.freshName("cells")
       nullSafeCodeGen(ctx, ev, a => {
-        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($a);"
+        s"""
+        Object $tmp = $ref.nullSafeEval($a);
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $tmp; }
+        """
       })
     }
 

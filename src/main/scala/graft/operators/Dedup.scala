@@ -49,9 +49,16 @@ object Dedup {
     * @param bands     number of LSH bands (signature length = bands*rowsPerBand)
     * @param rowsPerBand minhashes per band
     * @param threshold   exact-Jaccard acceptance threshold
-    * @param maxBucket   drop degenerate buckets larger than this (skew guard;
-    *                    at 100 TB a hot bucket means near-identical boilerplate
-    *                    better handled by exact dedup first)
+    * @param maxBucket   skew guard: within a (band, bucket) group, each doc
+    *                    pairs with at most this many successors in doc-id
+    *                    order. A group of ≤ maxBucket+1 docs still produces
+    *                    ALL its pairs (spans cover the whole group); a
+    *                    degenerate hot bucket degrades to a linear
+    *                    chain-of-neighbors instead of exploding
+    *                    quadratically — or, worse, being dropped outright,
+    *                    which would silently yield ZERO pairs for a cluster
+    *                    of > maxBucket exact duplicates (every member still
+    *                    surfaces in at least one pair this way)
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  bands: Int = 16, rowsPerBand: Int = 4,
@@ -75,16 +82,19 @@ object Dedup {
           b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
       .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "band")
 
-    val wBucket = Window.partitionBy("band", "bucket")
-    val bounded = buckets.withColumn("bsize", count(lit(1)).over(wBucket))
-      .filter(col("bsize") <= maxBucket)
-      .select("band", "bucket", "doc_id")
+    // Rank docs within each bucket (deterministic doc-id order); pairing
+    // is then restricted to a bounded rank span, which equals all-pairs
+    // for normal buckets and degrades linearly for degenerate ones.
+    val wBucket = Window.partitionBy("band", "bucket").orderBy("doc_id")
+    val bounded = buckets.withColumn("rn", row_number().over(wBucket))
+      .select("band", "bucket", "doc_id", "rn")
       .persist()
     CacheRegistry.track(bounded)
 
-    val a = bounded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
-    val b = bounded.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
-    val pairs = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+    val a = bounded.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("rn").as("rn_a"))
+    val b = bounded.select(col("band"), col("bucket"), col("doc_id").as("id_b"), col("rn").as("rn_b"))
+    val pairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("rn_b") > col("rn_a") && col("rn_b") - col("rn_a") <= maxBucket)
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
       .join(docs.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
@@ -105,11 +115,15 @@ object Dedup {
   /** SimHash near-duplicates: candidates share one of 4 16-bit bands,
     * verified by hamming distance ≤ maxHamming.
     *
-    * @param maxBucket drop degenerate (band, bucket) groups larger than
-    *                  this — same skew guard as [[minhashLsh]]. Without it
-    *                  every empty/near-empty doc hashes to simhash 0 and
-    *                  shares bucket 0 in all 4 bands → quadratic pair
-    *                  blowup at corpus scale.
+    * @param maxBucket skew guard, same contract as [[minhashLsh]]: within
+    *                  a (band, bucket) group each doc pairs with at most
+    *                  this many successors in doc-id order — all-pairs for
+    *                  groups of ≤ maxBucket+1 docs, a linear neighbor
+    *                  chain for degenerate ones (every empty/near-empty
+    *                  doc hashes to simhash 0 and shares bucket 0 in all 4
+    *                  bands; dropping such groups outright would instead
+    *                  silently report ZERO pairs for > maxBucket exact
+    *                  duplicates).
     */
   def simhashDups(df: DataFrame, idCol: String, textCol: String,
                   maxHamming: Int = 6, maxBucket: Int = 64): DataFrame = {
@@ -118,13 +132,15 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sim"), b * 16).bitwiseAND(0xFFFFL))))
       .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "band")
-    val wBucket = Window.partitionBy("band", "bucket")
-    val banded = banded0.withColumn("bsize", count(lit(1)).over(wBucket))
-      .filter(col("bsize") <= maxBucket)
-      .select("band", "bucket", "doc_id", "sim")
-    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("sim").as("sim_a"))
-    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+    val wBucket = Window.partitionBy("band", "bucket").orderBy("doc_id")
+    val banded = banded0.withColumn("rn", row_number().over(wBucket))
+      .select("band", "bucket", "doc_id", "sim", "rn")
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"),
+      col("sim").as("sim_a"), col("rn").as("rn_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"),
+      col("sim").as("sim_b"), col("rn").as("rn_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("rn_b") > col("rn_a") && col("rn_b") - col("rn_a") <= maxBucket)
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)

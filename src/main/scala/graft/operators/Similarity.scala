@@ -97,9 +97,18 @@ object Similarity {
     * the corpus is scanned once and never shuffled by the assignment —
     * the only corpus-wide movement left is the final per-query top-k
     * window over candidates inside probed cells, which `nprobe/nlist`
-    * bounds. */
+    * bounds.
+    *
+    * CONTRACT: `queries` is the small side (an online query batch /
+    * evaluation set — thousands, not a corpus). With the default
+    * `broadcastProbes=true` the probes (queries × nprobe rows) are
+    * broadcast so the corpus streams past them without shuffling; a query
+    * set too large to broadcast would OOM, so for corpus-scale query sets
+    * pass `broadcastProbes=false` to let AQE pick the join strategy (the
+    * corpus side then shuffles on cent_id — graceful, not wrong). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              nlist: Int = 16, nprobe: Int = 4,
+              broadcastProbes: Boolean = true): DataFrame = {
     val centroidRows = corpus
       .select(col("vec_id").cast("long").as("cent_id"), col("embedding"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
@@ -117,10 +126,10 @@ object Similarity {
     val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("queryv"),
       vecNorm(col("embedding")).as("queryn"),
       explode(nearest(col("embedding"), nprobe)).as("cent_id"))
-    // query side is small by contract → broadcast; corpus streams past it.
     // cand appears in exactly one cell and probe cells are distinct per
     // query, so (query_id, cand_id) pairs are already unique — no dedup.
-    val cands = lists.join(broadcast(probes), Seq("cent_id"))
+    val probesSide = if (broadcastProbes) broadcast(probes) else probes
+    val cands = lists.join(probesSide, Seq("cent_id"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("sim", vecDot(col("queryv"), col("candv")) / (col("queryn") * col("candn")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))

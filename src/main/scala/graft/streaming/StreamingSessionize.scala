@@ -74,10 +74,21 @@ object StreamingSessionize {
     // absolute TTL anchor: the reference's eviction clock starts at first
     // sight of the queue id and is never refreshed, so re-arming a sliding
     // inactivity timeout here would keep long-lived sessions alive that
-    // the reference silently drops
-    val firstSeenMs = state.getOption.map(_.firstSeenMs)
-      .getOrElse(state.getCurrentProcessingTimeMs())
-    var st = state.getOption.getOrElse(S1State(SessionBuf.empty, Nil, null, 0L))
+    // the reference silently drops.
+    // READ-TIME eviction first (reference runs _cleanup_old_entities before
+    // feeding every line, parse.py:385, 272-284): a key whose deadline
+    // already passed is dropped BEFORE this batch's rows fold in — they
+    // then start a fresh session with a fresh first-seen clock, exactly
+    // like the reference's `setdefault` after cleanup. Without this, rows
+    // arriving between the deadline and the next timeout sweep would still
+    // extend and emit from the expired session.
+    val nowMs = state.getCurrentProcessingTimeMs()
+    val expired = ttlMs.exists(t =>
+      state.exists && nowMs - state.get.firstSeenMs >= t)
+    if (expired) state.remove()
+    val prev = if (expired) None else state.getOption
+    val firstSeenMs = prev.map(_.firstSeenMs).getOrElse(nowMs)
+    var st = prev.getOrElse(S1State(SessionBuf.empty, Nil, null, 0L))
     val out = Vector.newBuilder[StreamOut]
     rows.toArray.sortBy(_.seq).foreach { row =>
       val res = SessionFold.step(st.buf, LineParser.SessionLine(queueId, row.tsMicros, row.raw))

@@ -47,6 +47,29 @@ class ExtensionSpec extends AnyFunSuite {
       s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("oversized duplicate cluster (> maxBucket) still surfaces every member") {
+    import spark.implicits._
+    // 100 identical docs overflow the 64-doc bucket cap in every band; the
+    // bounded-span pairing must still link all members (the old
+    // whole-group drop reported ZERO pairs here).
+    val base = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 4
+    val docs = ((0 until 100).map(i => (i.toLong, base)) :+
+      (999L, "totally unrelated other words entirely different content " * 4))
+      .toDF("doc_id", "text")
+    val mh = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val mhMembers = mh.flatMap(p => Seq(p._1, p._2)).toSet
+    assert((0L until 100L).toSet.subsetOf(mhMembers), "minhash must link all cluster members")
+    assert(!mhMembers.contains(999L))
+    // span cap bounds the blowup: ≤ docs × maxBucket pairs, not n²/2
+    assert(mh.length <= 100 * 64)
+    val sh = Dedup.simhashDups(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val shMembers = sh.flatMap(p => Seq(p._1, p._2)).toSet
+    assert((0L until 100L).toSet.subsetOf(shMembers), "simhash must link all cluster members")
+    assert(!shMembers.contains(999L))
+  }
+
   test("dedup caches are released by CacheRegistry after materialization") {
     def settled(target: => Boolean): Boolean = {
       val deadline = System.currentTimeMillis() + 10000
