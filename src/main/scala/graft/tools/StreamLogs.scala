@@ -19,7 +19,9 @@ import org.apache.spark.sql.streaming.Trigger
   * every dovecot window join). The single-partition stamping only affects
   * the classify stage of a replay CLI; the stateful stage re-shuffles to
   * full parallelism. An offset-bearing source (e.g. Kafka) should use its
-  * offsets instead.
+  * offsets instead — [[StdinLogs]] is the offset-bearing variant here
+  * (seqs embedded in a spool WAL), and the reference's literal
+  * `cat mail.log | parse.py` entry point.
   *
   * Usage: StreamLogs <inputDir> <outDir> [--follow]
   *   default: Trigger.AvailableNow (process everything present, then stop)
