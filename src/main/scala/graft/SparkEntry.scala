@@ -38,6 +38,8 @@ object SparkEntry {
     "part_brand_stats" -> (AnalyticsQueries.partBrandStats _),
     "subquery_not_exists" -> (AnalyticsQueries.notExistsRecentOrders _),
     "subquery_scalar_avg" -> (AnalyticsQueries.scalarSubqueryAboveAvg _),
+    "profile_lineitem" -> (AnalyticsQueries.profileLineitem _),
+    "profile_sketch_violations" -> (AnalyticsQueries.profileSketchViolations _),
     // -- 100TB training-data pipeline extension operators --
     "dedup_exact" -> (ExtensionQueries.dedupExact _),
     "dedup_ngram_jaccard" -> (ExtensionQueries.dedupNgramJaccard _),
@@ -52,6 +54,7 @@ object SparkEntry {
     "text_langid" -> (ExtensionQueries.textLangId _),
     "text_token_count" -> (ExtensionQueries.textTokenCount _),
     "text_fingerprint" -> (ExtensionQueries.textFingerprint _),
+    "text_repetition" -> (ExtensionQueries.textRepetition _),
     "text_winnow_fingerprint" -> (ExtensionQueries.textWinnow _),
     // -- violation queries: hash-green emptiness proofs for the LSH family.
     //    Each recomputes the operator's exact-verify contract through an
@@ -92,6 +95,9 @@ object SparkEntry {
     "part_brand_stats" -> AnalyticsQueries.partBrandStatsOracle,
     "subquery_not_exists" -> AnalyticsQueries.notExistsRecentOrdersOracle,
     "subquery_scalar_avg" -> AnalyticsQueries.scalarSubqueryAboveAvgOracle,
+    "profile_lineitem" -> AnalyticsQueries.profileLineitemOracle,
+    "profile_sketch_violations" -> ExtensionQueries.violationOracle,
+    "text_repetition" -> ExtensionQueries.textRepetitionOracle,
     "corpus_clean" -> ExtensionQueries.corpusCleanOracle,
     "dedup_exact" -> ExtensionQueries.dedupExactOracle,
     "dedup_ngram_jaccard" -> ExtensionQueries.dedupNgramJaccardOracle,

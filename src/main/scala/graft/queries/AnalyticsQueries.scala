@@ -365,4 +365,60 @@ SELECT p_brand, count(*) AS n, count(DISTINCT p_type) AS n_types,
        min(p_retailprice) AS min_price, max(p_retailprice) AS max_price
 FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
 GROUP BY p_brand ORDER BY p_brand"""
+
+  /** Exact table profiling (ClickHouse `uniqExact`/min/max-style column
+    * stats in one scan): row count, exact distincts, null counts, value
+    * ranges. One pass over the fact table, partial aggregation map-side —
+    * the shuffle carries one row per partition. */
+  def profileLineitem(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "lineitem").agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct($"l_orderkey").as("n_orders"),
+      countDistinct($"l_partkey").as("n_parts"),
+      countDistinct($"l_returnflag").as("n_flags"),
+      count(when($"l_returnflag".isNull, 1)).as("n_null_flag"),
+      min($"l_quantity").as("min_qty"), max($"l_quantity").as("max_qty"),
+      // parquet reads the column as TIMESTAMP_NTZ; the UTC session makes
+      // the cast a pure reinterpretation, matching DuckDB's epoch_us
+      unix_micros(min($"l_shipdate").cast("timestamp")).as("min_ship_us"),
+      unix_micros(max($"l_shipdate").cast("timestamp")).as("max_ship_us"))
+  }
+
+  val profileLineitemOracle: String = """
+SELECT count(*) AS n_rows,
+       count(DISTINCT l_orderkey) AS n_orders,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_returnflag) AS n_flags,
+       CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_flag,
+       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+       epoch_us(min(l_shipdate)) AS min_ship_us,
+       epoch_us(max(l_shipdate)) AS max_ship_us
+FROM lineitem"""
+
+  /** Sketch-accuracy proof for the APPROXIMATE profiling surface
+    * (ClickHouse `uniq()` / `quantile()` analogues): HLL++
+    * `approx_count_distinct` must land within 3× its configured 2% rsd of
+    * the exact distinct count, and `percentile_approx`(p50) must lie
+    * between the exact p45 and p55 — so the sketches stay registered with
+    * an honest, DuckDB-checkable bound (same violation-query pattern as
+    * the LSH family). */
+  def profileSketchViolations(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables(spark, sfDir, "lineitem")
+    li.agg(
+        approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+        countDistinct($"l_partkey").as("exact_parts"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("approx_p50"),
+        expr("percentile(l_extendedprice, 0.45)").as("p45"),
+        expr("percentile(l_extendedprice, 0.55)").as("p55"))
+      .select(
+        (abs($"approx_parts" - $"exact_parts").cast("double") / $"exact_parts")
+          .as("rel_err"),
+        $"approx_p50", $"p45", $"p55")
+      .select(
+        count(when($"rel_err" > 0.06 || $"approx_p50" < $"p45" ||
+          $"approx_p50" > $"p55", 1)).as("n_violations"),
+        least(count(lit(1)), lit(1L)).as("has_pairs"))
+  }
 }

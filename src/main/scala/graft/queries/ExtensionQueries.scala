@@ -318,6 +318,53 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS BIGINT) AS n_pieces
 FROM documents ORDER BY doc_id"""
 
+  /** Gopher-style intra-document repetition filters (duplicate words,
+    * dominant bigram, repeated trigrams) — the standard corpus-quality
+    * gate alongside [[textStats]]. */
+  def textRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.repetitionColumns(col("text"))
+      .foldLeft(Tables(spark, sfDir, "documents").select("doc_id", "text")) {
+        case (d, (n, c)) => d.withColumn(n, c)
+      }
+      .drop("text").orderBy("doc_id")
+
+  val textRepetitionOracle: String = """
+WITH words AS (
+  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS i,
+         unnest(string_split(text,' ')) AS w
+  FROM documents),
+base AS (
+  SELECT doc_id, len(string_split(text,' ')) AS n_tok,
+         len(list_distinct(string_split(text,' '))) AS n_dist
+  FROM documents),
+g2 AS (
+  SELECT doc_id, w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i) AS g,
+         lead(w,1) OVER (PARTITION BY doc_id ORDER BY i) AS l
+  FROM words),
+bi AS (SELECT doc_id, g FROM g2 WHERE l IS NOT NULL),
+bicnt AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bi, CAST(max(c) AS BIGINT) AS max_bi
+  FROM (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2) GROUP BY 1),
+g3 AS (
+  SELECT doc_id,
+         w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i) || ' ' ||
+                     lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS g,
+         lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS l
+  FROM words),
+tri AS (SELECT doc_id, g FROM g3 WHERE l IS NOT NULL),
+tricnt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+         CAST(count(DISTINCT g) AS BIGINT) AS n_tri_dist
+  FROM tri GROUP BY 1)
+SELECT b.doc_id,
+       CAST(n_tok - n_dist AS DOUBLE) / n_tok AS dup_word_fraction,
+       COALESCE(CAST(max_bi AS DOUBLE) / n_bi, 0.0) AS top_bigram_fraction,
+       COALESCE(CAST(n_tri - n_tri_dist AS DOUBLE) / n_tri, 0.0) AS dup_trigram_fraction
+FROM base b
+LEFT JOIN bicnt USING (doc_id)
+LEFT JOIN tricnt USING (doc_id)
+ORDER BY doc_id"""
+
   /** RFC 2047 decode as a REGISTERED SQL function (custom Catalyst
     * expression), driven through literal spark.sql text. */
   def sqlMimeDecode(spark: SparkSession, sfDir: String): DataFrame = {

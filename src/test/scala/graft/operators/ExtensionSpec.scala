@@ -147,6 +147,25 @@ class ExtensionSpec extends AnyFunSuite {
     assert(found >= 18, s"LSH cosine dedup found only $found/20 planted near-dup pairs")
   }
 
+  test("repetition stats flag duplicated content") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "spam spam spam spam")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionColumns(col("text"))
+      .foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+      .orderBy("doc_id")
+      .select("dup_word_fraction", "top_bigram_fraction", "dup_trigram_fraction")
+      .collect()
+    assert(out(0).getDouble(0) == 0.0)
+    assert(out(0).getDouble(1) == 1.0 / 7)   // every bigram unique, 7 total
+    assert(out(0).getDouble(2) == 0.0)
+    assert(out(1).getDouble(0) == 0.75)      // 4 words, 1 distinct
+    assert(out(1).getDouble(1) == 1.0)       // "spam spam" owns all 3 bigrams
+    assert(out(1).getDouble(2) == 0.5)       // 2 trigrams, 1 distinct
+  }
+
   test("exact dedup groups identical texts") {
     import spark.implicits._
     val dups = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
