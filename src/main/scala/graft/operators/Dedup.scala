@@ -162,9 +162,15 @@ object Dedup {
     CacheRegistry.track(grams)
     val sizes = grams.select(col("doc_id"), size(col("grams")).as("n_grams"))
     val inverted = grams.select(col("doc_id"), explode(col("grams")).as("g"))
-    val wG = Window.partitionBy("g")
-    val capped = inverted.withColumn("df", count(lit(1)).over(wG))
-      .filter(col("df") <= maxDocFreq)
+    // df cap as a broadcast anti-join against the (tiny) hot-gram set:
+    // the groupBy shuffles only (gram, partial count) pairs, and the
+    // inverted index itself never shuffles for the cap — a window
+    // (count OVER partition by g) here would shuffle AND sort every
+    // (doc, gram) row just to drop the few above the cap.
+    val hotGrams = inverted.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select("g")
+    val capped = inverted.join(broadcast(hotGrams), Seq("g"), "left_anti")
       .persist()
     CacheRegistry.track(capped)
     val shared = capped.as("x").join(capped.as("y"), col("x.g") === col("y.g"))
