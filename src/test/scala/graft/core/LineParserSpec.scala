@@ -101,6 +101,21 @@ class LineParserSpec extends AnyFunSuite {
       "2024-04-09T20:25:02.134775+03:00 localhost fetchmail-all[2182112]: Please create: /var/lock/fetchmail").isEmpty)
   }
 
+  test("property: tokenizePrefix(s, k) equals tokenize(s).take(k)") {
+    // classify's bounded scan must agree with the full tokenizer on every
+    // whitespace mix, including the Python-isspace NBSP family
+    val wsChars = Seq(' ', '\t', '\n', '\u00a0', '\u2007', '\u202f')
+    val piece = Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.oneOf(wsChars).map(_.toString),
+      Gen.const("a=b,"), Gen.const("Info:"))
+    val strGen = Gen.listOf(piece).map(_.mkString)
+    val kGen = Gen.choose(0, 12)
+    checkProp(Prop.forAll(strGen, kGen) { (s: String, k: Int) =>
+      LineParser.tokenizePrefix(s, k).toSeq == LineParser.tokenize(s).take(k).toSeq
+    })
+  }
+
   test("property: any name=value, token round-trips through setFields") {
     val name = Gen.alphaStr.suchThat(s => s.nonEmpty && s != "to" && s != "status")
     val value = Gen.alphaNumStr.suchThat(_.nonEmpty)
