@@ -290,7 +290,7 @@ object LineParser {
   private def dovecotMatch(raw: String, tokens: Array[String]): Option[(String, String)] = {
     def tok(i: Int): String =
       if (i < tokens.length) tokens(i)
-      else throw new IndexOutOfBoundsException(s"list index out of range: $i")
+      else throw new PyIndexError(s"list index out of range: $i")
     if (tok(4) == "Info:" && tok(5) == "sieve:" && tok(6).startsWith("msgid=") &&
         tok(7) == "fileinto" && tok(8) == "action:") {
       // msgid=<...>:  →  drop "msgid=", then the trailing ':' (parse.py:370-372)

@@ -123,9 +123,9 @@ object SessionFold {
     * mid-guard — reproduced. */
   def isSubjectLine(p: Array[String]): Boolean =
     p(0) == "warning:" && {
-      if (p.length < 2) throw new IndexOutOfBoundsException("list index out of range: 1")
+      if (p.length < 2) throw new PyIndexError("list index out of range: 1")
       p(1) == "header" && {
-        if (p.length < 3) throw new IndexOutOfBoundsException("list index out of range: 2")
+        if (p.length < 3) throw new PyIndexError("list index out of range: 2")
         p(2) == "Subject:"
       }
     }
@@ -137,7 +137,7 @@ object SessionFold {
     * its final token, exactly like `pairwise` does. */
   def parseSubject(payload: Array[String]): String = {
     if (payload.length < 4)
-      throw new IndexOutOfBoundsException("list index out of range: 3")
+      throw new PyIndexError("list index out of range: 3")
     val t3 = payload(3)
     if (t3.startsWith("=?UTF-8")) Rfc2047.decodeFirstWord(t3)
     else {
@@ -158,15 +158,15 @@ object SessionFold {
     * order Python's dict lookups would raise KeyError. */
   def finalizeEvent(queueId: String, st: SessionBuf): PostfixEvent = {
     def req(key: String): String = st.kv.getOrElse(key,
-      throw new NoSuchElementException(s"KeyError: '$key'"))
+      throw new PyKeyError(s"KeyError: '$key'"))
     val messageFrom = stripChars(req("from"), "<>")
     // obj["to"] — the key only exists once a to= token accumulated
-    if (st.to.isEmpty) throw new NoSuchElementException("KeyError: 'to'")
+    if (st.to.isEmpty) throw new PyKeyError("KeyError: 'to'")
     val messageTo = st.to.map(stripChars(_, "<>"))
     val messageId = stripChars(req("message-id"), "<>")
     val status = req("status")
     val desc = st.statusDescription.getOrElse(
-      throw new NoSuchElementException("KeyError: 'status_description'"))
+      throw new PyKeyError("KeyError: 'status_description'"))
     val (code, pcode) = parseStatusCode(desc)
     PostfixEvent(
       timestamp = TimeUtil.toTimestamp(st.tsMicros),

@@ -47,6 +47,21 @@ case class PostfixEvent(
   * side-channel (parse.py:265-270, try/except at parse.py:387,422-423). */
 case class ParseFault(line: String, error: String)
 
+/** Stack-trace-free exceptions for the reference's exception-as-control-flow
+  * quirks (lazy guards raising IndexError, required-key KeyError,
+  * parse.py:319-323, 136-168). Python exceptions are cheap; the JVM's
+  * `fillInStackTrace` walk is not, and ~6% of real log lines take a fault
+  * path — suppressing the (never-read) stack capture keeps the classify
+  * and fold loops allocation-cheap while `toString` still lands in the
+  * fault channel. */
+final class PyKeyError(msg: String) extends NoSuchElementException(msg) {
+  override def fillInStackTrace(): Throwable = this
+}
+
+final class PyIndexError(msg: String) extends IndexOutOfBoundsException(msg) {
+  override def fillInStackTrace(): Throwable = this
+}
+
 /** In-flight session accumulator for one queue id — the Spark-typed
   * equivalent of the reference's `Dict[str, Any]` state entry
   * (parse.py:227). Immutable so it can serve directly as the
