@@ -47,6 +47,24 @@ object EventsTable {
       .write.mode(mode).partitionBy("event_date").parquet(path)
   }
 
+  /** Hash-bucketed variant (catalog table): `CLUSTERED BY (queue_id)
+    * SORTED BY (queue_id) INTO n BUCKETS`. At 100 TB this is the
+    * co-located-join layout: any equi-join or aggregation on `queue_id`
+    * between two tables bucketed with the same count reads bucket i
+    * against bucket i with NO exchange on either side (asserted in
+    * EventsTableSpec) — the shuffle is paid once at write time instead of
+    * per query. Requires `saveAsTable` (bucket metadata lives in the
+    * catalog, not in parquet files). */
+  def writeBucketed(events: Dataset[PostfixEvent], table: String,
+                    numBuckets: Int = 32,
+                    mode: SaveMode = SaveMode.Overwrite): Unit =
+    events.toDF()
+      .write.mode(mode)
+      .bucketBy(numBuckets, "queue_id")
+      .sortBy("queue_id")
+      .format("parquet")
+      .saveAsTable(table)
+
   /** JDBC bulk sink — the drop-in replacement for the reference's per-row
     * ClickHouse insert (parse.py:447-505), using Spark's partition-
     * parallel batched INSERT writer. Spark's generic JDBC path has no

@@ -44,6 +44,39 @@ class EventsTableSpec extends AnyFunSuite {
     assert(part.count() == res.events.count())
   }
 
+  test("bucketed tables join on queue_id with no exchange on either side") {
+    import spark.implicits._
+    val input = Fixtures.all.mkString("\n")
+    val lines = input.split("\n", -1).toSeq.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+    val res = Sessionize(spark, lines.toDS())
+
+    EventsTable.writeBucketed(res.events, "events_bucketed_a", numBuckets = 4)
+    EventsTable.writeBucketed(res.events, "events_bucketed_b", numBuckets = 4)
+    // at test size AQE (rightly) broadcasts the small side, which would
+    // mask the property under test: that the bucket layout alone, with no
+    // broadcastable side (the 100 TB case), joins without any exchange
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("events_bucketed_a").as("a")
+        .join(spark.table("events_bucketed_b").as("b"), "queue_id")
+        .groupBy("queue_id").count()
+      // co-located layout: bucket i reads against bucket i — the join and
+      // the aggregation reuse the write-time hash partitioning, so the
+      // executed plan must contain no shuffle at all
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must be exchange-free, got:\n$plan")
+      assert(joined.count() == res.events.select("queue_id").distinct().count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS events_bucketed_a")
+      spark.sql("DROP TABLE IF EXISTS events_bucketed_b")
+      ()
+    }
+  }
+
   /** S3 verified end-to-end: the JDBC writer against embedded Derby (the
     * JDBC target available offline in /opt/spark/jars), recovering every
     * field including the JSON-serialized array columns. */
