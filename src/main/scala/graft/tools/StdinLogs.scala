@@ -21,11 +21,12 @@ import java.nio.file.{Files, StandardCopyOption}
   * under plan re-execution, survives restarts from the checkpoint, and
   * leaves the classify stage fully parallel.
   *
-  * Usage: StdinLogs <outDir> [--ttl]
-  *   default: replay semantics — process until stdin EOF, then drain and
-  *            stop (batch-identical output; no TTL, matching the batch
-  *            operator's no-eviction contract, SURVEY §7.3)
-  *   --ttl:   enable the 10-minute session TTL while tailing a live pipe.
+  * Usage: StdinLogs <outDir> [--ttl] [--listen <port>]
+  *   default:  replay semantics — process until stdin EOF, then drain and
+  *             stop (batch-identical output; no TTL, matching the batch
+  *             operator's no-eviction contract, SURVEY §7.3)
+  *   --ttl:    enable the 10-minute session TTL while tailing a live feed
+  *   --listen: accept one TCP connection and read it instead of stdin.
   */
 object StdinLogs {
 
@@ -85,9 +86,18 @@ object StdinLogs {
     println(s"[stdin-logs] lines=$n out=$outDir")
   }
 
+  /** `--listen <port>`: accept ONE TCP connection and treat its byte
+    * stream exactly like stdin (the `nc`-able socket analogue of the
+    * reference's pipe; same spool WAL, same offset-bearing seqs — unlike
+    * `readStream.format("socket")`, whose rows would need a derived
+    * stamp with the same re-execution hazards StreamLogs documents). */
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
-    val ttl = if (args.length > 1 && args(1) == "--ttl") Some(StreamingSessionize.TtlMs) else None
+    val rest = args.drop(1)
+    val ttl = if (rest.contains("--ttl")) Some(StreamingSessionize.TtlMs) else None
+    val listenPort = rest.sliding(2).collectFirst {
+      case Array("--listen", p) => p.toInt
+    }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
       .appName("graft-stdin-logs")
@@ -97,7 +107,14 @@ object StdinLogs {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, System.in, outDir, ttl)
+    val in = listenPort match {
+      case Some(port) =>
+        val server = new java.net.ServerSocket(port)
+        println(s"[stdin-logs] listening on :$port")
+        server.accept().getInputStream
+      case None => System.in
+    }
+    run(spark, in, outDir, ttl)
     val n = spark.read.parquet(s"$outDir/events").count()
     println(s"[stdin-logs] events=$n out=$outDir")
     spark.stop()
