@@ -36,6 +36,48 @@ class StreamingSessionizeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("read-time TTL eviction: rows after the deadline start a FRESH session") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.core.SessionBuf
+
+    val qid = "0A3F51021C3"
+    def row(seq: Long, payload: String) = StreamingSessionize.InRow(
+      seq, 0, qid, 1700000000000000L + seq,
+      s"2024-04-09T20:22:42+00:00 h postfix/x[1]: $qid: $payload", "", "", "")
+
+    // state accumulated long ago: message-id + from + to already set
+    val oldBuf = SessionBuf.empty.copy(
+      kv = Map("message-id" -> "<m@x>", "from" -> "<a@b>", "status" -> "sent"),
+      to = Vector("<r@d>"), tsMicros = 1L,
+      statusDescription = Some("250 ok"), rawLog = Vector("old line"))
+    val oldState = StreamingSessionize.S1State(oldBuf, Nil, "<m@x>", 0L,
+      firstSeenMs = 1000L)
+
+    // processing time far past firstSeenMs + TTL → the key must be evicted
+    // BEFORE this batch's rows fold in (reference cleanup-then-feed order):
+    // the `removed` line lands in a FRESH session with no fields and
+    // faults with KeyError instead of emitting the stale event
+    val now = 1000L + StreamingSessionize.TtlMs + 60000L
+    val state = TestGroupState.create[StreamingSessionize.S1State](
+      Optional.of(oldState), GroupStateTimeout.ProcessingTimeTimeout,
+      now, Optional.empty[Long], false)
+    val out = StreamingSessionize.updateSession(Some(StreamingSessionize.TtlMs))(
+      qid, Iterator(row(100L, "removed")), state).toVector
+
+    assert(out.count(_.kind == 0) == 0, "stale session must not emit an event")
+    assert(out.count(_.kind == 2) == 1, "fresh empty session + removed → KeyError fault")
+    assert(out.flatMap(_.fault).head.error.contains("from"))
+
+    // same call with the deadline NOT passed emits the accumulated event
+    val live = TestGroupState.create[StreamingSessionize.S1State](
+      Optional.of(oldState), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L + 5000L, Optional.empty[Long], false)
+    val out2 = StreamingSessionize.updateSession(Some(StreamingSessionize.TtlMs))(
+      qid, Iterator(row(100L, "removed")), live).toVector
+    assert(out2.count(_.kind == 0) == 1, "live session emits on removed")
+  }
+
   test("basic fixture, one line per micro-batch") {
     val (events, faults) = run(Fixtures.basic, 1)
     assert(faults.isEmpty)
