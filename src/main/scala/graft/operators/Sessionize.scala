@@ -141,15 +141,18 @@ object Sessionize {
     val doveActs = classified.where($"kind" === 1)
       .select($"msgid".as("d_msgid"), $"seq".as("d_seq"), $"action")
 
-    // Matches are resolved on (emitSeq, interval) rows only — the wide
-    // event struct never travels through the explode/join/aggregate
-    // (grouping by a struct with array fields hashes every row's full
-    // payload; keying by the long emitSeq is ~10× cheaper). The matched
-    // side is tiny (only dovecot-enriched sessions), so the final join
-    // back is a broadcast.
-    val matched = folded
+    // ONE consumption of the fold chain: the event struct rides through
+    // the interval explode and the (left) dovecot join, and the final
+    // aggregation keys on the long emitSeq (never hash-grouping the wide
+    // struct). Resolving matches on a slim (emitSeq, interval) projection
+    // and joining back would read `folded` twice — and re-executing the
+    // classify+shuffle+fold chain (or caching its wide rows) measures
+    // 2-3× more expensive than carrying the event through this one extra
+    // exchange of event-count rows; at cluster scale the re-read is all
+    // raw lines vs an exchange of ~lines/8 event rows.
+    val events = folded
       .where($"event".isNotNull)
-      .select($"emitSeq", explode($"intervals").as("iv"))
+      .select($"event", $"emitSeq", explode_outer($"intervals").as("iv"))
       // Bounds: strict at fromSeq (a line that SETS the msgid and is also
       // dovecot-shaped applies its action before the set — reference runs
       // the dovecot branch before _set_fields, parse.py:378,393-394), but
@@ -157,15 +160,15 @@ object Sessionize {
       // dovecot + message-id-CHANGING line acts against the pre-line
       // msgid, whose interval closes at exactly that line's seq. Equal
       // seqs only arise from one physical line, so <= is safe.
+      // explode_outer + left join keep interval-less / unmatched events.
       .join(doveActs, $"iv.msgid" === $"d_msgid" &&
-        $"d_seq" > $"iv.fromSeq" && $"d_seq" <= $"iv.toSeq")
+        $"d_seq" > $"iv.fromSeq" && $"d_seq" <= $"iv.toSeq", "left_outer")
       .groupBy($"emitSeq")
-      .agg(max_by($"action", $"d_seq").as("dovecot_action"))
-
-    val events = folded
-      .where($"event".isNotNull)
-      .select($"event", $"emitSeq")
-      .join(matched, Seq("emitSeq"), "left_outer")
+      // all exploded copies of an event are identical → first() is
+      // deterministic; max_by skips null-ordering rows, so unmatched
+      // (null d_seq) rows only contribute when nothing matched → null
+      .agg(first($"event").as("event"),
+        max_by($"action", $"d_seq").as("dovecot_action"))
       .select($"event".withField("dovecot_fileinto_action",
         coalesce($"dovecot_action", $"event.dovecot_fileinto_action")).as("event"))
       .select("event.*")
