@@ -43,6 +43,7 @@ object SparkEntry {
     // -- 100TB training-data pipeline extension operators --
     "dedup_exact" -> (ExtensionQueries.dedupExact _),
     "dedup_ngram_jaccard" -> (ExtensionQueries.dedupNgramJaccard _),
+    "dedup_components" -> (ExtensionQueries.dedupComponents _),
     "dedup_minhash_lsh" -> (ExtensionQueries.dedupMinhashLsh _),
     "dedup_simhash" -> (ExtensionQueries.dedupSimhash _),
     "dedup_embedding_cosine" -> (ExtensionQueries.dedupEmbeddingCosine _),
@@ -101,6 +102,7 @@ object SparkEntry {
     "corpus_clean" -> ExtensionQueries.corpusCleanOracle,
     "dedup_exact" -> ExtensionQueries.dedupExactOracle,
     "dedup_ngram_jaccard" -> ExtensionQueries.dedupNgramJaccardOracle,
+    "dedup_components" -> ExtensionQueries.dedupComponentsOracle,
     "dedup_embedding_exact" -> ExtensionQueries.dedupEmbeddingExactOracle,
     "ann_cosine_topk" -> ExtensionQueries.annCosineTopKOracle,
     "text_stats" -> ExtensionQueries.textStatsOracle,

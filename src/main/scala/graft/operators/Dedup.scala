@@ -147,6 +147,48 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Connected components over an undirected duplicate-pair list —
+    * the transitive-closure step that turns pairwise matches into
+    * KEEP/DROP decisions (A≈B and B≈C must collapse into one cluster
+    * even when A≉C directly). Iterative min-label propagation: each
+    * round a node adopts the smallest label among itself and its
+    * neighbors; duplicate clusters are shallow (diameter ≪ 10), so this
+    * converges in a handful of rounds — `maxIter` bounds pathological
+    * chains, and convergence is detected with a limit-1 existence check,
+    * not a full count. Shuffle per round carries only (id, label) longs.
+    *
+    * @return (id, label) — label is the component's minimum member id.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val e0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    CacheRegistry.track(edges)
+    var current = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    current.count()
+    var it = 0
+    var done = false
+    while (it < maxIter && !done) {
+      val next = edges
+        .join(current.select(col("id").as("dst"), col("label")), "dst")
+        .select(col("src").as("id"), col("label"))
+        .unionAll(current)
+        .groupBy("id").agg(min("label").as("label"))
+        .persist()
+      val changed = next.as("n").join(current.as("c"), "id")
+        .filter(col("n.label") =!= col("c.label")).limit(1).count()
+      current.unpersist(false)
+      current = next
+      done = changed == 0L
+      it += 1
+    }
+    CacheRegistry.track(current)
+    current
+  }
+
   /** Exact n-gram Jaccard ≥ threshold via inverted index:
     * explode distinct n-grams → self-join on ngram (df-capped) → count
     * shared → Jaccard. The only shuffle keys are 8-byte ngram hashes. */

@@ -53,6 +53,66 @@ FROM p JOIN sz x ON p.id_a = x.doc_id JOIN sz y ON p.id_b = y.doc_id
 WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.5
 ORDER BY id_a, id_b"""
 
+  /** Dedup manifest: exact n-gram-Jaccard pairs → transitive closure →
+    * one row per document with its duplicate-cluster id and the
+    * keep/drop verdict (keep = cluster minimum). The step a real corpus
+    * pipeline runs between pair generation and the final filter. */
+  def dedupComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
+      n = 3, threshold = 0.5, maxDocFreq = 100)
+    val labels = Dedup.connectedComponents(pairs)
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("component"),
+        (coalesce(col("label"), col("doc_id")) === col("doc_id"))
+          .cast("int").as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the ngram pair CTE + a recursive reachability closure
+    * (min reachable id per node = component). */
+  val dedupComponentsOracle: String = """
+WITH RECURSIVE words AS (
+  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS i,
+         unnest(string_split(text,' ')) AS w
+  FROM documents),
+g0 AS (
+  SELECT doc_id,
+         w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i) || ' ' ||
+                     lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS gram,
+         lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS l2
+  FROM words),
+g AS (SELECT DISTINCT doc_id, gram FROM g0 WHERE l2 IS NOT NULL),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+capped AS (
+  SELECT doc_id, gram FROM
+    (SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM g)
+  WHERE df <= 100),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM capped a JOIN capped b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM p
+  JOIN sz x ON p.id_a = x.doc_id JOIN sz y ON p.id_b = y.doc_id
+  WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.5),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(node, other) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.other),
+comp AS (SELECT node, min(other) AS component FROM reach GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS component,
+       CAST(CASE WHEN COALESCE(c.component, d.doc_id) = d.doc_id
+            THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+ORDER BY d.doc_id"""
+
   /** LSH variant — result depends on banding, so rows-only driver check;
     * recall vs the exact query is asserted in DedupSpec. */
   def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame =

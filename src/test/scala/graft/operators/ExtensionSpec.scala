@@ -147,6 +147,19 @@ class ExtensionSpec extends AnyFunSuite {
     assert(found >= 18, s"LSH cosine dedup found only $found/20 planted near-dup pairs")
   }
 
+  test("connected components collapse transitive duplicate chains") {
+    import spark.implicits._
+    // chain 1-2-3-4 (consecutive pairs only), separate pair 10-11, isolated 99
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L), "chain collapses to min id")
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(!cc.contains(99L), "isolated docs are not in the pair graph")
+    CacheRegistry.releaseAll()
+  }
+
   test("repetition stats flag duplicated content") {
     import spark.implicits._
     val df = Seq(
