@@ -49,6 +49,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> (ExtensionQueries.dedupEmbeddingCosine _),
     "dedup_embedding_exact" -> (ExtensionQueries.dedupEmbeddingExact _),
     "ann_cosine_topk" -> (ExtensionQueries.annCosineTopK _),
+    "embedding_quantize" -> (ExtensionQueries.embeddingQuantize _),
     "ann_lsh_topk" -> (ExtensionQueries.annLshTopK _),
     "ann_ivf_topk" -> (ExtensionQueries.annIvfTopK _),
     "text_stats" -> (ExtensionQueries.textStats _),
@@ -105,6 +106,7 @@ object SparkEntry {
     "dedup_components" -> ExtensionQueries.dedupComponentsOracle,
     "dedup_embedding_exact" -> ExtensionQueries.dedupEmbeddingExactOracle,
     "ann_cosine_topk" -> ExtensionQueries.annCosineTopKOracle,
+    "embedding_quantize" -> ExtensionQueries.embeddingQuantizeOracle,
     "text_stats" -> ExtensionQueries.textStatsOracle,
     "text_langid" -> ExtensionQueries.textLangIdOracle,
     "text_token_count" -> ExtensionQueries.textTokenCountOracle,

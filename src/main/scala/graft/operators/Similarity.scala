@@ -138,6 +138,21 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
   }
 
+  /** Symmetric per-vector int8 quantization (max-abs scaling) — the
+    * standard 4× storage/bandwidth reduction for corpus-scale embedding
+    * stores; dequantized values sit within scale/2 of the original.
+    * Deterministic: `floor(x*127/maxabs + 0.5)` is pure IEEE double math,
+    * identical in any engine.
+    * @return (scale, quantized int array) — scale = maxabs/127. */
+  def quantizeInt8(vec: Column): (Column, Column) = {
+    val maxabs = array_max(transform(vec, x => abs(x.cast("double"))))
+    val q = when(maxabs > 0,
+      transform(vec, x =>
+        floor(x.cast("double") * 127.0 / maxabs + 0.5).cast("int")))
+      .otherwise(transform(vec, _ => lit(0)))
+    (maxabs / 127.0, q)
+  }
+
   /** Embedding near-duplicate pairs (cosine ≥ threshold) — LSH-bucketed
     * self-join + exact verify. */
   def cosineDedup(df: DataFrame, threshold: Double,

@@ -313,6 +313,27 @@ ORDER BY query_id, rank"""
       .orderBy("query_id", "rank")
   }
 
+  /** Int8-quantized embedding store (array emitted as JSON for the
+    * driver's pandas-side hash). */
+  def embeddingQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val (scale, q) = Similarity.quantizeInt8(col("embedding"))
+    Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), scale.as("scale"), to_json(q).as("q_json"))
+      .orderBy("vec_id")
+  }
+
+  val embeddingQuantizeOracle: String = """
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+  FROM embeddings)
+SELECT vec_id, maxabs / 127.0 AS scale,
+       CAST(to_json(CASE WHEN maxabs > 0
+         THEN list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5) AS INTEGER))
+         ELSE list_transform(embedding, x -> 0) END) AS VARCHAR) AS q_json
+FROM m ORDER BY vec_id"""
+
   // ------------------------------------------------------ text analysis ----
 
   def textStats(spark: SparkSession, sfDir: String): DataFrame =
