@@ -165,8 +165,10 @@ object Dedup {
     val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
     CacheRegistry.track(edges)
-    var current = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed with round 1 directly: label = min(self, direct neighbors)
+    var current = edges.groupBy("src")
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .select(col("src").as("id"), col("label"))
       .persist()
     current.count()
     var it = 0
