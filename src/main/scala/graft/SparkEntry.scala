@@ -27,6 +27,7 @@ object SparkEntry {
     "events_time_range" -> (AnalyticsQueries.eventsTimeRange _),
     "events_json_props" -> (AnalyticsQueries.eventsJsonProps _),
     "events_sessionize_gap" -> (AnalyticsQueries.eventsSessionize _),
+    "events_asof_purchase" -> (AnalyticsQueries.eventsAsofPurchase _),
     "top_words" -> (AnalyticsQueries.topWords _),
     // -- core analytics operators (SURVEY §2.6 "free from Catalyst") --
     "q1_pricing" -> (AnalyticsQueries.q1Pricing _),
@@ -87,6 +88,7 @@ object SparkEntry {
     "events_time_range" -> AnalyticsQueries.eventsTimeRangeOracle,
     "events_json_props" -> AnalyticsQueries.eventsJsonPropsOracle,
     "events_sessionize_gap" -> AnalyticsQueries.eventsSessionizeOracle,
+    "events_asof_purchase" -> AnalyticsQueries.eventsAsofPurchaseOracle,
     "top_words" -> AnalyticsQueries.topWordsOracle,
     "q1_pricing" -> AnalyticsQueries.q1PricingOracle,
     "q3_shipping" -> AnalyticsQueries.q3ShippingOracle,

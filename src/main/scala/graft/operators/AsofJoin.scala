@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — ClickHouse `ASOF JOIN` / kdb `aj`: for each left row,
+  * attach the single latest right row whose time is ≤ the left row's time
+  * (inclusive) within the same key; left rows with no earlier right row
+  * keep nulls (LEFT semantics).
+  *
+  * Spark has no native operator, and the naive formulations don't scale:
+  * a range join + per-left-row top-1 window explodes to
+  * O(left × right-per-key) intermediate rows, and a correlated subquery
+  * isn't supported. Composed instead as the union–sort–backfill pattern:
+  * tag both sides, union, ONE hash exchange on the key, one Tungsten sort
+  * on (time, side), and a running `last(ignoreNulls)` backfill — the same
+  * shuffle/sort cost as a sort-merge join, linear in rows, skew-bounded
+  * by the key. Right rows sort before left rows at equal timestamps, so
+  * a right row at exactly the left time matches (ClickHouse `>=`).
+  */
+object AsofJoin {
+
+  /** @param rightValues right columns to attach (emitted under the same
+    *                    names; must not collide with left column names)
+    * @note ties among right rows at the same (key, time) are resolved
+    *       arbitrarily — give the right side unique times per key. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               rightValues: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+    val r = right.select(
+      Seq(col(key), col(rightTime).as("__t"), lit(0).as("__side")) ++
+        rightValues.map(c => col(c).as(s"__r_$c")): _*)
+    val all = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightValues.foldLeft(all) { (df, c) =>
+      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    filled.where(col("__side") === 1)
+      .select(leftCols.map(col) ++ rightValues.map(c => col(s"__r_$c").as(c)): _*)
+  }
+}

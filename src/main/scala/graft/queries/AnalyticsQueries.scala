@@ -366,6 +366,35 @@ SELECT p_brand, count(*) AS n, count(DISTINCT p_type) AS n_types,
 FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
 GROUP BY p_brand ORDER BY p_brand"""
 
+  /** ClickHouse `ASOF JOIN` surface: for every event, the same user's most
+    * recent purchase at or before it (events before the user's first
+    * purchase stay null). One shuffle + sort via the union–backfill
+    * pattern ([[graft.operators.AsofJoin]]). */
+  def eventsAsofPurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, sfDir, "events")
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+    val purchases = Tables(spark, sfDir, "events")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"ts",
+        unix_micros($"ts").as("last_purchase_us"), $"value".as("purchase_value"))
+    graft.operators.AsofJoin.asofJoin(ev, purchases, "user_id", "ts", "ts",
+        Seq("last_purchase_us", "purchase_value"))
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+        $"event_type", $"last_purchase_us", $"purchase_value")
+      .orderBy($"event_id")
+  }
+
+  val eventsAsofPurchaseOracle: String = """
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, e.event_type,
+       p.last_purchase_us, p.purchase_value
+FROM events e
+ASOF LEFT JOIN (
+  SELECT user_id, ts, epoch_us(ts) AS last_purchase_us, value AS purchase_value
+  FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+ORDER BY e.event_id"""
+
   /** Exact table profiling (ClickHouse `uniqExact`/min/max-style column
     * stats in one scan): row count, exact distincts, null counts, value
     * ranges. One pass over the fact table, partial aggregation map-side —

@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Boundary semantics of the composed as-of join: inclusive match at
+  * equal timestamps, latest-wins, per-key isolation, null before the
+  * first right row. */
+class AsofJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+
+  test("as-of join picks the latest right row at or before each left time") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "k1", 100L), // before any right row → null
+      (2L, "k1", 200L), // equal ts to right row at 200 → inclusive match
+      (3L, "k1", 450L), // between 400 and 600 → 400 wins (latest ≤)
+      (4L, "k2", 500L), // other key: only k2 rows apply
+      (5L, "k3", 999L)  // key with no right rows at all → null
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("k1", 200L, "a"), ("k1", 400L, "b"), ("k1", 600L, "c"),
+      ("k2", 450L, "x")
+    ).toDF("k", "t", "v")
+
+    val out = AsofJoin.asofJoin(left, right, "k", "t", "t", Seq("v"))
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+
+    assert(out(1L).isEmpty)
+    assert(out(2L).contains("a"))
+    assert(out(3L).contains("b"))
+    assert(out(4L).contains("x"))
+    assert(out(5L).isEmpty)
+  }
+}
