@@ -28,6 +28,7 @@ object SparkEntry {
     "events_json_props" -> (AnalyticsQueries.eventsJsonProps _),
     "events_sessionize_gap" -> (AnalyticsQueries.eventsSessionize _),
     "events_asof_purchase" -> (AnalyticsQueries.eventsAsofPurchase _),
+    "salted_user_types" -> (AnalyticsQueries.saltedUserTypes _),
     "top_words" -> (AnalyticsQueries.topWords _),
     // -- core analytics operators (SURVEY §2.6 "free from Catalyst") --
     "q1_pricing" -> (AnalyticsQueries.q1Pricing _),
@@ -89,6 +90,7 @@ object SparkEntry {
     "events_json_props" -> AnalyticsQueries.eventsJsonPropsOracle,
     "events_sessionize_gap" -> AnalyticsQueries.eventsSessionizeOracle,
     "events_asof_purchase" -> AnalyticsQueries.eventsAsofPurchaseOracle,
+    "salted_user_types" -> AnalyticsQueries.saltedUserTypesOracle,
     "top_words" -> AnalyticsQueries.topWordsOracle,
     "q1_pricing" -> AnalyticsQueries.q1PricingOracle,
     "q3_shipping" -> AnalyticsQueries.q3ShippingOracle,

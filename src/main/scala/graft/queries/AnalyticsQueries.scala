@@ -366,6 +366,24 @@ SELECT p_brand, count(*) AS n, count(DISTINCT p_type) AS n_types,
 FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
 GROUP BY p_brand ORDER BY p_brand"""
 
+  /** Skew-proof holistic aggregation ([[graft.operators.Salting]]): the
+    * two-phase salted collect_set, whose single-task state stays bounded
+    * at 1/salts of a hot key. Result is salt-invariant (sorted set). */
+  def saltedUserTypes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sets = graft.operators.Salting.saltedCollectSet(
+      Tables(spark, sfDir, "events").select($"user_id", $"event_type"),
+      "user_id", "event_type", salts = 16)
+    sets.select($"user_id",
+        to_json(array_sort($"event_type_set")).as("types_json"))
+      .orderBy($"user_id")
+  }
+
+  val saltedUserTypesOracle: String = """
+SELECT user_id,
+       CAST(to_json(list_sort(list(DISTINCT event_type))) AS VARCHAR) AS types_json
+FROM events GROUP BY user_id ORDER BY user_id"""
+
   /** ClickHouse `ASOF JOIN` surface: for every event, the same user's most
     * recent purchase at or before it (events before the user's first
     * purchase stay null). One shuffle + sort via the union–backfill
