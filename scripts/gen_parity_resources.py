@@ -14,7 +14,10 @@ ReferenceParitySpec pins the reference's behavior — not our own replica.
 
 Usage: python3 scripts/gen_parity_resources.py [n_sessions] [seed]
 """
-import gzip, json, os, sys
+import datetime, gzip, json, os, sys
+
+EPOCH = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+MICRO = datetime.timedelta(microseconds=1)
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, "/root/reference/lognormalizer")
@@ -60,7 +63,7 @@ def main(n_sessions=1500, seed=11):
     with gzip.open(f"{res_dir}/expected_events.jsonl.gz", "wt") as f:
         for e in p.events:
             row = {
-                "ts_us": int(e.timestamp.timestamp() * 1_000_000),
+                "ts_us": (e.timestamp - EPOCH) // MICRO,
                 "queue_id": e.queue_id, "domain_from": e.domain_from,
                 "domains_to": e.domains_to, "message_from": e.message_from,
                 "message_to": e.message_to, "message_id": e.message_id,

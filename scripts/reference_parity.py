@@ -7,8 +7,11 @@ Usage:
   sbt "runMain graft.tools.ParseLogs <log> <outDir>"
   python3 scripts/reference_parity.py <log> <outDir>
 """
-import json, sys
+import datetime, json, sys
 import duckdb
+
+EPOCH = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+MICRO = datetime.timedelta(microseconds=1)
 
 sys.path.insert(0, "/root/reference/lognormalizer")
 from parse import PostfixLogParser  # noqa: E402
@@ -39,7 +42,7 @@ def main(log, out_dir):
     ref = []
     for e in p.events:
         ref.append({
-            "ts_us": int(e.timestamp.timestamp() * 1_000_000),
+            "ts_us": (e.timestamp - EPOCH) // MICRO,
             "queue_id": e.queue_id, "domain_from": e.domain_from,
             "domains_to": e.domains_to, "message_from": e.message_from,
             "message_to": e.message_to, "message_id": e.message_id,

@@ -32,16 +32,22 @@ object AsofJoin {
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
-    val r = right.select(
-      Seq(col(key), col(rightTime).as("__t"), lit(0).as("__side")) ++
-        rightValues.map(c => col(c).as(s"__r_$c")): _*)
+    // The attached columns travel as ONE struct: backfilling each column
+    // independently would tear rows when a right column is null (mixing
+    // fields of different right rows — a composite that never existed).
+    // The struct itself is never null on right rows, so last(ignoreNulls)
+    // always adopts the newest whole row. Null join keys are dropped from
+    // the right side (SQL join semantics: NULL matches nothing); null-key
+    // left rows then see only left rows in their window → stay null.
+    val r = right
+      .where(col(key).isNotNull)
+      .select(col(key), col(rightTime).as("__t"), lit(0).as("__side"),
+        struct(rightValues.map(col): _*).as("__r"))
     val all = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightValues.foldLeft(all) { (df, c) =>
-      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    filled.where(col("__side") === 1)
-      .select(leftCols.map(col) ++ rightValues.map(c => col(s"__r_$c").as(c)): _*)
+    all.withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(leftCols.map(col) ++ rightValues.map(c => col(s"__r.$c").as(c)): _*)
   }
 }

@@ -483,7 +483,11 @@ SELECT doc_id, substring(text, 1, 32) AS decoded FROM documents ORDER BY doc_id"
       .select(col("doc_id"), col("text"),
         graft.functions.TextExpressions.winnowFingerprint(col("text")).as("fp"))
       .withColumn("n_fp", size(col("fp")))
-      .withColumn("len", length(col("text")))
+      // the kernel windows over UTF-16 units (java String.length);
+      // length() counts codepoints, which undercounts astral-plane chars
+      // and would flag valid fingerprints as violations
+      .withColumn("len",
+        (length(encode(col("text"), "UTF-16BE")) / lit(2)).cast("int"))
     val sanityViol = when(col("len") < k, col("n_fp") =!= 0)
       .otherwise(col("n_fp") < 1 || col("n_fp") > col("len") - (k - 1))
     val sortedViol = to_json(col("fp")) =!=

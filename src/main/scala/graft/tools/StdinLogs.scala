@@ -81,8 +81,18 @@ object StdinLogs {
       .start()
 
     val n = spool(in, spoolDir) // blocks until EOF on the feed
-    q.processAllAvailable()
-    q.stop()
+    if (ttlMs.isDefined) {
+      // --ttl means live-tailing semantics: a registered processing-time
+      // timeout keeps scheduling no-data micro-batches to evaluate expiry,
+      // so processAllAvailable would never settle (see StreamingSessionize
+      // scaladoc). Like the reference's endless stdin loop, run until
+      // killed — pending sessions keep evicting on their deadlines.
+      println(s"[stdin-logs] feed EOF after $n lines; tailing with TTL until killed")
+      q.awaitTermination()
+    } else {
+      q.processAllAvailable()
+      q.stop()
+    }
     println(s"[stdin-logs] lines=$n out=$outDir")
   }
 

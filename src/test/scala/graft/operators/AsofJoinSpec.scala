@@ -33,4 +33,26 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out(4L).contains("x"))
     assert(out(5L).isEmpty)
   }
+
+  test("whole-row attach: a null field in the newest right row is NOT backfilled") {
+    import spark.implicits._
+    val left = Seq((1L, "k", 250L)).toDF("id", "k", "t")
+    val right = Seq(
+      ("k", 100L, Some("v1"), Some("w1")),
+      ("k", 200L, Some("v2"), None) // newest row wins AS A WHOLE: w stays null
+    ).toDF("k", "t", "v", "w")
+    val row = AsofJoin.asofJoin(left, right, "k", "t", "t", Seq("v", "w"))
+      .collect().head
+    assert(row.getString(3) == "v2")
+    assert(row.isNullAt(4), "w must come from the matched row, not an older one")
+  }
+
+  test("null join keys never match (SQL semantics)") {
+    import spark.implicits._
+    val left = Seq((1L, Option.empty[String], 200L)).toDF("id", "k", "t")
+    val right = Seq((Option.empty[String], 100L, "x")).toDF("k", "t", "v")
+    val row = AsofJoin.asofJoin(left, right, "k", "t", "t", Seq("v"))
+      .collect().head
+    assert(row.isNullAt(3), "null-key left row must not adopt null-key right rows")
+  }
 }
