@@ -90,6 +90,10 @@ class DifferentialSpec extends AnyFunSuite {
         log.slice(cuts(i), cuts(i + 1)).foreach(w.println)
         w.close()
       }
+      // hidden/metadata droppings must be ignored (Hadoop convention)
+      java.nio.file.Files.writeString(new java.io.File(dir, "_SUCCESS").toPath, "")
+      java.nio.file.Files.writeString(new java.io.File(dir, ".mail.log.swp").toPath,
+        log.head + "\n")
 
       val incEvents = ArrayBuffer[PostfixEvent]()
       val incFaults = ArrayBuffer[ParseFault]()
