@@ -87,10 +87,12 @@ object Similarity {
     * exact cosine re-rank inside them — the classic
     * cluster-prune-then-rerank scale path (complements [[lshTopK]]).
     *
-    * Centroids are a deterministic pseudo-random corpus sample — the
+    * Centroids start as a deterministic pseudo-random corpus sample — the
     * `nlist` vectors with the smallest `xxhash64(vec_id)` — fetched with
     * one `TakeOrderedAndProject` pass (per-partition top-k, driver merge:
-    * no count() job, no shuffle), then carried into the assignment
+    * no count() job, no shuffle), then refined with `trainIters` Lloyd
+    * (k-means) iterations whose shuffles carry only (cell, dim,
+    * fixed-point partial sum) rows, and carried into the assignment
     * expression the way a broadcast var rides into a task. Assignment of
     * every corpus vector to its cell is MAP-SIDE
     * ([[graft.functions.VectorExpressions.NearestCentroids]]): at 100 TB
@@ -108,14 +110,46 @@ object Similarity {
     * corpus side then shuffles on cent_id — graceful, not wrong). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4,
-              broadcastProbes: Boolean = true): DataFrame = {
+              broadcastProbes: Boolean = true,
+              trainIters: Int = 2): DataFrame = {
     val centroidRows = corpus
       .select(col("vec_id").cast("long").as("cent_id"), col("embedding"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(nlist)
       .collect()
     val centIds = centroidRows.map(_.getLong(0))
-    val cents = centroidRows.map(_.getSeq[Float](1).toArray)
+    var cents = centroidRows.map(_.getSeq[Float](1).toArray)
+
+    // Lloyd refinement: assignment stays MAP-SIDE (NearestCentroids rides
+    // into the scan); the mean recompute explodes to (cell, dim, value)
+    // and partial-aggregates before the shuffle, so the exchange carries
+    // one (cell, dim, partial-sum, count) row per task — corpus bytes
+    // never shuffle. Sums are fixed-point longs (order-independent
+    // integer adds), so the trained centroids — and therefore cell
+    // assignments — are bit-deterministic across runs/partitionings.
+    for (_ <- 1 to trainIters) {
+      val assigned = corpus.select(
+        element_at(graft.functions.VectorExpressions
+          .nearestCentroids(col("embedding"), centIds, cents, 1), 1).as("cell"),
+        posexplode(col("embedding")))
+      val meanRows = assigned
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(floor(col("col").cast("double") * (1L << 24)).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byCell = meanRows.groupBy(_.getLong(0))
+      val idIndex = centIds.zipWithIndex.toMap
+      val next = cents.map(_.clone())
+      byCell.foreach { case (cell, rows) =>
+        val ci = idIndex(cell)
+        rows.foreach { r =>
+          val pos = r.getInt(1)
+          next(ci)(pos) =
+            (r.getLong(2).toDouble / (1L << 24) / r.getLong(3)).toFloat
+        }
+      }
+      cents = next // cells with no members keep their previous centroid
+    }
     def nearest(vec: Column, keep: Int): Column =
       graft.functions.VectorExpressions.nearestCentroids(vec, centIds, cents, keep)
 
