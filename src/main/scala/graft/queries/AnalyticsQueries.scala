@@ -366,6 +366,37 @@ SELECT p_brand, count(*) AS n, count(DISTINCT p_type) AS n_types,
 FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
 GROUP BY p_brand ORDER BY p_brand"""
 
+  /** Binned range join ([[graft.operators.RangeJoin]]): per event, how
+    * many of the same user's events landed in the strictly-preceding
+    * 5 minutes — the sliding-frequency feature (rate limiting, burst
+    * detection) computed as an equi join on (user, time-bin) instead of
+    * a per-pair range predicate. */
+  def eventsWindowCount(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val win = 300000000L // 5 min in micros
+    val ev = Tables(spark, sfDir, "events")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("t_us"))
+    val intervals = ev.select($"event_id".as("target_id"), $"user_id",
+      ($"t_us" - win).as("w_start"), $"t_us".as("w_end"))
+    val counts = graft.operators.RangeJoin
+      .pointsInIntervals(ev, intervals, Seq("user_id"), "t_us",
+        "w_start", "w_end", bin = win)
+      .groupBy($"target_id").agg(count(lit(1)).as("n"))
+    intervals.select($"target_id")
+      .join(counts, Seq("target_id"), "left_outer")
+      .select($"target_id".as("event_id"),
+        coalesce($"n", lit(0L)).as("n_prev_5min"))
+      .orderBy($"event_id")
+  }
+
+  val eventsWindowCountOracle: String = """
+SELECT e.event_id, CAST(count(p.event_id) AS BIGINT) AS n_prev_5min
+FROM events e LEFT JOIN events p
+  ON p.user_id = e.user_id
+ AND epoch_us(p.ts) >= epoch_us(e.ts) - 300000000
+ AND epoch_us(p.ts) < epoch_us(e.ts)
+GROUP BY e.event_id ORDER BY e.event_id"""
+
   /** Skew-proof holistic aggregation ([[graft.operators.Salting]]): the
     * two-phase salted collect_set, whose single-task state stays bounded
     * at 1/salts of a hot key. Result is salt-invariant (sorted set). */
