@@ -39,8 +39,10 @@ object AsofJoin {
     // always adopts the newest whole row. Null join keys are dropped from
     // the right side (SQL join semantics: NULL matches nothing); null-key
     // left rows then see only left rows in their window → stay null.
+    // null keys AND null times match nothing (a null __t would sort
+    // first under Spark's nulls-first ascending and get adopted)
     val r = right
-      .where(col(key).isNotNull)
+      .where(col(key).isNotNull && col(rightTime).isNotNull)
       .select(col(key), col(rightTime).as("__t"), lit(0).as("__side"),
         struct(rightValues.map(col): _*).as("__r"))
     val all = l.unionByName(r, allowMissingColumns = true)
@@ -48,6 +50,7 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     all.withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .select(leftCols.map(col) ++ rightValues.map(c => col(s"__r.$c").as(c)): _*)
+      .select(leftCols.map(col) ++
+        rightValues.map(c => col("__r").getField(c).as(c)): _*)
   }
 }

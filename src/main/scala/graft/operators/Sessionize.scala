@@ -214,19 +214,21 @@ object Sessionize {
     val sc = spark.sparkContext
     val conf = sc.hadoopConfiguration
     // Hadoop's hidden-file convention (the filter spark.read.textFile
-    // applies): _SUCCESS markers, .swp/._* droppings must not parse as log
-    // lines. Applied to directory listings AND glob matches.
+    // applies): _SUCCESS markers, .swp/._* droppings must not parse as
+    // log lines. Applied to directory listings and glob EXPANSION only —
+    // a file the caller named exactly is read regardless (cat would).
     def visible(st: FileStatus): Boolean = {
       val n = st.getPath.getName
       !n.startsWith("_") && !n.startsWith(".")
     }
     val files: Seq[String] = paths.flatMap { p =>
+      val isGlob = p.exists("{}[]*?".contains(_))
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf)
       val matched = Option(fs.globStatus(hp)).getOrElse(Array.empty[FileStatus])
       matched.flatMap { st =>
         if (st.isDirectory) fs.listStatus(st.getPath).filter(s => s.isFile && visible(s))
-        else if (visible(st)) Array(st)
+        else if (!isGlob || visible(st)) Array(st)
         else Array.empty[FileStatus]
       }.map(_.getPath.toUri.toString)
     }.distinct.sorted

@@ -132,9 +132,17 @@ object Similarity {
         element_at(graft.functions.VectorExpressions
           .nearestCentroids(col("embedding"), centIds, cents, 1), 1).as("cell"),
         posexplode(col("embedding")))
+        // dim-mismatched vectors assign to a null cell by contract
+        // (NearestCentroids) — drop them from training like the inverted
+        // lists drop them at query time
+        .where(col("cell").isNotNull)
       val meanRows = assigned
         .groupBy(col("cell"), col("pos"))
-        .agg(sum(floor(col("col").cast("double") * (1L << 24)).cast("long")).as("s"),
+        // decimal(38,0) sum: order-independent exact integer adds with
+        // ~2^126 headroom — a long would silently wrap for hot cells of
+        // unnormalized embeddings at corpus scale
+        .agg(sum(floor(col("col").cast("double") * (1L << 24))
+          .cast("decimal(38,0)")).as("s"),
           count(lit(1)).as("n"))
         .collect()
       val byCell = meanRows.groupBy(_.getLong(0))
@@ -145,7 +153,7 @@ object Similarity {
         rows.foreach { r =>
           val pos = r.getInt(1)
           next(ci)(pos) =
-            (r.getLong(2).toDouble / (1L << 24) / r.getLong(3)).toFloat
+            (r.getDecimal(2).doubleValue() / (1L << 24) / r.getLong(3)).toFloat
         }
       }
       cents = next // cells with no members keep their previous centroid

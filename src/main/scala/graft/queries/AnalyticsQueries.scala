@@ -374,8 +374,12 @@ GROUP BY p_brand ORDER BY p_brand"""
   def eventsWindowCount(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val win = 300000000L // 5 min in micros
-    val ev = Tables(spark, sfDir, "events")
-      .select($"event_id", $"user_id", unix_micros($"ts").as("t_us"))
+    // one narrow row per event, consumed three times (points, intervals,
+    // left-join anchor) — persist so the parquet scans once
+    val ev = graft.operators.CacheRegistry.track(
+      Tables(spark, sfDir, "events")
+        .select($"event_id", $"user_id", unix_micros($"ts").as("t_us"))
+        .persist())
     val intervals = ev.select($"event_id".as("target_id"), $"user_id",
       ($"t_us" - win).as("w_start"), $"t_us".as("w_end"))
     val counts = graft.operators.RangeJoin

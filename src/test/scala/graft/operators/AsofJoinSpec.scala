@@ -55,4 +55,13 @@ class AsofJoinSpec extends AnyFunSuite {
       .collect().head
     assert(row.isNullAt(3), "null-key left row must not adopt null-key right rows")
   }
+
+  test("null right times never match (would sort nulls-first and get adopted)") {
+    import spark.implicits._
+    val left = Seq((1L, "k", 200L)).toDF("id", "k", "t")
+    val right = Seq(("k", Option.empty[Long], "x")).toDF("k", "t", "v")
+    val row = AsofJoin.asofJoin(left, right, "k", "t", "t", Seq("v"))
+      .collect().head
+    assert(row.isNullAt(3), "null-time right rows must be excluded")
+  }
 }
