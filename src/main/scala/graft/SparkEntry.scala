@@ -60,6 +60,7 @@ object SparkEntry {
     "text_token_count" -> (ExtensionQueries.textTokenCount _),
     "text_fingerprint" -> (ExtensionQueries.textFingerprint _),
     "text_repetition" -> (ExtensionQueries.textRepetition _),
+    "text_pii_redact" -> (ExtensionQueries.textPiiRedact _),
     "text_winnow_fingerprint" -> (ExtensionQueries.textWinnow _),
     // -- violation queries: hash-green emptiness proofs for the LSH family.
     //    Each recomputes the operator's exact-verify contract through an
@@ -106,6 +107,7 @@ object SparkEntry {
     "profile_lineitem" -> AnalyticsQueries.profileLineitemOracle,
     "profile_sketch_violations" -> ExtensionQueries.violationOracle,
     "text_repetition" -> ExtensionQueries.textRepetitionOracle,
+    "text_pii_redact" -> ExtensionQueries.textPiiRedactOracle,
     "corpus_clean" -> ExtensionQueries.corpusCleanOracle,
     "dedup_exact" -> ExtensionQueries.dedupExactOracle,
     "dedup_ngram_jaccard" -> ExtensionQueries.dedupNgramJaccardOracle,

@@ -75,6 +75,33 @@ object TextAnalysis {
   def fingerprintMd5(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
 
+  /** PII scrubbing for training corpora: emails, IPv4 addresses, and
+    * long digit runs (phone/account numbers) replaced with typed
+    * placeholder tokens. Patterns use only character classes, bounded
+    * repetition, and word boundaries, so Java regex (Spark) and RE2
+    * (DuckDB/ClickHouse) agree exactly; applied in a fixed order (email
+    * first — its local part may contain digits an earlier <NUM> pass
+    * would corrupt). Pure per-row expressions: scan-speed, shuffle-free. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val LongNumRe = "\\b[0-9]{7,}\\b"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      LongNumRe, "<NUM>")
+
+  /** Per-document counts of each redacted PII class. */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long"),
+    "n_ips" -> size(regexp_extract_all(regexp_replace(text, EmailRe, "<EMAIL>"),
+      lit(Ipv4Re), lit(0))).cast("long"),
+    "n_longnums" -> size(regexp_extract_all(
+      regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"),
+      lit(LongNumRe), lit(0))).cast("long"))
+
   /** Word n-grams of the document as strings; empty array below n tokens. */
   def wordGrams(text: Column, n: Int): Column = {
     val words = tokens(text)

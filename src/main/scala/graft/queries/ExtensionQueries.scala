@@ -446,6 +446,38 @@ LEFT JOIN bicnt USING (doc_id)
 LEFT JOIN tricnt USING (doc_id)
 ORDER BY doc_id"""
 
+  /** PII scrubbing manifest: redacted text (as md5 — the full text
+    * already rides other queries) plus per-class counts. */
+  def textPiiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    TextAnalysis.piiCounts(col("text"))
+      .foldLeft(base.withColumn("redacted_md5",
+        md5(TextAnalysis.redactPii(col("text"))))) {
+        case (d, (n, c)) => d.withColumn(n, c)
+      }
+      .drop("text").orderBy("doc_id")
+  }
+
+  val textPiiRedactOracle: String = """
+WITH r1 AS (
+  SELECT doc_id, text,
+    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g') AS t1
+  FROM documents),
+r2 AS (
+  SELECT doc_id, text, t1,
+    regexp_replace(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                   '<IP>', 'g') AS t2
+  FROM r1)
+SELECT doc_id,
+  md5(regexp_replace(t2, '\b[0-9]{7,}\b', '<NUM>', 'g')) AS redacted_md5,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t1,
+    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(t2, '\b[0-9]{7,}\b')) AS BIGINT) AS n_longnums
+FROM r2 ORDER BY doc_id"""
+
   /** RFC 2047 decode as a REGISTERED SQL function (custom Catalyst
     * expression), driven through literal spark.sql text. */
   def sqlMimeDecode(spark: SparkSession, sfDir: String): DataFrame = {

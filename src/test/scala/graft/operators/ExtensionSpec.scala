@@ -179,6 +179,19 @@ class ExtensionSpec extends AnyFunSuite {
     assert(out(1).getDouble(2) == 0.5)       // 2 trigrams, 1 distinct
   }
 
+  test("PII redaction replaces emails, IPs, and long digit runs") {
+    import spark.implicits._
+    val df = Seq((1L,
+      "contact bob.smith+x@mail.example.org from 10.0.42.7 ref 12345678 order 42"))
+      .toDF("doc_id", "text")
+    val out = df.select(TextAnalysis.redactPii(col("text"))).collect().head.getString(0)
+    assert(out == "contact <EMAIL> from <IP> ref <NUM> order 42")
+    val counts = TextAnalysis.piiCounts(col("text"))
+      .foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+      .select("n_emails", "n_ips", "n_longnums").collect().head
+    assert((counts.getLong(0), counts.getLong(1), counts.getLong(2)) == ((1L, 1L, 1L)))
+  }
+
   test("exact dedup groups identical texts") {
     import spark.implicits._
     val dups = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
