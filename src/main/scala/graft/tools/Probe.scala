@@ -4,7 +4,15 @@ import graft.operators.Sessionize
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Temporary stage-cost probe for the batch sessionize path. */
+/** Stage-cost probe for the batch sessionize path: times classify,
+  * classify+shuffle+fold, and the full events pipeline (with and without
+  * intermediate persistence) over a replayed log, after a JIT warmup
+  * pass. Used to locate where wall-clock goes before optimizing (it
+  * motivated the single-pass dovecot enrichment: caching the wide fold
+  * rows measured SLOWER than recomputing the chain).
+  *
+  * Usage: Probe <logFile> [repeat]
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
     val path = args(0)
