@@ -50,6 +50,7 @@ object ParityBench {
       })
     val ds = spark.createDataset(repeated).repartition(32)
     ds.cache().count()   // exclude input materialization from timing
+    Sessionize(spark, ds).events.count() // JIT/codegen warmup, like (a)
     val t1 = System.nanoTime()
     val n = Sessionize(spark, ds).events.count()
     val sparkSec = (System.nanoTime() - t1) / 1e9
