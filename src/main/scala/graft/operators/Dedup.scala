@@ -166,12 +166,36 @@ object Dedup {
   /** Connected components over an undirected duplicate-pair list —
     * the transitive-closure step that turns pairwise matches into
     * KEEP/DROP decisions (A≈B and B≈C must collapse into one cluster
-    * even when A≉C directly). Iterative min-label propagation: each
-    * round a node adopts the smallest label among itself and its
-    * neighbors; duplicate clusters are shallow (diameter ≪ 10), so this
-    * converges in a handful of rounds — `maxIter` bounds pathological
-    * chains, and convergence is detected with a limit-1 existence check,
-    * not a full count. Shuffle per round carries only (id, label) longs.
+    * even when A≉C directly).
+    *
+    * Each iteration is min-label propagation over the edges ("hash-min":
+    * a node adopts the smallest label among itself and its neighbors)
+    * followed by one pointer-jumping step (`label := label(label)`).
+    * The jump composes reachability, so the radius a label has travelled
+    * DOUBLES per round instead of growing by one — a path component of
+    * diameter d converges in O(log d) rounds, and `maxIter = 20` covers
+    * any graph a dedup pipeline can produce (diameter ≲ 2^19) rather
+    * than silently mislabeling chains longer than the iteration budget.
+    *
+    * Scale design, per iteration:
+    *  - shuffles carry only (id, label) longs — edges are materialized
+    *    once up front via `localCheckpoint`, which also severs the
+    *    lineage of the (possibly very expensive) pair computation;
+    *  - the new label frame is `localCheckpoint`ed too, so the logical
+    *    plan stays O(one iteration) deep forever — a plain persist keeps
+    *    data resident but still nests every prior round's plan, and at
+    *    real depths the driver's plan analysis/serialization grows
+    *    superlinearly (the captured sf0.1 plan was ~5,700 lines before
+    *    this);
+    *  - convergence costs one cheap aggregate, not a join: every step
+    *    (min over neighbors, jump to a smaller node's label) is
+    *    per-node non-increasing, so Σlabel is strictly monotone until
+    *    the fixpoint — Σlabel unchanged over a full round ⟺ no label
+    *    moved ⟺ done. The sum is exact (decimal(38,0)): no overflow at
+    *    any id range, no float tolerance.
+    *
+    * At the fixpoint every label equals its component's minimum id
+    * (relax-stability forces label equality along any path to the min).
     *
     * @return (id, label) — label is the component's minimum member id.
     */
@@ -179,30 +203,49 @@ object Dedup {
                           bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
     val e0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist()
+      .distinct().localCheckpoint()
     CacheRegistry.track(edges)
+    def labelSum(df: DataFrame): (java.math.BigDecimal, Long) = {
+      val r = df.agg(sum(col("label").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n")).head()
+      (Option(r.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO), r.getLong(1))
+    }
     // seed with round 1 directly: label = min(self, direct neighbors)
     var current = edges.groupBy("src")
       .agg(least(col("src"), min(col("dst"))).as("label"))
       .select(col("src").as("id"), col("label"))
-      .persist()
-    current.count()
+      .localCheckpoint()
+    var prevSum = labelSum(current)
     var it = 0
     var done = false
     while (it < maxIter && !done) {
-      val next = edges
+      // relax: label = min over self + neighbors' labels
+      val relaxed = edges
         .join(current.select(col("id").as("dst"), col("label")), "dst")
         .select(col("src").as("id"), col("label"))
         .unionAll(current)
         .groupBy("id").agg(min("label").as("label"))
-        .persist()
-      val changed = next.as("n").join(current.as("c"), "id")
-        .filter(col("n.label") =!= col("c.label")).limit(1).count()
+        .persist() // both jump sides read it within the one checkpoint action
+      // jump: label = label(label) — labels are always ids of nodes in the
+      // frame (mins over node-id sets), so the lookup is total; left+
+      // coalesce only defends the invariant rather than relying on it
+      val next = relaxed
+        .join(relaxed.select(col("id").as("label"), col("label").as("label2")),
+          Seq("label"), "left_outer")
+        .select(col("id"), coalesce(col("label2"), col("label")).as("label"))
+        .localCheckpoint()
+      relaxed.unpersist(false)
+      val s = labelSum(next)
       current.unpersist(false)
       current = next
-      done = changed == 0L
+      done = s == prevSum
+      prevSum = s
       it += 1
     }
+    if (!done)
+      System.err.println(s"[graft] connectedComponents: NOT converged after " +
+        s"$maxIter doubling rounds (component diameter > ~2^${maxIter - 1}); " +
+        "labels may be non-minimal")
     CacheRegistry.track(current)
     current
   }

@@ -55,27 +55,65 @@ object Similarity {
   def rhpSignature(vec: Column, nBits: Int): Column =
     graft.functions.VectorExpressions.rhpSig(vec, nBits)
 
-  /** ANN top-k: candidates share at least one of `tables` sub-signatures
-    * (bitsPerTable bits each), exact cosine re-rank within candidates. */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              tables: Int = 8, bitsPerTable: Int = 8): DataFrame = {
-    val nBits = tables * bitsPerTable
+  /** `tables` LSH bucket keys of a vector column as slim
+    * (id, table, bucket) rows — the ONLY columns that ride the ×`tables`
+    * explode and the bucket join; full float arrays are re-attached after
+    * candidate dedup (same discipline as [[Dedup.minhashLsh]]'s
+    * shingle-free join sides). */
+  private def slimBuckets(df: DataFrame, id: String, vec: String,
+                          outId: String, tables: Int, bitsPerTable: Int): DataFrame = {
     val mask = (1L << bitsPerTable) - 1
-    def sigTables(df: DataFrame, id: String, vec: String, side: String): DataFrame =
-      df.select(col(id).as(s"${side}_id"), col(vec).as(s"${side}v"),
-          rhpSignature(col(vec), nBits).as("sig"))
-        .select(col(s"${side}_id"), col(s"${side}v"),
-          posexplode(transform(sequence(lit(0), lit(tables - 1)),
-            t => call_function("shiftright", col("sig"), t * bitsPerTable).bitwiseAND(mask))))
-        .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "table")
+    df.select(col(id).as(outId),
+        rhpSignature(col(vec), tables * bitsPerTable).as("sig"))
+      .select(col(outId),
+        posexplode(transform(sequence(lit(0), lit(tables - 1)),
+          t => call_function("shiftright", col("sig"), t * bitsPerTable).bitwiseAND(mask))))
+      .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "table")
+  }
 
-    val q = sigTables(queries, "vec_id", "embedding", "query")
-    val c = sigTables(corpus, "vec_id", "embedding", "cand")
-    val cands = q.join(c, Seq("table", "bucket"))
+  /** ANN top-k: candidates share at least one of `tables` sub-signatures
+    * (bitsPerTable bits each), exact cosine re-rank within candidates.
+    *
+    * @param maxBucket skew guard for degenerate corpus buckets (a large
+    *   cluster of identical/near-zero embeddings lands whole in one RHP
+    *   bucket — exactly what a dirty corpus contains). Corpus rows are
+    *   ranked per (table, bucket) and grouped into blocks of `maxBucket`;
+    *   each query probes the block addressed by `xxhash64(query_id)` and
+    *   its successor, so per-bucket work is |Q|×2·maxBucket instead of
+    *   |Q|×|bucket|. Buckets of ≤ maxBucket corpus rows have one block —
+    *   the query meets the WHOLE bucket and results are identical to the
+    *   unguarded join; only oversized buckets degrade, to a deterministic
+    *   2·maxBucket-candidate sample per query (ANN contract: misses are
+    *   allowed, emitted rows stay exact). */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              tables: Int = 8, bitsPerTable: Int = 8,
+              maxBucket: Int = 64): DataFrame = {
+    val qBase = queries.select(col("vec_id").as("query_id"), col("embedding").as("queryv"),
+      vecNorm(col("embedding")).as("queryn"))
+    val cBase = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("candv"),
+      vecNorm(col("embedding")).as("candn")).persist()
+    CacheRegistry.track(cBase)
+
+    val wBucket = Window.partitionBy("table", "bucket").orderBy("cand_id")
+    val cBuckets = slimBuckets(cBase, "cand_id", "candv", "cand_id", tables, bitsPerTable)
+      .withColumn("blk", floor((row_number().over(wBucket) - 1) / lit(maxBucket)))
+    // per-(table, bucket) block count — at most tables × 2^bitsPerTable
+    // rows, broadcast onto the query side to address a block
+    val nBlks = cBuckets.groupBy("table", "bucket")
+      .agg((max(col("blk")) + 1).as("nblk"))
+    val qProbes = slimBuckets(qBase, "query_id", "queryv", "query_id", tables, bitsPerTable)
+      .join(broadcast(nBlks), Seq("table", "bucket"))
+      .select(col("table"), col("bucket"), col("query_id"),
+        explode(array(
+          pmod(xxhash64(col("query_id")), col("nblk")),
+          pmod(xxhash64(col("query_id")) + 1, col("nblk")))).as("blk"))
+    val cands = qProbes.join(cBuckets, Seq("table", "bucket", "blk"))
       .filter(col("query_id") =!= col("cand_id"))
-      .select("query_id", "queryv", "cand_id", "candv")
+      .select("query_id", "cand_id")
       .dropDuplicates("query_id", "cand_id")
-      .withColumn("sim", cosine(col("queryv"), col("candv")))
+      .join(broadcast(qBase), "query_id")
+      .join(cBase, "cand_id")
+      .withColumn("sim", vecDot(col("queryv"), col("candv")) / (col("queryn") * col("candn")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
     cands.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -196,22 +234,52 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs (cosine ≥ threshold) — LSH-bucketed
-    * self-join + exact verify. */
+    * self-join + exact verify, with the same two scale guards as
+    * [[Dedup.minhashLsh]]:
+    *
+    *  - the bucket join is SLIM — only (vec_id, table, bucket) rows ride
+    *    the ×`tables` explode and the exchange; full float arrays are
+    *    joined back onto the deduped candidate pairs (each vector
+    *    shuffles once per pair side, not once per table);
+    *  - pairing within a (table, bucket) group is restricted to a
+    *    bounded rank span ENFORCED IN THE JOIN KEY (block-keyed): a
+    *    group of ≤ maxBucket+1 vectors still produces ALL its pairs,
+    *    while a degenerate hot bucket — e.g. a large cluster of
+    *    identical embeddings, which lands whole in one RHP bucket in
+    *    every table — degrades to a linear chain of rank-neighbors
+    *    (O(group × maxBucket) compute) instead of evaluating the full
+    *    O(group²) product before any filter could prune it. Every
+    *    member of an oversized duplicate cluster still surfaces in at
+    *    least one pair, so the downstream connected-components step
+    *    collapses the cluster exactly as all-pairs would.
+    */
   def cosineDedup(df: DataFrame, threshold: Double,
-                  tables: Int = 8, bitsPerTable: Int = 8): DataFrame = {
-    val nBits = tables * bitsPerTable
-    val mask = (1L << bitsPerTable) - 1
-    val sigs = df.select(col("vec_id"), col("embedding"),
-        rhpSignature(col("embedding"), nBits).as("sig"))
-      .select(col("vec_id"), col("embedding"),
-        posexplode(transform(sequence(lit(0), lit(tables - 1)),
-          t => call_function("shiftright", col("sig"), t * bitsPerTable).bitwiseAND(mask))))
-      .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "table")
-    val a = sigs.select(col("table"), col("bucket"), col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = sigs.select(col("table"), col("bucket"), col("vec_id").as("id_b"), col("embedding").as("vb"))
-    a.join(b, Seq("table", "bucket")).filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("sim", cosine(col("va"), col("vb")))
+                  tables: Int = 8, bitsPerTable: Int = 8,
+                  maxBucket: Int = 64): DataFrame = {
+    val base = df.select(col("vec_id"), col("embedding"),
+      vecNorm(col("embedding")).as("nrm")).persist()
+    CacheRegistry.track(base)
+    val wBucket = Window.partitionBy("table", "bucket").orderBy("vec_id")
+    val bounded = slimBuckets(base, "vec_id", "embedding", "vec_id", tables, bitsPerTable)
+      .withColumn("rn", row_number().over(wBucket))
+      .withColumn("blk", floor((col("rn") - 1) / lit(maxBucket)))
+      .persist()
+    CacheRegistry.track(bounded)
+    // rank-block join key: a-side also reaches the next block so span
+    // pairs crossing a block boundary are kept (cf. Dedup.minhashLsh)
+    val a = bounded.select(col("table"), col("bucket"),
+      col("vec_id").as("id_a"), col("rn").as("rn_a"),
+      explode(array(col("blk"), col("blk") + 1)).as("jblk"))
+    val b = bounded.select(col("table"), col("bucket"),
+      col("vec_id").as("id_b"), col("rn").as("rn_b"), col("blk").as("jblk"))
+    a.join(b, Seq("table", "bucket", "jblk"))
+      .filter(col("rn_b") > col("rn_a") && col("rn_b") - col("rn_a") <= maxBucket)
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+      .join(base.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(base.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        col("nrm").as("nb")), "id_b")
+      .withColumn("sim", vecDot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }

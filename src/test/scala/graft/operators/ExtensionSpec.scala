@@ -147,6 +147,49 @@ class ExtensionSpec extends AnyFunSuite {
     assert(found >= 18, s"LSH cosine dedup found only $found/20 planted near-dup pairs")
   }
 
+  test("oversized identical-embedding cluster (> maxBucket) is linear, not quadratic") {
+    import spark.implicits._
+    // 300 identical embeddings land whole in ONE RHP bucket in every
+    // table — the degenerate case a dirty corpus produces. The block-keyed
+    // span guard must (a) keep compute/output at O(n × maxBucket), not
+    // n²/2 all-pairs, (b) still surface every member in ≥1 pair so
+    // connected components can collapse the cluster, (c) never emit a
+    // pair with the unrelated outlier.
+    val vec = Array(0.6f, -0.2f, 0.9f, 0.1f, -0.7f, 0.3f, 0.5f, -0.4f)
+    val outlier = Array(-0.6f, 0.2f, -0.9f, -0.1f, 0.7f, -0.3f, -0.5f, 0.4f)
+    val rows = (0 until 300).map(i => (i.toLong, vec)) :+ (9999L, outlier)
+    val df = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val out = Similarity.cosineDedup(df, threshold = 0.9)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    val pairs = out.select("id_a", "id_b").as[(Long, Long)].collect()
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert((0L until 300L).toSet.subsetOf(members), "every cluster member must surface")
+    assert(!members.contains(9999L))
+    assert(pairs.length <= 300 * 64,
+      s"span guard must bound pairs at n×maxBucket, got ${pairs.length} (all-pairs = ${300 * 299 / 2})")
+    CacheRegistry.releaseAll()
+  }
+
+  test("IVF Lloyd training buys recall over seed-only centroids") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+      .select(($"vec_id" + 10000).as("vec_id"),
+        transform($"embedding", v => v * lit(1.01f) + lit(0.003f)).as("embedding"))
+    def recall(iters: Int): Int = {
+      val hits = Similarity.ivfTopK(q, e, 1, trainIters = iters)
+        .select("query_id", "cand_id").as[(Long, Long)].collect().toMap
+      (0L until 20L).count(i => hits.get(i + 10000).contains(i))
+    }
+    val trained = recall(2)
+    val seedOnly = recall(0)
+    assert(trained >= seedOnly,
+      s"Lloyd-trained centroids must not lose recall: trained=$trained seed=$seedOnly")
+    assert(trained >= 15, s"trained IVF recall too low: $trained/20")
+  }
+
   test("connected components collapse transitive duplicate chains") {
     import spark.implicits._
     // chain 1-2-3-4 (consecutive pairs only), separate pair 10-11, isolated 99
@@ -157,6 +200,21 @@ class ExtensionSpec extends AnyFunSuite {
     assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L), "chain collapses to min id")
     assert(cc(10L) == 10L && cc(11L) == 10L)
     assert(!cc.contains(99L), "isolated docs are not in the pair graph")
+    CacheRegistry.releaseAll()
+  }
+
+  test("connected components label a 300-node chain exactly (pointer jumping)") {
+    import spark.implicits._
+    // a path graph of diameter 299: plain min-label propagation moves the
+    // min ONE hop per round and would exit maxIter=20 with silently wrong
+    // labels; the pointer-jumping step doubles the propagated radius per
+    // round, so 20 rounds cover diameter ~2^19 and this must be exact.
+    val chain = (0L until 299L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 300)
+    assert((0L to 299L).forall(cc(_) == 0L),
+      s"non-minimal labels: ${cc.filter(_._2 != 0L).take(5)}")
     CacheRegistry.releaseAll()
   }
 
