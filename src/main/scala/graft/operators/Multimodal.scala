@@ -6,12 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, batch feature extraction via `mapPartitions`.
   *
-  * The actual codec call is STUBBED (this container has no image/audio
-  * libraries): [[StubDecoder.decode]] derives deterministic fake
-  * dimensions from the byte stream. Everything around it — binary column
-  * schema, typed Dataset plumbing, per-partition batch iteration (the
-  * shape a JNI/codec call wants: reuse one decoder instance per partition,
-  * not per row), partition-count control — is real and tested.
+  * IMAGE decode is REAL: [[MediaCodec]] hands the bytes to the JDK's own
+  * `javax.imageio` (PNG/JPEG/GIF/BMP/WBMP readers ship with every JDK —
+  * no external dependency), including true width/height, GIF frame
+  * counts, and a real resize + re-encode path. Payloads ImageIO has no
+  * reader for (video/audio containers — their codecs genuinely aren't in
+  * this container) fall back to [[StubDecoder]]'s deterministic fake
+  * dimensions so the pipeline stays oracle-checkable end-to-end. The
+  * Spark-side shape — binary column schema, typed Dataset plumbing,
+  * per-partition batch iteration (one decoder context per partition, not
+  * per row), partition-count control — is identical for both paths.
   */
 object Multimodal {
 
@@ -19,13 +23,68 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
                            width: Int, height: Int, n_frames: Int, checksum_hex: String)
 
-  /** The stubbed codec. A real implementation would hand `bytes` to an
-    * image/audio/video decoder; we derive deterministic fake dimensions so
-    * the pipeline is oracle-checkable end-to-end. */
+  /** Fallback codec for payloads `javax.imageio` cannot read (video /
+    * audio containers): deterministic fake dimensions derived from the
+    * byte stream, so the pipeline is oracle-checkable end-to-end. */
   object StubDecoder {
     def decode(bytes: Array[Byte]): (Int, Int, Int) = {
       val n = bytes.length
       (n % 640 + 1, n % 480 + 1, n % 30 + 1)
+    }
+  }
+
+  /** Real image decoding via the JDK's `javax.imageio` with the stub as
+    * fallback. All entry points sniff the container from the magic bytes
+    * (`ImageIO.getImageReaders`); disk caching is disabled so per-row
+    * decode never touches temp files. */
+  object MediaCodec {
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** (width, height, frames) — real for any ImageIO-readable container
+      * (frames > 1 for animated GIF), stub otherwise. */
+    def dims(bytes: Array[Byte]): (Int, Int, Int) = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) StubDecoder.decode(bytes)
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, /*seekForwardOnly=*/ false, /*ignoreMetadata=*/ true)
+            val frames =
+              try math.max(1, r.getNumImages(/*allowSearch=*/ true))
+              catch { case _: Exception => 1 }
+            (r.getWidth(0), r.getHeight(0), frames)
+          } finally r.dispose()
+        }
+      } catch { case _: Exception => StubDecoder.decode(bytes) }
+      finally iis.close()
+    }
+
+    /** Aspect-preserving resize of a real image: decode, bilinear-scale
+      * so max(w, h) == min(maxDim, max(w, h)), re-encode as PNG. Returns
+      * None for non-image payloads (callers stub those). */
+    def resize(bytes: Array[Byte], maxDim: Int): Option[(Int, Int, Int, Int, Long)] = {
+      val img =
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        catch { case _: Exception => None }
+      img.map { in =>
+        val (w, h) = (in.getWidth, in.getHeight)
+        val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+        val (ow, oh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+        val out = new java.awt.image.BufferedImage(ow, oh,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(in, 0, 0, ow, oh, null)
+        } finally g.dispose()
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", buf)
+        (w, h, ow, oh, buf.size().toLong)
+      }
     }
   }
 
@@ -50,7 +109,7 @@ object Multimodal {
     rows.mapPartitions { it =>
       val digest = java.security.MessageDigest.getInstance("SHA-256")
       it.map { r =>
-        val (w, h, f) = StubDecoder.decode(r.media)
+        val (w, h, f) = MediaCodec.dims(r.media)
         digest.reset()
         val sha = digest.digest(r.media).map("%02x".format(_)).mkString
         MediaFeatures(r.doc_id, r.media_type, r.media.length.toLong, w, h, f, sha)
@@ -62,31 +121,37 @@ object Multimodal {
                           out_width: Int, out_height: Int, n_bytes_out: Long)
   case class FrameRef(doc_id: Long, frame_idx: Int, frame_count: Int)
 
-  /** Resize-to-fit plumbing: aspect-preserving target-dim computation is
-    * real; the pixel transform itself is the stubbed codec step (a real
-    * impl hands bytes + target dims to the image library here). */
+  /** Aspect-preserving resize. Real images go through
+    * [[MediaCodec.resize]] (decode → bilinear scale → PNG re-encode;
+    * `n_bytes_out` is the true re-encoded size). Non-image payloads keep
+    * the stub dims and report the would-be RGB buffer size. */
   def resizeTo(rows: Dataset[MediaRow], maxDim: Int): Dataset[ResizedMedia] = {
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
       it.map { r =>
-        val (w, h, _) = StubDecoder.decode(r.media)
-        val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
-        val (ow, oh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
-        // stub: a real decoder returns re-encoded bytes; we return the
-        // deterministic would-be RGB buffer size
-        ResizedMedia(r.doc_id, w, h, ow, oh, ow.toLong * oh * 3)
+        MediaCodec.resize(r.media, maxDim) match {
+          case Some((w, h, ow, oh, nOut)) =>
+            ResizedMedia(r.doc_id, w, h, ow, oh, nOut)
+          case None =>
+            val (w, h, _) = StubDecoder.decode(r.media)
+            val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+            val (ow, oh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+            ResizedMedia(r.doc_id, w, h, ow, oh, ow.toLong * oh * 3)
+        }
       }
     }
   }
 
-  /** Frame sampling for video-ish media: every `everyN`-th frame index,
+  /** Frame sampling for multi-frame media: every `everyN`-th frame index,
     * exploded one row per sampled frame — the shape a caption/embedding
-    * stage consumes. The decode of each frame is the stubbed step. */
+    * stage consumes. Frame counts are real for ImageIO-readable media
+    * (animated GIF; 1 for static images) and stubbed for video containers
+    * whose codecs aren't available. */
   def sampleFrames(rows: Dataset[MediaRow], everyN: Int): Dataset[FrameRef] = {
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
       it.flatMap { r =>
-        val (_, _, frames) = StubDecoder.decode(r.media)
+        val (_, _, frames) = MediaCodec.dims(r.media)
         (0 until frames by everyN).iterator.map(i => FrameRef(r.doc_id, i, frames))
       }
     }
