@@ -29,6 +29,7 @@ object SparkEntry {
     "events_sessionize_gap" -> (AnalyticsQueries.eventsSessionize _),
     "events_asof_purchase" -> (AnalyticsQueries.eventsAsofPurchase _),
     "salted_user_types" -> (AnalyticsQueries.saltedUserTypes _),
+    "salted_value_median" -> (AnalyticsQueries.saltedValueMedian _),
     "events_window_count" -> (AnalyticsQueries.eventsWindowCount _),
     "top_words" -> (AnalyticsQueries.topWords _),
     // -- core analytics operators (SURVEY §2.6 "free from Catalyst") --
@@ -93,6 +94,7 @@ object SparkEntry {
     "events_sessionize_gap" -> AnalyticsQueries.eventsSessionizeOracle,
     "events_asof_purchase" -> AnalyticsQueries.eventsAsofPurchaseOracle,
     "salted_user_types" -> AnalyticsQueries.saltedUserTypesOracle,
+    "salted_value_median" -> AnalyticsQueries.saltedValueMedianOracle,
     "events_window_count" -> AnalyticsQueries.eventsWindowCountOracle,
     "top_words" -> AnalyticsQueries.topWordsOracle,
     "q1_pricing" -> AnalyticsQueries.q1PricingOracle,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation by key salting — for the aggregation shapes AQE and
@@ -35,4 +36,65 @@ object Salting {
       .agg(collect_set(col(value)).as("_partial"))
       .groupBy(col(key))
       .agg(array_distinct(flatten(collect_list(col("_partial")))).as(s"${value}_set"))
+
+  /** Two-phase collect_list with a deterministic (sorted-multiset)
+    * result: per-(key, salt) partial lists, then flatten + sort in the
+    * final merge. Unlike [[saltedCollectSet]] the salt must spread
+    * DUPLICATE values too (a key flooded with one repeated value is
+    * exactly the skew case), so it derives from a synthetic per-row id
+    * rather than the value; the output is salt-assignment-invariant
+    * because the sorted multiset doesn't depend on which partial each
+    * row landed in.
+    *
+    * Each aggregation BUFFER is bounded at ~1/salts of the hot key; the
+    * final merged array is still the key's whole multiset (that's the
+    * operator's contract). When only an order statistic of that multiset
+    * is needed, use [[exactPercentile]] instead — it never materializes
+    * the multiset anywhere. */
+  def saltedSortedList(df: DataFrame, key: String, value: String,
+                       salts: Int = 16): DataFrame =
+    df.withColumn("_salt",
+        pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)).cast("int"))
+      .groupBy(col(key), col("_salt"))
+      .agg(collect_list(col(value)).as("_partial"))
+      .groupBy(col(key))
+      .agg(array_sort(flatten(collect_list(col("_partial")))).as(s"${value}_list"))
+
+  /** EXACT percentile per key with NO holistic buffer at all — the
+    * decomposition that makes "exact p50 over a 100 TB hot key" viable:
+    *
+    *  1. `groupBy(key, value).count()` — map-side partial aggregation
+    *     collapses a hot key to its distinct values before the shuffle,
+    *     so the exchange carries (key, value, partial count) rows, never
+    *     raw rows;
+    *  2. a per-key cumulative sum over the (sorted) distinct values
+    *     picks the element of rank `floor((n-1)*p) + 1` (the
+    *     lower-interpolation discrete percentile — an actual data value,
+    *     bit-comparable across engines, no float interpolation).
+    *
+    * Per-task state is bounded by the key's DISTINCT-value cardinality
+    * (the window sort spills; there is no aggregation buffer), versus
+    * collect_list-then-sort whose merge task holds the key's full row
+    * multiset. Rows with a NULL value are ignored (SQL aggregate
+    * convention).
+    *
+    * @return one row per key: (key, p<pct> value), e.g. `p50`. */
+  def exactPercentile(df: DataFrame, key: String, value: String,
+                      p: Double): DataFrame = {
+    require(p >= 0.0 && p <= 1.0, s"percentile out of range: $p")
+    val outCol = s"p${math.round(p * 100)}"
+    val counts = df.filter(col(value).isNotNull)
+      .groupBy(col(key), col(value).as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val wCum = Window.partitionBy(key).orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(key)
+    val rank = floor((sum(col("_c")).over(wAll) - 1) * lit(p)) + 1
+    counts
+      .withColumn("_cum", sum(col("_c")).over(wCum))
+      .withColumn("_rank", rank)
+      .filter(col("_cum") - col("_c") < col("_rank") &&
+        col("_rank") <= col("_cum"))
+      .select(col(key), col("_v").as(outCol))
+  }
 }

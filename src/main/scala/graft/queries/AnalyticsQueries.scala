@@ -419,6 +419,37 @@ SELECT user_id,
        CAST(to_json(list_sort(list(DISTINCT event_type))) AS VARCHAR) AS types_json
 FROM events GROUP BY user_id ORDER BY user_id"""
 
+  /** Exact per-type median of `value`, computed two independent ways in
+    * the same row so one hash check proves both remaining holistic
+    * shapes from [[graft.operators.Salting]]: `p50` via the
+    * distributed histogram + cumulative-sum path ([[graft.operators.
+    * Salting.exactPercentile]] — no holistic buffer anywhere) and
+    * `p50_list` via the salted two-phase collect_list merge
+    * ([[graft.operators.Salting.saltedSortedList]] — every aggregation
+    * buffer bounded at 1/salts of the key). Both are the
+    * lower-interpolation discrete percentile: an actual data element,
+    * bit-comparable against the DuckDB oracle. */
+  def saltedValueMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, sfDir, "events")
+      .select($"event_type", $"value").filter($"value".isNotNull)
+    val hist = graft.operators.Salting.exactPercentile(ev, "event_type", "value", 0.5)
+    val viaList = graft.operators.Salting
+      .saltedSortedList(ev, "event_type", "value", salts = 16)
+      .select($"event_type",
+        element_at($"value_list",
+          (floor((size($"value_list") - 1) * 0.5) + 1).cast("int")).as("p50_list"))
+    hist.join(viaList, "event_type").orderBy("event_type")
+  }
+
+  val saltedValueMedianOracle: String = """
+WITH m AS (
+  SELECT event_type,
+         list_extract(list_sort(list(value)),
+                      CAST(floor((count(*) - 1) * 0.5) AS BIGINT) + 1) AS med
+  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+SELECT event_type, med AS p50, med AS p50_list FROM m ORDER BY event_type"""
+
   /** ClickHouse `ASOF JOIN` surface: for every event, the same user's most
     * recent purchase at or before it (events before the user's first
     * purchase stay null). One shuffle + sort via the union–backfill

@@ -17,4 +17,47 @@ class SaltingSpec extends AnyFunSuite {
     assert(salted("cold7") == Set("x"))
     assert(salted.size == 21)
   }
+
+  test("salted sorted list preserves the exact multiset, duplicates included") {
+    import spark.implicits._
+    // hot key floods ONE repeated value (the case value-derived salts
+    // cannot spread) plus a tail; the merged sorted multiset must be exact
+    val df = ((1 to 5000).map(_ => ("hot", 7)) ++
+      (1 to 100).map(i => ("hot", i)) ++
+      Seq(("cold", 3), ("cold", 1), ("cold", 3))).toDF("k", "v")
+    val got = Salting.saltedSortedList(df, "k", "v", salts = 8)
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    val expectedHot = ((1 to 5000).map(_ => 7) ++ (1 to 100)).sorted
+    assert(got("hot") == expectedHot)
+    assert(got("cold") == Seq(1, 3, 3))
+  }
+
+  test("exact percentile matches a sort-and-index reference on ties and evens") {
+    import spark.implicits._
+    def reference(vs: Seq[Double], p: Double): Double =
+      vs.sorted.apply(math.floor((vs.size - 1) * p).toInt)
+    val groups = Map(
+      "a" -> Seq(5.0, 1.0, 3.0),                       // odd n
+      "b" -> Seq(4.0, 2.0, 8.0, 6.0),                  // even n → lower element
+      "c" -> Seq(2.0, 2.0, 2.0, 9.0),                  // heavy ties
+      "d" -> Seq(1.5))                                 // singleton
+    val df = groups.toSeq.flatMap { case (k, vs) => vs.map(k -> _) }.toDF("k", "v")
+    for (p <- Seq(0.0, 0.25, 0.5, 0.9, 1.0)) {
+      val got = Salting.exactPercentile(df, "k", "v", p)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      groups.foreach { case (k, vs) =>
+        assert(got(k) == reference(vs, p), s"key=$k p=$p")
+      }
+      assert(got.size == groups.size, s"exactly one row per key at p=$p")
+    }
+  }
+
+  test("exact percentile ignores nulls and emits one row per key") {
+    import spark.implicits._
+    val df = Seq(("a", Some(3.0)), ("a", None), ("a", Some(1.0)), ("b", None))
+      .toDF("k", "v")
+    val got = Salting.exactPercentile(df, "k", "v", 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("a" -> 1.0)) // b has no non-null values → no row
+  }
 }
