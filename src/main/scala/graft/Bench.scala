@@ -50,7 +50,16 @@ object Bench {
       s""""available_cpus":${Runtime.getRuntime.availableProcessors}""",
       s""""jvm":"${sys.props.getOrElse("java.version", "?")}"""",
       s""""spark":"${spark.version}"""").mkString(",")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$meta}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$meta}"""
+    println(line)
+    // also write the artifact directly: the driver's log-tail scrape has
+    // to fish this line out of interleaved sbt/Spark noise and has twice
+    // recorded "parsed": null — a file is unambiguous
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(out, line + "\n")
     spark.stop()
   }
 }

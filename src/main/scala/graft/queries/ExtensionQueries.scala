@@ -22,9 +22,19 @@ object ExtensionQueries {
 SELECT sha256(text) AS content_sha, min(doc_id) AS keep_id, count(*) AS n_copies
 FROM documents GROUP BY text ORDER BY content_sha"""
 
+  /** The one exact-pair kernel both `dedup_ngram_jaccard` and
+    * `dedup_components` consume — single definition so the two registered
+    * queries can never drift apart on shingle width / threshold / df cap.
+    * Within `dedup_components` the result is materialized exactly once:
+    * [[Dedup.connectedComponents]] `localCheckpoint`s the edge set built
+    * from it before iterating, so the label loop never re-executes this
+    * join. */
+  private def ngramPairs(docs: DataFrame): DataFrame =
+    Dedup.ngramJaccard(docs, "doc_id", "text",
+      n = 3, threshold = 0.5, maxDocFreq = 100)
+
   def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.ngramJaccard(Tables(spark, sfDir, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.5, maxDocFreq = 100)
+    ngramPairs(Tables(spark, sfDir, "documents"))
       .orderBy("id_a", "id_b")
 
   val dedupNgramJaccardOracle: String = """
@@ -59,9 +69,7 @@ ORDER BY id_a, id_b"""
     * pipeline runs between pair generation and the final filter. */
   def dedupComponents(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
-    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
-      n = 3, threshold = 0.5, maxDocFreq = 100)
-    val labels = Dedup.connectedComponents(pairs)
+    val labels = Dedup.connectedComponents(ngramPairs(docs))
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
