@@ -63,6 +63,9 @@ object SparkEntry {
     "text_repetition" -> (ExtensionQueries.textRepetition _),
     "text_pii_redact" -> (ExtensionQueries.textPiiRedact _),
     "text_winnow_fingerprint" -> (ExtensionQueries.textWinnow _),
+    "text_bm25_search" -> (ExtensionQueries.textBm25 _),
+    "corpus_split" -> (ExtensionQueries.corpusSplit _),
+    "corpus_pack_sequences" -> (ExtensionQueries.corpusPackSequences _),
     // -- violation queries: hash-green emptiness proofs for the LSH family.
     //    Each recomputes the operator's exact-verify contract through an
     //    independent path; the oracle is the guaranteed constant (0
@@ -132,7 +135,10 @@ object SparkEntry {
     "dedup_embedding_violations" -> ExtensionQueries.violationOracle,
     "ann_lsh_violations" -> ExtensionQueries.violationOracle,
     "ann_ivf_violations" -> ExtensionQueries.violationOracle,
-    "text_winnow_violations" -> ExtensionQueries.textWinnowViolationsOracle
+    "text_winnow_violations" -> ExtensionQueries.textWinnowViolationsOracle,
+    "text_bm25_search" -> ExtensionQueries.textBm25Oracle,
+    "corpus_split" -> ExtensionQueries.corpusSplitOracle,
+    "corpus_pack_sequences" -> ExtensionQueries.corpusPackSequencesOracle
     // dedup_minhash_lsh / dedup_simhash / dedup_embedding_cosine /
     // ann_lsh_topk / ann_ivf_topk / text_winnow_fingerprint stay
     // rows-only (engine-internal hash families), but each is now PAIRED

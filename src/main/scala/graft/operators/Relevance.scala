@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 relevance scoring of a document corpus against a fixed
+  * query-term set — the standard retrieval score a training-data
+  * pipeline uses to mine topic-targeted subsets from a web corpus.
+  *
+  * Scale design: the query is a handful of literal terms, so per-doc
+  * term frequencies are plain narrow `filter`/`size` column expressions
+  * (scan-speed, codegen, no explode and no inverted-index shuffle), and
+  * the corpus statistics (N, Σdl, per-term document frequency) come from
+  * ONE aggregate pass collected to the driver — |terms| + 2 numbers —
+  * then ride into the scoring scan as literals, exactly how a broadcast
+  * var rides into a task. Two scans total, zero joins, zero shuffles.
+  *
+  * Determinism: `idfMode = "rational"` uses the Robertson–Sparck Jones
+  * odds ratio WITHOUT the log, `(N - df + 0.5) / (df + 0.5)`, keeping
+  * the whole score inside IEEE +,-,*,/ over exactly-representable
+  * integer-valued operands — bit-identical in any engine, so the
+  * registered query can be hash-checked against DuckDB. `"log"` applies
+  * the textbook `ln(1 + odds)` (per-term monotone, the usual saturation
+  * of rare-term dominance); libm `ln` may differ across engines in the
+  * last ulp, so that variant is verified by ScalaTest against an
+  * in-JVM reference instead of the SQL oracle.
+  */
+object Relevance {
+
+  /** Per-document BM25 score over whitespace tokens; emits only documents
+    * containing at least one query term.
+    *
+    * @return (doc_id, score) — doc_id named after `idCol`.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           idfMode: String = "rational"): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    require(idfMode == "rational" || idfMode == "log", s"bad idfMode: $idfMode")
+    val words = TextAnalysis.tokens(col(textCol))
+    def tf(t: String): Column = size(filter(words, w => w === lit(t)))
+
+    // stats pass: one scan, |terms| + 2 values to the driver
+    val statCols = count(lit(1)).as("n") +:
+      sum(size(words).cast("long")).as("sumdl") +:
+      terms.map(t => count(when(tf(t) > 0, 1)).as(s"df_$t"))
+    val statRow = docs.agg(statCols.head, statCols.tail: _*).head()
+    val n = statRow.getLong(0).toDouble
+    val avgdl = statRow.getLong(1).toDouble / n
+    val idf: Map[String, Double] = terms.zipWithIndex.map { case (t, i) =>
+      val df = statRow.getLong(i + 2).toDouble
+      val odds = (n - df + 0.5) / (df + 0.5)
+      t -> (if (idfMode == "log") math.log(1.0 + odds) else odds)
+    }.toMap
+
+    // scoring pass: tf saturation × idf, summed in fixed term order
+    val dl = size(words).cast("double")
+    val termScores = terms.map { t =>
+      val tfd = tf(t).cast("double")
+      lit(idf(t)) * (tfd * lit(k1 + 1.0)) /
+        (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(avgdl)))
+    }
+    val anyHit = terms.map(t => tf(t)).reduce(_ + _) > 0
+    docs.filter(anyHit)
+      .select(col(idCol), termScores.reduce(_ + _).as("score"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Packing, Relevance, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -608,6 +608,84 @@ WITH s AS (
 SELECT doc_id, fingerprint, predicted_lang, n_tokens, quality_score
 FROM s WHERE rn = 1 AND quality_score >= 0.5
 ORDER BY doc_id"""
+
+  // ------------------------------------------- corpus management ops ----
+
+  /** BM25 relevance of every document against a fixed query-term set
+    * ([[Relevance.bm25]], rational-idf mode so the whole score stays in
+    * IEEE +,-,*,/ and hash-matches the DuckDB oracle; the textbook log
+    * variant is ScalaTest-verified in RelevanceSpec). */
+  def textBm25(spark: SparkSession, sfDir: String): DataFrame =
+    Relevance.bm25(Tables(spark, sfDir, "documents"), "doc_id", "text",
+        terms = Seq("data", "vector", "spark"))
+      .orderBy("doc_id")
+
+  val textBm25Oracle: String = """
+WITH t AS (
+  SELECT doc_id, string_split(text,' ') AS w,
+         CAST(len(string_split(text,' ')) AS DOUBLE) AS dl
+  FROM documents),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(len(w) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+         CAST(count(*) FILTER (WHERE list_contains(w,'data')) AS DOUBLE) AS df1,
+         CAST(count(*) FILTER (WHERE list_contains(w,'vector')) AS DOUBLE) AS df2,
+         CAST(count(*) FILTER (WHERE list_contains(w,'spark')) AS DOUBLE) AS df3
+  FROM t),
+f AS (
+  SELECT doc_id, dl,
+         CAST(len(list_filter(w, x -> x = 'data')) AS DOUBLE) AS tf1,
+         CAST(len(list_filter(w, x -> x = 'vector')) AS DOUBLE) AS tf2,
+         CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) AS tf3
+  FROM t)
+SELECT doc_id,
+  ((n - df1 + 0.5)/(df1 + 0.5)) * (tf1*(1.2+1.0)) / (tf1 + 1.2*((1.0-0.75) + 0.75*dl/avgdl))
++ ((n - df2 + 0.5)/(df2 + 0.5)) * (tf2*(1.2+1.0)) / (tf2 + 1.2*((1.0-0.75) + 0.75*dl/avgdl))
++ ((n - df3 + 0.5)/(df3 + 0.5)) * (tf3*(1.2+1.0)) / (tf3 + 1.2*((1.0-0.75) + 0.75*dl/avgdl)) AS score
+FROM f, s
+WHERE tf1 + tf2 + tf3 > 0
+ORDER BY doc_id"""
+
+  /** Deterministic 80/10/10 train/val/test assignment
+    * ([[Sampling.hashSplit]] — md5-bucketed, stable under appends and
+    * engine-portable, which is exactly what the hash check proves). */
+  def corpusSplit(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.hashSplit(
+        Tables(spark, sfDir, "documents").select("doc_id", "lang"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "lang", "split").orderBy("doc_id")
+
+  val corpusSplitOracle: String = """
+SELECT doc_id, lang,
+  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'cccccccc' THEN 'train'
+       WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' THEN 'val'
+       ELSE 'test' END AS split
+FROM documents ORDER BY doc_id"""
+
+  /** GPT-style sequence-pack manifest at seqLen=1024, sharded by source
+    * ([[Packing.packManifest]]). */
+  def corpusPackSequences(spark: SparkSession, sfDir: String): DataFrame =
+    Packing.packManifest(Tables(spark, sfDir, "documents"), "doc_id", "source",
+        size(TextAnalysis.tokens(col("text"))), seqLen = 1024)
+      .orderBy("shard", "seq_id", "doc_id")
+
+  val corpusPackSequencesOracle: String = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text,' ')) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(CAST(len(string_split(text,' ')) AS BIGINT))
+           OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bef
+  FROM documents),
+x AS (
+  SELECT source AS shard, doc_id, n, bef,
+         CAST(unnest(range(bef // 1024, (bef + n - 1) // 1024 + 1)) AS BIGINT) AS seq_id
+  FROM t WHERE n > 0)
+SELECT shard, seq_id, doc_id,
+       greatest(bef, seq_id * 1024) - seq_id * 1024 AS seq_off,
+       greatest(bef, seq_id * 1024) - bef AS doc_off,
+       least(bef + n, (seq_id + 1) * 1024) - greatest(bef, seq_id * 1024) AS tok_len
+FROM x ORDER BY shard, seq_id, doc_id"""
 
   // --------------------------------------------------------- multimodal ----
 

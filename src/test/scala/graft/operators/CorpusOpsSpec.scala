@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit tests for the corpus-management operators: BM25 relevance,
+  * deterministic hash splitting, and sequence packing. */
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+
+  // ------------------------------------------------------------- bm25 ----
+
+  /** In-JVM reference implementation (plain Scala) for both idf modes. */
+  private def bm25Ref(docs: Seq[(Long, String)], terms: Seq[String],
+                      logIdf: Boolean, k1: Double = 1.2, b: Double = 0.75): Map[Long, Double] = {
+    val words = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val n = docs.size.toDouble
+    val avgdl = words.map(_._2.size).sum.toDouble / n
+    val idf = terms.map { t =>
+      val df = words.count(_._2.contains(t)).toDouble
+      val odds = (n - df + 0.5) / (df + 0.5)
+      t -> (if (logIdf) math.log(1.0 + odds) else odds)
+    }.toMap
+    words.flatMap { case (id, ws) =>
+      val dl = ws.size.toDouble
+      val score = terms.map { t =>
+        val tf = ws.count(_ == t).toDouble
+        idf(t) * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+      }.sum
+      if (terms.exists(ws.contains)) Some(id -> score) else None
+    }.toMap
+  }
+
+  private val corpus = Seq(
+    (1L, "data model data pipeline"),
+    (2L, "spark engine spark spark joins"),
+    (3L, "completely unrelated words here"),
+    (4L, "data spark data engine data quality data"))
+
+  test("bm25 matches an in-JVM reference in both idf modes") {
+    import spark.implicits._
+    val df = corpus.toDF("doc_id", "text")
+    for (mode <- Seq("rational", "log")) {
+      val got = Relevance.bm25(df, "doc_id", "text", Seq("data", "spark"), idfMode = mode)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val want = bm25Ref(corpus, Seq("data", "spark"), logIdf = mode == "log")
+      assert(got.keySet == Set(1L, 2L, 4L), s"mode=$mode: doc 3 has no query term")
+      want.foreach { case (id, s) =>
+        assert(got(id) == s, s"mode=$mode doc=$id got=${got(id)} want=$s")
+      }
+    }
+  }
+
+  test("bm25 ranks the term-dense doc first and saturates with k1") {
+    import spark.implicits._
+    val df = corpus.toDF("doc_id", "text")
+    val scores = Relevance.bm25(df, "doc_id", "text", Seq("data"), idfMode = "log")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(4L) > scores(1L), "4 x tf beats 2 x tf")
+    // saturation: quadrupling tf must NOT quadruple the score
+    assert(scores(4L) < 4.0 * scores(1L) / 2.0)
+  }
+
+  // -------------------------------------------------------- hashSplit ----
+
+  test("hash split: deterministic, complete, and close to requested fractions") {
+    import spark.implicits._
+    val df = (0L until 10000L).toDF("doc_id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Sampling.hashSplit(df, "doc_id", splits)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.values.sum == 10000L, "every row assigned exactly one split")
+    assert(math.abs(got("train") - 8000L) < 200, s"train=${got("train")}")
+    assert(math.abs(got("val") - 1000L) < 100, s"val=${got("val")}")
+    // determinism + append-stability: the first 1000 ids get identical
+    // assignments whether or not the other 9000 are present
+    val small = Sampling.hashSplit((0L until 1000L).toDF("doc_id"), "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = Sampling.hashSplit(df, "doc_id", splits)
+      .filter($"doc_id" < 1000).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(small == full)
+  }
+
+  test("hex thresholds are exact fixed-width lowercase hex") {
+    assert(Sampling.hexThreshold(0.8) == "cccccccc")
+    assert(Sampling.hexThreshold(0.9) == "e6666666")
+    assert(Sampling.hexThreshold(1.0) == "ffffffff")
+    assert(Sampling.hexThreshold(0.0) == "00000000")
+  }
+
+  // ---------------------------------------------------------- packing ----
+
+  test("pack manifest: exact spans on a hand-checked shard") {
+    import spark.implicits._
+    // tokens per doc: 3, 4, 2 at seqLen 5 →
+    //   d1: seq0[0..3)        from doc[0..3)
+    //   d2: seq0[3..5) doc[0..2), seq1[0..2) doc[2..4)
+    //   d3: seq1[2..4)        from doc[0..2)
+    val df = Seq((1L, "s", 3), (2L, "s", 4), (3L, "s", 2)).toDF("doc_id", "source", "n")
+    val got = Packing.packManifest(df, "doc_id", "source", col("n"), seqLen = 5)
+      .orderBy("seq_id", "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (0L, 1L, 0L, 0L, 3L),
+      (0L, 2L, 3L, 0L, 2L),
+      (1L, 2L, 0L, 2L, 2L),
+      (1L, 3L, 2L, 0L, 2L)))
+  }
+
+  test("pack manifest invariants: conservation, capacity, shard isolation") {
+    import spark.implicits._
+    val docs = (0L until 500L).map(i => (i, s"shard${i % 3}", (i % 37 + 1).toInt))
+      .toDF("doc_id", "source", "n")
+    val m = Packing.packManifest(docs, "doc_id", "source", col("n"), seqLen = 64)
+    // every token of every doc lands exactly once
+    val perDoc = m.groupBy("doc_id").agg(sum("tok_len").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 500L).foreach(i => assert(perDoc(i) == i % 37 + 1))
+    // no sequence exceeds seqLen, and all but each shard's last are full
+    val perSeq = m.groupBy("shard", "seq_id").agg(sum("tok_len").as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(perSeq.values.forall(_ <= 64))
+    val lastSeq = perSeq.keys.groupBy(_._1).map { case (s, ks) => s -> ks.map(_._2).max }
+    perSeq.foreach { case ((s, q), t) => if (q != lastSeq(s)) assert(t == 64L, s"$s/$q") }
+    // offsets tile each sequence contiguously from 0
+    val seqs = m.select("shard", "seq_id", "seq_off", "tok_len")
+      .collect().groupBy(r => (r.getString(0), r.getLong(1)))
+    seqs.foreach { case (_, rows) =>
+      val spans = rows.map(r => (r.getLong(2), r.getLong(2) + r.getLong(3))).sortBy(_._1)
+      assert(spans.head._1 == 0L)
+      spans.sliding(2).foreach {
+        case Array(a, b) => assert(a._2 == b._1, "spans must tile with no gap/overlap")
+        case _ =>
+      }
+    }
+  }
+
+  test("pack manifest skips empty documents") {
+    import spark.implicits._
+    val df = Seq((1L, "s", 0), (2L, "s", 5)).toDF("doc_id", "source", "n")
+    val got = Packing.packManifest(df, "doc_id", "source", col("n"), seqLen = 8).collect()
+    assert(got.map(_.getLong(2)).toSet == Set(2L))
+    assert(got.head.getLong(4) == 0L, "doc 1 contributes no offset shift")
+  }
+}
