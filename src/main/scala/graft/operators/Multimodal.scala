@@ -40,9 +40,39 @@ object Multimodal {
   object MediaCodec {
     javax.imageio.ImageIO.setUseCache(false)
 
-    /** (width, height, frames) — real for any ImageIO-readable container
+    /** POSITIVE image-container guard: decode is attempted only when the
+      * payload carries a real image signature, never because a decoder
+      * merely didn't throw on arbitrary bytes (GIF/BMP headers have no
+      * checksum, so "reader didn't throw" can hand back garbage dims
+      * parsed out of text). PNG and JPEG magics contain non-text bytes
+      * and stand alone; the two all-ASCII magics get corroboration —
+      * BMP's declared file size must equal the payload length, and GIF
+      * must end with its 0x3B trailer and have at least one non-printable
+      * byte in the logical screen descriptor (true for any real GIF with
+      * dims < 0x2020 or a global color table; a false negative only means
+      * the conservative stub path). Deterministic by construction either
+      * way — which is what the oracle-checked queries feeding text bytes
+      * through here rely on. */
+    private[operators] def looksLikeImage(b: Array[Byte]): Boolean = {
+      def u(i: Int) = b(i) & 0xFF
+      def printable(i: Int) = u(i) >= 0x20 && u(i) <= 0x7E
+      if (b.length >= 8 && u(0) == 0x89 && u(1) == 'P' && u(2) == 'N' && u(3) == 'G')
+        true
+      else if (b.length >= 3 && u(0) == 0xFF && u(1) == 0xD8 && u(2) == 0xFF)
+        true
+      else if (b.length >= 14 &&
+               (b.startsWith("GIF87a".getBytes) || b.startsWith("GIF89a".getBytes)))
+        u(b.length - 1) == 0x3B && (6 until 13).exists(!printable(_))
+      else if (b.length >= 14 && u(0) == 'B' && u(1) == 'M' &&
+               (u(2) | (u(3) << 8) | (u(4) << 16) | (u(5).toLong << 24)) == b.length)
+        true
+      else false
+    }
+
+    /** (width, height, frames) — real for recognized image containers
       * (frames > 1 for animated GIF), stub otherwise. */
     def dims(bytes: Array[Byte]): (Int, Int, Int) = {
+      if (!looksLikeImage(bytes)) return StubDecoder.decode(bytes)
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
@@ -67,7 +97,8 @@ object Multimodal {
       * None for non-image payloads (callers stub those). */
     def resize(bytes: Array[Byte], maxDim: Int): Option[(Int, Int, Int, Int, Long)] = {
       val img =
-        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        if (!looksLikeImage(bytes)) None
+        else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
         catch { case _: Exception => None }
       img.map { in =>
         val (w, h) = (in.getWidth, in.getHeight)

@@ -37,12 +37,15 @@ object Packing {
   def packManifest(docs: DataFrame, idCol: String, shardCol: String,
                    nTok: Column, seqLen: Int): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")
-    val w = Window.partitionBy(shardCol).orderBy(idCol)
+    val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val before = coalesce(sum(nTok.cast("long")).over(w), lit(0L))
+    // tokenless (and any malformed negative-count) docs are dropped
+    // BEFORE the cumulative sum — a negative count entering the window
+    // would silently shift every later doc's offsets in the shard
     docs.select(col(shardCol).as("shard"), col(idCol).as("doc_id"),
-        nTok.cast("long").as("n_tok"), before.as("tok_before"))
+        nTok.cast("long").as("n_tok"))
       .filter(col("n_tok") > 0)
+      .withColumn("tok_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
       .withColumn("seq_id", explode(sequence(
         floor(col("tok_before") / seqLen).cast("long"),
         floor((col("tok_before") + col("n_tok") - 1) / seqLen).cast("long"))))

@@ -45,7 +45,10 @@ object Relevance {
       sum(size(words).cast("long")).as("sumdl") +:
       terms.map(t => count(when(tf(t) > 0, 1)).as(s"df_$t"))
     val statRow = docs.agg(statCols.head, statCols.tail: _*).head()
-    val n = statRow.getLong(0).toDouble
+    val nDocs = statRow.getLong(0)
+    if (nDocs == 0L) // empty corpus: empty result, correct schema, no NaNs
+      return docs.limit(0).select(col(idCol), lit(0.0).as("score"))
+    val n = nDocs.toDouble
     val avgdl = statRow.getLong(1).toDouble / n
     val idf: Map[String, Double] = terms.zipWithIndex.map { case (t, i) =>
       val df = statRow.getLong(i + 2).toDouble
@@ -53,15 +56,21 @@ object Relevance {
       t -> (if (idfMode == "log") math.log(1.0 + odds) else odds)
     }.toMap
 
-    // scoring pass: tf saturation × idf, summed in fixed term order
-    val dl = size(words).cast("double")
-    val termScores = terms.map { t =>
-      val tfd = tf(t).cast("double")
-      lit(idf(t)) * (tfd * lit(k1 + 1.0)) /
-        (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(avgdl)))
+    // scoring pass: tf and dl are materialized as named columns ONCE
+    // below the filter/projection that consume them, so the tokenizer
+    // isn't re-evaluated per consuming expression (subexpression
+    // elimination is per-operator, not across Filter and Project)
+    def tfCol(t: String) = s"_tf_${terms.indexOf(t)}"
+    val withTf = terms.foldLeft(
+      docs.withColumn("_dl", size(words).cast("double"))) {
+      case (d, t) => d.withColumn(tfCol(t), tf(t))
     }
-    val anyHit = terms.map(t => tf(t)).reduce(_ + _) > 0
-    docs.filter(anyHit)
+    val termScores = terms.map { t =>
+      val tfd = col(tfCol(t)).cast("double")
+      lit(idf(t)) * (tfd * lit(k1 + 1.0)) /
+        (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / lit(avgdl)))
+    }
+    withTf.filter(terms.map(t => col(tfCol(t))).reduce(_ + _) > 0)
       .select(col(idCol), termScores.reduce(_ + _).as("score"))
   }
 }

@@ -95,8 +95,13 @@ object Similarity {
     CacheRegistry.track(cBase)
 
     val wBucket = Window.partitionBy("table", "bucket").orderBy("cand_id")
+    // persisted: consumed by both the block-count aggregate and the
+    // candidate join — otherwise the signature explode + bucket window
+    // sort over |corpus|×tables rows runs twice (cf. cosineDedup)
     val cBuckets = slimBuckets(cBase, "cand_id", "candv", "cand_id", tables, bitsPerTable)
       .withColumn("blk", floor((row_number().over(wBucket) - 1) / lit(maxBucket)))
+      .persist()
+    CacheRegistry.track(cBuckets)
     // per-(table, bucket) block count — at most tables × 2^bitsPerTable
     // rows, broadcast onto the query side to address a block
     val nBlks = cBuckets.groupBy("table", "bucket")

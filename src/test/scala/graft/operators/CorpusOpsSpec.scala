@@ -62,6 +62,14 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(scores(4L) < 4.0 * scores(1L) / 2.0)
   }
 
+  test("bm25 on an empty corpus returns an empty frame, not NaN/NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = Relevance.bm25(empty, "doc_id", "text", Seq("data"))
+    assert(out.columns.toSeq == Seq("doc_id", "score"))
+    assert(out.count() == 0L)
+  }
+
   // -------------------------------------------------------- hashSplit ----
 
   test("hash split: deterministic, complete, and close to requested fractions") {
@@ -136,11 +144,18 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("pack manifest skips empty documents") {
+  test("pack manifest skips empty and malformed docs without shifting offsets") {
     import spark.implicits._
-    val df = Seq((1L, "s", 0), (2L, "s", 5)).toDF("doc_id", "source", "n")
-    val got = Packing.packManifest(df, "doc_id", "source", col("n"), seqLen = 8).collect()
-    assert(got.map(_.getLong(2)).toSet == Set(2L))
-    assert(got.head.getLong(4) == 0L, "doc 1 contributes no offset shift")
+    // n = -1 is what size(null_array) yields in non-ANSI Spark: it must be
+    // dropped BEFORE the cumulative sum, or doc 3's tok_before would
+    // silently become 5 - 1 = 4 and its spans would overlap doc 2's
+    val df = Seq((1L, "s", 0), (2L, "s", 5), (25L, "s", -1), (3L, "s", 3))
+      .toDF("doc_id", "source", "n")
+    val got = Packing.packManifest(df, "doc_id", "source", col("n"), seqLen = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (0L, 2L, 0L, 0L, 5L),   // doc 2 starts at seq offset 0: doc 1 shifted nothing
+      (0L, 3L, 5L, 0L, 3L)))  // doc 3 starts right after doc 2: -1 shifted nothing
   }
 }

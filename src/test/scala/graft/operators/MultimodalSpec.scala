@@ -84,4 +84,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.MediaCodec.dims(bytes) == Multimodal.StubDecoder.decode(bytes))
     assert(Multimodal.MediaCodec.resize(bytes, 224).isEmpty)
   }
+
+  test("ASCII image magics in plain text do NOT trigger the decoder") {
+    // GIF's magic is printable ASCII and its header has no checksum — a
+    // GIF reader would happily parse garbage dims out of these bytes, so
+    // the positive guard must refuse them (stub path) while still
+    // accepting real GIF/BMP files.
+    for (s <- Seq("GIF89a text that merely mentions the format",
+                  "GIF87a9999 more words here padding padding",
+                  "BM bitmap discussion in prose with words")) {
+      val b = s.getBytes("UTF-8")
+      assert(!Multimodal.MediaCodec.looksLikeImage(b), s)
+      assert(Multimodal.MediaCodec.dims(b) == Multimodal.StubDecoder.decode(b))
+    }
+    // and the real containers still pass the guard
+    assert(Multimodal.MediaCodec.looksLikeImage(png(5, 5)))
+    assert(Multimodal.MediaCodec.looksLikeImage(animatedGif(8, 8, 2)))
+  }
+
+  test("BMP guard requires the declared size to match the payload") {
+    val img = new java.awt.image.BufferedImage(6, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", buf)
+    val bmp = buf.toByteArray
+    assert(Multimodal.MediaCodec.looksLikeImage(bmp))
+    assert(Multimodal.MediaCodec.dims(bmp) == ((6, 4, 1)))
+    // truncate: declared size no longer matches → guard refuses
+    val cut = bmp.dropRight(1)
+    assert(!Multimodal.MediaCodec.looksLikeImage(cut))
+  }
 }
