@@ -66,6 +66,8 @@ object SparkEntry {
     "text_bm25_search" -> (ExtensionQueries.textBm25 _),
     "corpus_split" -> (ExtensionQueries.corpusSplit _),
     "corpus_pack_sequences" -> (ExtensionQueries.corpusPackSequences _),
+    "corpus_decontaminate" -> (ExtensionQueries.corpusDecontaminate _),
+    "corpus_source_profile" -> (ExtensionQueries.corpusSourceProfile _),
     // -- violation queries: hash-green emptiness proofs for the LSH family.
     //    Each recomputes the operator's exact-verify contract through an
     //    independent path; the oracle is the guaranteed constant (0
@@ -138,7 +140,9 @@ object SparkEntry {
     "text_winnow_violations" -> ExtensionQueries.textWinnowViolationsOracle,
     "text_bm25_search" -> ExtensionQueries.textBm25Oracle,
     "corpus_split" -> ExtensionQueries.corpusSplitOracle,
-    "corpus_pack_sequences" -> ExtensionQueries.corpusPackSequencesOracle
+    "corpus_pack_sequences" -> ExtensionQueries.corpusPackSequencesOracle,
+    "corpus_decontaminate" -> ExtensionQueries.corpusDecontaminateOracle,
+    "corpus_source_profile" -> ExtensionQueries.corpusSourceProfileOracle
     // dedup_minhash_lsh / dedup_simhash / dedup_embedding_cosine /
     // ann_lsh_topk / ann_ivf_topk / text_winnow_fingerprint stay
     // rows-only (engine-internal hash families), but each is now PAIRED

@@ -250,6 +250,39 @@ object Dedup {
     current
   }
 
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minShared` distinct word n-grams with any probe (benchmark/eval)
+    * document — the standard train-test contamination sweep a pipeline
+    * runs before training. Same inverted-index shape as
+    * [[ngramJaccard]], but bipartite: the corpus side is indexed and
+    * df-capped (n-grams appearing in more than `maxDocFreq` corpus docs
+    * are boilerplate, not contamination signal — dropping them is what
+    * bounds the join at scale), the probe side is typically tiny (a
+    * benchmark), and only (gram-hash, id) pairs ever shuffle.
+    *
+    * @return (doc_id, probe_id, shared_ngrams), self-matches excluded
+    *         (a benchmark drawn from the corpus would otherwise match
+    *         itself on every gram). */
+  def crossNgramOverlap(corpus: DataFrame, probes: DataFrame,
+                        idCol: String, textCol: String,
+                        n: Int = 5, minShared: Int = 3,
+                        maxDocFreq: Int = 100): DataFrame = {
+    def grams(df: DataFrame, out: String): DataFrame =
+      df.select(col(idCol).as(out), shingleHashes(col(textCol), n).as("grams"))
+        .filter(size(col("grams")) > 0)
+        .select(col(out), explode(col("grams")).as("g"))
+    val corpusGrams = grams(corpus, "doc_id").persist()
+    CacheRegistry.track(corpusGrams)
+    val hotGrams = corpusGrams.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select("g")
+    corpusGrams.join(broadcast(hotGrams), Seq("g"), "left_anti")
+      .join(grams(probes, "probe_id"), "g")
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy("doc_id", "probe_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+  }
+
   /** Exact n-gram Jaccard ≥ threshold via inverted index:
     * explode distinct n-grams → self-join on ngram (df-capped) → count
     * shared → Jaccard. The only shuffle keys are 8-byte ngram hashes. */

@@ -687,6 +687,67 @@ SELECT shard, seq_id, doc_id,
        least(bef + n, (seq_id + 1) * 1024) - greatest(bef, seq_id * 1024) AS tok_len
 FROM x ORDER BY shard, seq_id, doc_id"""
 
+  /** Benchmark decontamination sweep ([[Dedup.crossNgramOverlap]]):
+    * corpus docs sharing ≥ 3 distinct 5-grams with a benchmark set
+    * (here: docs 0-99 standing in as the eval set). */
+  def corpusDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    Dedup.crossNgramOverlap(docs, docs.filter(col("doc_id") < 100),
+        "doc_id", "text", n = 5, minShared = 3, maxDocFreq = 100)
+      .orderBy("doc_id", "probe_id")
+  }
+
+  val corpusDecontaminateOracle: String = """
+WITH words AS (
+  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS i,
+         unnest(string_split(text,' ')) AS w
+  FROM documents),
+g0 AS (
+  SELECT doc_id,
+         w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i) || ' ' ||
+                     lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) || ' ' ||
+                     lead(w,3) OVER (PARTITION BY doc_id ORDER BY i) || ' ' ||
+                     lead(w,4) OVER (PARTITION BY doc_id ORDER BY i) AS gram,
+         lead(w,4) OVER (PARTITION BY doc_id ORDER BY i) AS l4
+  FROM words),
+g AS (SELECT DISTINCT doc_id, gram FROM g0 WHERE l4 IS NOT NULL),
+capped AS (
+  SELECT doc_id, gram FROM
+    (SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM g)
+  WHERE df <= 100),
+p AS (SELECT doc_id AS probe_id, gram FROM g WHERE doc_id < 100)
+SELECT c.doc_id, p.probe_id, CAST(count(*) AS BIGINT) AS shared_ngrams
+FROM capped c JOIN p USING (gram)
+WHERE c.doc_id <> p.probe_id
+GROUP BY 1, 2
+HAVING count(*) >= 3
+ORDER BY doc_id, probe_id"""
+
+  /** Per-source corpus profile — the inputs a mixture-weighting step
+    * consumes (doc/token counts, distinct-content counts, linear token
+    * share). Integer aggregates + one final division keep it
+    * bit-comparable. */
+  def corpusSourceProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = Tables(spark, sfDir, "documents").groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("n_tokens"),
+      count_distinct(TextAnalysis.fingerprintMd5(col("text"))).as("n_distinct_fp"))
+    val total = agg.agg(sum(col("n_tokens"))).head().getLong(0)
+    agg.withColumn("token_share",
+        col("n_tokens").cast("double") / lit(total.toDouble))
+      .orderBy("source")
+  }
+
+  val corpusSourceProfileOracle: String = """
+WITH s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT md5(lower(regexp_replace(text,'\s+',' ','g')))) AS BIGINT) AS n_distinct_fp
+  FROM documents GROUP BY source)
+SELECT source, n_docs, n_tokens, n_distinct_fp,
+       CAST(n_tokens AS DOUBLE) / CAST((SELECT sum(n_tokens) FROM s) AS DOUBLE) AS token_share
+FROM s ORDER BY source"""
+
   // --------------------------------------------------------- multimodal ----
 
   def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame =

@@ -97,6 +97,38 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(Sampling.hexThreshold(0.0) == "00000000")
   }
 
+  // --------------------------------------------------- decontamination ----
+
+  test("cross-ngram overlap finds planted benchmark contamination only") {
+    import spark.implicits._
+    val bench = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    val corpus = Seq(
+      (100L, s"intro words then $bench and a closing remark"), // contains the benchmark
+      (101L, "entirely different content with no overlap at all here today"),
+      (5L, bench)                                              // the probe itself
+    ).toDF("doc_id", "text")
+    val probes = Seq((5L, bench)).toDF("doc_id", "text")
+    val got = Dedup.crossNgramOverlap(corpus, probes, "doc_id", "text",
+        n = 5, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 1, s"only the contaminated doc matches: ${got.toSeq}")
+    val (docId, probeId, shared) = got.head
+    assert(docId == 100L && probeId == 5L)
+    // the 11-word benchmark has 7 distinct 5-grams, all inside doc 100
+    assert(shared == 7L)
+  }
+
+  test("cross-ngram overlap df cap suppresses corpus-wide boilerplate") {
+    import spark.implicits._
+    val boiler = "this is the standard footer text appended to every document"
+    val corpus = (0L until 50L).map(i => (100L + i, s"unique$i words$i $boiler"))
+      .toDF("doc_id", "text")
+    val probes = Seq((1L, boiler)).toDF("doc_id", "text")
+    val hits = Dedup.crossNgramOverlap(corpus, probes, "doc_id", "text",
+      n = 5, minShared = 1, maxDocFreq = 10).count()
+    assert(hits == 0L, "grams in >maxDocFreq corpus docs are not contamination signal")
+  }
+
   // ---------------------------------------------------------- packing ----
 
   test("pack manifest: exact spans on a hand-checked shard") {
