@@ -7,12 +7,16 @@ import org.apache.spark.sql.functions._
   * metadata, batch feature extraction via `mapPartitions`.
   *
   * IMAGE decode is REAL: [[MediaCodec]] hands the bytes to the JDK's own
-  * `javax.imageio` (PNG/JPEG/GIF/BMP/WBMP readers ship with every JDK —
-  * no external dependency), including true width/height, GIF frame
-  * counts, and a real resize + re-encode path. Payloads ImageIO has no
-  * reader for (video/audio containers — their codecs genuinely aren't in
-  * this container) fall back to [[StubDecoder]]'s deterministic fake
-  * dimensions so the pipeline stays oracle-checkable end-to-end. The
+  * `javax.imageio` (no external dependency), including true
+  * width/height, GIF frame counts, and a real resize + re-encode path —
+  * for payloads that pass the POSITIVE signature guard: PNG, JPEG,
+  * GIF (magic + trailer + binary screen descriptor), and strict BMP
+  * (declared file size must equal the payload; encoders that write a
+  * bogus bfSize are deliberately refused). Everything else — video/audio
+  * containers whose codecs genuinely aren't in this container, WBMP
+  * (whose format has no magic bytes at all), malformed images — falls
+  * back to [[StubDecoder]]'s deterministic fake dimensions so the
+  * pipeline stays oracle-checkable end-to-end. The
   * Spark-side shape — binary column schema, typed Dataset plumbing,
   * per-partition batch iteration (one decoder context per partition, not
   * per row), partition-count control — is identical for both paths.

@@ -46,9 +46,12 @@ object Packing {
         nTok.cast("long").as("n_tok"))
       .filter(col("n_tok") > 0)
       .withColumn("tok_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      // `div` is INTEGRAL division on longs — floor(a / b) via doubles
+      // would lose exactness past 2^53 cumulative tokens, which a 100 TB
+      // shard can reach
       .withColumn("seq_id", explode(sequence(
-        floor(col("tok_before") / seqLen).cast("long"),
-        floor((col("tok_before") + col("n_tok") - 1) / seqLen).cast("long"))))
+        expr(s"tok_before div $seqLen"),
+        expr(s"(tok_before + n_tok - 1) div $seqLen"))))
       .withColumn("seq_start", col("seq_id") * seqLen)
       .withColumn("span_start", greatest(col("tok_before"), col("seq_start")))
       .select(

@@ -614,7 +614,7 @@ ORDER BY doc_id"""
   /** BM25 relevance of every document against a fixed query-term set
     * ([[Relevance.bm25]], rational-idf mode so the whole score stays in
     * IEEE +,-,*,/ and hash-matches the DuckDB oracle; the textbook log
-    * variant is ScalaTest-verified in RelevanceSpec). */
+    * variant is ScalaTest-verified in CorpusOpsSpec). */
   def textBm25(spark: SparkSession, sfDir: String): DataFrame =
     Relevance.bm25(Tables(spark, sfDir, "documents"), "doc_id", "text",
         terms = Seq("data", "vector", "spark"))
@@ -728,13 +728,19 @@ ORDER BY doc_id, probe_id"""
     * share). Integer aggregates + one final division keep it
     * bit-comparable. */
   def corpusSourceProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val agg = Tables(spark, sfDir, "documents").groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("n_tokens"),
       count_distinct(TextAnalysis.fingerprintMd5(col("text"))).as("n_distinct_fp"))
-    val total = agg.agg(sum(col("n_tokens"))).head().getLong(0)
+    // grand total via an unpartitioned window over the tiny per-source
+    // frame: one aggregation pass (a driver-collected total would
+    // re-execute the full scan + fingerprint count_distinct a second
+    // time when the frame is consumed), exact integer sum, and an empty
+    // table yields an empty frame instead of a null-collect crash
     agg.withColumn("token_share",
-        col("n_tokens").cast("double") / lit(total.toDouble))
+        col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(Window.partitionBy()).cast("double"))
       .orderBy("source")
   }
 
