@@ -200,7 +200,20 @@ object Dedup {
     * @return (id, label) — label is the component's minimum member id.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-                          bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+                          bCol: String = "id_b", maxIter: Int = 20): DataFrame =
+    connectedComponentsWithStats(pairs, aCol, bCol, maxIter)._1
+
+  /** Convergence outcome of a [[connectedComponentsWithStats]] run:
+    * `converged = false` means the iteration budget ran out first and
+    * labels may be non-minimal — with pointer jumping that takes a
+    * component of diameter > ~2^(maxIter-1), but callers that must not
+    * silently ship a partial closure can now check instead of trusting
+    * a stderr line. */
+  case class CcStats(iterations: Int, converged: Boolean)
+
+  def connectedComponentsWithStats(pairs: DataFrame, aCol: String = "id_a",
+                                   bCol: String = "id_b",
+                                   maxIter: Int = 20): (DataFrame, CcStats) = {
     val e0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
@@ -247,7 +260,7 @@ object Dedup {
         s"$maxIter doubling rounds (component diameter > ~2^${maxIter - 1}); " +
         "labels may be non-minimal")
     CacheRegistry.track(current)
-    current
+    (current, CcStats(it, done))
   }
 
   /** Benchmark decontamination: corpus documents sharing at least

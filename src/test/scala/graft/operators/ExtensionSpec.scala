@@ -210,11 +210,23 @@ class ExtensionSpec extends AnyFunSuite {
     // labels; the pointer-jumping step doubles the propagated radius per
     // round, so 20 rounds cover diameter ~2^19 and this must be exact.
     val chain = (0L until 299L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(chain).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (labels, stats) = Dedup.connectedComponentsWithStats(chain)
+    val cc = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.size == 300)
     assert((0L to 299L).forall(cc(_) == 0L),
       s"non-minimal labels: ${cc.filter(_._2 != 0L).take(5)}")
+    assert(stats.converged, "pointer jumping must converge on a 299-diameter path")
+    assert(stats.iterations <= 10, // ~log2(299) doubling rounds + confirm
+      s"doubling should converge in O(log d) rounds, took ${stats.iterations}")
+    CacheRegistry.releaseAll()
+  }
+
+  test("connected components surface a tested failure signal when budget runs out") {
+    import spark.implicits._
+    val chain = (0L until 299L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (_, stats) = Dedup.connectedComponentsWithStats(chain, maxIter = 2)
+    assert(!stats.converged, "2 rounds cannot close a 299-diameter path")
+    assert(stats.iterations == 2)
     CacheRegistry.releaseAll()
   }
 
