@@ -68,10 +68,15 @@ object SparkEntry {
     "corpus_pack_sequences" -> (ExtensionQueries.corpusPackSequences _),
     "corpus_decontaminate" -> (ExtensionQueries.corpusDecontaminate _),
     "corpus_source_profile" -> (ExtensionQueries.corpusSourceProfile _),
+    "corpus_domain_cap" -> (ExtensionQueries.corpusDomainCap _),
+    "corpus_sample_weighted" -> (ExtensionQueries.corpusSampleWeighted _),
+    "text_freq_quality" -> (ExtensionQueries.textFreqQuality _),
+    "dedup_semantic" -> (ExtensionQueries.dedupSemantic _),
     // -- violation queries: hash-green emptiness proofs for the LSH family.
     //    Each recomputes the operator's exact-verify contract through an
     //    independent path; the oracle is the guaranteed constant (0
     //    violations, liveness flag 1). --
+    "dedup_semantic_violations" -> (ExtensionQueries.dedupSemanticViolations _),
     "dedup_minhash_violations" -> (ExtensionQueries.dedupMinhashViolations _),
     "dedup_simhash_violations" -> (ExtensionQueries.dedupSimhashViolations _),
     "dedup_embedding_violations" -> (ExtensionQueries.dedupEmbeddingViolations _),
@@ -142,9 +147,14 @@ object SparkEntry {
     "corpus_split" -> ExtensionQueries.corpusSplitOracle,
     "corpus_pack_sequences" -> ExtensionQueries.corpusPackSequencesOracle,
     "corpus_decontaminate" -> ExtensionQueries.corpusDecontaminateOracle,
-    "corpus_source_profile" -> ExtensionQueries.corpusSourceProfileOracle
+    "corpus_source_profile" -> ExtensionQueries.corpusSourceProfileOracle,
+    "corpus_domain_cap" -> ExtensionQueries.corpusDomainCapOracle,
+    "corpus_sample_weighted" -> ExtensionQueries.corpusSampleWeightedOracle,
+    "text_freq_quality" -> ExtensionQueries.textFreqQualityOracle,
+    "dedup_semantic_violations" -> ExtensionQueries.violationOracle
     // dedup_minhash_lsh / dedup_simhash / dedup_embedding_cosine /
-    // ann_lsh_topk / ann_ivf_topk / text_winnow_fingerprint stay
+    // dedup_semantic / ann_lsh_topk / ann_ivf_topk /
+    // text_winnow_fingerprint stay
     // rows-only (engine-internal hash families), but each is now PAIRED
     // with a hash-green *_violations row proving its exact-verify
     // contract, plus an oracle-checked exact twin (ngram_jaccard,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-portable corpus splitting — train/val/test
@@ -42,5 +43,58 @@ object Sampling {
         Some(acc.fold(when(cond, name))(_.when(cond, name)))
     }.fold(lit(splits.last._1))(_.otherwise(splits.last._1))
     df.withColumn("split", assign)
+  }
+
+  /** Mixture-weight downsampling: keep each row with a per-group rate
+    * (e.g. web 0.3, wiki 1.0) decided by the same md5 draw as
+    * [[hashSplit]] — a pure function of the row id, so the sample is
+    * stable under re-partitioning and appends, and a row kept at rate r
+    * stays kept at any rate ≥ r (nested samples, the property mixture
+    * re-weighting sweeps rely on). Rates ride the plan as a chained
+    * literal CASE (the rate table is pipeline config, not data): pure
+    * scan-speed filter, no join, no shuffle.
+    *
+    * @param rates (group value, keep fraction in [0,1]); groups absent
+    *              from the list fall back to `defaultRate`. */
+  def weightedSample(df: DataFrame, idCol: String, groupCol: String,
+                     rates: Seq[(String, Double)],
+                     defaultRate: Double = 1.0): DataFrame = {
+    require(rates.forall { case (_, r) => r >= 0.0 && r <= 1.0 },
+      "rates must be in [0,1]")
+    val rate = rates.foldLeft(Option.empty[Column]) {
+      case (acc, (g, r)) =>
+        val t = lit(hexThreshold(r))
+        Some(acc.fold(when(col(groupCol) === g, t))(_.when(col(groupCol) === g, t)))
+    }.fold(lit(hexThreshold(defaultRate)))(_.otherwise(hexThreshold(defaultRate)))
+    // rate 1.0 thresholds at the max bucket "ffffffff", which the strict
+    // `<` would wrongly drop — accept it explicitly
+    df.filter(hashBucket(col(idCol)) < rate || rate === lit("ffffffff"))
+  }
+
+  /** Exact per-group cap: keep the `k` highest-priority rows of each
+    * group, priority = (md5(id), id) — i.e. a deterministic uniform
+    * without-replacement sample of size ≤ k per group (the per-domain /
+    * per-source cap every crawl pipeline runs).
+    *
+    * Two-phase so a mega-group cannot serialize into one task: rows are
+    * first split into `salts` pseudo-random slices (a pure function of
+    * the id — no rand()), each slice takes its local top-k, and the
+    * final top-k runs over the ≤ salts×k per-group survivors. Both
+    * phases are windows, but phase 1 sorts groups of ~|group|/salts and
+    * phase 2 sorts ≤ salts×k rows — bounded regardless of skew. Exact:
+    * the group's true top-k is a subset of the union of slice top-ks. */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
+                  k: Int, salts: Int = 16): DataFrame = {
+    require(k >= 1 && salts >= 1)
+    val prio = md5(col(idCol).cast("string"))
+    val slice = pmod(xxhash64(col(idCol)), lit(salts))
+    val w1 = Window.partitionBy(col(groupCol), slice)
+      .orderBy(prio, col(idCol))
+    val w2 = Window.partitionBy(col(groupCol)).orderBy(prio, col(idCol))
+    df.withColumn("rn_slice", row_number().over(w1))
+      .filter(col("rn_slice") <= k)
+      .withColumn("rank_in_group", row_number().over(w2).cast("long"))
+      .filter(col("rank_in_group") <= k)
+      .drop("rn_slice")
   }
 }

@@ -151,10 +151,25 @@ object Similarity {
     * set too large to broadcast would OOM, so for corpus-scale query sets
     * pass `broadcastProbes=false` to let AQE pick the join strategy (the
     * corpus side then shuffles on cent_id — graceful, not wrong). */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4,
-              broadcastProbes: Boolean = true,
-              trainIters: Int = 2): DataFrame = {
+  /** Deterministic distributed k-means: seed centroids are the `nlist`
+    * corpus vectors with the smallest `xxhash64(vec_id)` (one
+    * `TakeOrderedAndProject` pass — per-partition top-k, driver merge: no
+    * count() job, no shuffle), refined with `trainIters` Lloyd
+    * iterations. Assignment stays MAP-SIDE (NearestCentroids rides into
+    * the scan); the mean recompute explodes to (cell, dim, value) and
+    * partial-aggregates before the shuffle, so the exchange carries one
+    * (cell, dim, partial-sum, count) row per task — corpus bytes never
+    * shuffle. Sums are fixed-point decimal(38,0) (order-independent
+    * exact integer adds with ~2^126 headroom — a long would silently
+    * wrap for hot cells of unnormalized embeddings at corpus scale), so
+    * the trained centroids — and therefore cell assignments — are
+    * bit-deterministic across runs/partitionings. Driver holds only
+    * nlist ids + nlist×dim floats.
+    *
+    * Shared by [[ivfTopK]] (coarse quantizer) and [[semanticDedup]]
+    * (cluster stage). */
+  private[operators] def trainCentroids(corpus: DataFrame, nlist: Int,
+      trainIters: Int): (Array[Long], Array[Array[Float]]) = {
     val centroidRows = corpus
       .select(col("vec_id").cast("long").as("cent_id"), col("embedding"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
@@ -163,13 +178,6 @@ object Similarity {
     val centIds = centroidRows.map(_.getLong(0))
     var cents = centroidRows.map(_.getSeq[Float](1).toArray)
 
-    // Lloyd refinement: assignment stays MAP-SIDE (NearestCentroids rides
-    // into the scan); the mean recompute explodes to (cell, dim, value)
-    // and partial-aggregates before the shuffle, so the exchange carries
-    // one (cell, dim, partial-sum, count) row per task — corpus bytes
-    // never shuffle. Sums are fixed-point longs (order-independent
-    // integer adds), so the trained centroids — and therefore cell
-    // assignments — are bit-deterministic across runs/partitionings.
     for (_ <- 1 to trainIters) {
       val assigned = corpus.select(
         element_at(graft.functions.VectorExpressions
@@ -181,9 +189,6 @@ object Similarity {
         .where(col("cell").isNotNull)
       val meanRows = assigned
         .groupBy(col("cell"), col("pos"))
-        // decimal(38,0) sum: order-independent exact integer adds with
-        // ~2^126 headroom — a long would silently wrap for hot cells of
-        // unnormalized embeddings at corpus scale
         .agg(sum(floor(col("col").cast("double") * (1L << 24))
           .cast("decimal(38,0)")).as("s"),
           count(lit(1)).as("n"))
@@ -201,6 +206,14 @@ object Similarity {
       }
       cents = next // cells with no members keep their previous centroid
     }
+    (centIds, cents)
+  }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              broadcastProbes: Boolean = true,
+              trainIters: Int = 2): DataFrame = {
+    val (centIds, cents) = trainCentroids(corpus, nlist, trainIters)
     def nearest(vec: Column, keep: Int): Column =
       graft.functions.VectorExpressions.nearestCentroids(vec, centIds, cents, keep)
 
@@ -287,5 +300,70 @@ object Similarity {
       .withColumn("sim", vecDot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
+  }
+
+  /** SemDeDup-style semantic dedup manifest (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embeddings ([[trainCentroids]]
+    * — the same deterministic distributed Lloyd trainer IVF uses), then
+    * drop every vector with an IN-CELL neighbor of exact cosine ≥
+    * `threshold` and smaller id (keep = cluster-local minimum, the
+    * deterministic stand-in for the paper's representative choice).
+    *
+    * Scale shape: assignment is map-side (one corpus scan, no shuffle);
+    * pairing shuffles slim (cell, vec_id, rank) rows keyed by cell with
+    * the same block-keyed rank-span guard as [[cosineDedup]] — a
+    * degenerate mega-cell degrades to O(cell × maxCell) compute, never
+    * O(cell²), and consecutive-rank pairs still catch every member of an
+    * oversized duplicate cluster. Vectors are re-attached only to deduped
+    * candidate pairs. Unlike [[cosineDedup]]'s 8-table LSH, one k-means
+    * partition — recall comes from cluster locality (near-dups co-locate
+    * by construction), compute is one bucket pass instead of eight.
+    *
+    * @return (vec_id, cell, is_kept, dup_of) — `dup_of` is the smallest
+    *         witnessing in-cell duplicate id (null iff kept). Vectors
+    *         whose dimension mismatches the trained centroids get a null
+    *         cell and are kept verbatim (same null-cell contract as
+    *         [[ivfTopK]]'s inverted lists). */
+  def semanticDedup(df: DataFrame, threshold: Double, nlist: Int = 16,
+                    trainIters: Int = 2, maxCell: Int = 256): DataFrame = {
+    val (centIds, cents) = trainCentroids(df, nlist, trainIters)
+    val base = df.select(col("vec_id"), col("embedding"),
+        vecNorm(col("embedding")).as("nrm"),
+        element_at(graft.functions.VectorExpressions
+          .nearestCentroids(col("embedding"), centIds, cents, 1), 1).as("cell"))
+      .persist()
+    CacheRegistry.track(base)
+
+    val wCell = Window.partitionBy("cell").orderBy("vec_id")
+    val bounded = base.filter(col("cell").isNotNull)
+      .select(col("cell"), col("vec_id"))
+      .withColumn("rn", row_number().over(wCell))
+      .withColumn("blk", floor((col("rn") - 1) / lit(maxCell)))
+      .persist()
+    CacheRegistry.track(bounded)
+    // block-keyed span pairing (cf. cosineDedup): a-side also reaches the
+    // next block so span pairs crossing a block boundary are kept
+    val a = bounded.select(col("cell"),
+      col("vec_id").as("id_a"), col("rn").as("rn_a"),
+      explode(array(col("blk"), col("blk") + 1)).as("jblk"))
+    val b = bounded.select(col("cell"),
+      col("vec_id").as("id_b"), col("rn").as("rn_b"), col("blk").as("jblk"))
+    // rn order within a cell IS id order (the window sorts by vec_id),
+    // so rn_b > rn_a ⇒ id_a < id_b: the witness is always the lower id
+    val dups = a.join(b, Seq("cell", "jblk"))
+      .filter(col("rn_b") > col("rn_a") && col("rn_b") - col("rn_a") <= maxCell)
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+      .join(base.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(base.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        col("nrm").as("nb")), "id_b")
+      .filter(vecDot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(min(col("id_a")).as("dup_of"))
+
+    base.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"),
+        col("dup_of").isNull.cast("int").as("is_kept"), col("dup_of"))
   }
 }

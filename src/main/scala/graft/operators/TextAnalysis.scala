@@ -151,4 +151,32 @@ object TextAnalysis {
 
   def withQuality(df: DataFrame, textCol: String): DataFrame =
     qualityColumns(col(textCol)).foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+
+  /** Corpus-relative token-frequency quality (the CCNet-style signal the
+    * per-document [[qualityColumns]] cannot see): per document, the mean
+    * document frequency of its DISTINCT tokens and its hapax ratio
+    * (fraction of distinct tokens appearing in no other document). Low
+    * mean-df / high hapax ⇒ vocabulary the rest of the corpus never uses
+    * (OCR noise, gibberish, exotic boilerplate).
+    *
+    * Unlike the scan-speed expressions above this one is corpus-relative
+    * by definition, so it costs exactly two shuffles at any scale: the
+    * df aggregation keyed by token (partial-agg'd map-side — the
+    * exchange carries one (token, count) row per task, vocab-sized, not
+    * corpus-sized) and the per-doc re-aggregation keyed by doc_id.
+    * Determinism: integer counts and one final double division each. */
+  def freqQuality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+        explode(array_distinct(tokens(col(textCol)))).as("tok"))
+    val docFreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    toks.join(docFreq, "tok")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_distinct_tokens"),
+        sum(col("df")).as("df_sum"),
+        count(when(col("df") === 1, 1)).as("n_hapax"))
+      .select(col(idCol),
+        col("n_distinct_tokens"),
+        (col("df_sum").cast("double") / col("n_distinct_tokens")).as("mean_token_df"),
+        (col("n_hapax").cast("double") / col("n_distinct_tokens")).as("hapax_ratio"))
+  }
 }

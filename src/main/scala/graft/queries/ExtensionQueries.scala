@@ -175,6 +175,38 @@ SELECT id_a, id_b, dot / (sqrt(na) * sqrt(nb)) AS sim
 FROM s WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
 ORDER BY id_a, id_b"""
 
+  /** SemDeDup-style semantic dedup manifest ([[Similarity.semanticDedup]]):
+    * k-means cells + in-cell exact-cosine keep/drop verdicts. Cell
+    * assignment is k-means-dependent → rows-only driver check; the drop
+    * verdicts are precision-proved by [[dedupSemanticViolations]] and
+    * planted-cluster recall by ExtensionSpec. */
+  def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.semanticDedup(Tables(spark, sfDir, "embeddings"), threshold = 0.4)
+      .orderBy("vec_id")
+
+  /** Semantic-dedup precision contract: every DROPPED vector's recorded
+    * witness must be real — `dup_of < vec_id` and exact corpus-wide
+    * cosine(vec, dup_of) ≥ threshold — and every KEPT row must carry a
+    * null witness. (Kept rows are allowed to have missed duplicates —
+    * that is the approximate half of the contract, bounded instead by
+    * the planted-cluster recall test.) */
+  def dedupSemanticViolations(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorExpressions.vecDot
+    val e = Tables(spark, sfDir, "embeddings")
+    val manifest = Similarity.semanticDedup(e, threshold = 0.4)
+    val v = e.select(col("vec_id"), col("embedding"),
+      Similarity.vecNorm(col("embedding")).as("nrm"))
+    val joined = manifest
+      .join(v.select(col("vec_id"), col("embedding").as("ve"), col("nrm").as("ne")), "vec_id")
+      .join(v.select(col("vec_id").as("dup_of"), col("embedding").as("vw"),
+        col("nrm").as("nw")), Seq("dup_of"), "left_outer")
+    val badDrop = col("is_kept") === 0 && (col("dup_of").isNull ||
+      col("dup_of") >= col("vec_id") || col("vw").isNull ||
+      vecDot(col("ve"), col("vw")) / (col("ne") * col("nw")) < 0.4)
+    val badKeep = col("is_kept") === 1 && col("dup_of").isNotNull
+    violationSummary(joined, badDrop || badKeep)
+  }
+
   // ------------------------------------------- LSH violation queries ----
   //
   // The LSH-family operators (minhash/simhash/embedding-LSH/ANN) have
@@ -753,6 +785,69 @@ WITH s AS (
 SELECT source, n_docs, n_tokens, n_distinct_fp,
        CAST(n_tokens AS DOUBLE) / CAST((SELECT sum(n_tokens) FROM s) AS DOUBLE) AS token_share
 FROM s ORDER BY source"""
+
+  /** Per-source document cap ([[Sampling.capPerGroup]], k=40): the
+    * per-domain cap every crawl pipeline applies so one mega-site cannot
+    * dominate the mixture. Priority is (md5(doc_id), doc_id) — i.e. a
+    * deterministic uniform sample of ≤ k docs per source. */
+  def corpusDomainCap(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.capPerGroup(
+        Tables(spark, sfDir, "documents").select("doc_id", "source"),
+        "doc_id", "source", k = 10)
+      .orderBy("doc_id")
+
+  val corpusDomainCapOracle: String = """
+SELECT doc_id, source, rank_in_group FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank_in_group
+  FROM documents)
+WHERE rank_in_group <= 10 ORDER BY doc_id"""
+
+  /** Mixture-weight downsampling ([[Sampling.weightedSample]]): keep
+    * fractions per source (the "web 30%, wiki 100%" step that turns a
+    * source profile into a training mixture), decided by the same
+    * portable md5 draw as [[corpusSplit]]. */
+  def corpusSampleWeighted(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.weightedSample(
+        Tables(spark, sfDir, "documents").select("doc_id", "source", "lang"),
+        "doc_id", "source",
+        rates = Seq("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5,
+          "src3" -> 0.3, "src4" -> 0.0),
+        defaultRate = 0.25)
+      .orderBy("doc_id")
+
+  val corpusSampleWeightedOracle: String = """
+SELECT doc_id, source, lang FROM documents
+WHERE CASE source
+        WHEN 'src0' THEN TRUE
+        WHEN 'src1' THEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'c0000000'
+        WHEN 'src2' THEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < '80000000'
+        WHEN 'src3' THEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < '4ccccccc'
+        WHEN 'src4' THEN FALSE
+        ELSE substr(md5(CAST(doc_id AS VARCHAR)),1,8) < '40000000'
+      END
+ORDER BY doc_id"""
+
+  /** Corpus-relative token-frequency quality
+    * ([[TextAnalysis.freqQuality]]): mean document frequency of each
+    * doc's distinct tokens + hapax ratio. */
+  def textFreqQuality(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.freqQuality(
+        Tables(spark, sfDir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val textFreqQualityOracle: String = """
+WITH t AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok
+  FROM documents),
+d AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY tok)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+       CAST(sum(df) AS DOUBLE) / count(*) AS mean_token_df,
+       CAST(count(*) FILTER (WHERE df = 1) AS DOUBLE) / count(*) AS hapax_ratio
+FROM t JOIN d USING (tok)
+GROUP BY doc_id ORDER BY doc_id"""
 
   // --------------------------------------------------------- multimodal ----
 

@@ -97,6 +97,71 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(Sampling.hexThreshold(0.0) == "00000000")
   }
 
+  // ---------------------------------------------------- weightedSample ----
+
+  test("weighted sample: per-group rates, nesting, and 0/1 edges") {
+    import spark.implicits._
+    val df = (0L until 8000L).map(i => (i, s"g${i % 4}")).toDF("doc_id", "source")
+    val out = Sampling.weightedSample(df, "doc_id", "source",
+      rates = Seq("g0" -> 1.0, "g1" -> 0.0, "g2" -> 0.5), defaultRate = 0.25)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byGroup = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byGroup("g0") == 2000, "rate 1.0 keeps every row incl. bucket ffffffff")
+    assert(!byGroup.contains("g1"), "rate 0.0 keeps nothing")
+    assert(math.abs(byGroup("g2") - 1000) < 150, s"g2=${byGroup.get("g2")}")
+    assert(math.abs(byGroup("g3") - 500) < 100, s"g3=${byGroup.get("g3")}")
+    // nesting: the rows kept at 0.25 are a subset of those kept at 0.5
+    val at25 = Sampling.weightedSample(df, "doc_id", "source",
+      rates = Seq(), defaultRate = 0.25).select("doc_id").as[Long].collect().toSet
+    val at50 = Sampling.weightedSample(df, "doc_id", "source",
+      rates = Seq(), defaultRate = 0.5).select("doc_id").as[Long].collect().toSet
+    assert(at25.subsetOf(at50), "hash sampling must be nested across rates")
+  }
+
+  // ------------------------------------------------------- capPerGroup ----
+
+  test("per-group cap: exact top-k equals the single-window reference") {
+    import spark.implicits._
+    // heavy skew: g0 has 5000 rows, g1 has 7, g2 has 1
+    val rows = (0L until 5000L).map((_, "g0")) ++
+      (5000L until 5007L).map((_, "g1")) :+ (9999L, "g2")
+    val df = rows.toDF("doc_id", "source")
+    val got = Sampling.capPerGroup(df, "doc_id", "source", k = 25, salts = 8)
+      .select("doc_id", "source", "rank_in_group")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // reference: plain md5-ordered row_number per group
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val want = df.withColumn("rank_in_group", row_number().over(w).cast("long"))
+      .filter(col("rank_in_group") <= 25)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+    // groups smaller than k survive whole
+    assert(got.count(_._2 == "g1") == 7 && got.count(_._2 == "g2") == 1)
+    // salt-count invariance: the result is a pure function of the data
+    val alt = Sampling.capPerGroup(df, "doc_id", "source", k = 25, salts = 3)
+      .select("doc_id", "source", "rank_in_group")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(alt == want)
+  }
+
+  // ------------------------------------------------------- freqQuality ----
+
+  test("token-frequency quality: hand-checked df and hapax ratios") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta delta"),
+      (3L, "alpha zzz1 zzz2 zzz1")).toDF("doc_id", "text")
+    // df: alpha=3, beta=2, gamma=1, delta=1, zzz1=1, zzz2=1
+    val got = TextAnalysis.freqQuality(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((3L, 2.0, 1.0 / 3)))            // (3+2+1)/3, gamma hapax
+    assert(got(2L) == ((3L, 2.0, 1.0 / 3)))            // (3+2+1)/3, delta hapax
+    assert(got(3L) == ((3L, 5.0 / 3, 2.0 / 3)))        // distinct: alpha,zzz1,zzz2
+  }
+
   // --------------------------------------------------- decontamination ----
 
   test("cross-ngram overlap finds planted benchmark contamination only") {

@@ -172,6 +172,57 @@ class ExtensionSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("semantic dedup keeps one representative per planted twin cluster") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    // 20 perturbed twins of corpus vectors 0..19: cos(twin, source) ≈ 1,
+    // so k-means MUST co-locate each twin with its source and the in-cell
+    // exact-cosine pass must drop the twin (higher id) with the source as
+    // witness
+    val twins = e.filter(col("vec_id") < 20)
+      .select(($"vec_id" + 10000).as("vec_id"),
+        transform($"embedding", v => v * lit(1.01f) + lit(0.003f)).as("embedding"))
+    val m = Similarity.semanticDedup(e.unionByName(twins), threshold = 0.95)
+    val rows = m.select("vec_id", "is_kept", "dup_of")
+      .as[(Long, Int, Option[Long])].collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    val dropped = (0L until 20L).count { i =>
+      val (_, kept, dupOf) = byId(i + 10000)
+      kept == 0 && dupOf.exists(_ < i + 10000)
+    }
+    assert(dropped >= 18, s"only $dropped/20 planted twins were dropped")
+    // sources (the lower ids) survive unless they had an even-lower dup
+    (0L until 20L).foreach { i =>
+      val (_, kept, dupOf) = byId(i)
+      if (kept == 0) assert(dupOf.exists(_ < i), s"source $i dropped without witness")
+    }
+    // determinism: a second run produces the identical manifest
+    val again = Similarity.semanticDedup(e.unionByName(twins), threshold = 0.95)
+      .select("vec_id", "is_kept", "dup_of")
+      .as[(Long, Int, Option[Long])].collect()
+    assert(again.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
+    CacheRegistry.releaseAll()
+  }
+
+  test("semantic dedup mega-cell degrades linearly, keeps exactly one") {
+    import spark.implicits._
+    // 400 identical vectors: one k-means cell swallows them all; the
+    // rank-span guard (maxCell) must keep pair compute linear and the
+    // consecutive-rank chain must drop every member but the minimum id
+    val vec = Array(0.6f, -0.2f, 0.9f, 0.1f, -0.7f, 0.3f, 0.5f, -0.4f)
+    val rows = (0 until 400).map(i => (i.toLong, vec))
+    val df = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val m = Similarity.semanticDedup(df, threshold = 0.99, maxCell = 32)
+    val plan = m.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    val out = m.select("vec_id", "is_kept", "dup_of")
+      .as[(Long, Int, Option[Long])].collect()
+    assert(out.count(_._2 == 1) == 1, "exactly one representative kept")
+    assert(out.filter(_._2 == 0).forall(r => r._3.exists(_ < r._1)))
+    CacheRegistry.releaseAll()
+  }
+
   test("IVF Lloyd training buys recall over seed-only centroids") {
     import spark.implicits._
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
