@@ -82,32 +82,13 @@ object Dedup {
           b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
       .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "band")
 
-    // Rank docs within each bucket (deterministic doc-id order); pairing
-    // is then restricted to a bounded rank span, which equals all-pairs
-    // for normal buckets and degrades linearly for degenerate ones.
-    // The span constraint is enforced IN THE JOIN KEY, not as a post-join
-    // filter: docs join per rank-block of maxBucket rows (the a-side also
-    // reaches the next block, covering span pairs that cross a boundary),
-    // so a degenerate hot bucket costs O(docs × maxBucket) comparisons —
-    // a (band,bucket)-only key would still evaluate the full O(B²) cross
-    // product before any span filter pruned it. The row_number sort over
-    // a hot bucket is one task but O(B log B) and spillable — not a
-    // scale-killer, unlike the product.
-    val wBucket = Window.partitionBy("band", "bucket").orderBy("doc_id")
-    val bounded = buckets.withColumn("rn", row_number().over(wBucket))
-      .withColumn("blk", floor((col("rn") - 1) / lit(maxBucket)))
-      .select("band", "bucket", "doc_id", "rn", "blk")
-      .persist()
-    CacheRegistry.track(bounded)
-
-    val a = bounded.select(col("band"), col("bucket"),
-      col("doc_id").as("id_a"), col("rn").as("rn_a"),
-      explode(array(col("blk"), col("blk") + 1)).as("jblk"))
-    val b = bounded.select(col("band"), col("bucket"),
-      col("doc_id").as("id_b"), col("rn").as("rn_b"), col("blk").as("jblk"))
-    val pairs = a.join(b, Seq("band", "bucket", "jblk"))
-      .filter(col("rn_b") > col("rn_a") && col("rn_b") - col("rn_a") <= maxBucket)
-      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    // Bounded rank-span pairing within each bucket ([[SpanGuard.pairs]]):
+    // all-pairs for normal buckets, a linear neighbor chain for
+    // degenerate ones — bounded COMPUTE, not just bounded output.
+    val pairs = SpanGuard.pairs(
+        buckets.select("band", "bucket", "doc_id"),
+        keys = Seq("band", "bucket"), idCol = "doc_id",
+        order = Seq("doc_id"), maxSpan = maxBucket)
       .join(docs.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
 
@@ -145,19 +126,12 @@ object Dedup {
         b => call_function("shiftright", col("sim"), b * 16).bitwiseAND(0xFFFFL))))
       .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "band")
     // same block-keyed span pairing as minhashLsh: bounded compute, not
-    // just bounded output, for the degenerate all-zero-simhash bucket
-    val wBucket = Window.partitionBy("band", "bucket").orderBy("doc_id")
-    val banded = banded0.withColumn("rn", row_number().over(wBucket))
-      .withColumn("blk", floor((col("rn") - 1) / lit(maxBucket)))
-      .select("band", "bucket", "doc_id", "sim", "rn", "blk")
-    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"),
-      col("sim").as("sim_a"), col("rn").as("rn_a"),
-      explode(array(col("blk"), col("blk") + 1)).as("jblk"))
-    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"),
-      col("sim").as("sim_b"), col("rn").as("rn_b"), col("blk").as("jblk"))
-    a.join(b, Seq("band", "bucket", "jblk"))
-      .filter(col("rn_b") > col("rn_a") && col("rn_b") - col("rn_a") <= maxBucket)
-      .dropDuplicates("id_a", "id_b")
+    // just bounded output, for the degenerate all-zero-simhash bucket;
+    // the 64-bit signature rides as pair payload so the hamming verify
+    // needs no re-join
+    SpanGuard.pairs(banded0.select("band", "bucket", "doc_id", "sim"),
+        keys = Seq("band", "bucket"), idCol = "doc_id",
+        order = Seq("doc_id"), maxSpan = maxBucket, payload = Seq("sim"))
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

@@ -54,6 +54,11 @@ object Sampling {
     * literal CASE (the rate table is pipeline config, not data): pure
     * scan-speed filter, no join, no shuffle.
     *
+    * Rows with a NULL id are always dropped, at every rate including
+    * 1.0: they have no hash draw, so keeping them would make the sample
+    * depend on the rate boundary instead of being a pure function of the
+    * id (and would break the nested-samples property at r = 1.0).
+    *
     * @param rates (group value, keep fraction in [0,1]); groups absent
     *              from the list fall back to `defaultRate`. */
   def weightedSample(df: DataFrame, idCol: String, groupCol: String,
@@ -67,8 +72,9 @@ object Sampling {
         Some(acc.fold(when(col(groupCol) === g, t))(_.when(col(groupCol) === g, t)))
     }.fold(lit(hexThreshold(defaultRate)))(_.otherwise(hexThreshold(defaultRate)))
     // rate 1.0 thresholds at the max bucket "ffffffff", which the strict
-    // `<` would wrongly drop — accept it explicitly
-    df.filter(hashBucket(col(idCol)) < rate || rate === lit("ffffffff"))
+    // `<` would wrongly drop — accept it explicitly (non-null ids only)
+    df.filter(col(idCol).isNotNull &&
+      (hashBucket(col(idCol)) < rate || rate === lit("ffffffff")))
   }
 
   /** Exact per-group cap: keep the `k` highest-priority rows of each

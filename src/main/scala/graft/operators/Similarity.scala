@@ -277,22 +277,10 @@ object Similarity {
     val base = df.select(col("vec_id"), col("embedding"),
       vecNorm(col("embedding")).as("nrm")).persist()
     CacheRegistry.track(base)
-    val wBucket = Window.partitionBy("table", "bucket").orderBy("vec_id")
-    val bounded = slimBuckets(base, "vec_id", "embedding", "vec_id", tables, bitsPerTable)
-      .withColumn("rn", row_number().over(wBucket))
-      .withColumn("blk", floor((col("rn") - 1) / lit(maxBucket)))
-      .persist()
-    CacheRegistry.track(bounded)
-    // rank-block join key: a-side also reaches the next block so span
-    // pairs crossing a block boundary are kept (cf. Dedup.minhashLsh)
-    val a = bounded.select(col("table"), col("bucket"),
-      col("vec_id").as("id_a"), col("rn").as("rn_a"),
-      explode(array(col("blk"), col("blk") + 1)).as("jblk"))
-    val b = bounded.select(col("table"), col("bucket"),
-      col("vec_id").as("id_b"), col("rn").as("rn_b"), col("blk").as("jblk"))
-    a.join(b, Seq("table", "bucket", "jblk"))
-      .filter(col("rn_b") > col("rn_a") && col("rn_b") - col("rn_a") <= maxBucket)
-      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    SpanGuard.pairs(
+        slimBuckets(base, "vec_id", "embedding", "vec_id", tables, bitsPerTable),
+        keys = Seq("table", "bucket"), idCol = "vec_id",
+        order = Seq("vec_id"), maxSpan = maxBucket)
       .join(base.select(col("vec_id").as("id_a"), col("embedding").as("va"),
         col("nrm").as("na")), "id_a")
       .join(base.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
@@ -306,27 +294,53 @@ object Similarity {
     * arXiv:2303.09540): k-means-cluster the embeddings ([[trainCentroids]]
     * — the same deterministic distributed Lloyd trainer IVF uses), then
     * drop every vector with an IN-CELL neighbor of exact cosine ≥
-    * `threshold` and smaller id (keep = cluster-local minimum, the
-    * deterministic stand-in for the paper's representative choice).
+    * `threshold` and smaller id.
+    *
+    * RECALL CONTRACT. Pairing within a cell is exhaustive only while the
+    * cell holds ≤ maxCell+1 vectors; beyond that the [[SpanGuard]] span
+    * kicks in, and because in-cell rank order is vec_id order —
+    * uncorrelated with similarity — a scattered duplicate pair in an
+    * oversized MIXED cell can go unexamined. The default `nlist = 0`
+    * therefore AUTO-SIZES the cell count to target maxCell/2 expected
+    * vectors per cell (one count() job), the paper's regime, where the
+    * guard is inactive for every non-degenerate cell and in-cell dedup
+    * is exact; oversized cells then mean a duplicate FLOOD (near-equal
+    * vectors k-means cannot split), whose members sit on a contiguous
+    * rank chain the span does catch. The auto cell count is clamped to
+    * 4096 because assignment is a dense O(nlist × dim) scan per row —
+    * corpora needing more cells (≫ 4096 × maxCell/2 vectors) should
+    * assign via an ANN centroid index, which this operator does not
+    * implement.
     *
     * Scale shape: assignment is map-side (one corpus scan, no shuffle);
-    * pairing shuffles slim (cell, vec_id, rank) rows keyed by cell with
-    * the same block-keyed rank-span guard as [[cosineDedup]] — a
-    * degenerate mega-cell degrades to O(cell × maxCell) compute, never
-    * O(cell²), and consecutive-rank pairs still catch every member of an
-    * oversized duplicate cluster. Vectors are re-attached only to deduped
-    * candidate pairs. Unlike [[cosineDedup]]'s 8-table LSH, one k-means
-    * partition — recall comes from cluster locality (near-dups co-locate
-    * by construction), compute is one bucket pass instead of eight.
+    * pairing shuffles slim (cell, vec_id) rows keyed by cell; vectors are
+    * re-attached only to deduped candidate pairs. Unlike [[cosineDedup]]'s
+    * 8-table LSH, one k-means partition — recall comes from cluster
+    * locality (near-dups co-locate by construction), compute is one
+    * bucket pass instead of eight.
     *
     * @return (vec_id, cell, is_kept, dup_of) — `dup_of` is the smallest
-    *         witnessing in-cell duplicate id (null iff kept). Vectors
-    *         whose dimension mismatches the trained centroids get a null
-    *         cell and are kept verbatim (same null-cell contract as
-    *         [[ivfTopK]]'s inverted lists). */
-  def semanticDedup(df: DataFrame, threshold: Double, nlist: Int = 16,
+    *         id among the SPAN-EXAMINED in-cell duplicates that witness
+    *         the drop (null iff kept). It is a valid witness (smaller id,
+    *         cosine ≥ threshold — proved by the dedup_semantic_violations
+    *         query), NOT necessarily the cluster representative: in an
+    *         oversized cell, chains fragment (rank 100's witness may be
+    *         rank 68, itself dropped). Consumers wanting one canonical id
+    *         per duplicate cluster should run [[Dedup.connectedComponents]]
+    *         over (vec_id, dup_of) pairs, exactly as with the pairwise
+    *         dedup operators. Vectors whose dimension mismatches the
+    *         trained centroids get a null cell and are kept verbatim
+    *         (same null-cell contract as [[ivfTopK]]'s inverted lists). */
+  def semanticDedup(df: DataFrame, threshold: Double, nlist: Int = 0,
                     trainIters: Int = 2, maxCell: Int = 256): DataFrame = {
-    val (centIds, cents) = trainCentroids(df, nlist, trainIters)
+    val effNlist =
+      if (nlist > 0) nlist
+      else {
+        val n = df.count()
+        val target = math.max(1, maxCell / 2)
+        math.max(16, math.min(4096, (n / target).toInt + 1))
+      }
+    val (centIds, cents) = trainCentroids(df, effNlist, trainIters)
     val base = df.select(col("vec_id"), col("embedding"),
         vecNorm(col("embedding")).as("nrm"),
         element_at(graft.functions.VectorExpressions
@@ -334,25 +348,12 @@ object Similarity {
       .persist()
     CacheRegistry.track(base)
 
-    val wCell = Window.partitionBy("cell").orderBy("vec_id")
-    val bounded = base.filter(col("cell").isNotNull)
-      .select(col("cell"), col("vec_id"))
-      .withColumn("rn", row_number().over(wCell))
-      .withColumn("blk", floor((col("rn") - 1) / lit(maxCell)))
-      .persist()
-    CacheRegistry.track(bounded)
-    // block-keyed span pairing (cf. cosineDedup): a-side also reaches the
-    // next block so span pairs crossing a block boundary are kept
-    val a = bounded.select(col("cell"),
-      col("vec_id").as("id_a"), col("rn").as("rn_a"),
-      explode(array(col("blk"), col("blk") + 1)).as("jblk"))
-    val b = bounded.select(col("cell"),
-      col("vec_id").as("id_b"), col("rn").as("rn_b"), col("blk").as("jblk"))
-    // rn order within a cell IS id order (the window sorts by vec_id),
-    // so rn_b > rn_a ⇒ id_a < id_b: the witness is always the lower id
-    val dups = a.join(b, Seq("cell", "jblk"))
-      .filter(col("rn_b") > col("rn_a") && col("rn_b") - col("rn_a") <= maxCell)
-      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    // rn order within a cell IS id order (SpanGuard sorts by vec_id),
+    // so pair sides satisfy id_a < id_b: the witness is always the lower id
+    val dups = SpanGuard.pairs(
+        base.filter(col("cell").isNotNull).select("cell", "vec_id"),
+        keys = Seq("cell"), idCol = "vec_id",
+        order = Seq("vec_id"), maxSpan = maxCell)
       .join(base.select(col("vec_id").as("id_a"), col("embedding").as("va"),
         col("nrm").as("na")), "id_a")
       .join(base.select(col("vec_id").as("id_b"), col("embedding").as("vb"),

@@ -159,17 +159,35 @@ object TextAnalysis {
     * mean-df / high hapax ⇒ vocabulary the rest of the corpus never uses
     * (OCR noise, gibberish, exotic boilerplate).
     *
-    * Unlike the scan-speed expressions above this one is corpus-relative
-    * by definition, so it costs exactly two shuffles at any scale: the
-    * df aggregation keyed by token (partial-agg'd map-side — the
-    * exchange carries one (token, count) row per task, vocab-sized, not
-    * corpus-sized) and the per-doc re-aggregation keyed by doc_id.
+    * Cost, honestly: corpus-relative by definition, so the corpus-sized
+    * (doc, distinct-token) row set must ride ONE exchange keyed by token
+    * to meet its df — that exchange, not the vocab-sized df aggregation,
+    * dominates at scale, and its hottest keys are stopwords present in
+    * EVERY document. The head of the df distribution (`hotK` highest-df
+    * tokens, a bounded TakeOrdered) is therefore broadcast and matched
+    * map-side — the same hot-key discipline as [[Dedup]]'s df-cap
+    * blacklist — so only the cold tail shuffles, and no partition
+    * receives an every-document key. The tokenize+explode scan runs
+    * twice (df branch + attach branch): recomputing it is deliberate,
+    * a corpus-sized token cache would cost more than the second scan.
+    * The vocab-sized df frame IS cached ([[CacheRegistry]]-released).
     * Determinism: integer counts and one final double division each. */
-  def freqQuality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def freqQuality(df: DataFrame, idCol: String, textCol: String,
+                  hotK: Int = 1024): DataFrame = {
     val toks = df.select(col(idCol),
         explode(array_distinct(tokens(col(textCol)))).as("tok"))
-    val docFreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    toks.join(docFreq, "tok")
+    val docFreq = toks.groupBy("tok").agg(count(lit(1)).as("df")).persist()
+    CacheRegistry.track(docFreq)
+    val hot = docFreq.orderBy(col("df").desc, col("tok")).limit(hotK)
+      .withColumnRenamed("df", "df_hot")
+    val tagged = toks.join(broadcast(hot), Seq("tok"), "left_outer")
+    val hotSide = tagged.filter(col("df_hot").isNotNull)
+      .select(col(idCol), col("df_hot").as("df"))
+    val coldSide = tagged.filter(col("df_hot").isNull)
+      .select(col(idCol), col("tok"))
+      .join(docFreq, "tok")
+      .select(col(idCol), col("df"))
+    hotSide.unionByName(coldSide)
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_distinct_tokens"),
         sum(col("df")).as("df_sum"),

@@ -786,7 +786,7 @@ SELECT source, n_docs, n_tokens, n_distinct_fp,
        CAST(n_tokens AS DOUBLE) / CAST((SELECT sum(n_tokens) FROM s) AS DOUBLE) AS token_share
 FROM s ORDER BY source"""
 
-  /** Per-source document cap ([[Sampling.capPerGroup]], k=40): the
+  /** Per-source document cap ([[Sampling.capPerGroup]], k=10): the
     * per-domain cap every crawl pipeline applies so one mega-site cannot
     * dominate the mixture. Priority is (md5(doc_id), doc_id) — i.e. a
     * deterministic uniform sample of ≤ k docs per source. */

@@ -101,12 +101,16 @@ class CorpusOpsSpec extends AnyFunSuite {
 
   test("weighted sample: per-group rates, nesting, and 0/1 edges") {
     import spark.implicits._
-    val df = (0L until 8000L).map(i => (i, s"g${i % 4}")).toDF("doc_id", "source")
-    val out = Sampling.weightedSample(df, "doc_id", "source",
+    val df = ((0L until 8000L).map(i => (Option(i), s"g${i % 4}")) ++
+      Seq((Option.empty[Long], "g0"), (Option.empty[Long], "g2")))
+      .toDF("doc_id", "source")
+    val sampled = Sampling.weightedSample(df, "doc_id", "source",
       rates = Seq("g0" -> 1.0, "g1" -> 0.0, "g2" -> 0.5), defaultRate = 0.25)
-      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(sampled.filter(col("doc_id").isNull).count() == 0,
+      "null ids have no hash draw: dropped at every rate, including 1.0")
+    val out = sampled.collect().map(r => (r.getLong(0), r.getString(1)))
     val byGroup = out.groupBy(_._2).view.mapValues(_.length).toMap
-    assert(byGroup("g0") == 2000, "rate 1.0 keeps every row incl. bucket ffffffff")
+    assert(byGroup("g0") == 2000, "rate 1.0 keeps every non-null row incl. bucket ffffffff")
     assert(!byGroup.contains("g1"), "rate 0.0 keeps nothing")
     assert(math.abs(byGroup("g2") - 1000) < 150, s"g2=${byGroup.get("g2")}")
     assert(math.abs(byGroup("g3") - 500) < 100, s"g3=${byGroup.get("g3")}")
