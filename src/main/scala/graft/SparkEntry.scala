@@ -68,6 +68,7 @@ object SparkEntry {
     "corpus_pack_sequences" -> (ExtensionQueries.corpusPackSequences _),
     "corpus_decontaminate" -> (ExtensionQueries.corpusDecontaminate _),
     "corpus_source_profile" -> (ExtensionQueries.corpusSourceProfile _),
+    "corpus_decontaminate_semantic" -> (ExtensionQueries.corpusDecontaminateSemantic _),
     "corpus_domain_cap" -> (ExtensionQueries.corpusDomainCap _),
     "corpus_sample_weighted" -> (ExtensionQueries.corpusSampleWeighted _),
     "text_freq_quality" -> (ExtensionQueries.textFreqQuality _),
@@ -148,6 +149,7 @@ object SparkEntry {
     "corpus_pack_sequences" -> ExtensionQueries.corpusPackSequencesOracle,
     "corpus_decontaminate" -> ExtensionQueries.corpusDecontaminateOracle,
     "corpus_source_profile" -> ExtensionQueries.corpusSourceProfileOracle,
+    "corpus_decontaminate_semantic" -> ExtensionQueries.corpusDecontaminateSemanticOracle,
     "corpus_domain_cap" -> ExtensionQueries.corpusDomainCapOracle,
     "corpus_sample_weighted" -> ExtensionQueries.corpusSampleWeightedOracle,
     "text_freq_quality" -> ExtensionQueries.textFreqQualityOracle,

@@ -290,6 +290,42 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** Embedding-space benchmark decontamination — the semantic twin of
+    * [[Dedup.crossNgramOverlap]]: flag every corpus vector whose cosine
+    * against ANY probe (eval-set) vector reaches `threshold`, with the
+    * closest probe as evidence. Catches paraphrased/translated
+    * contamination that shares no n-grams with the benchmark.
+    *
+    * Scale shape: the corpus is scanned ONCE and never shuffled by the
+    * scoring — probes are broadcast (eval sets are small by contract:
+    * thousands of rows, not a corpus) and every (corpus × probe) cosine
+    * is evaluated map-side; the only exchange is the per-vector window
+    * over the ≥-threshold HITS (each group ≤ |probes| rows). For probe
+    * sets too large to broadcast, prune first with [[ivfTopK]] /
+    * [[lshTopK]] and exact-verify the candidates, as with the dedup
+    * family.
+    *
+    * @return one row per contaminated corpus vector:
+    *         (vec_id, closest_probe, max_sim, n_probe_hits). */
+  def semanticContamination(corpus: DataFrame, probes: DataFrame,
+                            threshold: Double): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("embedding").as("cv"),
+      vecNorm(col("embedding")).as("cn"))
+    val q = probes.select(col("vec_id").as("probe_id"), col("embedding").as("qv"),
+      vecNorm(col("embedding")).as("qn"))
+    val hits = c.crossJoin(broadcast(q))
+      .withColumn("sim", vecDot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+      .filter(col("sim") >= threshold)
+    val w = Window.partitionBy("vec_id")
+    hits
+      .withColumn("n_probe_hits", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("sim").desc, col("probe_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("probe_id").as("closest_probe"),
+        col("sim").as("max_sim"), col("n_probe_hits"))
+  }
+
   /** SemDeDup-style semantic dedup manifest (Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the embeddings ([[trainCentroids]]
     * — the same deterministic distributed Lloyd trainer IVF uses), then

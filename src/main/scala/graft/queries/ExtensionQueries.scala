@@ -755,6 +755,38 @@ GROUP BY 1, 2
 HAVING count(*) >= 3
 ORDER BY doc_id, probe_id"""
 
+  /** Embedding-space decontamination sweep
+    * ([[Similarity.semanticContamination]]): corpus vectors within cosine
+    * 0.35 of any eval-set vector (vec_id < 20 standing in as the
+    * benchmark embeddings) — the semantic complement of
+    * [[corpusDecontaminate]]'s n-gram sweep. */
+  def corpusDecontaminateSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+    Similarity.semanticContamination(
+        e.filter(col("vec_id") >= 20), e.filter(col("vec_id") < 20),
+        threshold = 0.35)
+      .orderBy("vec_id")
+  }
+
+  val corpusDecontaminateSemanticOracle: String = """
+WITH q AS (SELECT vec_id AS probe_id, embedding FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
+p AS (SELECT c.vec_id, q.probe_id, unnest(c.embedding) AS cv, unnest(q.embedding) AS qv
+      FROM c, q),
+s AS (SELECT vec_id, probe_id,
+        SUM(CAST(cv AS DOUBLE) * CAST(qv AS DOUBLE)) /
+          (sqrt(SUM(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE))) *
+           sqrt(SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)))) AS sim
+      FROM p GROUP BY 1, 2),
+h AS (SELECT * FROM s WHERE sim >= 0.35),
+r AS (SELECT vec_id, probe_id, sim,
+        row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, probe_id) AS rn,
+        count(*) OVER (PARTITION BY vec_id) AS n_probe_hits
+      FROM h)
+SELECT vec_id, probe_id AS closest_probe, sim AS max_sim,
+       CAST(n_probe_hits AS BIGINT) AS n_probe_hits
+FROM r WHERE rn = 1 ORDER BY vec_id"""
+
   /** Per-source corpus profile — the inputs a mixture-weighting step
     * consumes (doc/token counts, distinct-content counts, linear token
     * share). Integer aggregates + one final division keep it

@@ -172,6 +172,32 @@ class ExtensionSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("semantic contamination flags the planted paraphrase, not clean docs") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    // probes = perturbed copies of corpus vectors 0..4 (a "benchmark"
+    // whose items leaked into the corpus in paraphrased form)
+    val probes = e.filter(col("vec_id") < 5)
+      .select(($"vec_id" + 10000).as("vec_id"),
+        transform($"embedding", v => v * lit(1.01f) + lit(0.003f)).as("embedding"))
+    val corpus = e
+    val out = Similarity.semanticContamination(corpus, probes, threshold = 0.95)
+      .select("vec_id", "closest_probe", "n_probe_hits")
+      .as[(Long, Long, Long)].collect()
+    val flagged = out.map(r => r._1 -> r._2).toMap
+    (0L until 5L).foreach { i =>
+      assert(flagged.get(i).contains(i + 10000),
+        s"leaked corpus vector $i must be flagged with its probe as evidence")
+    }
+    assert(out.length < 20,
+      s"threshold 0.95 must not flag unrelated vectors, got ${out.length}")
+    // plan shape: probes are broadcast — the corpus side must not shuffle
+    val plan = Similarity.semanticContamination(corpus, probes, 0.95)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "probe scoring must be a broadcast product, corpus never exchanged for it")
+  }
+
   test("semantic dedup keeps one representative per planted twin cluster") {
     import spark.implicits._
     val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
