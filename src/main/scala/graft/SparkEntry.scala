@@ -72,6 +72,7 @@ object SparkEntry {
     "corpus_domain_cap" -> (ExtensionQueries.corpusDomainCap _),
     "corpus_sample_weighted" -> (ExtensionQueries.corpusSampleWeighted _),
     "text_freq_quality" -> (ExtensionQueries.textFreqQuality _),
+    "corpus_mixture" -> (ExtensionQueries.corpusMixture _),
     "dedup_semantic" -> (ExtensionQueries.dedupSemantic _),
     // -- violation queries: hash-green emptiness proofs for the LSH family.
     //    Each recomputes the operator's exact-verify contract through an
@@ -153,6 +154,7 @@ object SparkEntry {
     "corpus_domain_cap" -> ExtensionQueries.corpusDomainCapOracle,
     "corpus_sample_weighted" -> ExtensionQueries.corpusSampleWeightedOracle,
     "text_freq_quality" -> ExtensionQueries.textFreqQualityOracle,
+    "corpus_mixture" -> ExtensionQueries.corpusMixtureOracle,
     "dedup_semantic_violations" -> ExtensionQueries.violationOracle
     // dedup_minhash_lsh / dedup_simhash / dedup_embedding_cosine /
     // dedup_semantic / ann_lsh_topk / ann_ivf_topk /

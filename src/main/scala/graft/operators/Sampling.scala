@@ -77,6 +77,23 @@ object Sampling {
       (hashBucket(col(idCol)) < rate || rate === lit("ffffffff")))
   }
 
+  /** Exact uniform sample of `n` rows from the whole frame — "give me
+    * exactly 100k held-out documents", deterministic and engine-portable
+    * (same md5 priority as [[hashSplit]]). Runs as [[capPerGroup]] on a
+    * constant group: two salted window phases, so no driver-side merge of
+    * n rows (a bare `orderBy(md5).limit(n)` is TakeOrdered — fine for
+    * thousands, driver-bound for millions) and no single-task global
+    * sort. Returns `rank_in_sample` (1 = smallest draw).
+    *
+    * `salts` bounds phase-2 input at salts×n rows in ONE task — pick
+    * salts so that slice sorts stay comfortable (default 64 ⇒ phase 1
+    * sorts ~|df|/64 per task). */
+  def takeUniform(df: DataFrame, idCol: String, n: Int,
+                  salts: Int = 64): DataFrame =
+    capPerGroup(df.withColumn("all", lit(1)), idCol, "all", n, salts)
+      .withColumnRenamed("rank_in_group", "rank_in_sample")
+      .drop("all")
+
   /** Exact per-group cap: keep the `k` highest-priority rows of each
     * group, priority = (md5(id), id) — i.e. a deterministic uniform
     * without-replacement sample of size ≤ k per group (the per-domain /

@@ -861,6 +861,48 @@ WHERE CASE source
       END
 ORDER BY doc_id"""
 
+  /** Composite mixture manifest — the sampling operators chained the way
+    * a real mixture step runs them in ONE pass ([[corpusClean]]'s
+    * pattern): mixture-weight downsample per source →  exact per-source
+    * cap → deterministic split assignment. Every stage is a pure
+    * function of (doc_id, source), so the manifest is reproducible and
+    * append-stable end to end. */
+  def corpusMixture(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "source", "lang")
+    val sampled = Sampling.weightedSample(docs, "doc_id", "source",
+      rates = Seq("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5,
+        "src3" -> 0.3, "src4" -> 0.0),
+      defaultRate = 0.25)
+    val capped = Sampling.capPerGroup(sampled, "doc_id", "source", k = 8)
+    Sampling.hashSplit(capped, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "source", "split", "rank_in_group")
+      .orderBy("doc_id")
+  }
+
+  val corpusMixtureOracle: String = """
+WITH kept AS (
+  SELECT doc_id, source FROM documents
+  WHERE CASE source
+          WHEN 'src0' THEN TRUE
+          WHEN 'src1' THEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'c0000000'
+          WHEN 'src2' THEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < '80000000'
+          WHEN 'src3' THEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < '4ccccccc'
+          WHEN 'src4' THEN FALSE
+          ELSE substr(md5(CAST(doc_id AS VARCHAR)),1,8) < '40000000'
+        END),
+capped AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank_in_group
+  FROM kept)
+SELECT doc_id, source,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'cccccccc' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' THEN 'val'
+            ELSE 'test' END AS split,
+       rank_in_group
+FROM capped WHERE rank_in_group <= 8 ORDER BY doc_id"""
+
   /** Corpus-relative token-frequency quality
     * ([[TextAnalysis.freqQuality]]): mean document frequency of each
     * doc's distinct tokens + hapax ratio. */

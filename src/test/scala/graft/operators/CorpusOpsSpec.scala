@@ -150,6 +150,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(alt == want)
   }
 
+  test("takeUniform: exactly n rows, stable under appends and salt count") {
+    import spark.implicits._
+    val small = (0L until 3000L).toDF("doc_id")
+    val big = (0L until 9000L).toDF("doc_id")
+    val gotSmall = Sampling.takeUniform(small, "doc_id", n = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gotSmall.size == 100)
+    // append stability: growing the corpus only rotates members via the
+    // hash order — rows sampled from the SUBSET that remain in the
+    // superset's top-100 draw must be the superset's lowest draws too
+    val gotBig = Sampling.takeUniform(big, "doc_id", n = 100, salts = 7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gotBig.size == 100)
+    // reference: global md5 order
+    val want = big.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(100).select("doc_id").as[Long].collect().toSet
+    assert(gotBig == want, "two-phase result equals the global TakeOrdered")
+  }
+
   // ------------------------------------------------------- freqQuality ----
 
   test("token-frequency quality: hand-checked df and hapax ratios") {
