@@ -168,8 +168,10 @@ object TextAnalysis {
     * map-side — the same hot-key discipline as [[Dedup]]'s df-cap
     * blacklist — so only the cold tail shuffles, and no partition
     * receives an every-document key. The tokenize+explode scan runs
-    * twice (df branch + attach branch): recomputing it is deliberate,
-    * a corpus-sized token cache would cost more than the second scan.
+    * three times (df aggregation, hot branch, cold branch): recomputing
+    * it is deliberate — it is map-side-cheap, while a corpus-sized
+    * token cache (or re-uniting the branches through one join) would
+    * cost more than the extra scans.
     * The vocab-sized df frame IS cached ([[CacheRegistry]]-released).
     * Determinism: integer counts and one final double division each. */
   def freqQuality(df: DataFrame, idCol: String, textCol: String,
