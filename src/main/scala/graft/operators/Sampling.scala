@@ -89,10 +89,14 @@ object Sampling {
     * salts so that slice sorts stay comfortable (default 64 ⇒ phase 1
     * sorts ~|df|/64 per task). */
   def takeUniform(df: DataFrame, idCol: String, n: Int,
-                  salts: Int = 64): DataFrame =
-    capPerGroup(df.withColumn("all", lit(1)), idCol, "all", n, salts)
+                  salts: Int = 64): DataFrame = {
+    // improbable constant-group name: a user column named "all" must
+    // survive the round trip untouched
+    val g = "__graft_take_uniform_group"
+    capPerGroup(df.withColumn(g, lit(1)), idCol, g, n, salts)
       .withColumnRenamed("rank_in_group", "rank_in_sample")
-      .drop("all")
+      .drop(g)
+  }
 
   /** Exact per-group cap: keep the `k` highest-priority rows of each
     * group, priority = (md5(id), id) — i.e. a deterministic uniform
@@ -114,7 +118,10 @@ object Sampling {
     val w1 = Window.partitionBy(col(groupCol), slice)
       .orderBy(prio, col(idCol))
     val w2 = Window.partitionBy(col(groupCol)).orderBy(prio, col(idCol))
-    df.withColumn("rn_slice", row_number().over(w1))
+    // null ids have no hash draw and would sort FIRST (nulls-first md5,
+    // arbitrary tie order) — dropped, same policy as [[weightedSample]]
+    df.filter(col(idCol).isNotNull)
+      .withColumn("rn_slice", row_number().over(w1))
       .filter(col("rn_slice") <= k)
       .withColumn("rank_in_group", row_number().over(w2).cast("long"))
       .filter(col("rank_in_group") <= k)

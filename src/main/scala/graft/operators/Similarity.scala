@@ -30,14 +30,23 @@ object Similarity {
 
   /** Exact top-k cosine neighbors for each query vector.
     * `queries` is expected to be small (broadcast side). Norms are
-    * precomputed per vector — one dot per pair instead of three. */
+    * precomputed per vector — one dot per pair instead of three.
+    *
+    * ZERO-NORM CONTRACT (whole cosine family: this, [[lshTopK]],
+    * [[ivfTopK]], [[cosineDedup]], [[semanticDedup]],
+    * [[semanticContamination]]): an all-zero vector has no direction, so
+    * cosine against it is 0/0 = NaN — and Spark orders NaN ABOVE every
+    * double and passes `NaN >= threshold`, so one failed-encoder vector
+    * would flood every report (and diverge from engines that yield
+    * NULL). Zero-norm vectors are therefore excluded from cosine
+    * scoring up front on both sides. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      qId: String = "vec_id", qVec: String = "embedding",
                      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     val q = queries.select(col(qId).as("query_id"), col(qVec).as("qv"),
-      vecNorm(col(qVec)).as("qn"))
+      vecNorm(col(qVec)).as("qn")).filter(col("qn") > 0)
     val c = corpus.select(col(cId).as("cand_id"), col(cVec).as("cv"),
-      vecNorm(col(cVec)).as("cn"))
+      vecNorm(col(cVec)).as("cn")).filter(col("cn") > 0)
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("sim", vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
@@ -89,9 +98,9 @@ object Similarity {
               tables: Int = 8, bitsPerTable: Int = 8,
               maxBucket: Int = 64): DataFrame = {
     val qBase = queries.select(col("vec_id").as("query_id"), col("embedding").as("queryv"),
-      vecNorm(col("embedding")).as("queryn"))
+      vecNorm(col("embedding")).as("queryn")).filter(col("queryn") > 0)
     val cBase = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("candv"),
-      vecNorm(col("embedding")).as("candn")).persist()
+      vecNorm(col("embedding")).as("candn")).filter(col("candn") > 0).persist()
     CacheRegistry.track(cBase)
 
     val wBucket = Window.partitionBy("table", "bucket").orderBy("cand_id")
@@ -217,13 +226,16 @@ object Similarity {
     def nearest(vec: Column, keep: Int): Column =
       graft.functions.VectorExpressions.nearestCentroids(vec, centIds, cents, keep)
 
-    // inverted lists: single nearest cell per corpus vector, zero-shuffle
+    // inverted lists: single nearest cell per corpus vector, zero-shuffle;
+    // zero-norm vectors excluded (cosine family contract — bruteForceTopK)
     val lists = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("candv"),
       vecNorm(col("embedding")).as("candn"),
       element_at(nearest(col("embedding"), 1), 1).as("cent_id"))
+      .filter(col("candn") > 0)
     val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("queryv"),
       vecNorm(col("embedding")).as("queryn"),
       explode(nearest(col("embedding"), nprobe)).as("cent_id"))
+      .filter(col("queryn") > 0)
     // cand appears in exactly one cell and probe cells are distinct per
     // query, so (query_id, cand_id) pairs are already unique — no dedup.
     val probesSide = if (broadcastProbes) broadcast(probes) else probes
@@ -274,8 +286,9 @@ object Similarity {
   def cosineDedup(df: DataFrame, threshold: Double,
                   tables: Int = 8, bitsPerTable: Int = 8,
                   maxBucket: Int = 64): DataFrame = {
+    // zero-norm vectors excluded (cosine family contract — bruteForceTopK)
     val base = df.select(col("vec_id"), col("embedding"),
-      vecNorm(col("embedding")).as("nrm")).persist()
+      vecNorm(col("embedding")).as("nrm")).filter(col("nrm") > 0).persist()
     CacheRegistry.track(base)
     SpanGuard.pairs(
         slimBuckets(base, "vec_id", "embedding", "vec_id", tables, bitsPerTable),
@@ -309,10 +322,11 @@ object Similarity {
     *         (vec_id, closest_probe, max_sim, n_probe_hits). */
   def semanticContamination(corpus: DataFrame, probes: DataFrame,
                             threshold: Double): DataFrame = {
+    // zero-norm vectors excluded (cosine family contract — bruteForceTopK)
     val c = corpus.select(col("vec_id"), col("embedding").as("cv"),
-      vecNorm(col("embedding")).as("cn"))
+      vecNorm(col("embedding")).as("cn")).filter(col("cn") > 0)
     val q = probes.select(col("vec_id").as("probe_id"), col("embedding").as("qv"),
-      vecNorm(col("embedding")).as("qn"))
+      vecNorm(col("embedding")).as("qn")).filter(col("qn") > 0)
     val hits = c.crossJoin(broadcast(q))
       .withColumn("sim", vecDot(col("cv"), col("qv")) / (col("cn") * col("qn")))
       .filter(col("sim") >= threshold)
@@ -366,7 +380,9 @@ object Similarity {
     *         over (vec_id, dup_of) pairs, exactly as with the pairwise
     *         dedup operators. Vectors whose dimension mismatches the
     *         trained centroids get a null cell and are kept verbatim
-    *         (same null-cell contract as [[ivfTopK]]'s inverted lists). */
+    *         (same null-cell contract as [[ivfTopK]]'s inverted lists);
+    *         zero-norm vectors are likewise kept verbatim — cosine
+    *         against them is undefined ([[bruteForceTopK]] contract). */
   def semanticDedup(df: DataFrame, threshold: Double, nlist: Int = 0,
                     trainIters: Int = 2, maxCell: Int = 256): DataFrame = {
     val effNlist =
@@ -385,9 +401,13 @@ object Similarity {
     CacheRegistry.track(base)
 
     // rn order within a cell IS id order (SpanGuard sorts by vec_id),
-    // so pair sides satisfy id_a < id_b: the witness is always the lower id
+    // so pair sides satisfy id_a < id_b: the witness is always the lower
+    // id. Zero-norm vectors are kept out of pairing (cosine against them
+    // is NaN — family contract at [[bruteForceTopK]]) but STAY in the
+    // manifest as kept rows, like null-cell dim mismatches.
     val dups = SpanGuard.pairs(
-        base.filter(col("cell").isNotNull).select("cell", "vec_id"),
+        base.filter(col("cell").isNotNull && col("nrm") > 0)
+          .select("cell", "vec_id"),
         keys = Seq("cell"), idCol = "vec_id",
         order = Seq("vec_id"), maxSpan = maxCell)
       .join(base.select(col("vec_id").as("id_a"), col("embedding").as("va"),

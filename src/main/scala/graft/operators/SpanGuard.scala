@@ -50,6 +50,9 @@ private[operators] object SpanGuard {
   def pairs(rows: DataFrame, keys: Seq[String], idCol: String,
             order: Seq[String], maxSpan: Int,
             payload: Seq[String] = Nil, cache: Boolean = true): DataFrame = {
+    // maxSpan = 0 would make the block key (rn-1)/0 = NaN/Infinity and
+    // silently emit ZERO pairs — a recall cliff with no diagnostic
+    require(maxSpan >= 1, s"maxSpan must be >= 1, got $maxSpan")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(col): _*)
     val ranked0 = rows
       .withColumn("rn", row_number().over(w))

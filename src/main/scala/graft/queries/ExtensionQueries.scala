@@ -833,7 +833,7 @@ SELECT doc_id, source, rank_in_group FROM (
   SELECT doc_id, source,
          CAST(row_number() OVER (PARTITION BY source
               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank_in_group
-  FROM documents)
+  FROM documents WHERE doc_id IS NOT NULL)
 WHERE rank_in_group <= 10 ORDER BY doc_id"""
 
   /** Mixture-weight downsampling ([[Sampling.weightedSample]]): keep
@@ -851,7 +851,8 @@ WHERE rank_in_group <= 10 ORDER BY doc_id"""
 
   val corpusSampleWeightedOracle: String = """
 SELECT doc_id, source, lang FROM documents
-WHERE CASE source
+WHERE doc_id IS NOT NULL
+  AND CASE source
         WHEN 'src0' THEN TRUE
         WHEN 'src1' THEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'c0000000'
         WHEN 'src2' THEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < '80000000'
@@ -883,7 +884,8 @@ ORDER BY doc_id"""
   val corpusMixtureOracle: String = """
 WITH kept AS (
   SELECT doc_id, source FROM documents
-  WHERE CASE source
+  WHERE doc_id IS NOT NULL
+    AND CASE source
           WHEN 'src0' THEN TRUE
           WHEN 'src1' THEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'c0000000'
           WHEN 'src2' THEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < '80000000'

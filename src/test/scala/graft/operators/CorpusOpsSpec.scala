@@ -154,6 +154,14 @@ class CorpusOpsSpec extends AnyFunSuite {
     import spark.implicits._
     val small = (0L until 3000L).toDF("doc_id")
     val big = (0L until 9000L).toDF("doc_id")
+    // a user column named "all" must survive untouched, and null ids are
+    // dropped (no hash draw), not ranked first
+    val withAll = ((0L until 50L).map(i => (Option(i), s"v$i")) :+
+      (Option.empty[Long], "vnull")).toDF("doc_id", "all")
+    val keptAll = Sampling.takeUniform(withAll, "doc_id", n = 60)
+    assert(keptAll.columns.toSeq.contains("all"))
+    val vals = keptAll.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(vals.length == 50 && vals.forall { case (i, v) => v == s"v$i" })
     val gotSmall = Sampling.takeUniform(small, "doc_id", n = 100)
       .select("doc_id").as[Long].collect().toSet
     assert(gotSmall.size == 100)
@@ -183,6 +191,12 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(1L) == ((3L, 2.0, 1.0 / 3)))            // (3+2+1)/3, gamma hapax
     assert(got(2L) == ((3L, 2.0, 1.0 / 3)))            // (3+2+1)/3, delta hapax
     assert(got(3L) == ((3L, 5.0 / 3, 2.0 / 3)))        // distinct: alpha,zzz1,zzz2
+    // hotK = 2 forces the vocab (6 tokens) through BOTH join paths —
+    // alpha+beta broadcast-hot, the rest through the shuffled cold tail;
+    // the split must be invisible in the result
+    val split = TextAnalysis.freqQuality(df, "doc_id", "text", hotK = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(split == got, "hot/cold split must not change any value")
   }
 
   // --------------------------------------------------- decontamination ----

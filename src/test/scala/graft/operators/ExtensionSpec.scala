@@ -172,6 +172,38 @@ class ExtensionSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("zero-norm embeddings never flood cosine reports (NaN guard)") {
+    import spark.implicits._
+    // NaN >= threshold is TRUE in Spark and NaN sorts above every double
+    // under desc — one all-zero vector must not contaminate any result
+    val vec = Array(0.6f, -0.2f, 0.9f, 0.1f, -0.7f, 0.3f, 0.5f, -0.4f)
+    val zero = Array.fill(8)(0.0f)
+    val rows = (0 until 30).map(i => (i.toLong, vec)) :+ (999L, zero)
+    val df = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val zeroProbe = Seq((5000L, zero)).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    // a zero PROBE flags nothing; a zero CORPUS vector is never flagged
+    assert(Similarity.semanticContamination(df, zeroProbe, 0.1).count() == 0)
+    val contam = Similarity.semanticContamination(df, df.filter($"vec_id" === 0), 0.9)
+      .select("vec_id").as[Long].collect()
+    assert(!contam.contains(999L) && contam.nonEmpty)
+    // dedup family: the zero vector is KEPT verbatim, never a witness
+    val m = Similarity.semanticDedup(df, threshold = 0.9)
+      .select("vec_id", "is_kept", "dup_of").as[(Long, Int, Option[Long])].collect()
+    val zeroRow = m.find(_._1 == 999L).get
+    assert(zeroRow._2 == 1 && zeroRow._3.isEmpty)
+    assert(m.filter(_._2 == 0).forall(r => r._3.get != 999L))
+    val pairs = Similarity.cosineDedup(df, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.forall(p => p._1 != 999L && p._2 != 999L) && pairs.nonEmpty)
+    // ANN: a zero query returns nothing; a zero candidate never ranks
+    assert(Similarity.bruteForceTopK(zeroProbe, df, 5).count() == 0)
+    assert(Similarity.bruteForceTopK(df.filter($"vec_id" === 0), df, 100)
+      .select("cand_id").as[Long].collect().forall(_ != 999L))
+    CacheRegistry.releaseAll()
+  }
+
   test("semantic contamination flags the planted paraphrase, not clean docs") {
     import spark.implicits._
     val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
