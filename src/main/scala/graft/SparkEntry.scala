@@ -73,6 +73,7 @@ object SparkEntry {
     "corpus_sample_weighted" -> (ExtensionQueries.corpusSampleWeighted _),
     "text_freq_quality" -> (ExtensionQueries.textFreqQuality _),
     "corpus_mixture" -> (ExtensionQueries.corpusMixture _),
+    "corpus_take_uniform" -> (ExtensionQueries.corpusTakeUniform _),
     "dedup_semantic" -> (ExtensionQueries.dedupSemantic _),
     // -- violation queries: hash-green emptiness proofs for the LSH family.
     //    Each recomputes the operator's exact-verify contract through an
@@ -155,6 +156,7 @@ object SparkEntry {
     "corpus_sample_weighted" -> ExtensionQueries.corpusSampleWeightedOracle,
     "text_freq_quality" -> ExtensionQueries.textFreqQualityOracle,
     "corpus_mixture" -> ExtensionQueries.corpusMixtureOracle,
+    "corpus_take_uniform" -> ExtensionQueries.corpusTakeUniformOracle,
     "dedup_semantic_violations" -> ExtensionQueries.violationOracle
     // dedup_minhash_lsh / dedup_simhash / dedup_embedding_cosine /
     // dedup_semantic / ann_lsh_topk / ann_ivf_topk /

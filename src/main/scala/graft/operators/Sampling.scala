@@ -77,6 +77,55 @@ object Sampling {
       (hashBucket(col(idCol)) < rate || rate === lit("ffffffff")))
   }
 
+  /** Per-source keep rates for a token budget with temperature-weighted
+    * mixing — the arithmetic between a corpus profile
+    * (`corpus_source_profile`) and [[weightedSample]]. Target share of
+    * source s is `tokens_s^alpha / Σ tokens^alpha` (alpha = 1: keep
+    * natural proportions; alpha < 1: flatten toward uniform, the
+    * standard multilingual-LM upsampling curve; alpha = 0: uniform).
+    * Rates are capped at 1.0 — this operator only downsamples — and the
+    * budget a capped source cannot absorb is redistributed over the
+    * uncapped ones (waterfilling, ≤ |sources| rounds), so the expected
+    * kept-token total meets `tokenBudget` whenever the corpus can supply
+    * it. Driver-side pure function of the (small) profile — the profile
+    * frame is per-source, never corpus-sized.
+    *
+    * @return (source, rate) with Σ tokens_s·rate_s = min(budget,
+    *         Σ tokens_s) up to float rounding, rates in [0, 1]. */
+  def ratesForTokenBudget(profile: Seq[(String, Long)], tokenBudget: Long,
+                          alpha: Double = 1.0): Seq[(String, Double)] = {
+    require(alpha >= 0.0, "alpha must be >= 0")
+    require(profile.forall(_._2 >= 0), "token counts must be >= 0")
+    val live = profile.filter(_._2 > 0)
+    if (live.isEmpty || tokenBudget <= 0) return profile.map(_._1 -> 0.0)
+    var uncapped = live
+    var capped = Map.empty[String, Double]
+    var budget = math.min(tokenBudget.toDouble, live.map(_._2.toDouble).sum)
+    // waterfill: hand each capped source its whole mass (rate 1.0) and
+    // re-split the remaining budget over the rest by temperature weight
+    var done = false
+    while (!done) {
+      val wSum = uncapped.map { case (_, t) => math.pow(t.toDouble, alpha) }.sum
+      val over = uncapped.filter { case (_, t) =>
+        budget * math.pow(t.toDouble, alpha) / wSum >= t.toDouble
+      }
+      if (over.isEmpty) done = true
+      else {
+        capped ++= over.map(_._1 -> 1.0)
+        budget -= over.map(_._2.toDouble).sum
+        uncapped = uncapped.filterNot { case (s, _) => capped.contains(s) }
+        done = uncapped.isEmpty
+      }
+    }
+    val wSum = uncapped.map { case (_, t) => math.pow(t.toDouble, alpha) }.sum
+    val open = uncapped.map { case (s, t) =>
+      s -> (budget * math.pow(t.toDouble, alpha) / wSum / t.toDouble)
+    }.toMap
+    profile.map { case (s, t) =>
+      s -> (if (t <= 0) 0.0 else capped.getOrElse(s, open.getOrElse(s, 0.0)))
+    }
+  }
+
   /** Exact uniform sample of `n` rows from the whole frame — "give me
     * exactly 100k held-out documents", deterministic and engine-portable
     * (same md5 priority as [[hashSplit]]). Runs as [[capPerGroup]] on a

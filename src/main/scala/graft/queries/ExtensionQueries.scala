@@ -862,6 +862,23 @@ WHERE doc_id IS NOT NULL
       END
 ORDER BY doc_id"""
 
+  /** Exact deterministic 100-document held-out sample
+    * ([[Sampling.takeUniform]] — salted two-phase top-n, no driver-side
+    * merge). */
+  def corpusTakeUniform(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.takeUniform(
+        Tables(spark, sfDir, "documents").select("doc_id", "source"),
+        "doc_id", n = 100)
+      .orderBy("doc_id")
+
+  val corpusTakeUniformOracle: String = """
+SELECT doc_id, source, rank_in_sample FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank_in_sample
+  FROM documents WHERE doc_id IS NOT NULL)
+WHERE rank_in_sample <= 100 ORDER BY doc_id"""
+
   /** Composite mixture manifest — the sampling operators chained the way
     * a real mixture step runs them in ONE pass ([[corpusClean]]'s
     * pattern): mixture-weight downsample per source →  exact per-source

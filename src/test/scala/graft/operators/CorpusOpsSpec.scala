@@ -150,6 +150,39 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(alt == want)
   }
 
+  test("token-budget rates: proportional, temperature-flattened, waterfilled") {
+    def expectedTokens(profile: Seq[(String, Long)], rates: Seq[(String, Double)]): Double = {
+      val r = rates.toMap
+      profile.map { case (s, t) => t * r(s) }.sum
+    }
+    val profile = Seq("a" -> 100L, "b" -> 900L, "c" -> 0L)
+    // alpha = 1: plain proportional downsampling — every rate = budget/total
+    val prop = Sampling.ratesForTokenBudget(profile, 500L, alpha = 1.0).toMap
+    assert(math.abs(prop("a") - 0.5) < 1e-12 && math.abs(prop("b") - 0.5) < 1e-12)
+    assert(prop("c") == 0.0)
+    // alpha = 0: uniform targets, the small source caps at 1.0 and its
+    // unused budget waterfills to the big one (100·1.0 + 900·r = 500)
+    val flat = Sampling.ratesForTokenBudget(profile, 500L, alpha = 0.0).toMap
+    assert(flat("a") == 1.0)
+    assert(math.abs(flat("b") - 400.0 / 900.0) < 1e-12)
+    assert(math.abs(expectedTokens(profile, flat.toSeq) - 500.0) < 1e-6)
+    // alpha = 0.5 sits between: small source upweighted vs proportional
+    val mid = Sampling.ratesForTokenBudget(profile, 500L, alpha = 0.5).toMap
+    assert(mid("a") > prop("a") && mid("a") <= 1.0)
+    assert(math.abs(expectedTokens(profile, mid.toSeq) - 500.0) < 1e-6)
+    // budget >= corpus: everything kept; budget 0: nothing
+    assert(Sampling.ratesForTokenBudget(profile, 5000L).forall(r =>
+      r._2 == (if (r._1 == "c") 0.0 else 1.0)))
+    assert(Sampling.ratesForTokenBudget(profile, 0L).forall(_._2 == 0.0))
+    // the rates feed weightedSample directly (types line up)
+    import spark.implicits._
+    val docs = (0L until 1000L).map(i => (i, if (i < 100) "a" else "b"))
+      .toDF("doc_id", "source")
+    val kept = Sampling.weightedSample(docs, "doc_id", "source",
+      rates = Sampling.ratesForTokenBudget(profile, 500L, alpha = 0.0))
+    assert(kept.filter(col("source") === "a").count() == 100L, "rate-1.0 source whole")
+  }
+
   test("takeUniform: exactly n rows, stable under appends and salt count") {
     import spark.implicits._
     val small = (0L until 3000L).toDF("doc_id")
