@@ -147,8 +147,50 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** BPE-encode a space-separated text into subword pieces with a fixed
+    * learned merge table ([[graft.operators.Bpe]] kernel — the trainer's
+    * exact greedy discipline, so encode(word) reproduces the training
+    * segmentation). The merge table is a constructor param: it rides
+    * into the generated code as a bound reference (the ranks map is
+    * built once per executor instance, not per row), the standard way a
+    * small model artifact accompanies a scan. */
+  case class BpeEncodeText(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "bpe_encode"
+
+    @transient private lazy val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.toMap
+
+    override def nullSafeEval(input: Any): Any = {
+      val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+      val out = Vector.newBuilder[UTF8String]
+      var i = 0
+      while (i < words.length) {
+        if (words(i).nonEmpty) {
+          graft.operators.Bpe.encodeWord(words(i), ranks)
+            .foreach(p => out += UTF8String.fromString(p))
+        }
+        i += 1
+      }
+      new GenericArrayData(out.result().toArray[Any])
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpe", this, classOf[BpeEncodeText].getName)
+      nullSafeCodeGen(ctx, ev, a => {
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($a);"
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def decodeMimeHeader(c: Column): Column =
     GraftBridge.column(DecodeMimeHeader(GraftBridge.expr(c)))
+  def bpeEncode(c: Column, merges: Seq[(String, String)]): Column =
+    GraftBridge.column(BpeEncodeText(GraftBridge.expr(c), merges))
   def winnowFingerprint(c: Column, k: Int = 8, w: Int = 4): Column =
     GraftBridge.column(WinnowFingerprint(GraftBridge.expr(c), k, w))
 

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE trainer + encoder contract tests. */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+
+  test("encodeWord replays merges greedily by rank, leftmost on ties") {
+    val ranks = Seq(("l", "o"), ("lo", "w"), ("e", "r")).zipWithIndex.toMap
+    assert(Bpe.encodeWord("lower", ranks) == Seq("low", "er"))
+    assert(Bpe.encodeWord("loser", ranks) == Seq("lo", "s", "er"))
+    assert(Bpe.encodeWord("low", ranks) == Seq("low"))
+    assert(Bpe.encodeWord("xyz", ranks) == Seq("x", "y", "z"))
+    assert(Bpe.encodeWord("", ranks) == Seq())
+    // overlapping occurrences merge left-to-right, non-overlapping
+    val aa = Map(("a", "a") -> 0)
+    assert(Bpe.encodeWord("aaa", aa) == Seq("aa", "a"))
+    assert(Bpe.encodeWord("aaaa", aa) == Seq("aa", "aa"))
+  }
+
+  test("codepoint discipline: astral characters never tear") {
+    val cps = Bpe.codepoints("a𝄞b") // a 𝄞 b
+    assert(cps == Vector("a", "𝄞", "b"))
+    assert(Bpe.encodeWord("a𝄞b", Map.empty).length == 3)
+  }
+
+  test("training learns the most frequent pair first, hand-checked") {
+    import spark.implicits._
+    // "ab" appears in 5 words (weighted 5+3=8 with repeats), "bc" in 3
+    val docs = Seq("abx abx abx aby aby", "bcz bcz bcz").toDF("text")
+    val merges = Bpe.train(docs, "text", numMerges = 2)
+    assert(merges.head == (("a", "b")), s"got $merges")
+    // second merge: with 'ab' fused, the next best weighted pair
+    assert(merges.length == 2)
+  }
+
+  test("training stops when no pair reaches minPairCount") {
+    import spark.implicits._
+    val docs = Seq("ab cd ef").toDF("text") // every pair appears once
+    assert(Bpe.train(docs, "text", numMerges = 10).isEmpty)
+  }
+
+  test("encode reproduces the training segmentation on the real corpus") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = Bpe.train(docs, "text", numMerges = 16)
+    assert(merges.nonEmpty)
+    val ranks = merges.zipWithIndex.toMap
+    // reference segmentation: apply merges in rank order (the trainer's
+    // exact discipline) — encodeWord's greedy replay must agree on EVERY
+    // distinct corpus word
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct().as[String].collect()
+    words.foreach { w =>
+      val ref = merges.foldLeft(Bpe.codepoints(w): Seq[String]) {
+        case (segs, (a, b)) => Bpe.mergeOnce(segs, a, b)
+      }
+      val got = Bpe.encodeWord(w, ranks)
+      assert(got == ref, s"word '$w': greedy $got != rank-replay $ref")
+      assert(got.mkString("") == w, s"reconstruction failed for '$w'")
+    }
+  }
+
+  test("bpeEncode expression flattens per-word pieces in order") {
+    import spark.implicits._
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    val out = Seq("low lower low").toDF("text")
+      .select(graft.functions.TextExpressions.bpeEncode(col("text"), merges).as("p"))
+      .as[Seq[String]].head()
+    assert(out == Seq("low", "low", "e", "r", "low"))
+    // null text -> null array; empty text -> empty array
+    val nulls = Seq[Option[String]](None, Some("")).toDF("text")
+      .select(graft.functions.TextExpressions.bpeEncode(col("text"), merges).as("p"))
+      .collect()
+    assert(nulls(0).isNullAt(0) && nulls(1).getSeq[String](0).isEmpty)
+  }
+}
