@@ -176,8 +176,12 @@ object Similarity {
     * nlist ids + nlist×dim floats.
     *
     * Shared by [[ivfTopK]] (coarse quantizer) and [[semanticDedup]]
-    * (cluster stage). */
-  private[operators] def trainCentroids(corpus: DataFrame, nlist: Int,
+    * (cluster stage); public so callers issuing several queries over the
+    * same corpus can train once and pass the artifact back in via those
+    * operators' `pretrained` parameter (a centroid set is corpus
+    * metadata, like a BPE merge table — retraining it per query
+    * double-charges the trainer). */
+  def trainCentroids(corpus: DataFrame, nlist: Int,
       trainIters: Int): (Array[Long], Array[Array[Float]]) = {
     val centroidRows = corpus
       .select(col("vec_id").cast("long").as("cent_id"), col("embedding"))
@@ -221,8 +225,10 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4,
               broadcastProbes: Boolean = true,
-              trainIters: Int = 2): DataFrame = {
-    val (centIds, cents) = trainCentroids(corpus, nlist, trainIters)
+              trainIters: Int = 2,
+              pretrained: Option[(Array[Long], Array[Array[Float]])] = None): DataFrame = {
+    val (centIds, cents) =
+      pretrained.getOrElse(trainCentroids(corpus, nlist, trainIters))
     def nearest(vec: Column, keep: Int): Column =
       graft.functions.VectorExpressions.nearestCentroids(vec, centIds, cents, keep)
 
@@ -383,16 +389,20 @@ object Similarity {
     *         (same null-cell contract as [[ivfTopK]]'s inverted lists);
     *         zero-norm vectors are likewise kept verbatim — cosine
     *         against them is undefined ([[bruteForceTopK]] contract). */
+  /** [[semanticDedup]]'s default cell count for a corpus of `n` vectors:
+    * expected cell size maxCell/2 (span guard inactive in the
+    * non-degenerate regime), clamped to [16, 4096] — see the recall
+    * contract on [[semanticDedup]]. */
+  def autoNlist(n: Long, maxCell: Int = 256): Int =
+    math.max(16, math.min(4096, (n / math.max(1, maxCell / 2)).toInt + 1))
+
   def semanticDedup(df: DataFrame, threshold: Double, nlist: Int = 0,
-                    trainIters: Int = 2, maxCell: Int = 256): DataFrame = {
-    val effNlist =
-      if (nlist > 0) nlist
-      else {
-        val n = df.count()
-        val target = math.max(1, maxCell / 2)
-        math.max(16, math.min(4096, (n / target).toInt + 1))
-      }
-    val (centIds, cents) = trainCentroids(df, effNlist, trainIters)
+                    trainIters: Int = 2, maxCell: Int = 256,
+                    pretrained: Option[(Array[Long], Array[Array[Float]])] = None): DataFrame = {
+    val (centIds, cents) = pretrained.getOrElse {
+      val effNlist = if (nlist > 0) nlist else autoNlist(df.count(), maxCell)
+      trainCentroids(df, effNlist, trainIters)
+    }
     val base = df.select(col("vec_id"), col("embedding"),
         vecNorm(col("embedding")).as("nrm"),
         element_at(graft.functions.VectorExpressions

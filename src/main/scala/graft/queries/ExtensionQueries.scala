@@ -121,6 +121,19 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 ORDER BY d.doc_id"""
 
+  /** Trained k-means centroids per (scale dir, cell count), learned once
+    * per JVM — same discipline as [[bpeMerges]]: a centroid set is
+    * corpus metadata (bit-deterministic — [[Similarity.trainCentroids]]),
+    * and ann_ivf_topk / ann_ivf_violations / dedup_semantic /
+    * dedup_semantic_violations would otherwise re-run the identical
+    * Lloyd iterations up to twice per query invocation. */
+  private val centroidCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), (Array[Long], Array[Array[Float]])]
+  private def centroidsFor(e: DataFrame, sfDir: String, nlist: Int)
+      : (Array[Long], Array[Array[Float]]) =
+    centroidCache.getOrElseUpdate((sfDir, nlist),
+      Similarity.trainCentroids(e, nlist, trainIters = 2))
+
   /** LSH variant — result depends on banding, so rows-only driver check;
     * recall vs the exact query is asserted in DedupSpec. */
   def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
@@ -180,9 +193,12 @@ ORDER BY id_a, id_b"""
     * assignment is k-means-dependent → rows-only driver check; the drop
     * verdicts are precision-proved by [[dedupSemanticViolations]] and
     * planted-cluster recall by ExtensionSpec. */
-  def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.semanticDedup(Tables(spark, sfDir, "embeddings"), threshold = 0.4)
+  def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+    Similarity.semanticDedup(e, threshold = 0.4,
+        pretrained = Some(centroidsFor(e, sfDir, Similarity.autoNlist(e.count()))))
       .orderBy("vec_id")
+  }
 
   /** Semantic-dedup precision contract: every DROPPED vector's recorded
     * witness must be real — `dup_of < vec_id` and exact corpus-wide
@@ -193,7 +209,8 @@ ORDER BY id_a, id_b"""
   def dedupSemanticViolations(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.VectorExpressions.vecDot
     val e = Tables(spark, sfDir, "embeddings")
-    val manifest = Similarity.semanticDedup(e, threshold = 0.4)
+    val manifest = Similarity.semanticDedup(e, threshold = 0.4,
+      pretrained = Some(centroidsFor(e, sfDir, Similarity.autoNlist(e.count()))))
     val v = e.select(col("vec_id"), col("embedding"),
       Similarity.vecNorm(col("embedding")).as("nrm"))
     val joined = manifest
@@ -349,7 +366,8 @@ ORDER BY query_id, rank"""
     * in ExtensionSpec. */
   def annIvfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables(spark, sfDir, "embeddings")
-    Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, k = 5)
+    Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, k = 5,
+        pretrained = Some(centroidsFor(e, sfDir, 16)))
       .orderBy("query_id", "rank")
   }
 
