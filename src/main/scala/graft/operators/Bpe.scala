@@ -63,18 +63,17 @@ object Bpe {
     var done = parts.length < 2
     while (!done) {
       var bestRank = Int.MaxValue
+      var bestA: String = null
+      var bestB: String = null
       var i = 0
       while (i < parts.length - 1) {
         val r = ranks.getOrElse((parts(i), parts(i + 1)), Int.MaxValue)
-        if (r < bestRank) bestRank = r
+        if (r < bestRank) { bestRank = r; bestA = parts(i); bestB = parts(i + 1) }
         i += 1
       }
       if (bestRank == Int.MaxValue) done = true
       else {
-        val (a, b) = ranks.collectFirst {
-          case (p, r) if r == bestRank => p
-        }.get
-        parts = mergeOnce(parts, a, b)
+        parts = mergeOnce(parts, bestA, bestB)
         done = parts.length < 2
       }
     }
@@ -117,11 +116,16 @@ object Bpe {
         val (a, b) = (best.head.getString(0), best.head.getString(1))
         merges += ((a, b))
         val applyMerge = udf((segs: Seq[String]) => mergeOnce(segs, a, b))
-        // localCheckpoint: cut the per-iteration lineage AND drop the
-        // dependency on the previous checkpoint's blocks
+        // localCheckpoint cuts the per-iteration lineage; unpersist the
+        // SUPERSEDED checkpoint's blocks right away or numMerges copies
+        // of the vocab frame pile up in executor storage (the
+        // connectedComponents discipline, Dedup.scala)
+        val prev = words
         words = words.withColumn("segs", applyMerge(col("segs"))).localCheckpoint()
+        prev.unpersist(false)
       }
     }
+    words.unpersist(false)
     merges.toSeq
   }
 }

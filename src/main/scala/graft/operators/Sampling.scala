@@ -101,13 +101,19 @@ object Sampling {
     var uncapped = live
     var capped = Map.empty[String, Double]
     var budget = math.min(tokenBudget.toDouble, live.map(_._2.toDouble).sum)
+    // temperature weights normalized by the largest count: pow(t/tMax, α)
+    // is scale-invariant (only ratios matter) and stays in (0, 1], so an
+    // extreme α cannot overflow pow to Infinity and poison the rates
+    // with NaN
+    val tMax = live.map(_._2.toDouble).max
+    def weight(t: Long): Double = math.pow(t.toDouble / tMax, alpha)
     // waterfill: hand each capped source its whole mass (rate 1.0) and
     // re-split the remaining budget over the rest by temperature weight
     var done = false
     while (!done) {
-      val wSum = uncapped.map { case (_, t) => math.pow(t.toDouble, alpha) }.sum
+      val wSum = uncapped.map { case (_, t) => weight(t) }.sum
       val over = uncapped.filter { case (_, t) =>
-        budget * math.pow(t.toDouble, alpha) / wSum >= t.toDouble
+        budget * weight(t) / wSum >= t.toDouble
       }
       if (over.isEmpty) done = true
       else {
@@ -117,9 +123,9 @@ object Sampling {
         done = uncapped.isEmpty
       }
     }
-    val wSum = uncapped.map { case (_, t) => math.pow(t.toDouble, alpha) }.sum
+    val wSum = uncapped.map { case (_, t) => weight(t) }.sum
     val open = uncapped.map { case (s, t) =>
-      s -> (budget * math.pow(t.toDouble, alpha) / wSum / t.toDouble)
+      s -> (budget * weight(t) / wSum / t.toDouble)
     }.toMap
     profile.map { case (s, t) =>
       s -> (if (t <= 0) 0.0 else capped.getOrElse(s, open.getOrElse(s, 0.0)))

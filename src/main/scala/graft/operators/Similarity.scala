@@ -346,6 +346,13 @@ object Similarity {
         col("sim").as("max_sim"), col("n_probe_hits"))
   }
 
+  /** [[semanticDedup]]'s default cell count for a corpus of `n` vectors:
+    * expected cell size maxCell/2 (span guard inactive in the
+    * non-degenerate regime), clamped to [16, 4096] — see the recall
+    * contract on [[semanticDedup]]. */
+  def autoNlist(n: Long, maxCell: Int = 256): Int =
+    math.max(16, math.min(4096, (n / math.max(1, maxCell / 2)).toInt + 1))
+
   /** SemDeDup-style semantic dedup manifest (Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the embeddings ([[trainCentroids]]
     * — the same deterministic distributed Lloyd trainer IVF uses), then
@@ -389,13 +396,6 @@ object Similarity {
     *         (same null-cell contract as [[ivfTopK]]'s inverted lists);
     *         zero-norm vectors are likewise kept verbatim — cosine
     *         against them is undefined ([[bruteForceTopK]] contract). */
-  /** [[semanticDedup]]'s default cell count for a corpus of `n` vectors:
-    * expected cell size maxCell/2 (span guard inactive in the
-    * non-degenerate regime), clamped to [16, 4096] — see the recall
-    * contract on [[semanticDedup]]. */
-  def autoNlist(n: Long, maxCell: Int = 256): Int =
-    math.max(16, math.min(4096, (n / math.max(1, maxCell / 2)).toInt + 1))
-
   def semanticDedup(df: DataFrame, threshold: Double, nlist: Int = 0,
                     trainIters: Int = 2, maxCell: Int = 256,
                     pretrained: Option[(Array[Long], Array[Array[Float]])] = None): DataFrame = {

@@ -129,10 +129,23 @@ ORDER BY d.doc_id"""
     * Lloyd iterations up to twice per query invocation. */
   private val centroidCache = scala.collection.concurrent.TrieMap
     .empty[(String, Int), (Array[Long], Array[Array[Float]])]
+  /** The one nlist both ann_ivf query paths share — a pretrained
+    * quantizer probed with a different cell count than it was trained
+    * for silently changes recall, so the cache key and the ivfTopK call
+    * must come from the same constant. */
+  private val IvfNlist = 16
   private def centroidsFor(e: DataFrame, sfDir: String, nlist: Int)
       : (Array[Long], Array[Array[Float]]) =
     centroidCache.getOrElseUpdate((sfDir, nlist),
       Similarity.trainCentroids(e, nlist, trainIters = 2))
+  /** Auto-sized variant for the semantic-dedup pair: the count() that
+    * sizes the cells runs inside the memo thunk, so a warm JVM pays a
+    * TrieMap lookup, not a Spark job, per invocation (-1 = auto key,
+    * never a real nlist). */
+  private def autoCentroidsFor(e: DataFrame, sfDir: String)
+      : (Array[Long], Array[Array[Float]]) =
+    centroidCache.getOrElseUpdate((sfDir, -1),
+      Similarity.trainCentroids(e, Similarity.autoNlist(e.count()), trainIters = 2))
 
   /** LSH variant — result depends on banding, so rows-only driver check;
     * recall vs the exact query is asserted in DedupSpec. */
@@ -196,7 +209,7 @@ ORDER BY id_a, id_b"""
   def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables(spark, sfDir, "embeddings")
     Similarity.semanticDedup(e, threshold = 0.4,
-        pretrained = Some(centroidsFor(e, sfDir, Similarity.autoNlist(e.count()))))
+        pretrained = Some(autoCentroidsFor(e, sfDir)))
       .orderBy("vec_id")
   }
 
@@ -210,7 +223,7 @@ ORDER BY id_a, id_b"""
     import graft.functions.VectorExpressions.vecDot
     val e = Tables(spark, sfDir, "embeddings")
     val manifest = Similarity.semanticDedup(e, threshold = 0.4,
-      pretrained = Some(centroidsFor(e, sfDir, Similarity.autoNlist(e.count()))))
+      pretrained = Some(autoCentroidsFor(e, sfDir)))
     val v = e.select(col("vec_id"), col("embedding"),
       Similarity.vecNorm(col("embedding")).as("nrm"))
     val joined = manifest
@@ -367,7 +380,8 @@ ORDER BY query_id, rank"""
   def annIvfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables(spark, sfDir, "embeddings")
     Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, k = 5,
-        pretrained = Some(centroidsFor(e, sfDir, 16)))
+        nlist = IvfNlist,
+        pretrained = Some(centroidsFor(e, sfDir, IvfNlist)))
       .orderBy("query_id", "rank")
   }
 
