@@ -106,15 +106,24 @@ object Sampling {
     // extreme α cannot overflow pow to Infinity and poison the rates
     // with NaN
     val tMax = live.map(_._2.toDouble).max
-    def weight(t: Long): Double = math.pow(t.toDouble / tMax, alpha)
+    // Per-round weights: pow(t/tMax, α) is scale-invariant (only ratios
+    // matter) and stays in (0, 1], so an extreme α cannot overflow pow
+    // to Infinity. The opposite corner — every remaining weight
+    // UNDERFLOWS to 0.0 (a tiny source at α ≫ 1 after the big ones
+    // capped) — falls back to proportional weights rather than dividing
+    // by a zero wSum into NaN.
+    def weights(us: Seq[(String, Long)]): Seq[(String, Long, Double)] = {
+      val w = us.map { case (s, t) => (s, t, math.pow(t.toDouble / tMax, alpha)) }
+      if (w.map(_._3).sum > 0) w
+      else us.map { case (s, t) => (s, t, t.toDouble / tMax) }
+    }
     // waterfill: hand each capped source its whole mass (rate 1.0) and
     // re-split the remaining budget over the rest by temperature weight
     var done = false
     while (!done) {
-      val wSum = uncapped.map { case (_, t) => weight(t) }.sum
-      val over = uncapped.filter { case (_, t) =>
-        budget * weight(t) / wSum >= t.toDouble
-      }
+      val ws = weights(uncapped)
+      val wSum = ws.map(_._3).sum
+      val over = ws.filter { case (_, t, w) => budget * w / wSum >= t.toDouble }
       if (over.isEmpty) done = true
       else {
         capped ++= over.map(_._1 -> 1.0)
@@ -123,9 +132,10 @@ object Sampling {
         done = uncapped.isEmpty
       }
     }
-    val wSum = uncapped.map { case (_, t) => weight(t) }.sum
-    val open = uncapped.map { case (s, t) =>
-      s -> (budget * weight(t) / wSum / t.toDouble)
+    val ws = weights(uncapped)
+    val wSum = ws.map(_._3).sum
+    val open = ws.map { case (s, t, w) =>
+      s -> (budget * w / wSum / t.toDouble)
     }.toMap
     profile.map { case (s, t) =>
       s -> (if (t <= 0) 0.0 else capped.getOrElse(s, open.getOrElse(s, 0.0)))

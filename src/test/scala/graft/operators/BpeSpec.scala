@@ -2,11 +2,38 @@ package graft.operators
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** BPE trainer + encoder contract tests. */
 class BpeSpec extends AnyFunSuite {
   lazy val spark = SparkSpec.spark
+
+  private def checkProp(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: encode reconstructs and stays vocab-closed for ANY merges") {
+    // random words over a tiny alphabet (so merges actually apply) and
+    // random merge tables, including nonsensical/overlapping ones: the
+    // encoder must never lose or invent characters, never emit an empty
+    // piece, and every multi-codepoint piece must be a merge product
+    val word = Gen.chooseNum(0, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "𝄞")).map(_.mkString))
+    val sym = Gen.chooseNum(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "𝄞")).map(_.mkString))
+    val mergesGen = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(sym, sym)))
+    checkProp(Prop.forAll(word, mergesGen) { (w, merges) =>
+      val ranks = merges.distinct.zipWithIndex.toMap
+      val pieces = Bpe.encodeWord(w, ranks)
+      val products = merges.map { case (a, b) => a + b }.toSet
+      pieces.mkString("") == w &&
+        pieces.forall(_.nonEmpty) &&
+        pieces.forall(p => Bpe.codepoints(p).length == 1 || products.contains(p))
+    })
+  }
 
   test("encodeWord replays merges greedily by rank, leftmost on ties") {
     val ranks = Seq(("l", "o"), ("lo", "w"), ("e", "r")).zipWithIndex.toMap

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Unit tests for the corpus-management operators: BM25 relevance,
@@ -181,6 +182,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     val kept = Sampling.weightedSample(docs, "doc_id", "source",
       rates = Sampling.ratesForTokenBudget(profile, 500L, alpha = 0.0))
     assert(kept.filter(col("source") === "a").count() == 100L, "rate-1.0 source whole")
+  }
+
+  test("property: token-budget rates stay in [0,1] and meet the budget") {
+    val profileGen = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 1000000L)).map(_.zipWithIndex.map {
+        case (t, i) => s"s$i" -> t
+      }))
+    val alphaGen = Gen.oneOf(0.0, 0.3, 0.5, 1.0, 2.0, 50.0, 500.0)
+    val fracGen = Gen.chooseNum(0.0, 2.0)
+    val prop = Prop.forAll(profileGen, alphaGen, fracGen) { (profile, alpha, frac0) =>
+      // scalacheck shrinking may step outside the generator's range —
+      // clamp to the operator's documented domain
+      val frac = math.max(0.0, frac0)
+      val total = profile.map(_._2).sum
+      val budget = (total * frac).toLong
+      val rates = Sampling.ratesForTokenBudget(profile, budget, alpha)
+      val rateMap = rates.toMap
+      val inRange = rates.forall { case (_, r) => r >= 0.0 && r <= 1.0 && !r.isNaN }
+      val expected = profile.map { case (s, t) => t * rateMap(s) }.sum
+      val target = math.min(budget.toDouble, total.toDouble)
+      // expected kept tokens meet the (clamped) budget up to fp rounding
+      val meets = math.abs(expected - target) <= math.max(1e-6 * target, 1e-6)
+      inRange && meets && rates.map(_._1) == profile.map(_._1)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("takeUniform: exactly n rows, stable under appends and salt count") {
