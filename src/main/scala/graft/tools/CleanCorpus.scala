@@ -1,0 +1,93 @@
+package graft.tools
+
+import graft.operators.{Bpe, Packing, Sampling, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CLI corpus-preparation pipeline — the extension-operator analogue of
+  * [[ParseLogs]]: read a documents parquet (doc_id, text, source, …),
+  * run the standard cleaning chain, and write the training-ready
+  * manifests. One invocation produces:
+  *
+  *   <out>/clean/      cleaned corpus manifest (exact-dedup canonical,
+  *                     quality-gated, language-tagged, per-doc stats)
+  *   <out>/splits/     deterministic train/val/test assignment
+  *   <out>/packed/     GPT-style sequence-pack manifest (seqLen tokens)
+  *   <out>/bpe_merges/ learned BPE merge table (rank-ordered)
+  *   <out>/report/     one-row run summary
+  *
+  * Every stage is the library operator, unchanged — this tool is
+  * composition + I/O only, so its outputs inherit the operators'
+  * oracle-checked semantics.
+  *
+  * Usage: CleanCorpus <documents.parquet> <outDir> [master]
+  * Env: SPARK_GRAFT_SEQLEN (default 1024), SPARK_GRAFT_BPE_MERGES
+  * (default 64), SPARK_GRAFT_MIN_QUALITY (default 0.5).
+  */
+object CleanCorpus {
+  def main(args: Array[String]): Unit = {
+    val input = args(0)
+    val outDir = args(1)
+    val master = if (args.length > 2) args(2) else "local[*]"
+    val seqLen = sys.env.getOrElse("SPARK_GRAFT_SEQLEN", "1024").toInt
+    val nMerges = sys.env.getOrElse("SPARK_GRAFT_BPE_MERGES", "64").toInt
+    val minQuality = sys.env.getOrElse("SPARK_GRAFT_MIN_QUALITY", "0.5").toDouble
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft-clean-corpus")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(input)
+
+    // 1. clean: exact-dedup canonicalization (keep-first per content
+    //    fingerprint), quality gate, language tag — one pass, the
+    //    corpus_clean shape with source carried through
+    val stats = TextAnalysis.withQuality(docs, "text")
+      .withColumn("fingerprint", TextAnalysis.fingerprintMd5(col("text")))
+      .withColumn("predicted_lang", TextAnalysis.langId(col("text")))
+    val wFp = Window.partitionBy("fingerprint").orderBy("doc_id")
+    val clean = stats
+      .withColumn("rn", row_number().over(wFp))
+      .filter(col("rn") === 1 && col("quality_score") >= minQuality)
+      .drop("rn")
+      .persist()
+    clean.write.mode("overwrite").parquet(s"$outDir/clean")
+
+    // 2. deterministic splits over the CLEANED corpus
+    Sampling.hashSplit(clean.select("doc_id", "source"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .write.mode("overwrite").parquet(s"$outDir/splits")
+
+    // 3. sequence packing per source shard at seqLen tokens
+    Packing.packManifest(clean, "doc_id", "source",
+        size(TextAnalysis.tokens(col("text"))), seqLen = seqLen)
+      .write.mode("overwrite").parquet(s"$outDir/packed")
+
+    // 4. BPE merge table learned from the cleaned text
+    val merges = Bpe.train(clean, "text", numMerges = nMerges)
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/bpe_merges")
+
+    // 5. run report
+    val nIn = docs.count()
+    val nClean = clean.count()
+    val nDupDropped = nIn - stats.select("fingerprint").distinct().count()
+    Seq((nIn, nClean, nDupDropped, merges.length.toLong, seqLen))
+      .toDF("docs_in", "docs_clean", "exact_dups_dropped", "bpe_merges", "seq_len")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/report")
+    clean.unpersist()
+
+    println(s"[clean-corpus] in=$nIn clean=$nClean dups=$nDupDropped " +
+      s"merges=${merges.length} out=$outDir")
+    spark.stop()
+  }
+}
