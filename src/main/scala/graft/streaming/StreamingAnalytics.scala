@@ -48,4 +48,20 @@ object StreamingAnalytics {
       .withColumn("content_sha", sha2(col(textCol), 256))
       .withWatermark("timestamp", lateness)
       .dropDuplicatesWithinWatermark("content_sha")
+
+  /** Streaming corpus intake — the batch corpus_clean gate applied as
+    * documents ARRIVE: near-horizon exact dedup ([[streamingDedup]] —
+    * the only stateful stage), then the quality/language expressions
+    * ([[graft.operators.TextAnalysis]] — stateless scan columns, so
+    * their streaming semantics are the batch semantics by construction,
+    * which the differential test pins). Documents below `minQuality`
+    * are dropped. */
+  def corpusIntake(docs: DataFrame, textCol: String = "text",
+                   minQuality: Double = 0.5,
+                   lateness: String = "10 minutes"): DataFrame = {
+    import graft.operators.TextAnalysis
+    TextAnalysis.withQuality(streamingDedup(docs, textCol, lateness), textCol)
+      .withColumn("predicted_lang", TextAnalysis.langId(col(textCol)))
+      .filter(col("quality_score") >= minQuality)
+  }
 }
