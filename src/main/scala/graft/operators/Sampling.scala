@@ -101,10 +101,6 @@ object Sampling {
     var uncapped = live
     var capped = Map.empty[String, Double]
     var budget = math.min(tokenBudget.toDouble, live.map(_._2.toDouble).sum)
-    // temperature weights normalized by the largest count: pow(t/tMax, α)
-    // is scale-invariant (only ratios matter) and stays in (0, 1], so an
-    // extreme α cannot overflow pow to Infinity and poison the rates
-    // with NaN
     val tMax = live.map(_._2.toDouble).max
     // Per-round weights: pow(t/tMax, α) is scale-invariant (only ratios
     // matter) and stays in (0, 1], so an extreme α cannot overflow pow

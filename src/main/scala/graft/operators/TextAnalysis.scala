@@ -152,6 +152,27 @@ object TextAnalysis {
   def withQuality(df: DataFrame, textCol: String): DataFrame =
     qualityColumns(col(textCol)).foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
 
+  /** The corpus-clean enrichment: quality columns + normalized content
+    * fingerprint + language tag — one stateless scan. Shared by the
+    * batch corpus_clean query, the CleanCorpus CLI, and (columns only)
+    * the streaming intake, so the three gates cannot drift. */
+  def cleanEnrich(df: DataFrame, textCol: String): DataFrame =
+    withQuality(df, textCol)
+      .withColumn("fingerprint", fingerprintMd5(col(textCol)))
+      .withColumn("predicted_lang", langId(col(textCol)))
+
+  /** The corpus-clean keep/drop decision over [[cleanEnrich]] output:
+    * exact-dedup canonicalization (keep the smallest id per normalized
+    * fingerprint) + quality gate. */
+  def cleanGate(enriched: DataFrame, idCol: String,
+                minQuality: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("fingerprint").orderBy(idCol)
+    enriched.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("quality_score") >= minQuality)
+      .drop("rn")
+  }
+
   /** Corpus-relative token-frequency quality (the CCNet-style signal the
     * per-document [[qualityColumns]] cannot see): per document, the mean
     * document frequency of its DISTINCT tokens and its hapax ratio

@@ -673,15 +673,9 @@ FROM documents ORDER BY doc_id"""
     * canonicalization (exact dedup keep-first), quality gate, language
     * tag. Output is the cleaned-corpus manifest. */
   def corpusClean(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, sfDir, "documents").select("doc_id", "text", "lang")
-    val stats = TextAnalysis.withQuality(docs, "text")
-      .withColumn("fingerprint", TextAnalysis.fingerprintMd5(col("text")))
-      .withColumn("predicted_lang", TextAnalysis.langId(col("text")))
-    val w = Window.partitionBy("fingerprint").orderBy("doc_id")
-    stats
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("quality_score") >= 0.5)
+    TextAnalysis.cleanGate(TextAnalysis.cleanEnrich(docs, "text"),
+        "doc_id", minQuality = 0.5)
       .select(col("doc_id"), col("fingerprint"), col("predicted_lang"),
         col("n_tokens"), col("quality_score"))
       .orderBy("doc_id")

@@ -50,18 +50,25 @@ object StreamingAnalytics {
       .dropDuplicatesWithinWatermark("content_sha")
 
   /** Streaming corpus intake — the batch corpus_clean gate applied as
-    * documents ARRIVE: near-horizon exact dedup ([[streamingDedup]] —
-    * the only stateful stage), then the quality/language expressions
-    * ([[graft.operators.TextAnalysis]] — stateless scan columns, so
-    * their streaming semantics are the batch semantics by construction,
-    * which the differential test pins). Documents below `minQuality`
-    * are dropped. */
+    * documents ARRIVE. The dedup key is the same whitespace-normalized
+    * lowercased `fingerprint` the batch gate canonicalizes on
+    * ([[graft.operators.TextAnalysis.fingerprintMd5]] via
+    * [[graft.operators.TextAnalysis.cleanEnrich]]) — NOT a raw content
+    * hash, so case/whitespace near-duplicates gate identically in both
+    * modes; the quality/language expressions are the same stateless
+    * scan columns (streaming semantics ≡ batch semantics by
+    * construction, pinned by the differential test). Differences from
+    * batch, by necessity: state is watermark-bounded (an
+    * unbounded-horizon dedup is the batch operator's job), and "keep
+    * smallest id" becomes "keep first arrival". Documents below
+    * `minQuality` are dropped. */
   def corpusIntake(docs: DataFrame, textCol: String = "text",
                    minQuality: Double = 0.5,
                    lateness: String = "10 minutes"): DataFrame = {
     import graft.operators.TextAnalysis
-    TextAnalysis.withQuality(streamingDedup(docs, textCol, lateness), textCol)
-      .withColumn("predicted_lang", TextAnalysis.langId(col(textCol)))
+    TextAnalysis.cleanEnrich(docs, textCol)
+      .withWatermark("timestamp", lateness)
+      .dropDuplicatesWithinWatermark("fingerprint")
       .filter(col("quality_score") >= minQuality)
   }
 }

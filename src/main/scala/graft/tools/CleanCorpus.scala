@@ -2,7 +2,6 @@ package graft.tools
 
 import graft.operators.{Bpe, Packing, Sampling, TextAnalysis}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** CLI corpus-preparation pipeline — the extension-operator analogue of
@@ -46,18 +45,12 @@ object CleanCorpus {
 
     val docs = spark.read.parquet(input)
 
-    // 1. clean: exact-dedup canonicalization (keep-first per content
-    //    fingerprint), quality gate, language tag — one pass, the
-    //    corpus_clean shape with source carried through
-    val stats = TextAnalysis.withQuality(docs, "text")
-      .withColumn("fingerprint", TextAnalysis.fingerprintMd5(col("text")))
-      .withColumn("predicted_lang", TextAnalysis.langId(col("text")))
-    val wFp = Window.partitionBy("fingerprint").orderBy("doc_id")
-    val clean = stats
-      .withColumn("rn", row_number().over(wFp))
-      .filter(col("rn") === 1 && col("quality_score") >= minQuality)
-      .drop("rn")
-      .persist()
+    // 1. clean: the shared corpus_clean chain (TextAnalysis.cleanEnrich +
+    //    cleanGate — the CLI cannot drift from the oracle-checked query).
+    //    The enriched frame is persisted so the gate, the report, and
+    //    the downstream steps read the input exactly ONCE.
+    val enriched = TextAnalysis.cleanEnrich(docs, "text").persist()
+    val clean = TextAnalysis.cleanGate(enriched, "doc_id", minQuality).persist()
     clean.write.mode("overwrite").parquet(s"$outDir/clean")
 
     // 2. deterministic splits over the CLEANED corpus
@@ -77,14 +70,18 @@ object CleanCorpus {
       .toDF("rank", "left", "right")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/bpe_merges")
 
-    // 5. run report
-    val nIn = docs.count()
+    // 5. run report — aggregates over the PERSISTED enriched frame, no
+    //    second input scan
+    val stats = enriched.agg(count(lit(1)), count_distinct(col("fingerprint")))
+      .collect().head
+    val (nIn, nDistinctFp) = (stats.getLong(0), stats.getLong(1))
     val nClean = clean.count()
-    val nDupDropped = nIn - stats.select("fingerprint").distinct().count()
+    val nDupDropped = nIn - nDistinctFp
     Seq((nIn, nClean, nDupDropped, merges.length.toLong, seqLen))
       .toDF("docs_in", "docs_clean", "exact_dups_dropped", "bpe_merges", "seq_len")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/report")
     clean.unpersist()
+    enriched.unpersist()
 
     println(s"[clean-corpus] in=$nIn clean=$nClean dups=$nDupDropped " +
       s"merges=${merges.length} out=$outDir")

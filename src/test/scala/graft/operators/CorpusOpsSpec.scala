@@ -191,9 +191,12 @@ class CorpusOpsSpec extends AnyFunSuite {
       }))
     val alphaGen = Gen.oneOf(0.0, 0.3, 0.5, 1.0, 2.0, 50.0, 500.0)
     val fracGen = Gen.chooseNum(0.0, 2.0)
-    val prop = Prop.forAll(profileGen, alphaGen, fracGen) { (profile, alpha, frac0) =>
-      // scalacheck shrinking may step outside the generator's range —
-      // clamp to the operator's documented domain
+    val prop = Prop.forAll(profileGen, alphaGen, fracGen) { (profile0, alpha0, frac0) =>
+      // scalacheck shrinking may step outside the generators' ranges —
+      // clamp ALL inputs to the operator's documented domain so a shrunk
+      // counterexample reports the real failure, not a require() throw
+      val profile = profile0.map { case (s, t) => s -> math.max(0L, t) }
+      val alpha = math.max(0.0, alpha0)
       val frac = math.max(0.0, frac0)
       val total = profile.map(_._2).sum
       val budget = (total * frac).toLong

@@ -45,10 +45,10 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
   test("streaming corpus intake: dedup + quality gate match batch semantics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val good = ("the data pipeline processes a lot of the input rows and " +
+    val good = "the data pipeline processes a lot of the input rows and " +
       "it is that for the most part quite readable text of the corpus " +
-      "with a sensible number of words in it and the usual mix").split(" ")
-      .mkString(" ") // > 20 tokens, high stopword ratio → quality ≥ 0.5
+      "with a sensible number of words in it and the usual mix"
+      // > 20 tokens, high stopword ratio → quality ≥ 0.5
     val junk = "zzz"                       // < 20 tokens → low quality
     val mem = MemoryStream[(Timestamp, Long, String)]
     val name = s"intake_${System.nanoTime()}"
@@ -57,13 +57,21 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       .writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName(name).start()
     try {
-      mem.addData((ts(1), 1L, good), (ts(2), 2L, good), (ts(3), 3L, junk))
+      // batch 1: only the good doc — its fingerprint enters dedup state
+      mem.addData((ts(1), 1L, good))
+      q.processAllAvailable()
+      // batch 2: a CASE/WHITESPACE variant of the good doc (the batch
+      // gate's normalized fingerprint must catch it — a raw content
+      // hash would not) and a junk doc; cross-batch arrival makes the
+      // keep-first choice deterministic
+      mem.addData((ts(2), 2L, good.toUpperCase.replace(" ", "  ")),
+        (ts(3), 3L, junk))
       q.processAllAvailable()
       val rows = spark.table(name)
         .select("doc_id", "quality_score", "predicted_lang", "n_tokens")
         .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3)))
       assert(rows.map(_._1).toSet == Set(1L),
-        s"dup (2) and junk (3) must be gated, got ${rows.toSeq}")
+        s"normalized dup (2) and junk (3) must be gated, got ${rows.toSeq}")
       // the streaming columns are the BATCH expressions verbatim — values
       // must equal a batch run on the same row
       val batch = graft.operators.TextAnalysis
