@@ -64,6 +64,7 @@ object SparkEntry {
     "text_pii_redact" -> (ExtensionQueries.textPiiRedact _),
     "text_winnow_fingerprint" -> (ExtensionQueries.textWinnow _),
     "text_bm25_search" -> (ExtensionQueries.textBm25 _),
+    "text_heavy_hitters" -> (ExtensionQueries.textHeavyHitters _),
     "text_bpe_tokens" -> (ExtensionQueries.textBpeTokens _),
     "text_bpe_violations" -> (ExtensionQueries.textBpeViolations _),
     "corpus_split" -> (ExtensionQueries.corpusSplit _),
@@ -149,6 +150,7 @@ object SparkEntry {
     "ann_ivf_violations" -> ExtensionQueries.violationOracle,
     "text_winnow_violations" -> ExtensionQueries.textWinnowViolationsOracle,
     "text_bpe_violations" -> ExtensionQueries.violationOracle,
+    "text_heavy_hitters" -> ExtensionQueries.textHeavyHittersOracle,
     "text_bm25_search" -> ExtensionQueries.textBm25Oracle,
     "corpus_split" -> ExtensionQueries.corpusSplitOracle,
     "corpus_pack_sequences" -> ExtensionQueries.corpusPackSequencesOracle,

@@ -173,6 +173,54 @@ object TextAnalysis {
       .drop("rn")
   }
 
+  /** Exact heavy hitters (tokens with count·(k+1) > N) via per-partition
+    * Misra–Gries summaries (Misra & Gries 1982; the "frequent" algorithm)
+    * — the 100 TB shape for frequent-token discovery: the token stream
+    * is NEVER shuffled. Each partition streams its tokens through a
+    * k-counter summary (amortized O(1) per token — a decrement-all
+    * spends credits earlier increments deposited) and emits ≤ k
+    * candidate tokens; any token with global count > N/(k+1) must
+    * exceed the local threshold in at least one partition (averaging
+    * argument), so the union of summaries is a SUPERSET of the answer.
+    * An exact recount restricted to the (broadcast) candidates then
+    * removes the false positives — so the result is EXACT and
+    * partitioning-independent, even though the sketch is not. All
+    * threshold arithmetic is integer (`cnt * (k+1) > N`): no division,
+    * bit-portable across engines.
+    *
+    * @return (token, cnt) for every token with cnt·(k+1) > N. */
+  def heavyHitters(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val texts = df.select(col(textCol).cast("string")).na.drop().as[String]
+    val candidates = texts.mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { text =>
+        text.split(" ", -1).foreach { w =>
+          counters.get(w) match {
+            case Some(c) => counters.update(w, c + 1)
+            case None if counters.size < k => counters.update(w, 1L)
+            case None =>
+              // decrement-all: snapshot keys first (no mutation mid-iterate)
+              counters.keys.toArray.foreach { kk =>
+                val c = counters(kk)
+                if (c == 1) counters.remove(kk) else counters.update(kk, c - 1)
+              }
+          }
+        }
+      }
+      counters.keysIterator.map(Tuple1(_))
+    }.toDF("token").distinct()
+
+    val n = df.select(coalesce(sum(size(tokens(col(textCol)))), lit(0))
+      .cast("long")).as[Long].head()
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .join(broadcast(candidates), "token")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (k + 1) > n)
+  }
+
   /** Corpus-relative token-frequency quality (the CCNet-style signal the
     * per-document [[qualityColumns]] cannot see): per document, the mean
     * document frequency of its DISTINCT tokens and its hapax ratio

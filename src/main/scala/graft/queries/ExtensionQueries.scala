@@ -471,6 +471,20 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS BIGINT) AS n_pieces
 FROM documents ORDER BY doc_id"""
 
+  /** Exact heavy-hitter tokens via per-partition Misra–Gries summaries
+    * + candidate recount ([[TextAnalysis.heavyHitters]], k=40): tokens
+    * with count·41 > N. The sketch bounds what shuffles; the recount
+    * makes the answer exact — hence hash-checkable. */
+  def textHeavyHitters(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.heavyHitters(Tables(spark, sfDir, "documents"), "text", k = 40)
+      .orderBy("token")
+
+  val textHeavyHittersOracle: String = """
+WITH t AS (SELECT unnest(string_split(text,' ')) AS token FROM documents),
+n AS (SELECT CAST(count(*) AS BIGINT) AS N FROM t)
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM t, n GROUP BY token, N HAVING count(*) * 41 > N ORDER BY token"""
+
   /** Gopher-style intra-document repetition filters (duplicate words,
     * dominant bigram, repeated trigrams) — the standard corpus-quality
     * gate alongside [[textStats]]. */

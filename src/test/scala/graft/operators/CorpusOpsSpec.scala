@@ -240,6 +240,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(gotBig == want, "two-phase result equals the global TakeOrdered")
   }
 
+  test("heavy hitters: exact above threshold, partitioning-independent") {
+    import spark.implicits._
+    // skewed synthetic stream: token f0 dominates, long uniform tail
+    val docs = (0 until 200).map { i =>
+      val hot = Seq.fill(8)("f0") ++ Seq.fill(3)("f1")
+      val tail = Seq(s"t${i % 97}", s"u${i % 89}")
+      (i.toLong, (hot ++ tail).mkString(" "))
+    }
+    val k = 10
+    def run(parts: Int): Map[String, Long] =
+      TextAnalysis.heavyHitters(
+          docs.toDF("doc_id", "text").repartition(parts), "text", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // brute-force reference
+    val all = docs.flatMap(_._2.split(" ", -1))
+    val n = all.size
+    val want = all.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * (k + 1) > n }.toMap
+    assert(want.contains("f0"), "test corpus must actually have a heavy hitter")
+    val one = run(1)
+    val many = run(13)
+    assert(one == want, s"exactness at 1 partition: $one vs $want")
+    assert(many == want, "the sketch's candidate set varies with partitioning; the answer must not")
+  }
+
   // ------------------------------------------------------- freqQuality ----
 
   test("token-frequency quality: hand-checked df and hapax ratios") {
