@@ -31,6 +31,7 @@ object SparkEntry {
     "salted_user_types" -> (AnalyticsQueries.saltedUserTypes _),
     "salted_value_median" -> (AnalyticsQueries.saltedValueMedian _),
     "events_window_count" -> (AnalyticsQueries.eventsWindowCount _),
+    "events_funnel" -> (AnalyticsQueries.eventsFunnel _),
     "top_words" -> (AnalyticsQueries.topWords _),
     // -- core analytics operators (SURVEY §2.6 "free from Catalyst") --
     "q1_pricing" -> (AnalyticsQueries.q1Pricing _),
@@ -112,6 +113,7 @@ object SparkEntry {
     "salted_user_types" -> AnalyticsQueries.saltedUserTypesOracle,
     "salted_value_median" -> AnalyticsQueries.saltedValueMedianOracle,
     "events_window_count" -> AnalyticsQueries.eventsWindowCountOracle,
+    "events_funnel" -> AnalyticsQueries.eventsFunnelOracle,
     "top_words" -> AnalyticsQueries.topWordsOracle,
     "q1_pricing" -> AnalyticsQueries.q1PricingOracle,
     "q3_shipping" -> AnalyticsQueries.q3ShippingOracle,

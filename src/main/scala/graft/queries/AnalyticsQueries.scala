@@ -108,6 +108,60 @@ SELECT user_id, min(us) AS session_start_us, max(us) AS session_end_us,
 FROM s GROUP BY user_id, sid
 ORDER BY user_id, session_start_us"""
 
+  /** ClickHouse `windowFunnel` analogue: per user, the deepest strict
+    * view → click → purchase prefix where every later step lands within
+    * one hour of the FIRST view (step timestamps are the earliest
+    * qualifying event of each stage). Composed as two-pass conditional
+    * minima — no per-user event array, no window sort: three
+    * aggregations and three joins ALL keyed on user_id, so at scale one
+    * hash partitioning serves every stage and compute is proportional
+    * to matched-step events. All time arithmetic in long micros. */
+  def eventsFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val winUs = 3600000000L // 1 hour
+    val ev = Tables(spark, sfDir, "events")
+      .select($"user_id", $"event_type", unix_micros($"ts").as("t_us"))
+    val s1 = ev.filter($"event_type" === "view")
+      .groupBy("user_id").agg(min($"t_us").as("t1_us"))
+    val s2 = ev.filter($"event_type" === "click").join(s1, "user_id")
+      .filter($"t_us" > $"t1_us" && $"t_us" <= $"t1_us" + winUs)
+      .groupBy("user_id").agg(min($"t_us").as("t2_us"))
+    val s3 = ev.filter($"event_type" === "purchase")
+      .join(s1, "user_id").join(s2, "user_id")
+      .filter($"t_us" > $"t2_us" && $"t_us" <= $"t1_us" + winUs)
+      .groupBy("user_id").agg(min($"t_us").as("t3_us"))
+    s1.join(s2, Seq("user_id"), "left_outer")
+      .join(s3, Seq("user_id"), "left_outer")
+      .select($"user_id",
+        when($"t3_us".isNotNull, 3).when($"t2_us".isNotNull, 2).otherwise(1)
+          .cast("int").as("funnel_level"),
+        $"t1_us", $"t2_us", $"t3_us")
+      .orderBy("user_id")
+  }
+
+  val eventsFunnelOracle: String = """
+WITH s1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1_us FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2_us
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click'
+    AND epoch_us(e.ts) > s1.t1_us AND epoch_us(e.ts) <= s1.t1_us + 3600000000
+  GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t3_us
+  FROM events e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(e.ts) > s2.t2_us AND epoch_us(e.ts) <= s1.t1_us + 3600000000
+  GROUP BY 1)
+SELECT s1.user_id,
+       CAST(CASE WHEN t3_us IS NOT NULL THEN 3
+                 WHEN t2_us IS NOT NULL THEN 2 ELSE 1 END AS INTEGER) AS funnel_level,
+       t1_us, t2_us, t3_us
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+ORDER BY s1.user_id"""
+
   /** Spark's built-in gap-based session_window over the events stream
     * table (the declarative sibling of the manual window-function
     * sessionization above). */
