@@ -32,6 +32,7 @@ object SparkEntry {
     "salted_value_median" -> (AnalyticsQueries.saltedValueMedian _),
     "events_window_count" -> (AnalyticsQueries.eventsWindowCount _),
     "events_funnel" -> (AnalyticsQueries.eventsFunnel _),
+    "events_retention" -> (AnalyticsQueries.eventsRetention _),
     "top_words" -> (AnalyticsQueries.topWords _),
     // -- core analytics operators (SURVEY §2.6 "free from Catalyst") --
     "q1_pricing" -> (AnalyticsQueries.q1Pricing _),
@@ -114,6 +115,7 @@ object SparkEntry {
     "salted_value_median" -> AnalyticsQueries.saltedValueMedianOracle,
     "events_window_count" -> AnalyticsQueries.eventsWindowCountOracle,
     "events_funnel" -> AnalyticsQueries.eventsFunnelOracle,
+    "events_retention" -> AnalyticsQueries.eventsRetentionOracle,
     "top_words" -> AnalyticsQueries.topWordsOracle,
     "q1_pricing" -> AnalyticsQueries.q1PricingOracle,
     "q3_shipping" -> AnalyticsQueries.q3ShippingOracle,

@@ -162,6 +162,44 @@ SELECT s1.user_id,
 FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
 ORDER BY s1.user_id"""
 
+  /** ClickHouse `retention` analogue: cohort users by first-active day,
+    * count who returned on day+1 and day+7. Same same-key discipline as
+    * [[eventsFunnel]] — cohort min, flag agg, and the join are all
+    * keyed on user_id (one partitioning; duplicates need no distinct,
+    * max/min absorb them), only the final cohort roll-up re-keys, onto
+    * ~365 rows/year. Days are integer `micros div 86_400_000_000` —
+    * no date types, no timezone semantics to disagree on. */
+  def eventsRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dayUs = 86400000000L
+    val d = Tables(spark, sfDir, "events")
+      .select($"user_id", (unix_micros($"ts") divide dayUs).cast("long").as("day"))
+    val cohort = d.groupBy("user_id").agg(min($"day").as("day0"))
+    val flags = d.join(cohort, "user_id")
+      .groupBy("user_id").agg(
+        min($"day0").as("day0"),
+        max(when($"day" === $"day0" + 1, 1).otherwise(0)).as("d1"),
+        max(when($"day" === $"day0" + 7, 1).otherwise(0)).as("d7"))
+    flags.groupBy($"day0".as("cohort_day"))
+      .agg(count(lit(1)).as("n_users"),
+        sum($"d1").as("retained_d1"), sum($"d7").as("retained_d7"))
+      .orderBy("cohort_day")
+  }
+
+  val eventsRetentionOracle: String = """
+WITH d AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+c AS (SELECT user_id, min(day) AS day0 FROM d GROUP BY 1),
+f AS (
+  SELECT d.user_id, min(c.day0) AS day0,
+         max(CASE WHEN d.day = c.day0 + 1 THEN 1 ELSE 0 END) AS d1,
+         max(CASE WHEN d.day = c.day0 + 7 THEN 1 ELSE 0 END) AS d7
+  FROM d JOIN c USING (user_id) GROUP BY 1)
+SELECT day0 AS cohort_day, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(d1) AS BIGINT) AS retained_d1,
+       CAST(sum(d7) AS BIGINT) AS retained_d7
+FROM f GROUP BY 1 ORDER BY 1"""
+
   /** Spark's built-in gap-based session_window over the events stream
     * table (the declarative sibling of the manual window-function
     * sessionization above). */
