@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** N-step strict behavioral funnel (ClickHouse `windowFunnel` analogue):
+  * per key, the deepest prefix of `steps` where step 1's timestamp is
+  * the key's earliest step-1 event, every later step is STRICTLY after
+  * the previous step's chosen timestamp, and every step lands within
+  * `windowUs` of step 1 (inclusive upper bound — ClickHouse's window
+  * semantics). Each stage keeps the EARLIEST qualifying event.
+  *
+  * Shape: two-pass conditional minima per stage — one aggregation and
+  * at most two joins per step, ALL keyed on the funnel key, so one hash
+  * partitioning serves the whole cascade; no per-key event arrays, no
+  * window-function sorts, compute proportional to matched-step events.
+  *
+  * @param ev      events with `keyCol`, `typeCol`, and `tsUsCol` (long
+  *                microseconds — integer comparisons, engine-portable)
+  * @return one row per key that completed step 1:
+  *         (key, funnel_level, t1_us … tN_us), tI_us null beyond the
+  *         reached level. */
+object Funnel {
+  def funnel(ev: DataFrame, keyCol: String, typeCol: String, tsUsCol: String,
+             steps: Seq[String], windowUs: Long): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    require(windowUs > 0, "window must be positive")
+    val ts = col(tsUsCol)
+    val s1 = ev.filter(col(typeCol) === steps.head)
+      .groupBy(keyCol).agg(min(ts).as("t1_us"))
+    val frames = scala.collection.mutable.ArrayBuffer(s1)
+    for (i <- 1 until steps.size) {
+      val prevTs = s"t${i}_us"
+      val thisTs = s"t${i + 1}_us"
+      // stage i needs the window anchor (t1) and the previous step's
+      // timestamp; for i = 1 they are the same column, one join suffices
+      val withPrev =
+        if (i == 1) ev.filter(col(typeCol) === steps(i))
+          .join(s1.select(col(keyCol), col("t1_us")), keyCol)
+        else ev.filter(col(typeCol) === steps(i))
+          .join(s1.select(col(keyCol), col("t1_us")), keyCol)
+          .join(frames(i - 1).select(col(keyCol), col(prevTs)), keyCol)
+      frames += withPrev
+        .filter(ts > col(prevTs) && ts <= col("t1_us") + windowUs)
+        .groupBy(keyCol).agg(min(ts).as(thisTs))
+    }
+    val joined = frames.tail.foldLeft(s1: DataFrame) { (acc, f) =>
+      acc.join(f, Seq(keyCol), "left_outer")
+    }
+    val level = (steps.size to 2 by -1).foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+      case (acc, n) =>
+        val cond = col(s"t${n}_us").isNotNull
+        Some(acc.fold(when(cond, n))(_.when(cond, n)))
+    }.fold(lit(1))(_.otherwise(1)).cast("int").as("funnel_level")
+    joined.select(col(keyCol) +: level +:
+      (1 to steps.size).map(i => col(s"t${i}_us")): _*)
+  }
+}

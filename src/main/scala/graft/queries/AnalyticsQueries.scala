@@ -118,24 +118,10 @@ ORDER BY user_id, session_start_us"""
     * to matched-step events. All time arithmetic in long micros. */
   def eventsFunnel(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val winUs = 3600000000L // 1 hour
     val ev = Tables(spark, sfDir, "events")
       .select($"user_id", $"event_type", unix_micros($"ts").as("t_us"))
-    val s1 = ev.filter($"event_type" === "view")
-      .groupBy("user_id").agg(min($"t_us").as("t1_us"))
-    val s2 = ev.filter($"event_type" === "click").join(s1, "user_id")
-      .filter($"t_us" > $"t1_us" && $"t_us" <= $"t1_us" + winUs)
-      .groupBy("user_id").agg(min($"t_us").as("t2_us"))
-    val s3 = ev.filter($"event_type" === "purchase")
-      .join(s1, "user_id").join(s2, "user_id")
-      .filter($"t_us" > $"t2_us" && $"t_us" <= $"t1_us" + winUs)
-      .groupBy("user_id").agg(min($"t_us").as("t3_us"))
-    s1.join(s2, Seq("user_id"), "left_outer")
-      .join(s3, Seq("user_id"), "left_outer")
-      .select($"user_id",
-        when($"t3_us".isNotNull, 3).when($"t2_us".isNotNull, 2).otherwise(1)
-          .cast("int").as("funnel_level"),
-        $"t1_us", $"t2_us", $"t3_us")
+    graft.operators.Funnel.funnel(ev, "user_id", "event_type", "t_us",
+        steps = Seq("view", "click", "purchase"), windowUs = 3600000000L)
       .orderBy("user_id")
   }
 

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Boundary semantics of the N-step strict funnel. */
+class FunnelSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+
+  private def run(rows: Seq[(Long, String, Long)], steps: Seq[String],
+                  w: Long): Map[Long, (Int, Seq[Option[Long]])] = {
+    import spark.implicits._
+    Funnel.funnel(rows.toDF("user_id", "event_type", "t_us"),
+        "user_id", "event_type", "t_us", steps, w)
+      .collect().map { r =>
+        r.getLong(0) -> (r.getInt(1),
+          (2 until r.length).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i))))
+      }.toMap
+  }
+
+  test("strict order: a step before its predecessor does not count") {
+    val rows = Seq(
+      (1L, "click", 50L), (1L, "view", 100L), (1L, "click", 200L), // pre-view click ignored
+      (2L, "click", 50L), (2L, "view", 100L))                      // only pre-view click → level 1
+    val got = run(rows, Seq("view", "click"), w = 1000L)
+    assert(got(1L) == ((2, Seq(Some(100L), Some(200L)))))
+    assert(got(2L) == ((1, Seq(Some(100L), None))))
+  }
+
+  test("window anchors at step 1: inclusive upper bound, strict lower") {
+    val rows = Seq(
+      (1L, "view", 100L), (1L, "click", 1100L),   // exactly t1 + w → counts
+      (2L, "view", 100L), (2L, "click", 1101L),   // one past → out
+      (3L, "view", 100L), (3L, "click", 100L))    // same instant → strict > excludes
+    val got = run(rows, Seq("view", "click"), w = 1000L)
+    assert(got(1L)._1 == 2 && got(2L)._1 == 1 && got(3L)._1 == 1)
+  }
+
+  test("later steps must fit the ANCHOR window, not a sliding one") {
+    // click at t1+900 fine; purchase at t1+1200 is within 1000 of the
+    // CLICK but outside the anchor window → level stops at 2
+    val rows = Seq(
+      (1L, "view", 0L), (1L, "click", 900L), (1L, "purchase", 1200L))
+    val got = run(rows, Seq("view", "click", "purchase"), w = 1000L)
+    assert(got(1L) == ((2, Seq(Some(0L), Some(900L), None))))
+  }
+
+  test("earliest qualifying event is chosen at every stage") {
+    val rows = Seq(
+      (1L, "view", 100L), (1L, "view", 50L),        // t1 = min view
+      (1L, "click", 60L),                           // before t1=50? no — after! counts
+      (1L, "click", 500L))
+    val got = run(rows, Seq("view", "click"), w = 1000L)
+    assert(got(1L) == ((2, Seq(Some(50L), Some(60L)))))
+  }
+
+  test("four-step funnel and users missing the anchor") {
+    val rows = Seq(
+      (1L, "a", 0L), (1L, "b", 1L), (1L, "c", 2L), (1L, "d", 3L),
+      (2L, "b", 0L), (2L, "c", 1L))                 // no anchor → absent
+    val got = run(rows, Seq("a", "b", "c", "d"), w = 100L)
+    assert(got(1L) == ((4, Seq(Some(0L), Some(1L), Some(2L), Some(3L)))))
+    assert(!got.contains(2L))
+  }
+}
