@@ -25,6 +25,9 @@ object Funnel {
              steps: Seq[String], windowUs: Long): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")
     require(windowUs > 0, "window must be positive")
+    val reserved = "funnel_level" +: (1 to steps.size).map(i => s"t${i}_us")
+    require(!Seq(keyCol, typeCol, tsUsCol).exists(reserved.contains),
+      s"input columns must not collide with funnel output names: $reserved")
     val ts = col(tsUsCol)
     val s1 = ev.filter(col(typeCol) === steps.head)
       .groupBy(keyCol).agg(min(ts).as("t1_us"))
@@ -47,11 +50,11 @@ object Funnel {
     val joined = frames.tail.foldLeft(s1: DataFrame) { (acc, f) =>
       acc.join(f, Seq(keyCol), "left_outer")
     }
-    val level = (steps.size to 2 by -1).foldLeft(Option.empty[org.apache.spark.sql.Column]) {
-      case (acc, n) =>
-        val cond = col(s"t${n}_us").isNotNull
-        Some(acc.fold(when(cond, n))(_.when(cond, n)))
-    }.fold(lit(1))(_.otherwise(1)).cast("int").as("funnel_level")
+    // level = 1 + completed later stages; valid because each stage
+    // inner-joins on its predecessor, so nulls always form a suffix
+    val level = (2 to steps.size)
+      .map(i => when(col(s"t${i}_us").isNotNull, 1).otherwise(0))
+      .foldLeft(lit(1))(_ + _).cast("int").as("funnel_level")
     joined.select(col(keyCol) +: level +:
       (1 to steps.size).map(i => col(s"t${i}_us")): _*)
   }

@@ -14,8 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** The one token separator, shared by the Column-level [[tokens]] and
+    * the JVM-side scan in [[heavyHitters]] — the sketch's exactness
+    * proof requires the candidate pass and the recount to tokenize
+    * IDENTICALLY, so both must derive from this constant. */
+  val TokenSep = " "
+
   /** Whitespace tokens (the corpus is single-space separated). */
-  def tokens(text: Column): Column = split(text, " ")
+  def tokens(text: Column): Column = split(text, TokenSep)
 
   /** GPT-style pre-tokenizer pattern: letter runs, digit runs, and
     * punctuation runs are separate pieces (ASCII variant so Java regex
@@ -197,7 +203,7 @@ object TextAnalysis {
     val candidates = texts.mapPartitions { it =>
       val counters = scala.collection.mutable.HashMap.empty[String, Long]
       it.foreach { text =>
-        text.split(" ", -1).foreach { w =>
+        text.split(TokenSep, -1).foreach { w =>
           counters.get(w) match {
             case Some(c) => counters.update(w, c + 1)
             case None if counters.size < k => counters.update(w, 1L)
@@ -213,12 +219,17 @@ object TextAnalysis {
       counters.keysIterator.map(Tuple1(_))
     }.toDF("token").distinct()
 
-    val n = df.select(coalesce(sum(size(tokens(col(textCol)))), lit(0))
-      .cast("long")).as[Long].head()
+    // N rides the plan as a 1-row cross join — no eager driver action,
+    // the operator stays lazy and the corpus is scanned twice (sketch +
+    // recount), not three times
+    val nFrame = df.select(coalesce(sum(size(tokens(col(textCol)))), lit(0L))
+      .cast("long").as("n_total"))
     df.select(explode(tokens(col(textCol))).as("token"))
       .join(broadcast(candidates), "token")
       .groupBy("token").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") * (k + 1) > n)
+      .crossJoin(broadcast(nFrame))
+      .filter(col("cnt") * (k + 1) > col("n_total"))
+      .drop("n_total")
   }
 
   /** Corpus-relative token-frequency quality (the CCNet-style signal the

@@ -157,9 +157,11 @@ ORDER BY s1.user_id"""
     * no date types, no timezone semantics to disagree on. */
   def eventsRetention(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dayUs = 86400000000L
+    // TRUE integer division (div), not divide+cast: double division
+    // rounds half-ulp cases up and floors negatives toward zero — both
+    // diverge from the oracle's integer `//`
     val d = Tables(spark, sfDir, "events")
-      .select($"user_id", (unix_micros($"ts") divide dayUs).cast("long").as("day"))
+      .select($"user_id", expr("unix_micros(ts) div 86400000000").as("day"))
     val cohort = d.groupBy("user_id").agg(min($"day").as("day0"))
     val flags = d.join(cohort, "user_id")
       .groupBy("user_id").agg(
