@@ -162,15 +162,9 @@ ORDER BY s1.user_id"""
     // diverge from the oracle's integer `//`
     val d = Tables(spark, sfDir, "events")
       .select($"user_id", expr("unix_micros(ts) div 86400000000").as("day"))
-    val cohort = d.groupBy("user_id").agg(min($"day").as("day0"))
-    val flags = d.join(cohort, "user_id")
-      .groupBy("user_id").agg(
-        min($"day0").as("day0"),
-        max(when($"day" === $"day0" + 1, 1).otherwise(0)).as("d1"),
-        max(when($"day" === $"day0" + 7, 1).otherwise(0)).as("d7"))
-    flags.groupBy($"day0".as("cohort_day"))
-      .agg(count(lit(1)).as("n_users"),
-        sum($"d1").as("retained_d1"), sum($"d7").as("retained_d7"))
+    graft.operators.Retention.cohorts(d, "user_id", "day", offsets = Seq(1, 7))
+      .select($"cohort_period".as("cohort_day"), $"n_keys".as("n_users"),
+        $"retained_p1".as("retained_d1"), $"retained_p7".as("retained_d7"))
       .orderBy("cohort_day")
   }
 

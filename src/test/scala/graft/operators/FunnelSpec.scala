@@ -54,6 +54,47 @@ class FunnelSpec extends AnyFunSuite {
     assert(got(1L) == ((2, Seq(Some(50L), Some(60L)))))
   }
 
+  test("randomized differential vs an in-JVM reference") {
+    // deterministic pseudo-random event soup; the reference recomputes
+    // the cascade definition directly (earliest anchor, then for each
+    // stage the earliest event strictly after the previous stage and
+    // within the anchor window)
+    val steps = Seq("a", "b", "c")
+    val w = 50L
+    val rnd = new scala.util.Random(20260812L)
+    val rows = (0 until 2000).map { _ =>
+      (rnd.nextInt(60).toLong, steps(rnd.nextInt(3)), rnd.nextInt(200).toLong)
+    }
+    def refUser(evs: Seq[(String, Long)]): Option[Seq[Option[Long]]] = {
+      val anchors = evs.collect { case ("a", t) => t }
+      if (anchors.isEmpty) return None
+      val t1 = anchors.min
+      var prev = t1
+      val out = scala.collection.mutable.ArrayBuffer[Option[Long]](Some(t1))
+      var alive = true
+      steps.tail.foreach { s =>
+        val nxt = if (alive)
+          evs.collect { case (`s`, t) if t > prev && t <= t1 + w => t }
+            .sorted.headOption
+        else None
+        out += nxt
+        nxt match { case Some(t) => prev = t; case None => alive = false }
+      }
+      Some(out.toSeq)
+    }
+    val want = rows.groupBy(_._1).flatMap { case (u, evs) =>
+      refUser(evs.map(e => (e._2, e._3))).map { ts =>
+        u -> ((1 + ts.tail.count(_.isDefined), ts))
+      }
+    }
+    val got = run(rows, steps, w)
+    assert(got == want, {
+      val diff = (got.keySet ++ want.keySet)
+        .filter(k => got.get(k) != want.get(k)).take(3)
+      s"first diffs: ${diff.map(k => (k, got.get(k), want.get(k)))}"
+    })
+  }
+
   test("four-step funnel and users missing the anchor") {
     val rows = Seq(
       (1L, "a", 0L), (1L, "b", 1L), (1L, "c", 2L), (1L, "d", 3L),
