@@ -24,6 +24,10 @@ object Retention {
     require(offsets.nonEmpty, "need at least one retention offset")
     require(offsets.forall(_ >= 1), "offsets must be >= 1")
     require(offsets.distinct == offsets, "offsets must be distinct")
+    val reserved = Seq("p0", "cohort_period", "n_keys") ++
+      offsets.flatMap(o => Seq(s"f$o", s"retained_p$o"))
+    require(!Seq(keyCol, periodCol).exists(reserved.contains),
+      s"input columns must not collide with retention internal/output names: $reserved")
     val cohort = df.groupBy(keyCol).agg(min(col(periodCol)).as("p0"))
     val flags = df.join(cohort, keyCol)
       .groupBy(keyCol)
