@@ -12,14 +12,36 @@ import scala.collection.mutable.ArrayBuffer
   * Two halves, sharing one greedy-merge discipline:
   *
   *  - [[train]] — distributed merge learning. The corpus is scanned ONCE
-  *    to build the word-frequency table; every subsequent iteration runs
-  *    on that VOCAB-SIZED frame (never the corpus): adjacent-pair counts
+  *    to build the word-frequency table; every subsequent ROUND runs on
+  *    that VOCAB-SIZED frame (never the corpus): adjacent-pair counts
   *    weighted by word frequency (partial-agg'd, so the exchange carries
-  *    (pair, count) rows), argmax via a 1-row TakeOrdered with a total
-  *    tie-break order, then one merge application. The frame is
-  *    `localCheckpoint`ed every iteration — an iterative algorithm's
+  *    (pair, count) rows), then up to `maxBatch` merges are learned from
+  *    ONE count table before the frame is touched again. The frame is
+  *    `localCheckpoint`ed once per round — an iterative algorithm's
   *    lineage otherwise nests one plan per merge (the
   *    connectedComponents lesson).
+  *
+  * Batched rounds are PROVABLY identical to one-merge-at-a-time training
+  * (asserted differentially in BpeSpec against an in-memory sequential
+  * reference). The batch is the longest prefix of the
+  * (count desc, a, b)-sorted candidate list where each candidate:
+  *
+  *  1. shares no symbol with an earlier batch member (neither operand
+  *     nor concatenation) and its concatenation spells no existing vocab
+  *     symbol — so applying the earlier merges cannot change this
+  *     candidate's count, and no token aliasing can inflate others;
+  *  2. strictly out-counts every pair a prior batch member could CREATE:
+  *     merging (a,b)→ab only creates pairs (x,ab) / (ab,y), whose counts
+  *     are bounded by the ORIGINAL counts of (x,a) / (b,y) — so a
+  *     candidate beating max(maxCount(·,a), maxCount(b,·)) for every
+  *     accepted (a,b) also beats anything sequential recounting could
+  *     surface (pair counts never increase under a disjoint merge).
+  *
+  * On prose-like corpora early rounds batch little (sequential BPE
+  * genuinely picks (th,e) right after (t,h) — a dependency no stale
+  * count table can see), but as counts flatten deeper into training the
+  * prefix lengthens; driver round-trips drop from one-per-merge to
+  * one-per-round without changing a single learned merge.
   *  - [[encodeWord]] — the GPT-2-style greedy encoder: repeatedly merge
   *    the lowest-rank adjacent pair (leftmost on ties) until none
   *    applies. Replaying merges this way reproduces the training
@@ -84,10 +106,21 @@ object Bpe {
     * weighted pair count below `minPairCount` stop training early (a
     * pair seen once compresses nothing).
     *
+    * @param maxBatch candidate-list depth per round — the ceiling on
+    *                 merges learned from one count table (see the
+    *                 class doc for why the result is still exactly the
+    *                 sequential merge sequence).
     * @return merges in rank order (rank = index). */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-            minPairCount: Long = 2L): Seq[(String, String)] = {
-    require(numMerges >= 0)
+            minPairCount: Long = 2L, maxBatch: Int = 64): Seq[(String, String)] =
+    trainWithStats(df, textCol, numMerges, minPairCount, maxBatch)._1
+
+  /** [[train]] plus the number of driver rounds it took — exposed so
+    * tests (and capacity planning) can see the batching actually batch. */
+  def trainWithStats(df: DataFrame, textCol: String, numMerges: Int,
+                     minPairCount: Long = 2L, maxBatch: Int = 64)
+      : (Seq[(String, String)], Int) = {
+    require(numMerges >= 0 && maxBatch >= 1)
     // ONE corpus scan: word-frequency table, then segment each distinct
     // word into codepoints. Vocab-sized from here on.
     var words = df
@@ -98,34 +131,87 @@ object Bpe {
         i => col("w").substr(i, lit(1))).as("segs"))
       .localCheckpoint()
 
+    // Driver-side vocab registry: the batch-safety rules need to know
+    // whether a candidate's concatenation spells a symbol that already
+    // exists (token aliasing would let other pairs' counts INCREASE,
+    // voiding rule 2's never-increase premise). Alphabet-sized collect
+    // once; grows by one per merge thereafter.
+    val symbols = scala.collection.mutable.HashSet[String]()
+    words.select(explode(col("segs")).as("s")).distinct()
+      .collect().foreach(r => symbols += r.getString(0))
+
     val merges = ArrayBuffer[(String, String)]()
+    var rounds = 0
     var stop = false
     while (merges.length < numMerges && !stop) {
+      rounds += 1
       val npairs = greatest(size(col("segs")) - 1, lit(0))
-      val best = words
+      val pairs = words
         .select(col("n"), explode(arrays_zip(
           slice(col("segs"), lit(1), npairs),
           slice(col("segs"), lit(2), npairs))).as("p"))
         .select(col("n"), col("p").getField("0").as("a"), col("p").getField("1").as("b"))
         .groupBy("a", "b").agg(sum(col("n")).as("cnt"))
-        // total order: deterministic argmax across partitionings
+        .persist()
+      // total order: deterministic argmax across partitionings
+      val top = pairs
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (best.isEmpty || best.head.getLong(2) < minPairCount) stop = true
-      else {
-        val (a, b) = (best.head.getString(0), best.head.getString(1))
-        merges += ((a, b))
-        val applyMerge = udf((segs: Seq[String]) => mergeOnce(segs, a, b))
-        // localCheckpoint cuts the per-iteration lineage; unpersist the
+        .limit(maxBatch).collect()
+      if (top.isEmpty || top.head.getLong(2) < minPairCount) {
+        pairs.unpersist(false)
+        stop = true
+      } else {
+        // Per-symbol count maxima for batch rule 2: the strongest pair a
+        // merge (a,b) can create is bounded by max cnt over (·,a) and
+        // (b,·). One vocab-sized collect serves every candidate.
+        val maxima = pairs
+          .select(lit(0).as("side"), col("b").as("s"), col("cnt"))
+          .union(pairs.select(lit(1).as("side"), col("a").as("s"), col("cnt")))
+          .groupBy("side", "s").agg(max(col("cnt")).as("m"))
+          .collect()
+        pairs.unpersist(false)
+        val sndMax = maxima.filter(_.getInt(0) == 0)
+          .map(r => r.getString(1) -> r.getLong(2)).toMap // max cnt of (·, s)
+        val fstMax = maxima.filter(_.getInt(0) == 1)
+          .map(r => r.getString(1) -> r.getLong(2)).toMap // max cnt of (s, ·)
+
+        val batch = ArrayBuffer[(String, String)]()
+        val used = scala.collection.mutable.HashSet[String]()
+        var ubound = Long.MinValue // max count any accepted merge could create
+        var open = true
+        var i = 0
+        while (open && i < top.length && merges.length + batch.length < numMerges) {
+          val (a, b, c) = (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
+          val conflict = used.contains(a) || used.contains(b) || used.contains(a + b)
+          if (c < minPairCount || (batch.nonEmpty && (conflict || c <= ubound))) {
+            open = false // prefix rule: the first unsafe candidate closes the batch
+          } else {
+            batch += ((a, b))
+            used += a; used += b; used += (a + b)
+            ubound = math.max(ubound, math.max(
+              sndMax.getOrElse(a, Long.MinValue), fstMax.getOrElse(b, Long.MinValue)))
+            // aliasing with an existing symbol is fine for THIS merge
+            // (its own selection never depended on later effects) but
+            // poisons the never-increase premise for everything after
+            if (symbols.contains(a + b)) open = false
+          }
+          i += 1
+        }
+        merges ++= batch
+        batch.foreach { case (a, b) => symbols += (a + b) }
+        val batchSeq = batch.toSeq
+        val applyBatch = udf((segs: Seq[String]) =>
+          batchSeq.foldLeft(segs) { case (s, (a, b)) => mergeOnce(s, a, b) })
+        // localCheckpoint cuts the per-round lineage; unpersist the
         // SUPERSEDED checkpoint's blocks right away or numMerges copies
         // of the vocab frame pile up in executor storage (the
         // connectedComponents discipline, Dedup.scala)
         val prev = words
-        words = words.withColumn("segs", applyMerge(col("segs"))).localCheckpoint()
+        words = words.withColumn("segs", applyBatch(col("segs"))).localCheckpoint()
         prev.unpersist(false)
       }
     }
     words.unpersist(false)
-    merges.toSeq
+    (merges.toSeq, rounds)
   }
 }

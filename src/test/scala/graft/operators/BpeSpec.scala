@@ -91,6 +91,62 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  /** In-memory ONE-merge-at-a-time reference trainer — the textbook
+    * algorithm, recount after every merge — for the batched-vs-sequential
+    * differential. Total order on ties matches the trainer: (cnt desc, a, b). */
+  private def trainSequentialReference(wordFreq: Seq[(String, Long)], numMerges: Int,
+      minPairCount: Long = 2L): Seq[(String, String)] = {
+    var words: Seq[(Vector[String], Long)] =
+      wordFreq.map { case (w, n) => Bpe.codepoints(w) -> n }
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var stop = false
+    while (merges.length < numMerges && !stop) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      words.foreach { case (segs, n) =>
+        var i = 0
+        while (i < segs.length - 1) {
+          counts((segs(i), segs(i + 1))) = counts.getOrElse((segs(i), segs(i + 1)), 0L) + n
+          i += 1
+        }
+      }
+      if (counts.isEmpty) stop = true
+      else {
+        val ((a, b), c) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        if (c < minPairCount) stop = true
+        else {
+          merges += ((a, b))
+          words = words.map { case (segs, n) => Bpe.mergeOnce(segs, a, b).toVector -> n }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  test("batched rounds learn EXACTLY the sequential merge sequence (real corpus)") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val wordFreq = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toSeq
+    val ref = trainSequentialReference(wordFreq, numMerges = 24)
+    val (batched, rounds) = Bpe.trainWithStats(docs, "text", numMerges = 24, maxBatch = 64)
+    assert(batched == ref,
+      s"batched (rounds=$rounds) diverged from sequential:\n$batched\nvs\n$ref")
+    info(s"24 merges learned in $rounds driver rounds")
+    assert(rounds < 24, s"batching never batched: $rounds rounds for 24 merges")
+    // maxBatch=1 degenerates to the old one-merge-per-round trainer
+    assert(Bpe.train(docs, "text", numMerges = 8, maxBatch = 1) == ref.take(8))
+  }
+
+  test("disjoint-alphabet corpus learns many merges in one round") {
+    import spark.implicits._
+    val docs = Seq("ab ab ab ab ab cd cd cd cd ef ef ef").toDF("text")
+    val (merges, rounds) = Bpe.trainWithStats(docs, "text", numMerges = 3)
+    assert(merges == Seq(("a", "b"), ("c", "d"), ("e", "f")))
+    assert(rounds == 1, s"expected one batched round, took $rounds")
+  }
+
   test("bpeEncode expression flattens per-word pieces in order") {
     import spark.implicits._
     val merges = Seq(("l", "o"), ("lo", "w"))
