@@ -35,23 +35,20 @@ object TextAnalysis {
     (size(words), pieces)
   }
 
-  // Small deterministic stopword profiles (public common-word lists).
+  // Small deterministic English stopword profile (public common-word
+  // list) — the quality score's stopword-ratio feature.
   val StopEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
-  val StopEs: Seq[String] = Seq("el", "la", "de", "y", "en", "es", "que", "los", "las", "un")
-  val StopDe: Seq[String] = Seq("der", "die", "das", "und", "zu", "ist", "von", "mit", "den", "ein")
 
   private def countIn(words: Column, set: Seq[String]): Column =
     size(filter(words, w => w.isin(set.map(lit(_)): _*)))
 
-  /** Stopword-profile language ID: argmax of per-language stopword hits,
-    * ties broken en > es > de (deterministic). */
-  def langId(text: Column): Column = {
-    val words = tokens(text)
-    val en = countIn(words, StopEn)
-    val es = countIn(words, StopEs)
-    val de = countIn(words, StopDe)
-    when(en >= es && en >= de, "en").when(es >= de, "es").otherwise("de")
-  }
+  /** Character-profile language ID over 21 languages: script detection
+    * (CJK/Kana/Hangul/Cyrillic/Arabic/Hebrew/Greek/Thai/Devanagari),
+    * then length-weighted character-n-gram profiles within Latin script
+    * — see [[graft.functions.LangProfiles]] for the profile data, the
+    * single-pass kernel, and the matching DuckDB oracle generator. */
+  def langId(text: Column): Column =
+    graft.functions.LangIdExpression.langId(text)
 
   /** Quality features + a composite score in [0,1]:
     * length prior + stopword-ratio prior + penalty for very long words

@@ -442,20 +442,15 @@ FROM documents ORDER BY doc_id"""
       .select(col("doc_id"), TextAnalysis.langId(col("text")).as("predicted_lang"), col("lang"))
       .orderBy("doc_id")
 
-  val textLangIdOracle: String = """
+  // The oracle's classification SQL is GENERATED from the same profile
+  // constants the Spark kernel reads (LangProfiles) — the two sides
+  // cannot drift.
+  val textLangIdOracle: String = s"""
 WITH c AS (
   SELECT doc_id, lang,
-    len(list_filter(string_split(text,' '),
-      w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS en,
-    len(list_filter(string_split(text,' '),
-      w -> w IN ('el','la','de','y','en','es','que','los','las','un'))) AS es,
-    len(list_filter(string_split(text,' '),
-      w -> w IN ('der','die','das','und','zu','ist','von','mit','den','ein'))) AS de
+  ${graft.functions.LangProfiles.oracleColumnsSql("text")}
   FROM documents)
-SELECT doc_id,
-       CASE WHEN en >= es AND en >= de THEN 'en'
-            WHEN es >= de THEN 'es' ELSE 'de' END AS predicted_lang,
-       lang
+SELECT doc_id, predicted_lang, lang
 FROM c ORDER BY doc_id"""
 
   def textTokenCount(spark: SparkSession, sfDir: String): DataFrame = {
@@ -695,24 +690,11 @@ FROM documents ORDER BY doc_id"""
       .orderBy("doc_id")
   }
 
-  val corpusCleanOracle: String = """
+  val corpusCleanOracle: String = s"""
 WITH s AS (
   SELECT doc_id,
-    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
-    CASE WHEN len(list_filter(string_split(text,' '),
-           w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) >=
-         len(list_filter(string_split(text,' '),
-           w -> w IN ('el','la','de','y','en','es','que','los','las','un')))
-         AND len(list_filter(string_split(text,' '),
-           w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) >=
-         len(list_filter(string_split(text,' '),
-           w -> w IN ('der','die','das','und','zu','ist','von','mit','den','ein')))
-         THEN 'en'
-         WHEN len(list_filter(string_split(text,' '),
-           w -> w IN ('el','la','de','y','en','es','que','los','las','un'))) >=
-         len(list_filter(string_split(text,' '),
-           w -> w IN ('der','die','das','und','zu','ist','von','mit','den','ein')))
-         THEN 'es' ELSE 'de' END AS predicted_lang,
+    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+  ${graft.functions.LangProfiles.oracleColumnsSql("text")},
     CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
     (CASE WHEN len(string_split(text,' ')) >= 20 AND len(string_split(text,' ')) <= 2000
           THEN 0.4 ELSE 0.1 END)
@@ -724,7 +706,7 @@ WITH s AS (
              AND (CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
                   / len(string_split(text,' '))) <= 9.0
             THEN 0.2 ELSE 0.0 END) AS quality_score,
-    row_number() OVER (PARTITION BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+    row_number() OVER (PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
                        ORDER BY doc_id) AS rn
   FROM documents)
 SELECT doc_id, fingerprint, predicted_lang, n_tokens, quality_score
