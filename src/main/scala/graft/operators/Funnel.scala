@@ -33,22 +33,19 @@ object Funnel {
       .groupBy(keyCol).agg(min(ts).as("t1_us"))
     val frames = scala.collection.mutable.ArrayBuffer(s1)
     for (i <- 1 until steps.size) {
-      val prevTs = s"t${i}_us"
+      val prevTs = if (i == 1) "t1_us" else s"t${i}_us"
       val thisTs = s"t${i + 1}_us"
-      // stage i needs the window anchor (t1) and the previous step's
-      // timestamp; for i = 1 they are the same column, one join suffices
-      val withPrev =
-        if (i == 1) ev.filter(col(typeCol) === steps(i))
-          .join(s1.select(col(keyCol), col("t1_us")), keyCol)
-        else ev.filter(col(typeCol) === steps(i))
-          .join(s1.select(col(keyCol), col("t1_us")), keyCol)
-          .join(frames(i - 1).select(col(keyCol), col(prevTs)), keyCol)
-      frames += withPrev
+      // each stage's output carries the window anchor t1 forward
+      // (constant per key, so min() just restates it), so stage i needs
+      // ONE keyed join against its predecessor — not a second join back
+      // to s1 for the anchor
+      frames += ev.filter(col(typeCol) === steps(i))
+        .join(frames(i - 1), keyCol)
         .filter(ts > col(prevTs) && ts <= col("t1_us") + windowUs)
-        .groupBy(keyCol).agg(min(ts).as(thisTs))
+        .groupBy(keyCol).agg(min(col("t1_us")).as("t1_us"), min(ts).as(thisTs))
     }
     val joined = frames.tail.foldLeft(s1: DataFrame) { (acc, f) =>
-      acc.join(f, Seq(keyCol), "left_outer")
+      acc.join(f.select(col(keyCol), col(f.columns.last)), Seq(keyCol), "left_outer")
     }
     // level = 1 + completed later stages; valid because each stage
     // inner-joins on its predecessor, so nulls always form a suffix
