@@ -182,6 +182,35 @@ SELECT day0 AS cohort_day, CAST(count(*) AS BIGINT) AS n_users,
        CAST(sum(d7) AS BIGINT) AS retained_d7
 FROM f GROUP BY 1 ORDER BY 1"""
 
+  /** Cumulative sibling of [[eventsRetention]]: "returned within ≤ N
+    * days" (any day in (day0, day0+N]) instead of exactly day0+N —
+    * monotone across offsets, the shape retention dashboards plot.
+    * Same one-partitioning key discipline. */
+  def eventsRetentionCum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables(spark, sfDir, "events")
+      .select($"user_id", expr("unix_micros(ts) div 86400000000").as("day"))
+    graft.operators.Retention.cohorts(d, "user_id", "day",
+        offsets = Seq(1, 7), cumulative = true)
+      .select($"cohort_period".as("cohort_day"), $"n_keys".as("n_users"),
+        $"retained_p1".as("retained_w1"), $"retained_p7".as("retained_w7"))
+      .orderBy("cohort_day")
+  }
+
+  val eventsRetentionCumOracle: String = """
+WITH d AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+c AS (SELECT user_id, min(day) AS day0 FROM d GROUP BY 1),
+f AS (
+  SELECT d.user_id, min(c.day0) AS day0,
+         max(CASE WHEN d.day > c.day0 AND d.day <= c.day0 + 1 THEN 1 ELSE 0 END) AS w1,
+         max(CASE WHEN d.day > c.day0 AND d.day <= c.day0 + 7 THEN 1 ELSE 0 END) AS w7
+  FROM d JOIN c USING (user_id) GROUP BY 1)
+SELECT day0 AS cohort_day, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(w1) AS BIGINT) AS retained_w1,
+       CAST(sum(w7) AS BIGINT) AS retained_w7
+FROM f GROUP BY 1 ORDER BY 1"""
+
   /** Spark's built-in gap-based session_window over the events stream
     * table (the declarative sibling of the manual window-function
     * sessionization above). */

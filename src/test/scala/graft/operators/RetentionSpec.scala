@@ -45,4 +45,51 @@ class RetentionSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq == Seq((0L, 1L, 0L)))
   }
+
+  private def refCum(rows: Seq[(Long, Long)], offsets: Seq[Int])
+      : Map[Long, (Long, Seq[Long])] =
+    rows.groupBy(_._1).values.map { g =>
+      val days = g.map(_._2).toSet
+      (days.min, offsets.map(o =>
+        if (days.exists(d => d > days.min && d <= days.min + o)) 1L else 0L))
+    }.toSeq.groupBy(_._1).map { case (p0, ks) =>
+      p0 -> (ks.size.toLong,
+        offsets.indices.map(i => ks.map(_._2(i)).sum).toSeq)
+    }
+
+  test("cumulative counts any return within (p0, p0+offset]") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 0L), (1L, 2L),              // +2: misses exact-1, hits within-7
+      (2L, 0L), (2L, 7L),              // boundary: within-7 inclusive
+      (3L, 0L), (3L, 8L),              // beyond both windows
+      (4L, 0L), (4L, 0L),              // same-day dup: NOT a return
+      (5L, 5L), (5L, 6L), (5L, 12L))   // second cohort: both windows hit
+    val offsets = Seq(1, 7)
+    val got = Retention.cohorts(rows.toDF("user_id", "day"), "user_id", "day",
+        offsets, cumulative = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1),
+        offsets.indices.map(i => r.getLong(2 + i)).toSeq)).toMap
+    assert(got == refCum(rows, offsets))
+    assert(got(0L) == ((4L, Seq(0L, 2L))))   // only u2 (+7) and u1 (+2) within 7
+    assert(got(5L) == ((1L, Seq(1L, 1L))))
+    // cumulative dominates exact at every offset (monotonicity)
+    val exact = Retention.cohorts(rows.toDF("user_id", "day"), "user_id", "day", offsets)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    exact.foreach { case (p0, (e1, e7)) =>
+      assert(got(p0)._2(0) >= e1 && got(p0)._2(1) >= e7)
+    }
+  }
+
+  test("randomized cumulative differential equals the reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val rows = Seq.fill(400)((rnd.nextInt(40).toLong, rnd.nextInt(30).toLong))
+    val offsets = Seq(1, 3, 7)
+    val got = Retention.cohorts(rows.toDF("user_id", "day"), "user_id", "day",
+        offsets, cumulative = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1),
+        offsets.indices.map(i => r.getLong(2 + i)).toSeq)).toMap
+    assert(got == refCum(rows, offsets))
+  }
 }
