@@ -52,6 +52,26 @@ object StreamingSessionize {
 
   val TtlMs: Long = 10L * 60L * 1000L // parse.py:77
 
+  /** Spark's disk-backed state store (shipped in spark-sql; no extra
+    * deps). The default HDFS-backed provider keeps every live session in
+    * executor heap — fine for thousands of in-flight queue ids, the first
+    * thing to fall over at 100 TB-scale session cardinality. RocksDB
+    * spills state to local disk with an in-memory working set. */
+  val RocksDbProviderClass: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** A session whose streaming queries keep keyed state in RocksDB:
+    * returns a NEW SparkSession (shared SparkContext, isolated SQLConf),
+    * so the provider choice cannot leak into other queries on the same
+    * context. Build the stream and call `.writeStream.start()` from the
+    * returned session. */
+  def withRocksDbStateStore(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProviderClass)
+    s
+  }
+
   def classify(lines: Dataset[(Long, String)]): Dataset[InRow] = {
     import lines.sparkSession.implicits._
     lines.flatMap { case (seq, raw) =>

@@ -19,9 +19,18 @@ class StreamingDifferentialSpec extends AnyFunSuite {
   private val gen = new DifferentialSpec
 
   test("incremental and streaming agree on random streams with random batching") {
+    runSeeds(spark, 1 to 6)
+  }
+
+  test("differential holds under the RocksDB state store") {
+    runSeeds(StreamingSessionize.withRocksDbStateStore(spark), 7 to 8)
+  }
+
+  private def runSeeds(spark: org.apache.spark.sql.SparkSession,
+                       seeds: Range): Unit = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    for (seed <- 1 to 6) {
+    for (seed <- seeds) {
       val log = gen.genLog(seed * 101, 30)
       val incEvents = ArrayBuffer[PostfixEvent]()
       val incFaults = ArrayBuffer[ParseFault]()

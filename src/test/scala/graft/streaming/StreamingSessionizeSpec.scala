@@ -13,7 +13,10 @@ class StreamingSessionizeSpec extends AnyFunSuite {
 
   /** Run lines through the streaming pipeline `batchSize` lines at a time,
     * then apply the dovecot enrichment join the way parquetSink does. */
-  private def run(input: String, batchSize: Int): (Seq[graft.core.PostfixEvent], Seq[graft.core.ParseFault]) = {
+  private def run(input: String, batchSize: Int,
+                  session: org.apache.spark.sql.SparkSession = null)
+      : (Seq[graft.core.PostfixEvent], Seq[graft.core.ParseFault]) = {
+    val spark = Option(session).getOrElse(this.spark)
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
@@ -121,6 +124,28 @@ class StreamingSessionizeSpec extends AnyFunSuite {
     val (events, faults) = run(Fixtures.utf8Subject, 2)
     assert(faults.isEmpty)
     assert(events.head.message_subject.contains("test - Тест"))
+  }
+
+  test("RocksDB state store: cross-batch state + dovecot enrichment agree with default store") {
+    val rocks = StreamingSessionize.withRocksDbStateStore(spark)
+    assert(rocks.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDBStateStoreProvider"))
+    // isolation: the parent session's provider is untouched
+    assert(!spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+      "default").contains("RocksDB"))
+    for (fixture <- Seq(Fixtures.mixedPart1 + "\n" + Fixtures.mixedSentLine +
+        "\n2024-04-09T20:22:43.039628+03:00 localhost postfix/qmgr[837]: 85C6C10208A: removed" +
+        "\n" + Fixtures.mixedBouncedLine +
+        "\n2024-04-09T20:25:02.570564+03:00 localhost postfix/qmgr[837]: 2D7291020EE: removed",
+        Fixtures.dovecot)) {
+      val (defEvents, defFaults) = run(fixture, 2)
+      val (rocksEvents, rocksFaults) = run(fixture, 2, session = rocks)
+      assert(rocksFaults == defFaults)
+      assert(rocksEvents.map(_.queue_id) == defEvents.map(_.queue_id))
+      assert(rocksEvents.map(_.dovecot_fileinto_action) ==
+        defEvents.map(_.dovecot_fileinto_action))
+      assert(rocksEvents == defEvents)
+    }
   }
 
   test("parquet foreachBatch sink end-to-end") {
