@@ -123,6 +123,259 @@ object Multimodal {
     }
   }
 
+  /** Parsed audio/video container header metadata. `duration_ms`,
+    * `sample_rate`, `channels` are -1 where the container doesn't carry
+    * them (MP4/WebM have no fmt chunk; `kind = "none"` has nothing). */
+  case class ContainerMeta(kind: String, duration_ms: Long,
+                           sample_rate: Int, channels: Int)
+
+  /** Audio/video CONTAINER header parsing — pure JVM, public byte-format
+    * specs only (RIFF/WAVE, ISO BMFF `moov/mvhd`, Matroska/WebM EBML).
+    * Full codecs need external libraries this container doesn't ship;
+    * container DURATION does not: it sits in fixed header fields. Same
+    * positive-signature discipline as [[MediaCodec.looksLikeImage]] —
+    * parse only payloads that present a real magic AND whose declared
+    * structure stays inside the buffer; anything else returns
+    * `ContainerMeta("none", -1, -1, -1)` so callers fall back to the
+    * deterministic stub, never to garbage read out of text bytes. */
+  object ContainerCodec {
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def le32(b: Array[Byte], i: Int): Long =
+      (u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) |
+        (u8(b, i + 3).toLong << 24)) & 0xFFFFFFFFL
+    private def be32(b: Array[Byte], i: Int): Long =
+      ((u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) |
+        (u8(b, i + 2) << 8) | u8(b, i + 3)) & 0xFFFFFFFFL
+    private def be64(b: Array[Byte], i: Int): Long =
+      (be32(b, i) << 32) | be32(b, i + 4)
+    private def fourcc(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** RIFF/WAVE: `fmt ` chunk (sample rate, channels, bits/sample) +
+      * `data` chunk size → exact PCM duration. Chunk sizes are validated
+      * against the buffer; a truncated or lying header → None. */
+    private[operators] def parseWav(b: Array[Byte]): Option[ContainerMeta] = {
+      if (b.length < 44 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "WAVE")
+        return None
+      var off = 12
+      var fmt: Option[(Int, Int, Int)] = None // (rate, channels, bits)
+      var dataLen = -1L
+      while (off + 8 <= b.length && (fmt.isEmpty || dataLen < 0)) {
+        val id = fourcc(b, off)
+        val sz = le32(b, off + 4)
+        if (sz > b.length) return None // declared size can't fit the buffer
+        if (id == "fmt " && sz >= 16 && off + 8 + 16 <= b.length)
+          fmt = Some((le32(b, off + 12).toInt, le16(b, off + 10), le16(b, off + 22)))
+        else if (id == "data") {
+          if (off + 8 + sz > b.length) return None // declared past the buffer
+          dataLen = sz
+        }
+        off += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
+      }
+      fmt.collect { case (rate, ch, bits) if rate > 0 && ch > 0 && bits > 0 && dataLen >= 0 =>
+        ContainerMeta("wav", dataLen * 8000L / (rate.toLong * ch * bits), rate, ch)
+      }
+    }
+
+    /** ISO BMFF (MP4): walk top-level boxes to `moov`, then its children
+      * to `mvhd`; duration = mvhd.duration / mvhd.timescale (v0 32-bit and
+      * v1 64-bit layouts — ISO/IEC 14496-12 §8.2.2). */
+    private[operators] def parseMp4(b: Array[Byte]): Option[ContainerMeta] = {
+      if (b.length < 16 || fourcc(b, 4) != "ftyp") return None
+      def findBox(from: Long, to: Long, name: String): Option[(Long, Long)] = {
+        var off = from
+        while (off + 8 <= to) {
+          val sz0 = be32(b, off.toInt)
+          val typ = fourcc(b, off.toInt + 4)
+          val (body, end) =
+            if (sz0 == 1L && off + 16 <= to) (off + 16, off + be64(b, off.toInt + 8))
+            else if (sz0 == 0L) (off + 8, to) // box extends to EOF
+            else (off + 8, off + sz0)
+          if (end < body || end > to) return None // corrupt size
+          if (typ == name) return Some((body, end))
+          off = end
+        }
+        None
+      }
+      for {
+        (moovB, moovE) <- findBox(0L, b.length.toLong, "moov")
+        (h, hE) <- findBox(moovB, moovE, "mvhd")
+        version = u8(b, h.toInt)
+        (ts, dur) <- version match {
+          case 0 if h + 4 + 8 + 8 <= hE =>
+            Some((be32(b, h.toInt + 12), be32(b, h.toInt + 16)))
+          case 1 if h + 4 + 16 + 12 <= hE =>
+            Some((be32(b, h.toInt + 20), be64(b, h.toInt + 24)))
+          case _ => None
+        }
+        if ts > 0
+      } yield ContainerMeta("mp4", dur * 1000L / ts, -1, -1)
+    }
+
+    // Matroska/WebM element IDs (the spec's class IDs, marker bit kept)
+    private val EbmlMagic = 0x1A45DFA3L
+    private val SegmentId = 0x18538067L
+    private val InfoId = 0x1549A966L
+    private val TimecodeScaleId = 0x2AD7B1L
+    private val DurationId = 0x4489L
+
+    /** Matroska/WebM: EBML header → Segment → Info → TimecodeScale (ns per
+      * tick, default 1,000,000) and Duration (float ticks). Variable-int
+      * lengths per RFC 8794. */
+    private[operators] def parseWebm(b: Array[Byte]): Option[ContainerMeta] = {
+      if (b.length < 8 || be32(b, 0) != EbmlMagic) return None
+      // EBML vint: leading zero bits of the first byte give the width.
+      // IDs keep the marker bit (spec "class id"); sizes strip it.
+      def vint(off: Long, keepMarker: Boolean): Option[(Long, Long)] = {
+        if (off >= b.length) return None
+        val first = u8(b, off.toInt)
+        if (first == 0) return None
+        val w = Integer.numberOfLeadingZeros(first) - 24 + 1
+        if (off + w > b.length) return None
+        var v = if (keepMarker) first.toLong else (first & (0xFF >>> w)).toLong
+        for (i <- 1 until w) v = (v << 8) | u8(b, (off + i).toInt)
+        Some((v, off + w))
+      }
+      def uintAt(off: Long, len: Long): Long = {
+        var v = 0L
+        for (i <- 0L until len) v = (v << 8) | u8(b, (off + i).toInt)
+        v
+      }
+      def floatAt(off: Long, len: Long): Option[Double] = len match {
+        case 4 => Some(java.lang.Float.intBitsToFloat(be32(b, off.toInt).toInt).toDouble)
+        case 8 => Some(java.lang.Double.longBitsToDouble(be64(b, off.toInt)))
+        case _ => None
+      }
+      // walk children of [from, to) for `id`; returns (bodyFrom, bodyTo)
+      def findEl(from: Long, to: Long, id: Long): Option[(Long, Long)] = {
+        var off = from
+        while (off < to) {
+          val parsed = for {
+            (elId, p1) <- vint(off, keepMarker = true)
+            (sz, p2) <- vint(p1, keepMarker = false)
+            if p2 + sz <= to
+          } yield (elId, p2, p2 + sz)
+          parsed match {
+            case Some((elId, body, end)) =>
+              if (elId == id) return Some((body, end))
+              off = end
+            case None => return None
+          }
+        }
+        None
+      }
+      for {
+        (hB, hE) <- findEl(0L, b.length.toLong, EbmlMagic) // skip EBML header
+        (segB, segE) <- findEl(hE, b.length.toLong, SegmentId)
+        (infoB, infoE) <- findEl(segB, segE, InfoId)
+      } yield {
+        var tcs = 1000000L // spec default: 1 ms ticks
+        var durTicks: Option[Double] = None
+        var off = infoB
+        var ok = true
+        while (ok && off < infoE) {
+          (for {
+            (elId, p1) <- vint(off, keepMarker = true)
+            (sz, p2) <- vint(p1, keepMarker = false)
+            if p2 + sz <= infoE
+          } yield (elId, p2, sz)) match {
+            case Some((elId, body, sz)) =>
+              if (elId == TimecodeScaleId) tcs = uintAt(body, sz)
+              else if (elId == DurationId) durTicks = floatAt(body, sz)
+              off = body + sz
+            case None => ok = false
+          }
+        }
+        val ms = durTicks.map(d => math.round(d * tcs / 1e6)).getOrElse(-1L)
+        ContainerMeta("webm", ms, -1, -1)
+      }
+    }
+
+    /** Positive-guard dispatch: WAV, MP4, WebM, else `none` (stub path). */
+    def meta(bytes: Array[Byte]): ContainerMeta =
+      parseWav(bytes).orElse(parseMp4(bytes)).orElse(parseWebm(bytes))
+        .getOrElse(ContainerMeta("none", -1L, -1, -1))
+  }
+
+  /** Deterministic container BUILDERS — the planted-fixture side of the
+    * oracle loop: wrap payload bytes in a real WAV/MP4/WebM header whose
+    * declared fields are pure functions of the parameters, so a DuckDB
+    * oracle can state the expected [[ContainerCodec]] output without
+    * parsing bytes. Also the unit-test fixture source. */
+  object ContainerFixtures {
+    private def cc(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    private def le16b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    private def le32b(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    private def be32b(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+
+    /** Canonical 44-byte-header PCM WAV around `data`. */
+    def wav(sampleRate: Int, channels: Int, bitsPerSample: Int,
+            data: Array[Byte]): Array[Byte] = {
+      val blockAlign = channels * bitsPerSample / 8
+      val out = new java.io.ByteArrayOutputStream(44 + data.length)
+      out.write(cc("RIFF")); out.write(le32b(36L + data.length)); out.write(cc("WAVE"))
+      out.write(cc("fmt ")); out.write(le32b(16L))
+      out.write(le16b(1)); out.write(le16b(channels))
+      out.write(le32b(sampleRate.toLong)); out.write(le32b(sampleRate.toLong * blockAlign))
+      out.write(le16b(blockAlign)); out.write(le16b(bitsPerSample))
+      out.write(cc("data")); out.write(le32b(data.length.toLong)); out.write(data)
+      out.toByteArray
+    }
+
+    /** ftyp + moov/mvhd(v0) + mdat(payload); duration in `timescale` ticks. */
+    def mp4(timescale: Long, duration: Long, payload: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(16 + 116 + 8 + payload.length)
+      out.write(be32b(16L)); out.write(cc("ftyp")); out.write(cc("isom")); out.write(be32b(0L))
+      val mvhdBody = new java.io.ByteArrayOutputStream(100)
+      mvhdBody.write(be32b(0L))              // version 0 + flags
+      mvhdBody.write(be32b(0L)); mvhdBody.write(be32b(0L)) // ctime, mtime
+      mvhdBody.write(be32b(timescale)); mvhdBody.write(be32b(duration))
+      mvhdBody.write(be32b(0x00010000L))     // rate 1.0
+      // volume 1.0 (2) + reserved (2) + reserved (8) — §8.2.2 layout
+      mvhdBody.write(Array[Byte](0x01, 0x00, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+      // unity matrix + 6 predefined zeros + next_track_id
+      Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L)
+        .foreach(v => mvhdBody.write(be32b(v)))
+      for (_ <- 0 until 6) mvhdBody.write(be32b(0L))
+      mvhdBody.write(be32b(1L))
+      val mvhd = mvhdBody.toByteArray
+      out.write(be32b(8L + 8 + mvhd.length)); out.write(cc("moov"))
+      out.write(be32b(8L + mvhd.length)); out.write(cc("mvhd")); out.write(mvhd)
+      out.write(be32b(8L + payload.length)); out.write(cc("mdat")); out.write(payload)
+      out.toByteArray
+    }
+
+    /** Minimal Matroska: EBML header (empty body) + Segment(Info(
+      * TimecodeScale, Duration float64), Void(payload)). */
+    def webm(timecodeScaleNs: Long, durationTicks: Double,
+             payload: Array[Byte]): Array[Byte] = {
+      def id(v: Long): Array[Byte] = {
+        val w = (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8
+        (1 to w).map(i => ((v >> (8 * (w - i))) & 0xFF).toByte).toArray
+      }
+      def size(v: Long): Array[Byte] = { // 4-byte length vint: 0x10xxxxxx...
+        require(v < (1L << 28)); Array[Byte]((0x10 | (v >> 24)).toByte,
+          ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+      }
+      def el(elId: Long, body: Array[Byte]): Array[Byte] =
+        id(elId) ++ size(body.length.toLong) ++ body
+      def uintBytes(v: Long): Array[Byte] = {
+        val w = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
+        (1 to w).map(i => ((v >> (8 * (w - i))) & 0xFF).toByte).toArray
+      }
+      val durBits = java.lang.Double.doubleToLongBits(durationTicks)
+      val info = el(0x1549A966L,
+        el(0x2AD7B1L, uintBytes(timecodeScaleNs)) ++
+        el(0x4489L, (1 to 8).map(i => ((durBits >> (8 * (8 - i))) & 0xFF).toByte).toArray))
+      el(0x1A45DFA3L, Array.empty[Byte]) ++
+        el(0x18538067L, info ++ el(0xECL, payload)) // 0xEC = Void
+    }
+  }
+
   /** Ingest: documents' text bytes stand in for media payloads; in a real
     * pipeline this is `spark.read.format("binaryFile")` or parquet with a
     * binary column. */
@@ -148,6 +401,22 @@ object Multimodal {
         digest.reset()
         val sha = digest.digest(r.media).map("%02x".format(_)).mkString
         MediaFeatures(r.doc_id, r.media_type, r.media.length.toLong, w, h, f, sha)
+      }
+    }
+  }
+
+  case class MediaContainer(doc_id: Long, kind: String, duration_ms: Long,
+                            sample_rate: Int, channels: Int, n_bytes: Long)
+
+  /** Container-header metadata extraction ([[ContainerCodec]]): per-row
+    * fixed-header parse, no decode, no shuffle — a pure map stage. */
+  def containerMeta(rows: Dataset[MediaRow]): Dataset[MediaContainer] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val m = ContainerCodec.meta(r.media)
+        MediaContainer(r.doc_id, m.kind, m.duration_ms, m.sample_rate,
+          m.channels, r.media.length.toLong)
       }
     }
   }

@@ -114,4 +114,79 @@ class MultimodalSpec extends AnyFunSuite {
     val cut = bmp.dropRight(1)
     assert(!Multimodal.MediaCodec.looksLikeImage(cut))
   }
+
+  import Multimodal.{ContainerCodec, ContainerFixtures, ContainerMeta}
+
+  test("WAV fmt+data chunks give exact PCM duration") {
+    // 16 kHz stereo 16-bit: 64,000 bytes/s → 128,000 bytes = 2,000 ms
+    val m = ContainerCodec.meta(ContainerFixtures.wav(16000, 2, 16,
+      Array.fill[Byte](128000)(7)))
+    assert(m == ContainerMeta("wav", 2000L, 16000, 2))
+    // odd data length exercises the word-aligned chunk walk
+    val odd = ContainerCodec.meta(ContainerFixtures.wav(8000, 1, 8,
+      Array.fill[Byte](8001)(1)))
+    assert(odd == ContainerMeta("wav", 1000L, 8000, 1)) // 8001*8000/(8000*8) ms
+  }
+
+  test("WAV guard refuses truncated and size-lying headers") {
+    val ok = ContainerFixtures.wav(8000, 1, 16, Array.fill[Byte](100)(3))
+    assert(ContainerCodec.meta(ok).kind == "wav")
+    // data chunk declares more bytes than the buffer holds
+    val lying = ok.clone()
+    lying(43) = 0x7F // bump the data-size high byte way past the payload
+    assert(ContainerCodec.meta(lying).kind == "none")
+    assert(ContainerCodec.meta(ok.take(30)).kind == "none")
+  }
+
+  test("MP4 mvhd v0 duration, builder roundtrip") {
+    // timescale 600, duration 1500 ticks → 2500 ms
+    val m = ContainerCodec.meta(ContainerFixtures.mp4(600, 1500, "xyz".getBytes))
+    assert(m == ContainerMeta("mp4", 2500L, -1, -1))
+  }
+
+  test("MP4 mvhd v1 (64-bit) layout parses") {
+    // hand-build: ftyp + moov(mvhd v1): ctime/mtime 8 bytes each
+    def be32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    val body = be32(0x01000000L) ++ // version 1, flags 0
+      Array.fill[Byte](16)(0) ++    // ctime, mtime (64-bit)
+      be32(1000L) ++                // timescale
+      be32(0L) ++ be32(90000L) ++   // duration (64-bit) = 90,000 ticks
+      Array.fill[Byte](80)(0)
+    val mvhd = be32(8L + body.length) ++ "mvhd".getBytes ++ body
+    val moov = be32(8L + mvhd.length) ++ "moov".getBytes ++ mvhd
+    val ftyp = be32(16L) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0L)
+    assert(ContainerCodec.meta(ftyp ++ moov) == ContainerMeta("mp4", 90000L, -1, -1))
+  }
+
+  test("WebM TimecodeScale × Duration, builder roundtrip + spec default") {
+    // 1 ms ticks, 1234 ticks → 1234 ms
+    val m = ContainerCodec.meta(ContainerFixtures.webm(1000000L, 1234.0, "pp".getBytes))
+    assert(m == ContainerMeta("webm", 1234L, -1, -1))
+    // non-default scale: 0.5 ms ticks → halve
+    val half = ContainerCodec.meta(ContainerFixtures.webm(500000L, 1234.0, Array.empty))
+    assert(half == ContainerMeta("webm", 617L, -1, -1))
+  }
+
+  test("garbage and raw-text bytes fall back to the stub path") {
+    for (junk <- Seq("plain document text, nothing binary".getBytes,
+        Array.fill[Byte](64)(0x41), Array.empty[Byte],
+        "RIFFxxxxNOPE".getBytes, // RIFF magic without WAVE
+        png(5, 5) /* image, not an av container */ ))
+      assert(ContainerCodec.meta(junk).kind == "none")
+  }
+
+  test("containerMeta dataset operator over planted rows") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, ContainerFixtures.wav(8000, 1, 16, Array.fill[Byte](16000)(0)), "audio/wav", "s"),
+      Multimodal.MediaRow(2L, ContainerFixtures.mp4(600, 600, Array.empty), "video/mp4", "s"),
+      Multimodal.MediaRow(3L, "not a container".getBytes, "text/plain", "s"))
+      .toDS()
+    val got = Multimodal.containerMeta(rows).collect().sortBy(_.doc_id)
+    assert(got.map(_.kind).toSeq == Seq("wav", "mp4", "none"))
+    assert(got(0).duration_ms == 1000L && got(0).sample_rate == 8000)
+    assert(got(1).duration_ms == 1000L)
+    assert(got(2).duration_ms == -1L)
+  }
 }
