@@ -33,6 +33,7 @@ object SparkEntry {
     "events_window_count" -> (AnalyticsQueries.eventsWindowCount _),
     "events_funnel" -> (AnalyticsQueries.eventsFunnel _),
     "events_retention" -> (AnalyticsQueries.eventsRetention _),
+    "events_retention_cum" -> (AnalyticsQueries.eventsRetentionCum _),
     "top_words" -> (AnalyticsQueries.topWords _),
     // -- core analytics operators (SURVEY §2.6 "free from Catalyst") --
     "q1_pricing" -> (AnalyticsQueries.q1Pricing _),
@@ -95,6 +96,7 @@ object SparkEntry {
     "multimodal_features" -> (ExtensionQueries.multimodalFeatures _),
     "multimodal_resize" -> (ExtensionQueries.multimodalResize _),
     "multimodal_frames" -> (ExtensionQueries.multimodalFrames _),
+    "multimodal_media_meta" -> (ExtensionQueries.multimodalMediaMeta _),
     "events_session_window" -> (AnalyticsQueries.eventsSessionWindow _),
     // -- spark.sql surface over registered views + custom SQL functions --
     "sql_events_arrayjoin" -> (PipelineQueries.sqlArrayJoin _),
@@ -116,6 +118,7 @@ object SparkEntry {
     "events_window_count" -> AnalyticsQueries.eventsWindowCountOracle,
     "events_funnel" -> AnalyticsQueries.eventsFunnelOracle,
     "events_retention" -> AnalyticsQueries.eventsRetentionOracle,
+    "events_retention_cum" -> AnalyticsQueries.eventsRetentionCumOracle,
     "top_words" -> AnalyticsQueries.topWordsOracle,
     "q1_pricing" -> AnalyticsQueries.q1PricingOracle,
     "q3_shipping" -> AnalyticsQueries.q3ShippingOracle,
@@ -144,6 +147,7 @@ object SparkEntry {
     "multimodal_features" -> ExtensionQueries.multimodalFeaturesOracle,
     "multimodal_resize" -> ExtensionQueries.multimodalResizeOracle,
     "multimodal_frames" -> ExtensionQueries.multimodalFramesOracle,
+    "multimodal_media_meta" -> ExtensionQueries.multimodalMediaMetaOracle,
     "events_session_window" -> AnalyticsQueries.eventsSessionWindowOracle,
     "sql_events_arrayjoin" -> PipelineQueries.sqlArrayJoinOracle,
     "sql_mime_decode" -> ExtensionQueries.sqlMimeDecodeOracle,

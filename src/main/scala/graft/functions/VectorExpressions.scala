@@ -345,6 +345,102 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Two-level (coarse → children) nearest-centroid assignment — lifts
+    * [[NearestCentroids]]' dense-scan ceiling (O(nlist × dim) per row) to
+    * O((ncoarse + probed children) × dim): rank the `coarseCents` by
+    * cosine, take the `coarseProbes` best coarse cells, then argmax
+    * cosine over only THEIR fine children. Same map-side discipline —
+    * the whole index rides into codegen as a reference object; the
+    * corpus is never shuffled by assignment.
+    *
+    * APPROXIMATION CONTRACT: a vector whose true nearest fine centroid
+    * hangs under a coarse cell outside its `coarseProbes` best is
+    * assigned to the best fine centroid among the probed children —
+    * deterministic, possibly not the global argmax. For SemDeDup-style
+    * clustering that shifts cell boundaries, never correctness:
+    * near-identical vectors follow the same deterministic path and land
+    * in the same cell. Null on dimension mismatch ([[NearestCentroids]]
+    * contract). */
+  case class TwoLevelNearestCentroid(child: Expression,
+      coarseCents: Array[Array[Float]], childLists: Array[Array[Int]],
+      centIds: Array[Long], centroids: Array[Array[Float]], coarseProbes: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "two_level_nearest_centroid"
+
+    @transient private lazy val coarseNorms: Array[Double] = coarseCents.map(norm)
+    @transient private lazy val fineNorms: Array[Double] = centroids.map(norm)
+    private def norm(c: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i).toDouble * c(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      val dim = if (centroids.nonEmpty) centroids(0).length else -1
+      if (n != dim) return null
+      var vn = 0.0
+      var i = 0
+      while (i < n) { val x = v.getFloat(i).toDouble; vn += x * x; i += 1 }
+      vn = math.sqrt(vn)
+      def cos(c: Array[Float], cn: Double): Double = {
+        var dot = 0.0; var j = 0
+        while (j < n) { dot += v.getFloat(j).toDouble * c(j).toDouble; j += 1 }
+        dot / (vn * cn)
+      }
+      // top-`coarseProbes` coarse cells (selection over ncoarse sims)
+      val m = coarseCents.length
+      val sims = new Array[Double](m)
+      var c = 0
+      while (c < m) { sims(c) = cos(coarseCents(c), coarseNorms(c)); c += 1 }
+      val taken = new Array[Boolean](m)
+      var bestFine = -1
+      var bestSim = 0.0
+      var r = 0
+      while (r < math.min(coarseProbes, m)) {
+        var best = -1
+        c = 0
+        while (c < m) {
+          if (!taken(c) && (best < 0 || sims(c) > sims(best))) best = c
+          c += 1
+        }
+        taken(best) = true
+        val kids = childLists(best)
+        var k = 0
+        while (k < kids.length) {
+          val f = kids(k)
+          val s = cos(centroids(f), fineNorms(f))
+          if (bestFine < 0 || s > bestSim ||
+              (s == bestSim && centIds(f) < centIds(bestFine))) {
+            bestFine = f; bestSim = s
+          }
+          k += 1
+        }
+        r += 1
+      }
+      if (bestFine < 0) null else java.lang.Long.valueOf(centIds(bestFine))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("twoLevelNearest", this,
+        classOf[TwoLevelNearestCentroid].getName)
+      val tmp = ctx.freshName("cell")
+      nullSafeCodeGen(ctx, ev, a => {
+        s"""
+        Object $tmp = $ref.nullSafeEval($a);
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ((java.lang.Long) $tmp).longValue(); }
+        """
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // Column-facing wrappers.
   def vecDot(a: Column, b: Column): Column =
     GraftBridge.column(FloatVecDot(GraftBridge.expr(a), GraftBridge.expr(b)))
@@ -359,6 +455,11 @@ object VectorExpressions {
   def nearestCentroids(vec: Column, centIds: Array[Long],
                        centroids: Array[Array[Float]], keep: Int): Column =
     GraftBridge.column(NearestCentroids(GraftBridge.expr(vec), centIds, centroids, keep))
+  def twoLevelNearestCentroid(vec: Column, coarseCents: Array[Array[Float]],
+      childLists: Array[Array[Int]], centIds: Array[Long],
+      centroids: Array[Array[Float]], coarseProbes: Int): Column =
+    GraftBridge.column(TwoLevelNearestCentroid(GraftBridge.expr(vec),
+      coarseCents, childLists, centIds, centroids, coarseProbes))
 
   /** Register SQL-facing names so `spark.sql("SELECT vec_dot(a,b) ...")`
     * works (FunctionRegistry extension point). */

@@ -181,6 +181,93 @@ object Similarity {
     * operators' `pretrained` parameter (a centroid set is corpus
     * metadata, like a BPE merge table — retraining it per query
     * double-charges the trainer). */
+  /** Cell-assignment strategy boundary: up to this many centroids the
+    * per-row dense scan (O(nlist × dim),
+    * [[graft.functions.VectorExpressions.NearestCentroids]]) is cheap;
+    * beyond it assignment goes through the two-level coarse → children
+    * index ([[coarseIndex]] +
+    * [[graft.functions.VectorExpressions.TwoLevelNearestCentroid]]),
+    * O((√nlist·probes + probed children) × dim) — map-side either way. */
+  val DenseAssignLimit: Int = 4096
+
+  /** Driver-side deterministic Lloyd over the FINE centroids (nlist rows —
+    * driver-sized by construction): √nlist coarse centroids + the fine
+    * indices hanging under each. Seeds follow [[trainCentroids]]'
+    * discipline (smallest xxhash64(cent_id) first) so the index is
+    * bit-deterministic for a given centroid set. */
+  private[graft] def coarseIndex(centIds: Array[Long],
+      cents: Array[Array[Float]]): (Array[Array[Float]], Array[Array[Int]]) = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val nlist = cents.length
+    val ncoarse = math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    val dim = cents(0).length
+    def norm(c: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i).toDouble * c(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    def cosTo(f: Int, coarse: Array[Float], fn: Double, cn: Double): Double = {
+      var d = 0.0; var i = 0
+      while (i < dim) { d += cents(f)(i).toDouble * coarse(i).toDouble; i += 1 }
+      d / (fn * cn)
+    }
+    val fineNorm = cents.map(norm)
+    var coarse = centIds.indices
+      .sortBy(i => (XXH64.hashLong(centIds(i), 42L), centIds(i)))
+      .take(ncoarse).map(i => cents(i).clone()).toArray
+    val assign = new Array[Int](nlist)
+    def assignAll(): Unit = {
+      val cn = coarse.map(norm)
+      var f = 0
+      while (f < nlist) {
+        var best = 0
+        var bs = Double.NegativeInfinity
+        var c = 0
+        while (c < coarse.length) {
+          val s = cosTo(f, coarse(c), fineNorm(f), cn(c))
+          if (s > bs) { bs = s; best = c }
+          c += 1
+        }
+        assign(f) = best
+        f += 1
+      }
+    }
+    for (_ <- 1 to 3) {
+      assignAll()
+      val sums = Array.fill(coarse.length)(new Array[Double](dim))
+      val cnt = new Array[Int](coarse.length)
+      var f = 0
+      while (f < nlist) {
+        val c = assign(f); cnt(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += cents(f)(i).toDouble; i += 1 }
+        f += 1
+      }
+      coarse = coarse.indices.map { c =>
+        if (cnt(c) == 0) coarse(c)
+        else sums(c).map(x => (x / cnt(c)).toFloat)
+      }.toArray
+    }
+    assignAll()
+    val groups = assign.zipWithIndex.groupBy(_._1)
+    val nonEmpty = groups.keys.toArray.sorted
+    (nonEmpty.map(coarse), nonEmpty.map(c => groups(c).map(_._2).sorted))
+  }
+
+  /** Map-side single-cell assignment against a trained centroid set:
+    * dense argmax scan up to [[DenseAssignLimit]] cells, two-level
+    * index beyond (2 coarse probes). Null on dim mismatch either way. */
+  private[operators] def cellAssign(vec: Column, centIds: Array[Long],
+      cents: Array[Array[Float]]): Column =
+    if (centIds.length <= DenseAssignLimit)
+      element_at(graft.functions.VectorExpressions
+        .nearestCentroids(vec, centIds, cents, 1), 1)
+    else {
+      val (coarse, children) = coarseIndex(centIds, cents)
+      graft.functions.VectorExpressions.twoLevelNearestCentroid(
+        vec, coarse, children, centIds, cents, coarseProbes = 2)
+    }
+
   def trainCentroids(corpus: DataFrame, nlist: Int,
       trainIters: Int): (Array[Long], Array[Array[Float]]) = {
     val centroidRows = corpus
@@ -193,8 +280,7 @@ object Similarity {
 
     for (_ <- 1 to trainIters) {
       val assigned = corpus.select(
-        element_at(graft.functions.VectorExpressions
-          .nearestCentroids(col("embedding"), centIds, cents, 1), 1).as("cell"),
+        cellAssign(col("embedding"), centIds, cents).as("cell"),
         posexplode(col("embedding")))
         // dim-mismatched vectors assign to a null cell by contract
         // (NearestCentroids) — drop them from training like the inverted
@@ -348,10 +434,14 @@ object Similarity {
 
   /** [[semanticDedup]]'s default cell count for a corpus of `n` vectors:
     * expected cell size maxCell/2 (span guard inactive in the
-    * non-degenerate regime), clamped to [16, 4096] — see the recall
-    * contract on [[semanticDedup]]. */
+    * non-degenerate regime), clamped to [16, 2^16] — beyond
+    * [[DenseAssignLimit]] cells, [[cellAssign]] switches to the two-level
+    * coarse index automatically, so the old 4096 dense-scan ceiling no
+    * longer caps the corpus size this operator serves. The 2^16 clamp is
+    * driver memory for the centroid matrix (65536 × dim floats), not an
+    * assignment-cost limit. */
   def autoNlist(n: Long, maxCell: Int = 256): Int =
-    math.max(16, math.min(4096, (n / math.max(1, maxCell / 2)).toInt + 1))
+    math.max(16, math.min(65536, (n / math.max(1, maxCell / 2)).toInt + 1))
 
   /** SemDeDup-style semantic dedup manifest (Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the embeddings ([[trainCentroids]]
@@ -369,11 +459,14 @@ object Similarity {
     * guard is inactive for every non-degenerate cell and in-cell dedup
     * is exact; oversized cells then mean a duplicate FLOOD (near-equal
     * vectors k-means cannot split), whose members sit on a contiguous
-    * rank chain the span does catch. The auto cell count is clamped to
-    * 4096 because assignment is a dense O(nlist × dim) scan per row —
-    * corpora needing more cells (≫ 4096 × maxCell/2 vectors) should
-    * assign via an ANN centroid index, which this operator does not
-    * implement.
+    * rank chain the span does catch. Beyond [[DenseAssignLimit]] cells,
+    * assignment switches to the two-level coarse → children index
+    * ([[cellAssign]]): still map-side and deterministic, with the
+    * documented approximation that a vector near a coarse boundary may
+    * assign to the best fine cell among its 2 probed coarse cells rather
+    * than the global argmax — a cell-boundary shift, not a correctness
+    * change (near-identical vectors follow the same path and co-locate
+    * either way).
     *
     * Scale shape: assignment is map-side (one corpus scan, no shuffle);
     * pairing shuffles slim (cell, vec_id) rows keyed by cell; vectors are
@@ -405,8 +498,7 @@ object Similarity {
     }
     val base = df.select(col("vec_id"), col("embedding"),
         vecNorm(col("embedding")).as("nrm"),
-        element_at(graft.functions.VectorExpressions
-          .nearestCentroids(col("embedding"), centIds, cents, 1), 1).as("cell"))
+        cellAssign(col("embedding"), centIds, cents).as("cell"))
       .persist()
     CacheRegistry.track(base)
 

@@ -1054,6 +1054,51 @@ SELECT doc_id,
        CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS frame_count
 FROM documents ORDER BY doc_id, frame_idx"""
 
+  /** Real container-header parsing, oracle-checked end to end: wrap each
+    * document's bytes in a WAV / MP4 / WebM container whose header fields
+    * are pure functions of (doc_id, byte length), parse them back with
+    * [[Multimodal.ContainerCodec]] (real RIFF / ISO-BMFF / EBML byte
+    * walking), and let DuckDB state the expected durations from the same
+    * arithmetic — the parser and the oracle meet only at the public
+    * format spec. doc_id % 4 == 0 rows stay raw text and prove the
+    * positive-guard stub fallback on non-container bytes. */
+  def multimodalMediaMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text", $"source")
+      .as[(Long, String, String)]
+      .map { case (id, text, src) =>
+        val data = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val media = (id % 4) match {
+          case 1 => Multimodal.ContainerFixtures.wav(
+            8000 * (1 + (id % 3)).toInt, 1 + (id % 2).toInt, 16, data)
+          case 2 => Multimodal.ContainerFixtures.mp4(
+            600L, data.length.toLong * 3, data)
+          case 3 => Multimodal.ContainerFixtures.webm(
+            1000000L, (data.length % 100000).toDouble * 7, data)
+          case _ => data
+        }
+        Multimodal.MediaRow(id, media, "planted", src)
+      }
+    Multimodal.containerMeta(rows).toDF().orderBy("doc_id")
+  }
+
+  val multimodalMediaMetaOracle: String = """
+WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'none' WHEN 1 THEN 'wav'
+                       WHEN 2 THEN 'mp4' ELSE 'webm' END AS kind,
+       CAST(CASE doc_id % 4
+         WHEN 0 THEN -1
+         WHEN 1 THEN n * 8000 // (8000 * (1 + doc_id % 3) * (1 + doc_id % 2) * 16)
+         WHEN 2 THEN n * 3 * 1000 // 600
+         ELSE (n % 100000) * 7 END AS BIGINT) AS duration_ms,
+       CAST(CASE WHEN doc_id % 4 = 1 THEN 8000 * (1 + doc_id % 3) ELSE -1 END AS INTEGER) AS sample_rate,
+       CAST(CASE WHEN doc_id % 4 = 1 THEN 1 + doc_id % 2 ELSE -1 END AS INTEGER) AS channels,
+       CAST(n + CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 44
+                                WHEN 2 THEN 140 ELSE 53 END AS BIGINT) AS n_bytes
+FROM m ORDER BY doc_id"""
+
   val multimodalFeaturesOracle: String = """
 SELECT doc_id,
        'image/t' || (doc_id % 3) AS media_type,

@@ -51,6 +51,35 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(sig1.length == 32 && sig1.distinct.length > 16)
   }
 
+  test("two-level centroid assignment agrees with the dense scan away from coarse boundaries") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(29)
+    val cents = Array.fill(600)(Array.fill(6)((rnd.nextDouble() * 2 - 1).toFloat))
+    val centIds = Array.tabulate(600)(_.toLong)
+    val (coarse, children) = Similarity.coarseIndex(centIds, cents)
+    // every fine centroid hangs under exactly one coarse cell
+    assert(children.map(_.length).sum == 600)
+    assert(children.flatten.sorted.toSeq == (0 until 600))
+    // ON-centroid vectors: the two-level path must find the exact cell
+    // (the owning coarse cell is by construction the vector's nearest)
+    val probe = (0 until 600 by 7).map(i => (i.toLong, cents(i)))
+    val got = probe.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .select(col("vec_id"), VectorExpressions.twoLevelNearestCentroid(
+        col("embedding"), coarse, children, centIds, cents, 2).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.forall { case (id, cell) => cell == id },
+      s"${got.count { case (id, cell) => cell != id }} on-centroid probes mis-assigned")
+    // dimension mismatch → null, same contract as the dense expression
+    val bad = Seq((1L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .select(VectorExpressions.twoLevelNearestCentroid(
+        col("embedding"), coarse, children, centIds, cents, 2).as("cell"))
+      .collect().head
+    assert(bad.isNullAt(0))
+  }
+
   test("winnow fingerprint invariant under repartitioning") {
     import spark.implicits._
     val docs = (0 until 64).map(i => (i.toLong, s"document number $i with some shared words " * 3))

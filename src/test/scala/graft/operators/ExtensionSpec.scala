@@ -281,6 +281,41 @@ class ExtensionSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("semantic dedup beyond the dense-assign limit: two-level index, recall held") {
+    import spark.implicits._
+    // 4200 centroids > DenseAssignLimit forces the coarse→children
+    // two-level assignment path; planted twins must still co-locate with
+    // their sources and drop with a valid witness
+    assert(Similarity.DenseAssignLimit == 4096)
+    val rnd = new scala.util.Random(17)
+    val cents = Array.fill(4200)(Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat))
+    val centIds = Array.tabulate(4200)(_.toLong)
+    val base = centIds.map(i => (i, cents(i.toInt)))
+    val twins = (0 until 25).map(i => (10000L + i, cents(i).map(v => v * 1.01f + 0.003f)))
+    val df = (base.toSeq ++ twins).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val m = Similarity.semanticDedup(df, threshold = 0.95,
+      pretrained = Some((centIds, cents)))
+    val rows = m.select("vec_id", "is_kept", "dup_of")
+      .as[(Long, Int, Option[Long])].collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    val dropped = (0 until 25).count { i =>
+      val (_, kept, dupOf) = byId(10000L + i)
+      kept == 0 && dupOf.exists(_ < 10000L + i)
+    }
+    assert(dropped >= 22, s"only $dropped/25 planted twins dropped under two-level assignment")
+    // every drop cites a valid smaller-id witness; no cell is null (dims match)
+    assert(rows.filter(_._2 == 0).forall(r => r._3.exists(_ < r._1)))
+    assert(m.filter(col("cell").isNull).count() == 0)
+    // determinism across runs (coarse index + assignment are pure functions)
+    val again = Similarity.semanticDedup(df, threshold = 0.95,
+        pretrained = Some((centIds, cents)))
+      .select("vec_id", "is_kept", "dup_of")
+      .as[(Long, Int, Option[Long])].collect()
+    assert(again.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
+    CacheRegistry.releaseAll()
+  }
+
   test("IVF Lloyd training buys recall over seed-only centroids") {
     import spark.implicits._
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
