@@ -23,9 +23,14 @@ object Sampling {
   def hashBucket(id: Column): Column =
     substring(md5(id.cast("string")), 1, 8)
 
-  /** Threshold of a cumulative fraction as fixed-width lowercase hex. */
+  /** Threshold of a cumulative fraction as fixed-width lowercase hex.
+    * Exactly 1.0 → "g", which sorts above every hex bucket so a strict
+    * `<` keeps ALL rows with no keep-all special case downstream; rates
+    * within 2^-32 of 1.0 floor to "ffffffff" and drop that one bucket —
+    * the strict-threshold semantics, uniformly. */
   private[operators] def hexThreshold(cumFraction: Double): String =
-    f"${math.floor(cumFraction * 4294967296.0).toLong.min(4294967295L)}%08x"
+    if (cumFraction >= 1.0) "g"
+    else f"${math.floor(cumFraction * 4294967296.0).toLong}%08x"
 
   /** Split assignment: `splits` are (name, fraction) in priority order,
     * fractions summing to ≤ 1 (any remainder falls into the last split).
@@ -71,10 +76,9 @@ object Sampling {
         val t = lit(hexThreshold(r))
         Some(acc.fold(when(col(groupCol) === g, t))(_.when(col(groupCol) === g, t)))
     }.fold(lit(hexThreshold(defaultRate)))(_.otherwise(hexThreshold(defaultRate)))
-    // rate 1.0 thresholds at the max bucket "ffffffff", which the strict
-    // `<` would wrongly drop — accept it explicitly (non-null ids only)
-    df.filter(col(idCol).isNotNull &&
-      (hashBucket(col(idCol)) < rate || rate === lit("ffffffff")))
+    // rate 1.0 thresholds at "g" > every hex bucket (hexThreshold), so
+    // one strict `<` covers keep-all and fractional rates alike
+    df.filter(col(idCol).isNotNull && hashBucket(col(idCol)) < rate)
   }
 
   /** Per-source keep rates for a token budget with temperature-weighted

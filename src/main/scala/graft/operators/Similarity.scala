@@ -313,6 +313,11 @@ object Similarity {
               broadcastProbes: Boolean = true,
               trainIters: Int = 2,
               pretrained: Option[(Array[Long], Array[Array[Float]])] = None): DataFrame = {
+    // a pretrained quantizer probed as if it had a different cell count
+    // silently changes recall — refuse the mismatch instead (trainIters
+    // is inherently unused with pretrained; nlist must agree)
+    require(pretrained.forall(_._2.length == nlist),
+      s"pretrained quantizer has ${pretrained.get._2.length} cells but nlist=$nlist")
     val (centIds, cents) =
       pretrained.getOrElse(trainCentroids(corpus, nlist, trainIters))
     def nearest(vec: Column, keep: Int): Column =
@@ -492,6 +497,10 @@ object Similarity {
   def semanticDedup(df: DataFrame, threshold: Double, nlist: Int = 0,
                     trainIters: Int = 2, maxCell: Int = 256,
                     pretrained: Option[(Array[Long], Array[Array[Float]])] = None): DataFrame = {
+    // nlist = 0 (auto) defers entirely to the pretrained set; an explicit
+    // nlist that disagrees with it is a silent-recall-change bug upstream
+    require(nlist == 0 || pretrained.forall(_._2.length == nlist),
+      s"pretrained centroid set has ${pretrained.get._2.length} cells but nlist=$nlist")
     val (centIds, cents) = pretrained.getOrElse {
       val effNlist = if (nlist > 0) nlist else autoNlist(df.count(), maxCell)
       trainCentroids(df, effNlist, trainIters)

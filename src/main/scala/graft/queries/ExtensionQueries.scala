@@ -849,7 +849,12 @@ s AS (SELECT vec_id, probe_id,
         SUM(CAST(cv AS DOUBLE) * CAST(qv AS DOUBLE)) /
           (sqrt(SUM(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE))) *
            sqrt(SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)))) AS sim
-      FROM p GROUP BY 1, 2),
+      FROM p GROUP BY 1, 2
+      -- zero-norm exclusion, same contract as the Spark side (cosine
+      -- family): 0/0 is NaN, which DuckDB sorts above all doubles and
+      -- passes sim >= threshold — keep both sides aligned by construction
+      HAVING SUM(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE)) > 0
+         AND SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) > 0),
 h AS (SELECT * FROM s WHERE sim >= 0.35),
 r AS (SELECT vec_id, probe_id, sim,
         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, probe_id) AS rn,

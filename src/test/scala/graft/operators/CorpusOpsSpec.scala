@@ -94,8 +94,13 @@ class CorpusOpsSpec extends AnyFunSuite {
   test("hex thresholds are exact fixed-width lowercase hex") {
     assert(Sampling.hexThreshold(0.8) == "cccccccc")
     assert(Sampling.hexThreshold(0.9) == "e6666666")
-    assert(Sampling.hexThreshold(1.0) == "ffffffff")
     assert(Sampling.hexThreshold(0.0) == "00000000")
+    // exactly 1.0 → the "g" sentinel (above every hex bucket: strict `<`
+    // keeps all); within 2^-32 BELOW 1.0 → ffffffff, which strict `<`
+    // correctly drops for the top bucket — no keep-all misfire
+    assert(Sampling.hexThreshold(1.0) == "g")
+    assert(Sampling.hexThreshold(1.0 - math.pow(2, -33)) == "ffffffff")
+    assert("ffffffff" < "g")
   }
 
   // ---------------------------------------------------- weightedSample ----
