@@ -31,13 +31,19 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.endsWith("_violations"))
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // SPARK_GRAFT_BENCH_VERBOSE: per-run times to stderr (regression
+    // triage — the median hides cold-fill vs steady-state structure)
+    val verbose = sys.env.contains("SPARK_GRAFT_BENCH_VERBOSE")
     val results = queries.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      val raw = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         finally graft.operators.CacheRegistry.releaseAll()
         (System.nanoTime() - t0) / 1e9
-      }.sorted
+      }
+      if (verbose) System.err.println(
+        f"[bench] $name: ${raw.map(t => f"$t%.3f").mkString(" ")}")
+      val times = raw.sorted
       name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

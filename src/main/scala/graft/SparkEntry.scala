@@ -81,6 +81,7 @@ object SparkEntry {
     "corpus_mixture" -> (ExtensionQueries.corpusMixture _),
     "corpus_take_uniform" -> (ExtensionQueries.corpusTakeUniform _),
     "dedup_semantic" -> (ExtensionQueries.dedupSemantic _),
+    "corpus_span_dedup" -> (ExtensionQueries.corpusSpanDedup _),
     // -- violation queries: hash-green emptiness proofs for the LSH family.
     //    Each recomputes the operator's exact-verify contract through an
     //    independent path; the oracle is the guaranteed constant (0
@@ -170,6 +171,7 @@ object SparkEntry {
     "text_freq_quality" -> ExtensionQueries.textFreqQualityOracle,
     "corpus_mixture" -> ExtensionQueries.corpusMixtureOracle,
     "corpus_take_uniform" -> ExtensionQueries.corpusTakeUniformOracle,
+    "corpus_span_dedup" -> ExtensionQueries.corpusSpanDedupOracle,
     "dedup_semantic_violations" -> ExtensionQueries.violationOracle
     // dedup_minhash_lsh / dedup_simhash / dedup_embedding_cosine /
     // dedup_semantic / ann_lsh_topk / ann_ivf_topk /

@@ -308,4 +308,56 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Sub-document (span-level) exact dedup — the C4/RefinedWeb-style
+    * pass that whole-document dedup cannot express: documents are cut
+    * into consecutive `chunkTokens`-token spans, and of every span text
+    * repeated ANYWHERE in the corpus only the FIRST occurrence (smallest
+    * (id, span index)) survives; each document is reassembled from its
+    * surviving spans in order. Catches boilerplate headers/footers and
+    * quoted passages replicated across otherwise-distinct pages.
+    *
+    * Scale shape: span TEXT never shuffles. The segmentation is map-side
+    * (split + slice + md5 inside the scan); the exchanges carry only
+    * (md5, id, idx) rows for the first-occurrence aggregation and
+    * (id, idx) for the per-document surviving-index list; reassembly
+    * re-derives span text from the original document in one final keyed
+    * join with the (small) index list. Exactness comes from the 128-bit
+    * md5 span key (not a 64-bit hash — at 10^11 spans the birthday bound
+    * on 64 bits would silently merge distinct spans).
+    *
+    * @return (id, text_deduped, n_spans, n_kept) — one row per input
+    *         document; a document whose every span lost the race
+    *         reassembles to the empty string (n_kept = 0). */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int = 20): DataFrame = {
+    require(chunkTokens >= 1, "chunkTokens must be >= 1")
+    val toks = split(col(textCol), " ")
+    val nSpans = ceil(size(toks).cast("double") / chunkTokens).cast("int")
+    val spanAt = (i: Column) =>
+      array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")
+    // slim span rows: (md5, id, idx) — the span text dies inside the scan
+    val spans = df.select(col(idCol).as("id"),
+        posexplode(transform(sequence(lit(0), nSpans - 1), spanAt)))
+      .select(md5(col("col")).as("h"), col("id"), col("pos").as("idx"))
+    // first occurrence per span text, totally ordered by (id, idx)
+    val first = spans.groupBy("h")
+      .agg(min(struct(col("id"), col("idx"))).as("f"))
+    val kept = spans.join(first, "h")
+      .filter(col("id") === col("f.id") && col("idx") === col("f.idx"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(col("idx"))).as("keep_idx"),
+        count(lit(1)).cast("long").as("n_kept"))
+    // reassemble from the original text — one keyed join, spans re-cut
+    // map-side from the surviving index list
+    df.select(col(idCol).as("id"), col(textCol).as(textCol))
+      .join(kept, Seq("id"), "left_outer")
+      .select(col("id").as(idCol),
+        when(col("keep_idx").isNull, lit(""))
+          .otherwise(array_join(
+            transform(col("keep_idx"), i => spanAt(i)), " "))
+          .as("text_deduped"),
+        nSpans.cast("long").as("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

@@ -939,6 +939,32 @@ WHERE doc_id IS NOT NULL
       END
 ORDER BY doc_id"""
 
+  /** Sub-document span-level dedup ([[Dedup.spanDedup]]): C4-style "keep
+    * the first occurrence of every repeated 20-token span corpus-wide",
+    * documents reassembled from their surviving spans. */
+  def corpusSpanDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.spanDedup(
+        Tables(spark, sfDir, "documents").select("doc_id", "text"),
+        "doc_id", "text", chunkTokens = 20)
+      .orderBy("doc_id")
+
+  val corpusSpanDedupOracle: String = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (SELECT doc_id, CAST(i AS INTEGER) AS idx,
+        array_to_string(toks[CAST(i*20+1 AS BIGINT):CAST(i*20+20 AS BIGINT)], ' ') AS span
+      FROM t, unnest(range(0, CAST(ceil(len(toks)/20.0) AS BIGINT))) AS u(i)),
+r AS (SELECT doc_id, idx, span,
+        row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, idx) AS rn
+      FROM c),
+k AS (SELECT doc_id, string_agg(span, ' ' ORDER BY idx) AS txt,
+        CAST(count(*) AS BIGINT) AS n_kept
+      FROM r WHERE rn = 1 GROUP BY doc_id),
+n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM c GROUP BY doc_id)
+SELECT d.doc_id, coalesce(k.txt, '') AS text_deduped, n.n_spans,
+       coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept
+FROM documents d JOIN n USING (doc_id) LEFT JOIN k USING (doc_id)
+ORDER BY d.doc_id"""
+
   /** Exact deterministic 100-document held-out sample
     * ([[Sampling.takeUniform]] — salted two-phase top-n, no driver-side
     * merge). */

@@ -385,4 +385,46 @@ class CorpusOpsSpec extends AnyFunSuite {
       (0L, 2L, 0L, 0L, 5L),   // doc 2 starts at seq offset 0: doc 1 shifted nothing
       (0L, 3L, 5L, 0L, 3L)))  // doc 3 starts right after doc 2: -1 shifted nothing
   }
+
+  // -------------------------------------------------------- spanDedup ----
+
+  test("span dedup keeps the first occurrence of every repeated span") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),   // spans: "a b c", "d e f" — both first
+      (2L, "a b c x y z"),   // "a b c" repeats doc 1 → dropped; "x y z" kept
+      (3L, "d e f"),         // entire doc repeats doc 1's span → empty
+      (4L, "x y z a b c"))   // both spans repeat earlier firsts → empty
+      .toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, "doc_id", "text", chunkTokens = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "a b c d e f", 2L, 2L),
+      (2L, "x y z", 2L, 1L),
+      (3L, "", 1L, 0L),
+      (4L, "", 2L, 0L)))
+  }
+
+  test("span dedup: ragged tails, intra-doc repeats, partition invariance") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "p q r p q r p q"),  // spans "p q r", "p q r"(dup), "p q" — tail is its own span
+      (11L, "p q"))              // repeats doc 10's tail span → empty
+      .toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, "doc_id", "text", chunkTokens = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (10L, "p q r p q", 3L, 2L),  // intra-doc repeat dropped, order preserved
+      (11L, "", 1L, 0L)))
+    // partitioning must not change who wins the first-occurrence race
+    val rnd = new scala.util.Random(7)
+    val big = (0L until 300L).map(i =>
+      (i, (0 until 12).map(_ => s"w${rnd.nextInt(9)}").mkString(" ")))
+      .toDF("doc_id", "text")
+    def run(parts: Int) = Dedup.spanDedup(big.repartition(parts), "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(run(1) == run(13))
+  }
 }
