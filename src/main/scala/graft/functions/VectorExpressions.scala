@@ -348,8 +348,9 @@ object VectorExpressions {
   /** Two-level (coarse → children) nearest-centroid assignment — lifts
     * [[NearestCentroids]]' dense-scan ceiling (O(nlist × dim) per row) to
     * O((ncoarse + probed children) × dim): rank the `coarseCents` by
-    * cosine, take the `coarseProbes` best coarse cells, then argmax
-    * cosine over only THEIR fine children. Same map-side discipline —
+    * cosine, take the `coarseProbes` best coarse cells, then the top-`keep`
+    * by cosine over only THEIR fine children (ties to the smaller
+    * centroid id, [[NearestCentroids]] order). Same map-side discipline —
     * the whole index rides into codegen as a reference object; the
     * corpus is never shuffled by assignment.
     *
@@ -363,11 +364,12 @@ object VectorExpressions {
     * contract). */
   case class TwoLevelNearestCentroid(child: Expression,
       coarseCents: Array[Array[Float]], childLists: Array[Array[Int]],
-      centIds: Array[Long], centroids: Array[Array[Float]], coarseProbes: Int)
+      centIds: Array[Long], centroids: Array[Array[Float]], coarseProbes: Int,
+      keep: Int = 1)
       extends UnaryExpression {
-    override def dataType: DataType = LongType
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = true
-    override def prettyName: String = "two_level_nearest_centroid"
+    override def prettyName: String = "two_level_nearest_centroids"
 
     @transient private lazy val coarseNorms: Array[Double] = coarseCents.map(norm)
     @transient private lazy val fineNorms: Array[Double] = centroids.map(norm)
@@ -397,8 +399,9 @@ object VectorExpressions {
       var c = 0
       while (c < m) { sims(c) = cos(coarseCents(c), coarseNorms(c)); c += 1 }
       val taken = new Array[Boolean](m)
-      var bestFine = -1
-      var bestSim = 0.0
+      // candidate fine cells = children of the probed coarse cells
+      val candIdx = new scala.collection.mutable.ArrayBuffer[Int](coarseProbes * 8)
+      val candSim = new scala.collection.mutable.ArrayBuffer[Double](coarseProbes * 8)
       var r = 0
       while (r < math.min(coarseProbes, m)) {
         var best = -1
@@ -412,27 +415,43 @@ object VectorExpressions {
         var k = 0
         while (k < kids.length) {
           val f = kids(k)
-          val s = cos(centroids(f), fineNorms(f))
-          if (bestFine < 0 || s > bestSim ||
-              (s == bestSim && centIds(f) < centIds(bestFine))) {
-            bestFine = f; bestSim = s
-          }
+          candIdx += f
+          candSim += cos(centroids(f), fineNorms(f))
           k += 1
         }
         r += 1
       }
-      if (bestFine < 0) null else java.lang.Long.valueOf(centIds(bestFine))
+      // top-`keep` by (sim desc, centId asc) over the candidate pool
+      val outLen = math.min(keep, candIdx.length)
+      if (outLen == 0) return null
+      val used = new Array[Boolean](candIdx.length)
+      val out = new Array[Long](outLen)
+      var o = 0
+      while (o < outLen) {
+        var best = -1
+        var j = 0
+        while (j < candIdx.length) {
+          if (!used(j) && (best < 0 || candSim(j) > candSim(best) ||
+              (candSim(j) == candSim(best) &&
+                centIds(candIdx(j)) < centIds(candIdx(best))))) best = j
+          j += 1
+        }
+        used(best) = true
+        out(o) = centIds(candIdx(best))
+        o += 1
+      }
+      new GenericArrayData(out)
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val ref = ctx.addReferenceObj("twoLevelNearest", this,
         classOf[TwoLevelNearestCentroid].getName)
-      val tmp = ctx.freshName("cell")
+      val tmp = ctx.freshName("cells")
       nullSafeCodeGen(ctx, ev, a => {
         s"""
         Object $tmp = $ref.nullSafeEval($a);
         if ($tmp == null) { ${ev.isNull} = true; }
-        else { ${ev.value} = ((java.lang.Long) $tmp).longValue(); }
+        else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $tmp; }
         """
       })
     }
@@ -455,11 +474,11 @@ object VectorExpressions {
   def nearestCentroids(vec: Column, centIds: Array[Long],
                        centroids: Array[Array[Float]], keep: Int): Column =
     GraftBridge.column(NearestCentroids(GraftBridge.expr(vec), centIds, centroids, keep))
-  def twoLevelNearestCentroid(vec: Column, coarseCents: Array[Array[Float]],
+  def twoLevelNearestCentroids(vec: Column, coarseCents: Array[Array[Float]],
       childLists: Array[Array[Int]], centIds: Array[Long],
-      centroids: Array[Array[Float]], coarseProbes: Int): Column =
+      centroids: Array[Array[Float]], coarseProbes: Int, keep: Int = 1): Column =
     GraftBridge.column(TwoLevelNearestCentroid(GraftBridge.expr(vec),
-      coarseCents, childLists, centIds, centroids, coarseProbes))
+      coarseCents, childLists, centIds, centroids, coarseProbes, keep))
 
   /** Register SQL-facing names so `spark.sql("SELECT vec_dot(a,b) ...")`
     * works (FunctionRegistry extension point). */

@@ -254,19 +254,24 @@ object Similarity {
     (nonEmpty.map(coarse), nonEmpty.map(c => groups(c).map(_._2).sorted))
   }
 
-  /** Map-side single-cell assignment against a trained centroid set:
-    * dense argmax scan up to [[DenseAssignLimit]] cells, two-level
-    * index beyond (2 coarse probes). Null on dim mismatch either way. */
-  private[operators] def cellAssign(vec: Column, centIds: Array[Long],
-      cents: Array[Array[Float]]): Column =
+  /** Map-side top-`keep` cell assignment against a trained centroid set:
+    * dense scan up to [[DenseAssignLimit]] cells, two-level index beyond
+    * (max(2, keep) coarse probes). Null on dim mismatch either way. */
+  private[operators] def cellsAssign(vec: Column, centIds: Array[Long],
+      cents: Array[Array[Float]], keep: Int): Column =
     if (centIds.length <= DenseAssignLimit)
-      element_at(graft.functions.VectorExpressions
-        .nearestCentroids(vec, centIds, cents, 1), 1)
+      graft.functions.VectorExpressions.nearestCentroids(vec, centIds, cents, keep)
     else {
       val (coarse, children) = coarseIndex(centIds, cents)
-      graft.functions.VectorExpressions.twoLevelNearestCentroid(
-        vec, coarse, children, centIds, cents, coarseProbes = 2)
+      graft.functions.VectorExpressions.twoLevelNearestCentroids(
+        vec, coarse, children, centIds, cents,
+        coarseProbes = math.max(2, keep), keep = keep)
     }
+
+  /** Single-cell variant of [[cellsAssign]]. */
+  private[operators] def cellAssign(vec: Column, centIds: Array[Long],
+      cents: Array[Array[Float]]): Column =
+    element_at(cellsAssign(vec, centIds, cents, keep = 1), 1)
 
   def trainCentroids(corpus: DataFrame, nlist: Int,
       trainIters: Int): (Array[Long], Array[Array[Float]]) = {
@@ -320,8 +325,10 @@ object Similarity {
       s"pretrained quantizer has ${pretrained.get._2.length} cells but nlist=$nlist")
     val (centIds, cents) =
       pretrained.getOrElse(trainCentroids(corpus, nlist, trainIters))
+    // dispatches to the two-level coarse index past DenseAssignLimit, so
+    // the 4096-cell dense-scan ceiling doesn't cap IVF either
     def nearest(vec: Column, keep: Int): Column =
-      graft.functions.VectorExpressions.nearestCentroids(vec, centIds, cents, keep)
+      cellsAssign(vec, centIds, cents, keep)
 
     // inverted lists: single nearest cell per corpus vector, zero-shuffle;
     // zero-norm vectors excluded (cosine family contract — bruteForceTopK)

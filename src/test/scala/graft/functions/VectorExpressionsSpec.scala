@@ -66,16 +66,19 @@ class VectorExpressionsSpec extends AnyFunSuite {
     val probe = (0 until 600 by 7).map(i => (i.toLong, cents(i)))
     val got = probe.toDF("vec_id", "embedding")
       .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
-      .select(col("vec_id"), VectorExpressions.twoLevelNearestCentroid(
-        col("embedding"), coarse, children, centIds, cents, 2).as("cell"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got.forall { case (id, cell) => cell == id },
-      s"${got.count { case (id, cell) => cell != id }} on-centroid probes mis-assigned")
+      .select(col("vec_id"), VectorExpressions.twoLevelNearestCentroids(
+        col("embedding"), coarse, children, centIds, cents, 2, keep = 3).as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got.forall { case (id, cells) => cells.head == id },
+      s"${got.count { case (id, cells) => cells.head != id }} on-centroid probes mis-assigned")
+    // top-k: keep distinct cells, the self cell strictly first
+    assert(got.forall { case (_, cells) =>
+      cells.length == 3 && cells.distinct.length == 3 })
     // dimension mismatch → null, same contract as the dense expression
     val bad = Seq((1L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
       .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
-      .select(VectorExpressions.twoLevelNearestCentroid(
-        col("embedding"), coarse, children, centIds, cents, 2).as("cell"))
+      .select(VectorExpressions.twoLevelNearestCentroids(
+        col("embedding"), coarse, children, centIds, cents, 2).as("cells"))
       .collect().head
     assert(bad.isNullAt(0))
   }

@@ -316,6 +316,26 @@ class ExtensionSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("IVF beyond the dense-assign limit: two-level probes keep top-1 recall") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val cents = Array.fill(4200)(Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat))
+    val centIds = Array.tabulate(4200)(_.toLong)
+    val corpus = centIds.map(i => (i, cents(i.toInt))).toSeq
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val queries = (0 until 25).map(i => (10000L + i, cents(i).map(v => v * 1.01f + 0.003f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val top1 = Similarity.ivfTopK(queries, corpus, k = 1, nlist = 4200,
+        nprobe = 4, pretrained = Some((centIds, cents)))
+      .filter(col("rank") === 1)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toMap
+    val hits = (0 until 25).count(i => top1.get(10000L + i).contains(i.toLong))
+    assert(hits >= 22, s"only $hits/25 twins retrieved their source past the dense limit")
+    CacheRegistry.releaseAll()
+  }
+
   test("IVF Lloyd training buys recall over seed-only centroids") {
     import spark.implicits._
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
