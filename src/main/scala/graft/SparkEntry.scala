@@ -82,6 +82,9 @@ object SparkEntry {
     "corpus_take_uniform" -> (ExtensionQueries.corpusTakeUniform _),
     "dedup_semantic" -> (ExtensionQueries.dedupSemantic _),
     "corpus_span_dedup" -> (ExtensionQueries.corpusSpanDedup _),
+    "dedup_incremental" -> (ExtensionQueries.dedupIncremental _),
+    "dedup_incremental_exact" -> (ExtensionQueries.dedupIncrementalExact _),
+    "dedup_incremental_violations" -> (ExtensionQueries.dedupIncrementalViolations _),
     // -- violation queries: hash-green emptiness proofs for the LSH family.
     //    Each recomputes the operator's exact-verify contract through an
     //    independent path; the oracle is the guaranteed constant (0
@@ -172,9 +175,11 @@ object SparkEntry {
     "corpus_mixture" -> ExtensionQueries.corpusMixtureOracle,
     "corpus_take_uniform" -> ExtensionQueries.corpusTakeUniformOracle,
     "corpus_span_dedup" -> ExtensionQueries.corpusSpanDedupOracle,
+    "dedup_incremental_exact" -> ExtensionQueries.dedupIncrementalExactOracle,
+    "dedup_incremental_violations" -> ExtensionQueries.violationOracle,
     "dedup_semantic_violations" -> ExtensionQueries.violationOracle
     // dedup_minhash_lsh / dedup_simhash / dedup_embedding_cosine /
-    // dedup_semantic / ann_lsh_topk / ann_ivf_topk /
+    // dedup_semantic / dedup_incremental / ann_lsh_topk / ann_ivf_topk /
     // text_winnow_fingerprint stay
     // rows-only (engine-internal hash families), but each is now PAIRED
     // with a hash-green *_violations row proving its exact-verify

@@ -99,6 +99,78 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Incremental near-dedup — flag INCOMING documents that near-duplicate
+    * an already-INDEXED corpus (the "dedupe today's crawl against the
+    * index" shape: at 100 TB the index is re-used across ingest batches,
+    * never re-paired against itself). Bipartite banded MinHash-LSH with
+    * exact shingle-Jaccard verification, same signature scheme as
+    * [[minhashLsh]] so signatures computed at index-build time stay valid.
+    *
+    * Scale shape: both join sides are SLIM (id + two longs per band row);
+    * shingles re-attach only to deduped candidate pairs. The skew guard is
+    * the [[Similarity.lshTopK]] block pattern, bipartite: index rows in a
+    * (band, bucket) are ranked into blocks of `maxBucket`, and each
+    * incoming doc probes the block addressed by `xxhash64(incoming id)`
+    * and its successor — buckets of ≤ maxBucket index rows have one
+    * block, so the incoming doc meets the WHOLE bucket and results equal
+    * the unguarded join; a degenerate hot bucket (boilerplate shingle
+    * floods) degrades to a deterministic 2·maxBucket-candidate probe per
+    * incoming doc instead of |bucket| × |incoming| pair explosion. The
+    * block-count frame is joined (not broadcast): bucket keys are
+    * unbounded hashes, so its cardinality tracks the index.
+    *
+    * @return (index_id, incoming_id, jaccard) — pairs with exact
+    *         Jaccard ≥ threshold; an incoming doc may match several index
+    *         docs (consumers typically keep `incoming_id`s absent here). */
+  def minhashLshAgainst(index: DataFrame, incoming: DataFrame,
+                        idCol: String, textCol: String,
+                        bands: Int = 16, rowsPerBand: Int = 4,
+                        shingleWidth: Int = 3, threshold: Double = 0.7,
+                        maxBucket: Int = 64): DataFrame = {
+    val k = bands * rowsPerBand
+    def prep(df: DataFrame, out: String): DataFrame = {
+      val d = df.select(col(idCol).as(out),
+          shingleHashes(col(textCol), shingleWidth).as(s"sh_$out"))
+        .filter(size(col(s"sh_$out")) > 0)
+        .withColumn(s"sig_$out", minhashSignature(col(s"sh_$out"), k))
+        .persist()
+      CacheRegistry.track(d)
+      d
+    }
+    def bucketRows(d: DataFrame, id: String): DataFrame =
+      d.select(col(id),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(concat_ws(",",
+              slice(col(s"sig_$id"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
+        .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "band")
+
+    val idx = prep(index, "index_id")
+    val inc = prep(incoming, "incoming_id")
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bucket").orderBy("index_id")
+    val idxB = bucketRows(idx, "index_id")
+      .withColumn("blk", floor((row_number().over(wBucket) - 1) / lit(maxBucket)))
+      .persist()
+    CacheRegistry.track(idxB)
+    val nBlk = idxB.groupBy("band", "bucket").agg((max(col("blk")) + 1).as("nblk"))
+    val probes = bucketRows(inc, "incoming_id")
+      .join(nBlk, Seq("band", "bucket")) // bucket absent from index → no candidates
+      .select(col("band"), col("bucket"), col("incoming_id"),
+        explode(array(
+          pmod(xxhash64(col("incoming_id")), col("nblk")),
+          pmod(xxhash64(col("incoming_id")) + 1, col("nblk")))).as("blk"))
+    val cands = probes.join(idxB, Seq("band", "bucket", "blk"))
+      .select("index_id", "incoming_id")
+      .dropDuplicates("index_id", "incoming_id")
+      .join(idx.select(col("index_id"), col("sh_index_id")), "index_id")
+      .join(inc.select(col("incoming_id"), col("sh_incoming_id")), "incoming_id")
+    val inter = size(array_intersect(col("sh_index_id"), col("sh_incoming_id"))).cast("double")
+    val union = (size(col("sh_index_id")) + size(col("sh_incoming_id"))).cast("double") - inter
+    cands.withColumn("jaccard", inter / union)
+      .filter(col("jaccard") >= threshold)
+      .select("index_id", "incoming_id", "jaccard")
+  }
+
   /** 64-bit SimHash of the token multiset (codegen'd fold over the
     * xxhash64 token hashes). */
   def simhash64(text: Column): Column =

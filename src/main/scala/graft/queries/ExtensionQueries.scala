@@ -159,6 +159,84 @@ ORDER BY d.doc_id"""
         maxHamming = 3)
       .orderBy("id_a", "id_b")
 
+  /** The incremental-ingest split: the first 400 documents stand in for
+    * the already-built index, the rest for today's crawl batch. */
+  private val IncrementalSplit = 400L
+  private def incrementalSides(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) = {
+    val docs = Tables(spark, sfDir, "documents")
+    (docs.filter(col("doc_id") < IncrementalSplit),
+      docs.filter(col("doc_id") >= IncrementalSplit))
+  }
+
+  /** Incremental near-dedup ([[Dedup.minhashLshAgainst]]): incoming batch
+    * vs the standing index, bipartite MinHash-LSH + exact verify.
+    * LSH-recall-dependent → rows-only; precision proved by
+    * [[dedupIncrementalViolations]], recall by the oracle-green exact
+    * twin [[dedupIncrementalExact]] + a planted ScalaTest. */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val (index, incoming) = incrementalSides(spark, sfDir)
+    Dedup.minhashLshAgainst(index, incoming, "doc_id", "text",
+        bands = 16, rowsPerBand = 4, shingleWidth = 3, threshold = 0.5)
+      .orderBy("incoming_id", "index_id")
+  }
+
+  /** Precision contract for the incremental path: every emitted pair's
+    * exact 3-shingle Jaccard, recomputed over STRING shingles (an
+    * independent path from the operator's hashed shingles), is ≥ the
+    * threshold. */
+  def dedupIncrementalViolations(spark: SparkSession, sfDir: String): DataFrame = {
+    val (index, incoming) = incrementalSides(spark, sfDir)
+    val pairs = Dedup.minhashLshAgainst(index, incoming, "doc_id", "text",
+      bands = 16, rowsPerBand = 4, shingleWidth = 3, threshold = 0.5)
+    val docs = Tables(spark, sfDir, "documents")
+    val sh = docs.select(col("doc_id"), stringShingles(col("text"), 3).as("sh"))
+    val joined = pairs
+      .join(sh.select(col("doc_id").as("index_id"), col("sh").as("sh_a")), "index_id")
+      .join(sh.select(col("doc_id").as("incoming_id"), col("sh").as("sh_b")), "incoming_id")
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val uni = size(col("sh_a")).cast("double") + size(col("sh_b")) - inter
+    violationSummary(joined, inter / uni < 0.5)
+  }
+
+  /** Exact bipartite twin of [[dedupIncremental]] — the full-corpus
+    * df-capped inverted index restricted to (index, incoming) pairs, so
+    * DuckDB can recompute it independently (hash-green recall floor for
+    * the LSH path). */
+  def dedupIncrementalExact(spark: SparkSession, sfDir: String): DataFrame =
+    ngramPairs(Tables(spark, sfDir, "documents"))
+      .filter(col("id_a") < IncrementalSplit && col("id_b") >= IncrementalSplit)
+      .select(col("id_a").as("index_id"), col("id_b").as("incoming_id"), col("jaccard"))
+      .orderBy("incoming_id", "index_id")
+
+  val dedupIncrementalExactOracle: String = """
+WITH words AS (
+  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS i,
+         unnest(string_split(text,' ')) AS w
+  FROM documents),
+g0 AS (
+  SELECT doc_id,
+         w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i) || ' ' ||
+                     lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS gram,
+         lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS l2
+  FROM words),
+g AS (SELECT DISTINCT doc_id, gram FROM g0 WHERE l2 IS NOT NULL),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+capped AS (
+  SELECT doc_id, gram FROM
+    (SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM g)
+  WHERE df <= 100),
+p AS (
+  SELECT a.doc_id AS index_id, b.doc_id AS incoming_id, count(*) AS shared
+  FROM capped a JOIN capped b ON a.gram = b.gram
+  WHERE a.doc_id < 400 AND b.doc_id >= 400
+  GROUP BY 1, 2)
+SELECT index_id, incoming_id,
+       CAST(shared AS DOUBLE) / (x.n + y.n - shared) AS jaccard
+FROM p JOIN sz x ON p.index_id = x.doc_id JOIN sz y ON p.incoming_id = y.doc_id
+WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.5
+ORDER BY incoming_id, index_id"""
+
   /** Embedding near-dup pairs, LSH scale path (RHP signatures → banded
     * bucket self-join → exact cosine verify) — the registered operator.
     * Candidates are hash-family-dependent → rows-only driver check;

@@ -281,6 +281,45 @@ class ExtensionSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("incremental dedup flags near-copies of the index, never fresh docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    def doc() = (0 until 30).map(_ => s"w${rnd.nextInt(1000)}").mkString(" ")
+    val indexDocs = (0L until 50L).map(i => (i, doc()))
+    // 20 near-copies (one token swapped) + 30 fresh documents
+    val copies = indexDocs.take(20).map { case (i, t) =>
+      val w = t.split(" "); w(7) = "CHANGED"
+      (100L + i, w.mkString(" "))
+    }
+    val fresh = (200L until 230L).map(i => (i, doc()))
+    val index = indexDocs.toDF("doc_id", "text")
+    val incoming = (copies ++ fresh).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshAgainst(index, incoming, "doc_id", "text",
+        threshold = 0.5)
+      .select("index_id", "incoming_id").as[(Long, Long)].collect()
+    val bySrc = pairs.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val recalled = (0L until 20L).count(i => bySrc.get(100L + i).exists(_.contains(i)))
+    assert(recalled >= 18, s"only $recalled/20 planted near-copies flagged")
+    assert(pairs.forall(_._2 >= 100L), "output pairs incoming ids only on the right")
+    assert((200L until 230L).forall(i => !bySrc.contains(i)),
+      "fresh documents must not be flagged")
+    CacheRegistry.releaseAll()
+  }
+
+  test("incremental dedup hot bucket stays bounded, every copy still flagged") {
+    import spark.implicits._
+    val t = "same words repeated here for every single document in the flood " * 2
+    val index = (0L until 300L).map(i => (i, t)).toDF("doc_id", "text")
+    val incoming = (1000L until 1005L).map(i => (i, t)).toDF("doc_id", "text")
+    val q = Dedup.minhashLshAgainst(index, incoming, "doc_id", "text", threshold = 0.9)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    val got = q.select("incoming_id").distinct().as[Long].collect().toSet
+    assert(got == (1000L until 1005L).toSet,
+      s"every incoming member of the 300-doc flood must surface: $got")
+    CacheRegistry.releaseAll()
+  }
+
   test("semantic dedup beyond the dense-assign limit: two-level index, recall held") {
     import spark.implicits._
     // 4200 centroids > DenseAssignLimit forces the coarse→children
