@@ -59,6 +59,7 @@ object SparkEntry {
     "embedding_quantize" -> (ExtensionQueries.embeddingQuantize _),
     "ann_lsh_topk" -> (ExtensionQueries.annLshTopK _),
     "ann_ivf_topk" -> (ExtensionQueries.annIvfTopK _),
+    "ann_ivfq_topk" -> (ExtensionQueries.annIvfqTopK _),
     "text_stats" -> (ExtensionQueries.textStats _),
     "text_langid" -> (ExtensionQueries.textLangId _),
     "text_token_count" -> (ExtensionQueries.textTokenCount _),
@@ -95,6 +96,7 @@ object SparkEntry {
     "dedup_embedding_violations" -> (ExtensionQueries.dedupEmbeddingViolations _),
     "ann_lsh_violations" -> (ExtensionQueries.annLshViolations _),
     "ann_ivf_violations" -> (ExtensionQueries.annIvfViolations _),
+    "ann_ivfq_violations" -> (ExtensionQueries.annIvfqViolations _),
     "text_winnow_violations" -> (ExtensionQueries.textWinnowViolations _),
     "corpus_clean" -> (ExtensionQueries.corpusClean _),
     "multimodal_features" -> (ExtensionQueries.multimodalFeatures _),
@@ -160,6 +162,7 @@ object SparkEntry {
     "dedup_embedding_violations" -> ExtensionQueries.violationOracle,
     "ann_lsh_violations" -> ExtensionQueries.violationOracle,
     "ann_ivf_violations" -> ExtensionQueries.violationOracle,
+    "ann_ivfq_violations" -> ExtensionQueries.violationOracle,
     "text_winnow_violations" -> ExtensionQueries.textWinnowViolationsOracle,
     "text_bpe_violations" -> ExtensionQueries.violationOracle,
     "text_heavy_hitters" -> ExtensionQueries.textHeavyHittersOracle,

@@ -460,9 +460,95 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Symmetric max-abs int8 quantization of a float vector into a BINARY
+    * column — the compact storage form [[Int8VecDot]] scores. Per
+    * element: `floor(x·127/maxabs + 0.5)` (identical formula to
+    * [[graft.operators.Similarity.quantizeInt8]]'s SQL form, so the two
+    * stores agree bit-for-bit); all-zero input → all-zero bytes. The
+    * per-vector scale is deliberately NOT emitted: cosine of two
+    * max-abs-quantized vectors cancels both scales. */
+  case class Int8Quantize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+    override def prettyName: String = "int8_quantize"
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      var maxabs = 0.0
+      var i = 0
+      while (i < n) {
+        val a = math.abs(v.getFloat(i).toDouble)
+        if (a > maxabs) maxabs = a
+        i += 1
+      }
+      val out = new Array[Byte](n)
+      if (maxabs > 0) {
+        i = 0
+        while (i < n) {
+          out(i) = math.floor(v.getFloat(i).toDouble * 127.0 / maxabs + 0.5).toInt.toByte
+          i += 1
+        }
+      }
+      out
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("int8Quantize", this, classOf[Int8Quantize].getName)
+      nullSafeCodeGen(ctx, ev, a => {
+        s"${ev.value} = (byte[]) $ref.nullSafeEval($a);"
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Σ a(i)·b(i) over two int8 vectors stored as BINARY columns,
+    * accumulated in long — the first-stage scoring kernel for quantized
+    * ANN lists (4× less memory bandwidth than float arrays; exact
+    * integer arithmetic, bit-deterministic). Stops at the shorter
+    * length, like [[FloatVecDot]]. */
+  case class Int8VecDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "int8_vec_dot"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[Array[Byte]]
+      val y = b.asInstanceOf[Array[Byte]]
+      val n = math.min(x.length, y.length)
+      var acc = 0L
+      var i = 0
+      while (i < n) { acc += x(i).toLong * y(i).toLong; i += 1 }
+      java.lang.Long.valueOf(acc)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        s"""
+        int $n = java.lang.Math.min($a.length, $b.length);
+        long $acc = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          $acc += ((long) $a[$i]) * ((long) $b[$i]);
+        }
+        ${ev.value} = $acc;
+        """
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   // Column-facing wrappers.
   def vecDot(a: Column, b: Column): Column =
     GraftBridge.column(FloatVecDot(GraftBridge.expr(a), GraftBridge.expr(b)))
+  def int8VecDot(a: Column, b: Column): Column =
+    GraftBridge.column(Int8VecDot(GraftBridge.expr(a), GraftBridge.expr(b)))
+  def int8Quantize(vec: Column): Column =
+    GraftBridge.column(Int8Quantize(GraftBridge.expr(vec)))
   def simhashFromHashes(h: Column): Column =
     GraftBridge.column(SimHashFromHashes(GraftBridge.expr(h)))
   def minhashSig(h: Column, k: Int): Column =

@@ -352,6 +352,78 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
   }
 
+  /** IVF ANN with a QUANTIZED first stage — the memory-bandwidth scale
+    * path: inverted lists carry int8 BINARY codes (4× smaller than float
+    * arrays; max-abs symmetric quantization, whose per-vector scales
+    * cancel in cosine), candidates are scored with an integer dot kernel
+    * ([[graft.functions.VectorExpressions.Int8VecDot]]), the top
+    * `rerank` per query re-rank EXACTLY against the float vectors, and
+    * only those (query, cand) pairs ever touch full-precision data.
+    *
+    * Emitted sims are therefore exact (same contract as [[ivfTopK]] —
+    * the quantization error can only cost recall at the rerank frontier,
+    * never corrupt an emitted score), so the ann_ivf violations harness
+    * applies unchanged. Same probe/broadcast contract as [[ivfTopK]];
+    * assignment dispatches through [[cellsAssign]] (two-level past
+    * [[DenseAssignLimit]]).
+    *
+    * @param rerank first-stage candidates kept per query (0 → 4·k). */
+  def ivfTopKQuantized(queries: DataFrame, corpus: DataFrame, k: Int,
+                       nlist: Int = 16, nprobe: Int = 4, rerank: Int = 0,
+                       broadcastProbes: Boolean = true, trainIters: Int = 2,
+                       pretrained: Option[(Array[Long], Array[Array[Float]])] = None): DataFrame = {
+    require(pretrained.forall(_._2.length == nlist),
+      s"pretrained quantizer has ${pretrained.get._2.length} cells but nlist=$nlist")
+    val keepR = if (rerank > 0) rerank else 4 * k
+    val (centIds, cents) =
+      pretrained.getOrElse(trainCentroids(corpus, nlist, trainIters))
+    import graft.functions.VectorExpressions.{int8Quantize, int8VecDot}
+
+    // SLIM inverted lists: id + cell + int8 code; float vectors and norms
+    // stay behind in the corpus scan until the rerank join. A non-zero
+    // float vector always quantizes to a non-zero code (its max element
+    // maps to ±127), so the int8 norms below are never 0.
+    val lists = corpus
+      .select(col("vec_id").as("cand_id"),
+        cellAssign(col("embedding"), centIds, cents).as("cent_id"),
+        int8Quantize(col("embedding")).as("cq"))
+      .filter(col("cent_id").isNotNull &&
+        vecNorm(col("embedding")) > 0) // zero-norm: cosine-family contract
+      .withColumn("cqn", sqrt(int8VecDot(col("cq"), col("cq")).cast("double")))
+    val probes = queries
+      .select(col("vec_id").as("query_id"),
+        int8Quantize(col("embedding")).as("qq"),
+        explode(cellsAssign(col("embedding"), centIds, cents, nprobe)).as("cent_id"),
+        vecNorm(col("embedding")).as("queryn"))
+      .filter(col("queryn") > 0)
+      .withColumn("qqn", sqrt(int8VecDot(col("qq"), col("qq")).cast("double")))
+      .drop("queryn")
+    val probesSide = if (broadcastProbes) broadcast(probes) else probes
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("asim").desc, col("cand_id"))
+    val frontier = lists.join(probesSide, Seq("cent_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("asim",
+        int8VecDot(col("qq"), col("cq")).cast("double") / (col("qqn") * col("cqn")))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= keepR)
+      .select("query_id", "cand_id")
+    // exact rerank: floats attach only to the ≤ keepR×|queries| frontier
+    val qFull = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("queryv"), vecNorm(col("embedding")).as("queryn"))
+    val cFull = corpus.select(col("vec_id").as("cand_id"),
+      col("embedding").as("candv"), vecNorm(col("embedding")).as("candn"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
+    frontier
+      .join(broadcast(qFull), "query_id")
+      .join(cFull, "cand_id")
+      .withColumn("sim",
+        vecDot(col("queryv"), col("candv")) / (col("queryn") * col("candn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
+  }
+
   /** Symmetric per-vector int8 quantization (max-abs scaling) — the
     * standard 4× storage/bandwidth reduction for corpus-scale embedding
     * stores; dequantized values sit within scale/2 of the original.

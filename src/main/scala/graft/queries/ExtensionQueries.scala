@@ -463,6 +463,21 @@ ORDER BY query_id, rank"""
       .orderBy("query_id", "rank")
   }
 
+  /** Quantized-first-stage IVF ANN ([[Similarity.ivfTopKQuantized]]):
+    * int8 binary inverted lists + exact float rerank. Emitted sims are
+    * exact, so the shared ANN violations harness applies; recall vs the
+    * unquantized path asserted in ExtensionSpec. */
+  def annIvfqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+    Similarity.ivfTopKQuantized(e.filter(col("vec_id") < 10), e, k = 5,
+        nlist = IvfNlist,
+        pretrained = Some(centroidsFor(e, sfDir, IvfNlist)))
+      .orderBy("query_id", "rank")
+  }
+
+  def annIvfqViolations(spark: SparkSession, sfDir: String): DataFrame =
+    annViolations(spark, sfDir, annIvfqTopK(spark, sfDir))
+
   /** Int8-quantized embedding store (array emitted as JSON for the
     * driver's pandas-side hash). */
   def embeddingQuantize(spark: SparkSession, sfDir: String): DataFrame = {

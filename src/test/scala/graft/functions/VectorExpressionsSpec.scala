@@ -51,6 +51,45 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(sig1.length == 32 && sig1.distinct.length > 16)
   }
 
+  test("int8 quantize + integer dot: cosine surives quantization, scales cancel") {
+    import spark.implicits._
+    check(Prop.forAll(vecGen, vecGen) { (a: List[Float], b: List[Float]) =>
+      val df = Seq((a, b)).toDF("a", "b")
+        .select(col("a").cast("array<float>").as("a"), col("b").cast("array<float>").as("b"))
+        .select(
+          VectorExpressions.int8Quantize($"a").as("qa"),
+          VectorExpressions.int8Quantize($"b").as("qb"),
+          VectorExpressions.vecDot($"a", $"b").as("dot"),
+          VectorExpressions.vecDot($"a", $"a").as("na2"),
+          VectorExpressions.vecDot($"b", $"b").as("nb2"))
+        .select($"qa", $"qb", $"dot", $"na2", $"nb2",
+          VectorExpressions.int8VecDot($"qa", $"qb").cast("double").as("qdot"),
+          VectorExpressions.int8VecDot($"qa", $"qa").cast("double").as("qna2"),
+          VectorExpressions.int8VecDot($"qb", $"qb").cast("double").as("qnb2"))
+        .collect().head
+      val (qa, qb) = (df.getAs[Array[Byte]](0), df.getAs[Array[Byte]](1))
+      val inJvm = qa.zip(qb).map { case (x, y) => x.toLong * y }.sum.toDouble
+      val na = math.sqrt(df.getDouble(3)) * math.sqrt(df.getDouble(4))
+      val cosF = if (na == 0) 0.0 else df.getDouble(2) / na
+      val qn = math.sqrt(df.getDouble(6)) * math.sqrt(df.getDouble(7))
+      val cosQ = if (qn == 0) 0.0 else df.getDouble(5) / qn
+      // codegen integer dot equals the JVM fold; quantized cosine within
+      // the max-abs error envelope of the float cosine
+      df.getDouble(5) == inJvm && (na == 0 || qn == 0 || math.abs(cosQ - cosF) < 0.06)
+    })
+  }
+
+  test("int8 quantize: zero vector -> zero bytes; max element -> ±127") {
+    import spark.implicits._
+    val r = Seq((Array.fill(6)(0.0f), Array(0.5f, -1.0f, 0.25f)))
+      .toDF("z", "v")
+      .select(col("z").cast("array<float>").as("z"), col("v").cast("array<float>").as("v"))
+      .select(VectorExpressions.int8Quantize($"z"), VectorExpressions.int8Quantize($"v"))
+      .collect().head
+    assert(r.getAs[Array[Byte]](0).toSeq == Seq.fill(6)(0: Byte))
+    assert(r.getAs[Array[Byte]](1).toSeq == Seq[Byte](64, -127, 32))
+  }
+
   test("two-level centroid assignment agrees with the dense scan away from coarse boundaries") {
     import spark.implicits._
     import graft.operators.Similarity

@@ -375,6 +375,32 @@ class ExtensionSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("quantized IVF retrieves the planted source with exact emitted sims") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 20)
+      .select(($"vec_id" + 10000).as("vec_id"),
+        transform($"embedding", v => v * lit(1.01f) + lit(0.003f)).as("embedding"))
+    val pre = Similarity.trainCentroids(e, nlist = 16, trainIters = 2)
+    val quant = Similarity.ivfTopKQuantized(q, e, k = 5, nlist = 16,
+      pretrained = Some(pre))
+    val top1 = quant.filter(col("rank") === 1)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toMap
+    val hits = (0L until 20L).count(i => top1.get(i + 10000).contains(i))
+    assert(hits >= 18, s"only $hits/20 twins retrieved their source through int8 lists")
+    // emitted sims are EXACT: spot-check against the float cosine
+    val full = Similarity.ivfTopK(q, e, k = 5, nlist = 16, pretrained = Some(pre))
+      .select("query_id", "cand_id", "sim").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val qsims = quant.select("query_id", "cand_id", "sim")
+      .as[(Long, Long, Double)].collect()
+    val overlap = qsims.filter(r => full.contains((r._1, r._2)))
+    assert(overlap.nonEmpty &&
+      overlap.forall(r => math.abs(full((r._1, r._2)) - r._3) < 1e-12),
+      "quantized path must emit the same exact sims as the float path")
+    CacheRegistry.releaseAll()
+  }
+
   test("IVF Lloyd training buys recall over seed-only centroids") {
     import spark.implicits._
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
