@@ -574,5 +574,9 @@ object VectorExpressions {
       exprs => FloatVecDot(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64_from_hashes",
       exprs => SimHashFromHashes(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("int8_quantize",
+      exprs => Int8Quantize(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("int8_vec_dot",
+      exprs => Int8VecDot(exprs(0), exprs(1)), "scala_udf")
   }
 }

@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.operators.{Bpe, Packing, Sampling, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Packing, Sampling, TextAnalysis}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -11,6 +11,9 @@ import org.apache.spark.sql.functions._
   *
   *   <out>/clean/      cleaned corpus manifest (exact-dedup canonical,
   *                     quality-gated, language-tagged, per-doc stats)
+  *   <out>/span_dedup/ sub-document span-dedup manifest over the cleaned
+  *                     corpus (C4-style keep-first, SPARK_GRAFT_SPAN
+  *                     tokens per span; 0 disables)
   *   <out>/splits/     deterministic train/val/test assignment
   *   <out>/packed/     GPT-style sequence-pack manifest (seqLen tokens)
   *   <out>/bpe_merges/ learned BPE merge table (rank-ordered)
@@ -22,7 +25,8 @@ import org.apache.spark.sql.functions._
   *
   * Usage: CleanCorpus <documents.parquet> <outDir> [master]
   * Env: SPARK_GRAFT_SEQLEN (default 1024), SPARK_GRAFT_BPE_MERGES
-  * (default 64), SPARK_GRAFT_MIN_QUALITY (default 0.5).
+  * (default 64), SPARK_GRAFT_MIN_QUALITY (default 0.5),
+  * SPARK_GRAFT_SPAN (span-dedup tokens per span, default 20, 0 = off).
   */
 object CleanCorpus {
   def main(args: Array[String]): Unit = {
@@ -52,6 +56,13 @@ object CleanCorpus {
     val enriched = TextAnalysis.cleanEnrich(docs, "text").persist()
     val clean = TextAnalysis.cleanGate(enriched, "doc_id", minQuality).persist()
     clean.write.mode("overwrite").parquet(s"$outDir/clean")
+
+    // 1b. sub-document span dedup over the cleaned corpus: drops
+    //     boilerplate spans repeated across surviving documents
+    val spanTokens = sys.env.getOrElse("SPARK_GRAFT_SPAN", "20").toInt
+    if (spanTokens > 0)
+      Dedup.spanDedup(clean.select("doc_id", "text"), "doc_id", "text", spanTokens)
+        .write.mode("overwrite").parquet(s"$outDir/span_dedup")
 
     // 2. deterministic splits over the CLEANED corpus
     Sampling.hashSplit(clean.select("doc_id", "source"), "doc_id",

@@ -41,6 +41,14 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 1.5 * 2.0 + 2.0 * 0.5)
   }
 
+  test("int8 quantize/dot SQL functions round-trip through spark.sql") {
+    VectorExpressions.register(spark)
+    val r = spark.sql(
+      "SELECT int8_vec_dot(q, q) AS n2 FROM (SELECT int8_quantize(" +
+      "array(cast(0.5 as float), cast(-1.0 as float))) AS q)").collect().head
+    assert(r.getLong(0) == 64L * 64 + 127L * 127)
+  }
+
   test("short text below k yields empty fingerprint, not a crash") {
     import spark.implicits._
     val fps = Seq((1L, "tiny")).toDF("id", "text")
