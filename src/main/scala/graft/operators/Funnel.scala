@@ -11,9 +11,15 @@ import org.apache.spark.sql.functions._
   * semantics). Each stage keeps the EARLIEST qualifying event.
   *
   * Shape: two-pass conditional minima per stage — one aggregation and
-  * at most two joins per step, ALL keyed on the funnel key, so one hash
-  * partitioning serves the whole cascade; no per-key event arrays, no
+  * ONE keyed join per step (the window anchor t1 rides each stage's
+  * output), ALL keyed on the funnel key, so one hash partitioning
+  * serves the whole cascade; no per-key event arrays, no
   * window-function sorts, compute proportional to matched-step events.
+  * Stage i's subtree prints twice in the STATIC plan (as stage i+1's
+  * input and in the final assembly fold), but the duplicates
+  * canonicalize to identical exchanges and Spark materializes each
+  * stage once at runtime — asserted on the adaptive final plan in
+  * FunnelSpec.
   *
   * @param ev      events with `keyCol`, `typeCol`, and `tsUsCol` (long
   *                microseconds — integer comparisons, engine-portable)

@@ -103,4 +103,23 @@ class FunnelSpec extends AnyFunSuite {
     assert(got(1L) == ((4, Seq(Some(0L), Some(1L), Some(2L), Some(3L)))))
     assert(!got.contains(2L))
   }
+
+  test("cascade stages materialize once: runtime plan reuses stage exchanges") {
+    import spark.implicits._
+    // stage i's subtree appears twice in the STATIC plan (inside stage
+    // i+1 and in the final assembly fold); the duplicates canonicalize to
+    // identical exchanges, so at runtime each stage computes ONCE — one
+    // agg + one join per step of actual work, not the printed tree size
+    val rows = (0L until 200L).flatMap(u => Seq(
+      (u, "a", u), (u, "b", u + 1), (u, "c", u + 2)))
+      .toDF("user_id", "event_type", "ts_us")
+    val q = Funnel.funnel(rows, "user_id", "event_type", "ts_us",
+      Seq("a", "b", "c"), windowUs = 100L)
+    q.collect()
+    val finalPlan = q.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ReusedExchange") ||
+      finalPlan.contains("TableCacheQueryStage") ||
+      finalPlan.contains("ReusedQueryStage"),
+      s"expected stage reuse in the adaptive final plan:\n$finalPlan")
+  }
 }
