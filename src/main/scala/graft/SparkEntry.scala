@@ -78,6 +78,8 @@ object SparkEntry {
     "corpus_decontaminate_semantic" -> (ExtensionQueries.corpusDecontaminateSemantic _),
     "corpus_domain_cap" -> (ExtensionQueries.corpusDomainCap _),
     "corpus_sample_weighted" -> (ExtensionQueries.corpusSampleWeighted _),
+    "corpus_upsample" -> (ExtensionQueries.corpusUpsample _),
+    "corpus_shuffle" -> (ExtensionQueries.corpusShuffle _),
     "text_freq_quality" -> (ExtensionQueries.textFreqQuality _),
     "corpus_mixture" -> (ExtensionQueries.corpusMixture _),
     "corpus_take_uniform" -> (ExtensionQueries.corpusTakeUniform _),
@@ -174,6 +176,8 @@ object SparkEntry {
     "corpus_decontaminate_semantic" -> ExtensionQueries.corpusDecontaminateSemanticOracle,
     "corpus_domain_cap" -> ExtensionQueries.corpusDomainCapOracle,
     "corpus_sample_weighted" -> ExtensionQueries.corpusSampleWeightedOracle,
+    "corpus_upsample" -> ExtensionQueries.corpusUpsampleOracle,
+    "corpus_shuffle" -> ExtensionQueries.corpusShuffleOracle,
     "text_freq_quality" -> ExtensionQueries.textFreqQualityOracle,
     "corpus_mixture" -> ExtensionQueries.corpusMixtureOracle,
     "corpus_take_uniform" -> ExtensionQueries.corpusTakeUniformOracle,

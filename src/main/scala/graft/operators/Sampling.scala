@@ -81,6 +81,72 @@ object Sampling {
     df.filter(col(idCol).isNotNull && hashBucket(col(idCol)) < rate)
   }
 
+  /** Epoch-weighted repetition (UPsampling) — the materialized
+    * counterpart of [[weightedSample]] for rates ABOVE 1: every non-null
+    * row yields `floor(rate)` copies, plus one more when its md5 draw
+    * falls under the fractional remainder, so a source at rate 2.6 is
+    * seen ~2.6× per epoch (the standard small-source repeat factor).
+    * Rates < 1 degrade to exactly [[weightedSample]]'s keep decision
+    * (floor 0 + the same threshold draw), so one operator serves a whole
+    * mixture spec. Pure function of (id, group): append-stable,
+    * partition-invariant, monotone in rate (the copy set at a lower rate
+    * is a prefix of the copy set at a higher rate). NULL ids are dropped
+    * at every rate ([[weightedSample]] contract).
+    *
+    * Scale shape: scan-speed literal CASE + `array_repeat` explode — no
+    * join, no shuffle; output size is Σ rate_g·|g| by construction.
+    *
+    * @return input columns + `copy_idx` (0-based). */
+  def upsample(df: DataFrame, idCol: String, groupCol: String,
+               rates: Seq[(String, Double)],
+               defaultRate: Double = 1.0): DataFrame = {
+    require((defaultRate +: rates.map(_._2)).forall(r => r >= 0.0 && r <= 1000.0),
+      "rates must be in [0, 1000]")
+    require(!df.columns.contains("copy_idx"),
+      "input must not already have a copy_idx column")
+    def whole(r: Double): Int = math.floor(r).toInt
+    def fracThr(r: Double): String = hexThreshold(r - math.floor(r))
+    val wholeCol = rates.foldLeft(Option.empty[Column]) {
+      case (acc, (g, r)) =>
+        Some(acc.fold(when(col(groupCol) === g, whole(r)))(
+          _.when(col(groupCol) === g, whole(r))))
+    }.fold(lit(whole(defaultRate)))(_.otherwise(whole(defaultRate)))
+    val thrCol = rates.foldLeft(Option.empty[Column]) {
+      case (acc, (g, r)) =>
+        Some(acc.fold(when(col(groupCol) === g, fracThr(r)))(
+          _.when(col(groupCol) === g, fracThr(r))))
+    }.fold(lit(fracThr(defaultRate)))(_.otherwise(fracThr(defaultRate)))
+    val n = wholeCol + when(hashBucket(col(idCol)) < thrCol, 1).otherwise(0)
+    df.filter(col(idCol).isNotNull)
+      .withColumn("_n_copies", n)
+      .select(col("*"), posexplode(array_repeat(lit(true), col("_n_copies"))))
+      .withColumnRenamed("pos", "copy_idx")
+      .drop("col", "_n_copies")
+  }
+
+  /** Deterministic engine-portable shuffle key for training-order
+    * randomization: `md5(seed ":" id)` — a new seed is a new global
+    * order, the same seed reproduces it anywhere. */
+  def shuffleKey(id: Column, seed: Long): Column =
+    md5(concat(lit(s"$seed:"), id.cast("string")))
+
+  /** Globally shuffled corpus WITHOUT a single-task global sort: range
+    * partition on the [[shuffleKey]], sort within partitions — reading
+    * partition files in index order yields the exact global md5 order,
+    * but the sort work is distributed (each task sorts ~|corpus|/P
+    * rows). The standard pre-training data-order shuffle at corpus
+    * scale. */
+  def shuffled(df: DataFrame, idCol: String, seed: Long,
+               numPartitions: Int = 0): DataFrame = {
+    val keyed = df.filter(col(idCol).isNotNull)
+      .withColumn("shuffle_key", shuffleKey(col(idCol), seed))
+    val ranged =
+      if (numPartitions > 0)
+        keyed.repartitionByRange(numPartitions, col("shuffle_key"), col(idCol))
+      else keyed.repartitionByRange(col("shuffle_key"), col(idCol))
+    ranged.sortWithinPartitions(col("shuffle_key"), col(idCol))
+  }
+
   /** Per-source keep rates for a token budget with temperature-weighted
     * mixing — the arithmetic between a corpus profile
     * (`corpus_source_profile`) and [[weightedSample]]. Target share of

@@ -1058,6 +1058,51 @@ SELECT d.doc_id, coalesce(k.txt, '') AS text_deduped, n.n_spans,
 FROM documents d JOIN n USING (doc_id) LEFT JOIN k USING (doc_id)
 ORDER BY d.doc_id"""
 
+  /** Epoch-weighted repetition ([[Sampling.upsample]]): repeat factors
+    * above AND below 1 in one operator — src0 seen ~2.5× per epoch,
+    * src3 downsampled to 0.5, src4 dropped. */
+  def corpusUpsample(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.upsample(
+        Tables(spark, sfDir, "documents").select("doc_id", "source"),
+        "doc_id", "source",
+        rates = Seq("src0" -> 2.5, "src1" -> 1.25, "src3" -> 0.5, "src4" -> 0.0),
+        defaultRate = 1.0)
+      .orderBy("doc_id", "copy_idx")
+
+  val corpusUpsampleOracle: String = """
+WITH d AS (
+  SELECT doc_id, source, substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS b
+  FROM documents WHERE doc_id IS NOT NULL),
+n AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1
+                     WHEN 'src3' THEN 0 WHEN 'src4' THEN 0 ELSE 1 END
+       + CASE WHEN b < CASE source WHEN 'src0' THEN '80000000'
+                                   WHEN 'src1' THEN '40000000'
+                                   WHEN 'src3' THEN '80000000'
+                                   WHEN 'src4' THEN '00000000'
+                                   ELSE '00000000' END
+              THEN 1 ELSE 0 END AS n
+  FROM d)
+SELECT doc_id, source, CAST(i AS INTEGER) AS copy_idx
+FROM n, unnest(range(0, n)) AS u(i)
+ORDER BY doc_id, copy_idx"""
+
+  /** Deterministic training-order shuffle ([[Sampling.shuffled]]):
+    * md5(seed:id) keys, range-partitioned + locally sorted so the global
+    * order needs no single-task sort; the oracle restates the key
+    * arithmetic independently. */
+  def corpusShuffle(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.shuffled(
+        Tables(spark, sfDir, "documents").select("doc_id", "source"),
+        "doc_id", seed = 7L)
+      .orderBy("shuffle_key", "doc_id")
+
+  val corpusShuffleOracle: String = """
+SELECT doc_id, source, md5('7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+FROM documents WHERE doc_id IS NOT NULL
+ORDER BY shuffle_key, doc_id"""
+
   /** Exact deterministic 100-document held-out sample
     * ([[Sampling.takeUniform]] — salted two-phase top-n, no driver-side
     * merge). */

@@ -386,6 +386,60 @@ class CorpusOpsSpec extends AnyFunSuite {
       (0L, 3L, 5L, 0L, 3L)))  // doc 3 starts right after doc 2: -1 shifted nothing
   }
 
+  // --------------------------------------------------------- upsample ----
+
+  test("upsample: repeat factors, weightedSample agreement, monotone nesting") {
+    import spark.implicits._
+    val df = ((0L until 4000L).map(i => (Option(i), s"g${i % 4}")) :+
+      (Option.empty[Long], "g0")).toDF("doc_id", "source")
+    val up = Sampling.upsample(df, "doc_id", "source",
+      rates = Seq("g0" -> 2.5, "g1" -> 0.5, "g2" -> 0.0), defaultRate = 1.0)
+      .select("doc_id", "source", "copy_idx")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(!up.exists(_._2 == "g2"), "rate 0 drops the group")
+    val byGroup = up.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byGroup("g3") == 1000, "default rate 1.0 = exactly one copy each")
+    assert(math.abs(byGroup("g0") - 2500) < 150, s"g0=${byGroup("g0")}")
+    assert(math.abs(byGroup("g1") - 500) < 100, s"g1=${byGroup("g1")}")
+    // copy_idx is contiguous from 0 per kept row
+    up.groupBy(r => (r._1, r._2)).values.foreach { copies =>
+      assert(copies.map(_._3).sorted.toSeq == (0 until copies.length))
+    }
+    // a sub-1 rate IS weightedSample's keep decision, same draw
+    val wsKeep = Sampling.weightedSample(df, "doc_id", "source",
+      rates = Seq("g1" -> 0.5), defaultRate = 1.0)
+      .filter(col("source") === "g1").select("doc_id").as[Long].collect().toSet
+    assert(up.filter(_._2 == "g1").map(_._1).toSet == wsKeep)
+    // monotone: the copy multiset at rate 1.3 nests inside rate 2.3
+    def copiesAt(r: Double) = Sampling.upsample(df, "doc_id", "source",
+        rates = Seq("g3" -> r), defaultRate = 0.0)
+      .select("doc_id", "copy_idx").as[(Long, Int)].collect().toSet
+    assert(copiesAt(1.3).subsetOf(copiesAt(2.3)))
+  }
+
+  // ---------------------------------------------------------- shuffle ----
+
+  test("shuffled: partition-order read equals the global md5 order, seeded") {
+    import spark.implicits._
+    val df = (0L until 5000L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
+    val s7 = Sampling.shuffled(df, "doc_id", seed = 7L, numPartitions = 8)
+    assert(s7.rdd.getNumPartitions == 8)
+    // collect concatenates partitions in index order: with range
+    // partitioning + local sort that IS the global shuffle-key order
+    val got = s7.select("doc_id").as[Long].collect().toSeq
+    val want = df.withColumn("k", Sampling.shuffleKey(col("doc_id"), 7L))
+      .orderBy("k", "doc_id").select("doc_id").as[Long].collect().toSeq
+    assert(got == want, "distributed shuffle must equal the single-sort reference")
+    assert(got != (0L until 5000L).toSeq, "order is actually shuffled")
+    // reproducible per seed, different across seeds
+    val again = Sampling.shuffled(df, "doc_id", seed = 7L, numPartitions = 8)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(again == got)
+    val other = Sampling.shuffled(df, "doc_id", seed = 8L, numPartitions = 8)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(other != got)
+  }
+
   // -------------------------------------------------------- spanDedup ----
 
   test("span dedup keeps the first occurrence of every repeated span") {
