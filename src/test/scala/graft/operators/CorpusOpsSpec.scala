@@ -460,6 +460,28 @@ class CorpusOpsSpec extends AnyFunSuite {
       (4L, "", 2L, 0L)))
   }
 
+  test("span dedup: randomized differential vs an in-JVM reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    // small vocab + short docs → dense span collisions incl. cross-doc,
+    // intra-doc, and ragged-tail repeats
+    val docs = (0L until 250L).map(i =>
+      (i, (0 until 3 + rnd.nextInt(14)).map(_ => s"t${rnd.nextInt(5)}").mkString(" ")))
+    val chunk = 4
+    // reference: first-occurrence wins in (doc_id, idx) order
+    val seen = scala.collection.mutable.Set.empty[String]
+    val want = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val spans = toks.grouped(chunk).map(_.mkString(" ")).toSeq
+      val kept = spans.filter { sp => seen.add(sp) }
+      (id, kept.mkString(" "), spans.length.toLong, kept.length.toLong)
+    }
+    val got = Dedup.spanDedup(docs.toDF("doc_id", "text"), "doc_id", "text", chunk)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == want)
+  }
+
   test("span dedup: ragged tails, intra-doc repeats, partition invariance") {
     import spark.implicits._
     val docs = Seq(
