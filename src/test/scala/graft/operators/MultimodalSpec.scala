@@ -168,6 +168,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(half == ContainerMeta("webm", 617L, -1, -1))
   }
 
+  test("randomized WAV/MP4 builder-parser roundtrips match the spec arithmetic") {
+    val rnd = new scala.util.Random(83)
+    for (_ <- 1 to 40) {
+      val rate = 4000 + rnd.nextInt(92000)
+      val ch = 1 + rnd.nextInt(8)
+      val bits = Seq(8, 16, 24, 32)(rnd.nextInt(4))
+      val data = Array.fill[Byte](rnd.nextInt(5000))(rnd.nextInt().toByte)
+      val m = ContainerCodec.meta(ContainerFixtures.wav(rate, ch, bits, data))
+      assert(m == ContainerMeta("wav",
+        data.length * 8000L / (rate.toLong * ch * bits), rate, ch),
+        s"rate=$rate ch=$ch bits=$bits n=${data.length}")
+      val ts = 1 + rnd.nextInt(1000000)
+      val dur = rnd.nextLong(1L << 31)
+      val mp = ContainerCodec.meta(ContainerFixtures.mp4(ts, dur,
+        Array.fill[Byte](rnd.nextInt(200))(1)))
+      assert(mp == ContainerMeta("mp4", dur * 1000L / ts, -1, -1), s"ts=$ts dur=$dur")
+    }
+  }
+
   test("garbage and raw-text bytes fall back to the stub path") {
     for (junk <- Seq("plain document text, nothing binary".getBytes,
         Array.fill[Byte](64)(0x41), Array.empty[Byte],

@@ -83,6 +83,31 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("corpus intake gates identically under the RocksDB state store") {
+    val rocks = StreamingSessionize.withRocksDbStateStore(spark)
+    import rocks.implicits._
+    implicit val sqlCtx = rocks.sqlContext
+    val good = "the data pipeline processes a lot of the input rows and " +
+      "it is that for the most part quite readable text of the corpus " +
+      "with a sensible number of words in it and the usual mix"
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val name = s"intake_rocks_${System.nanoTime()}"
+    val q = StreamingAnalytics.corpusIntake(
+        mem.toDF().toDF("timestamp", "doc_id", "text"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(name).start()
+    try {
+      mem.addData((ts(1), 1L, good))
+      q.processAllAvailable()
+      // the dedup state crossing micro-batches now lives in RocksDB
+      mem.addData((ts(2), 2L, good.toUpperCase.replace(" ", "  ")), (ts(3), 3L, "zzz"))
+      q.processAllAvailable()
+      val kept = rocks.table(name).select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L),
+        s"RocksDB-backed dedup state must gate exactly like the default store: $kept")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first per content hash within watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
