@@ -182,6 +182,40 @@ SELECT day0 AS cohort_day, CAST(count(*) AS BIGINT) AS n_users,
        CAST(sum(d7) AS BIGINT) AS retained_d7
 FROM f GROUP BY 1 ORDER BY 1"""
 
+  /** ClickHouse `sequenceMatch('(?1).*(?2).*(?3)')` analogue: does each
+    * user have view < click < purchase timestamps in strict order, no
+    * window bound? Composed from [[graft.operators.Funnel]] with an
+    * effectively-unbounded window (100 years — NOT Long.MaxValue, which
+    * would overflow `t1 + window`): the funnel's greedy earliest-step
+    * cascade is exactly the optimal subsequence-existence check. */
+  def eventsSequenceMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, sfDir, "events")
+      .select($"user_id", $"event_type", expr("unix_micros(ts)").as("ts_us"))
+    graft.operators.Funnel.funnel(ev, "user_id", "event_type", "ts_us",
+        steps = Seq("view", "click", "purchase"),
+        windowUs = 100L * 365 * 24 * 3600 * 1000000)
+      .select($"user_id",
+        ($"funnel_level" === 3).cast("int").as("matched"))
+      .orderBy("user_id")
+  }
+
+  val eventsSequenceMatchOracle: String = """
+WITH s1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1 GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2 GROUP BY 1)
+SELECT s1.user_id, CAST(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS matched
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+ORDER BY s1.user_id"""
+
   /** Cumulative sibling of [[eventsRetention]]: "returned within ≤ N
     * days" (any day in (day0, day0+N]) instead of exactly day0+N —
     * monotone across offsets, the shape retention dashboards plot.
