@@ -30,6 +30,7 @@ object SparkEntry {
     "events_asof_purchase" -> (AnalyticsQueries.eventsAsofPurchase _),
     "salted_user_types" -> (AnalyticsQueries.saltedUserTypes _),
     "salted_value_median" -> (AnalyticsQueries.saltedValueMedian _),
+    "salted_order_lines" -> (AnalyticsQueries.saltedOrderLines _),
     "events_window_count" -> (AnalyticsQueries.eventsWindowCount _),
     "events_funnel" -> (AnalyticsQueries.eventsFunnel _),
     "events_retention" -> (AnalyticsQueries.eventsRetention _),
@@ -124,6 +125,7 @@ object SparkEntry {
     "events_asof_purchase" -> AnalyticsQueries.eventsAsofPurchaseOracle,
     "salted_user_types" -> AnalyticsQueries.saltedUserTypesOracle,
     "salted_value_median" -> AnalyticsQueries.saltedValueMedianOracle,
+    "salted_order_lines" -> AnalyticsQueries.saltedOrderLinesOracle,
     "events_window_count" -> AnalyticsQueries.eventsWindowCountOracle,
     "events_funnel" -> AnalyticsQueries.eventsFunnelOracle,
     "events_retention" -> AnalyticsQueries.eventsRetentionOracle,

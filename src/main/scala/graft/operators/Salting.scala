@@ -97,4 +97,31 @@ object Salting {
         col("_rank") <= col("_cum"))
       .select(col(key), col("_v").as(outCol))
   }
+
+  /** Salted inner equi-join for EXTREME key skew — the manual fallback
+    * when AQE's skew-join split (which only splits oversized partitions
+    * of a sort-merge join after the fact) isn't enough: a hot key whose
+    * rows outnumber an executor's memory still lands on `salts` tasks
+    * here, because the salt is part of the join key from the start.
+    *
+    * Mechanism: each left (fact) row gets a deterministic salt in
+    * [0, salts) hashed from its whole row; each right (dim) row is
+    * replicated to ALL salts (explode over a `salts`-element sequence —
+    * right side is the smaller/less-skewed table by contract). Join on
+    * keys + salt, then drop the salt. Result is EXACTLY the plain inner
+    * join for any salt assignment (each (l, r) match pairs once, under
+    * l's salt) — asserted differentially in SaltingSpec.
+    *
+    * Cost: right side is scanned/shuffled ×`salts` — use for fact⨝dim
+    * with a skewed fact, not for two huge tables (there, bucket both). */
+  def skewJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               salts: Int = 16): DataFrame = {
+    require(keys.nonEmpty, "need at least one join key")
+    require(salts >= 1, "salts must be >= 1")
+    val l = left.withColumn("_salt",
+      saltCol(salts, left.columns.map(col).toSeq: _*))
+    val r = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1)).cast("array<int>")))
+    l.join(r, keys :+ "_salt").drop("_salt")
+  }
 }

@@ -587,6 +587,30 @@ WITH m AS (
   FROM events WHERE value IS NOT NULL GROUP BY event_type)
 SELECT event_type, med AS p50, med AS p50_list FROM m ORDER BY event_type"""
 
+  /** Manual salted fact⨝dim join ([[graft.operators.Salting.skewJoin]]):
+    * lineitem (fact, potentially key-skewed) against orders (dim side,
+    * replicated ×salts) — result must equal the plain inner join, which
+    * is exactly what the oracle computes. */
+  def saltedOrderLines(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables(spark, sfDir, "lineitem")
+      .select($"l_orderkey".as("orderkey"),
+        floor($"l_quantity" + 0.5).cast("long").as("qty"))
+    val ord = Tables(spark, sfDir, "orders")
+      .select($"o_orderkey".as("orderkey"), $"o_orderpriority")
+    graft.operators.Salting.skewJoin(li, ord, Seq("orderkey"), salts = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"), sum($"qty").as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  val saltedOrderLinesOracle: String = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1"""
+
   /** ClickHouse `ASOF JOIN` surface: for every event, the same user's most
     * recent purchase at or before it (events before the user's first
     * purchase stay null). One shuffle + sort via the union–backfill

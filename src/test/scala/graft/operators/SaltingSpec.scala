@@ -60,4 +60,26 @@ class SaltingSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(got == Map("a" -> 1.0)) // b has no non-null values → no row
   }
+
+  test("skewJoin equals the plain inner join under a 5000:1 hot key") {
+    import spark.implicits._
+    // fact: one hot key with 5000 rows, a long tail, keys absent from dim
+    val fact = ((0 until 5000).map(i => (1L, i.toLong)) ++
+      (2L until 40L).map(k => (k, k * 100)) ++
+      Seq((999L, -1L)))                       // no dim match → dropped
+      .toDF("k", "payload")
+    // dim: duplicate dim rows must preserve join multiplicity
+    val dim = (Seq((1L, "hot"), (1L, "hot2")) ++
+      (2L until 30L).map(k => (k, s"d$k")))
+      .toDF("k", "label")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "payload", "label")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sortBy(t => (t._1, t._2, t._3)).toSeq
+    val plain = sorted(fact.join(dim, "k"))
+    for (salts <- Seq(1, 7, 16))
+      assert(sorted(Salting.skewJoin(fact, dim, Seq("k"), salts)) == plain,
+        s"salts=$salts must not change the join result")
+    assert(plain.count(_._1 == 1L) == 10000, "hot key × 2 dim rows")
+  }
 }
