@@ -104,24 +104,42 @@ object Salting {
     * rows outnumber an executor's memory still lands on `salts` tasks
     * here, because the salt is part of the join key from the start.
     *
-    * Mechanism: each left (fact) row gets a deterministic salt in
-    * [0, salts) hashed from its whole row; each right (dim) row is
-    * replicated to ALL salts (explode over a `salts`-element sequence —
-    * right side is the smaller/less-skewed table by contract). Join on
-    * keys + salt, then drop the salt. Result is EXACTLY the plain inner
-    * join for any salt assignment (each (l, r) match pairs once, under
-    * l's salt) — asserted differentially in SaltingSpec.
+    * Two-phase: a count pre-pass finds keys with more than
+    * `hotThreshold` fact rows (map-side partial aggregation collapses
+    * the hot keys before the exchange, so the pre-pass shuffles at most
+    * one row per distinct key; the resulting hot set is tiny by the
+    * nature of skew and is broadcast). Hot fact rows get a
+    * deterministic whole-row salt in [0, salts); cold rows keep salt 0.
+    * Each right (dim) row replicates to all `salts` ONLY for hot keys —
+    * cold keys pay nothing — and the join runs on keys + salt. Result
+    * is EXACTLY the plain inner join for any salt assignment (each
+    * (l, r) match pairs once, under l's salt) — asserted differentially
+    * in SaltingSpec with dim duplicates across thresholds and salt
+    * counts.
     *
-    * Cost: right side is scanned/shuffled ×`salts` — use for fact⨝dim
-    * with a skewed fact, not for two huge tables (there, bucket both). */
+    * Use for fact⨝dim with a skewed fact; for two huge tables bucket
+    * both sides instead. */
   def skewJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-               salts: Int = 16): DataFrame = {
+               salts: Int = 16, hotThreshold: Long = 1000000L): DataFrame = {
     require(keys.nonEmpty, "need at least one join key")
     require(salts >= 1, "salts must be >= 1")
-    val l = left.withColumn("_salt",
-      saltCol(salts, left.columns.map(col).toSeq: _*))
-    val r = right.withColumn("_salt",
-      explode(sequence(lit(0), lit(salts - 1)).cast("array<int>")))
+    require(hotThreshold >= 1, "hotThreshold must be >= 1")
+    val keyCols = keys.map(col)
+    val hot = left.groupBy(keyCols: _*).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > hotThreshold)
+      .select(keyCols: _*)
+      .withColumn("_hot", lit(true))
+    val l = left.join(broadcast(hot), keys, "left_outer")
+      .withColumn("_salt",
+        when(col("_hot").isNotNull,
+          saltCol(salts, left.columns.map(col).toSeq: _*)).otherwise(0))
+      .drop("_hot")
+    val r = right.join(broadcast(hot), keys, "left_outer")
+      .withColumn("_salt", explode(
+        when(col("_hot").isNotNull,
+          sequence(lit(0), lit(salts - 1)).cast("array<int>"))
+          .otherwise(array(lit(0)))))
+      .drop("_hot")
     l.join(r, keys :+ "_salt").drop("_salt")
   }
 }

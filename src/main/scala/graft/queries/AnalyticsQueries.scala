@@ -598,7 +598,12 @@ SELECT event_type, med AS p50, med AS p50_list FROM m ORDER BY event_type"""
         floor($"l_quantity" + 0.5).cast("long").as("qty"))
     val ord = Tables(spark, sfDir, "orders")
       .select($"o_orderkey".as("orderkey"), $"o_orderpriority")
-    graft.operators.Salting.skewJoin(li, ord, Seq("orderkey"), salts = 8)
+    // hotThreshold 1000: TPC-H orders have ≤7 lines, so the pre-pass
+    // finds no hot keys and the dim replicates ×1 — the cold path IS the
+    // plain join plus one map-side-combined count scan, the honest cost
+    // of skew insurance on an unskewed input
+    graft.operators.Salting.skewJoin(li, ord, Seq("orderkey"),
+      salts = 8, hotThreshold = 1000L)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_lines"), sum($"qty").as("sum_qty"))
       .orderBy("o_orderpriority")

@@ -77,9 +77,11 @@ class SaltingSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
         .sortBy(t => (t._1, t._2, t._3)).toSeq
     val plain = sorted(fact.join(dim, "k"))
-    for (salts <- Seq(1, 7, 16))
-      assert(sorted(Salting.skewJoin(fact, dim, Seq("k"), salts)) == plain,
-        s"salts=$salts must not change the join result")
+    // thresholds straddle the hot key's 5000 rows: engage the salted
+    // path, the all-cold path, and both mixed, at several salt counts
+    for (salts <- Seq(1, 7, 16); thr <- Seq(10L, 4999L, 100000L))
+      assert(sorted(Salting.skewJoin(fact, dim, Seq("k"), salts, thr)) == plain,
+        s"salts=$salts thr=$thr must not change the join result")
     assert(plain.count(_._1 == 1L) == 10000, "hot key × 2 dim rows")
   }
 }
