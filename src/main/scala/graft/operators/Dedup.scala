@@ -153,12 +153,16 @@ object Dedup {
       .persist()
     CacheRegistry.track(idxB)
     val nBlk = idxB.groupBy("band", "bucket").agg((max(col("blk")) + 1).as("nblk"))
+    // The probe hash mixes the BAND in: with id-only addressing a doc
+    // caught in a degenerate flood bucket would probe the same block
+    // number in every band, correlating candidate sets across bands and
+    // losing the recall diversity banding exists to buy.
     val probes = bucketRows(inc, "incoming_id")
       .join(nBlk, Seq("band", "bucket")) // bucket absent from index → no candidates
       .select(col("band"), col("bucket"), col("incoming_id"),
         explode(array(
-          pmod(xxhash64(col("incoming_id")), col("nblk")),
-          pmod(xxhash64(col("incoming_id")) + 1, col("nblk")))).as("blk"))
+          pmod(xxhash64(col("incoming_id"), col("band")), col("nblk")),
+          pmod(xxhash64(col("incoming_id"), col("band")) + 1, col("nblk")))).as("blk"))
     val cands = probes.join(idxB, Seq("band", "bucket", "blk"))
       .select("index_id", "incoming_id")
       .dropDuplicates("index_id", "incoming_id")

@@ -247,13 +247,20 @@ object Multimodal {
         case 8 => Some(java.lang.Double.longBitsToDouble(be64(b, off.toInt)))
         case _ => None
       }
-      // walk children of [from, to) for `id`; returns (bodyFrom, bodyTo)
+      // walk children of [from, to) for `id`; returns (bodyFrom, bodyTo).
+      // An all-ones size vint is EBML's "unknown size" (RFC 8794 §6.2,
+      // common in live-streamed Segments): the element extends to the
+      // enclosing bound — the analogue of the MP4 sz0==0 extend-to-EOF
+      // branch — rather than being a literal length that would fail the
+      // bounds check and silently drop a valid file to the stub.
       def findEl(from: Long, to: Long, id: Long): Option[(Long, Long)] = {
         var off = from
         while (off < to) {
           val parsed = for {
             (elId, p1) <- vint(off, keepMarker = true)
-            (sz, p2) <- vint(p1, keepMarker = false)
+            (sz0, p2) <- vint(p1, keepMarker = false)
+            unknown = sz0 == (1L << (7 * (p2 - p1))) - 1
+            sz = if (unknown) to - p2 else sz0
             if p2 + sz <= to
           } yield (elId, p2, p2 + sz)
           parsed match {

@@ -108,8 +108,12 @@ object Salting {
     * `hotThreshold` fact rows (map-side partial aggregation collapses
     * the hot keys before the exchange, so the pre-pass shuffles at most
     * one row per distinct key; the resulting hot set is tiny by the
-    * nature of skew and is broadcast). Hot fact rows get a
-    * deterministic whole-row salt in [0, salts); cold rows keep salt 0.
+    * nature of skew and is broadcast). Hot fact rows get a salt in
+    * [0, salts) derived from a synthetic per-row id — NOT from the row's
+    * contents, because the canonical hot-key flood is byte-identical
+    * rows, which a content hash would collapse onto ONE salt, silently
+    * disabling the spread (same reasoning as [[saltedSortedList]]).
+    * Cold rows keep salt 0.
     * Each right (dim) row replicates to all `salts` ONLY for hot keys —
     * cold keys pay nothing — and the join runs on keys + salt. Result
     * is EXACTLY the plain inner join for any salt assignment (each
@@ -124,16 +128,8 @@ object Salting {
     require(keys.nonEmpty, "need at least one join key")
     require(salts >= 1, "salts must be >= 1")
     require(hotThreshold >= 1, "hotThreshold must be >= 1")
-    val keyCols = keys.map(col)
-    val hot = left.groupBy(keyCols: _*).agg(count(lit(1)).as("_n"))
-      .filter(col("_n") > hotThreshold)
-      .select(keyCols: _*)
-      .withColumn("_hot", lit(true))
-    val l = left.join(broadcast(hot), keys, "left_outer")
-      .withColumn("_salt",
-        when(col("_hot").isNotNull,
-          saltCol(salts, left.columns.map(col).toSeq: _*)).otherwise(0))
-      .drop("_hot")
+    val hot = hotKeys(left, keys, hotThreshold)
+    val l = saltedLeft(left, keys, salts, hot)
     val r = right.join(broadcast(hot), keys, "left_outer")
       .withColumn("_salt", explode(
         when(col("_hot").isNotNull,
@@ -142,4 +138,26 @@ object Salting {
       .drop("_hot")
     l.join(r, keys :+ "_salt").drop("_salt")
   }
+
+  /** Keys with more than `hotThreshold` rows, as a tiny broadcastable
+    * frame marked `_hot = true`. */
+  private[operators] def hotKeys(left: DataFrame, keys: Seq[String],
+                                 hotThreshold: Long): DataFrame = {
+    val keyCols = keys.map(col)
+    left.groupBy(keyCols: _*).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > hotThreshold)
+      .select(keyCols: _*)
+      .withColumn("_hot", lit(true))
+  }
+
+  /** The fact side with its `_salt` assignment — separate so tests can
+    * assert the spread directly (identical-row floods MUST still fan out
+    * across salts, which the per-row-id salt guarantees). */
+  private[operators] def saltedLeft(left: DataFrame, keys: Seq[String],
+                                    salts: Int, hot: DataFrame): DataFrame =
+    left.join(broadcast(hot), keys, "left_outer")
+      .withColumn("_salt",
+        when(col("_hot").isNotNull,
+          saltCol(salts, monotonically_increasing_id())).otherwise(0))
+      .drop("_hot")
 }

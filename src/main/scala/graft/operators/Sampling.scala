@@ -102,8 +102,13 @@ object Sampling {
                defaultRate: Double = 1.0): DataFrame = {
     require((defaultRate +: rates.map(_._2)).forall(r => r >= 0.0 && r <= 1000.0),
       "rates must be in [0, 1000]")
-    require(!df.columns.contains("copy_idx"),
-      "input must not already have a copy_idx column")
+    // `pos`/`col` are posexplode's fixed output names and `_n_copies` is
+    // the internal counter — an input column with any of these names
+    // would be silently renamed or dropped by the plumbing below.
+    val reserved = Seq("copy_idx", "pos", "col", "_n_copies")
+    val clash = df.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"input must not have columns named ${reserved.mkString("/")}; found: ${clash.mkString(", ")}")
     def whole(r: Double): Int = math.floor(r).toInt
     def fracThr(r: Double): String = hexThreshold(r - math.floor(r))
     val wholeCol = rates.foldLeft(Option.empty[Column]) {

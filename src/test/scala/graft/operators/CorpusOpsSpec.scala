@@ -417,6 +417,19 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(copiesAt(1.3).subsetOf(copiesAt(2.3)))
   }
 
+  test("upsample rejects inputs whose columns collide with the plumbing names") {
+    import spark.implicits._
+    // posexplode emits fixed `pos`/`col` names; an input already carrying
+    // one would be silently renamed or dropped — refuse instead
+    for (bad <- Seq("copy_idx", "pos", "col", "_n_copies")) {
+      val df = Seq((1L, "g", "x")).toDF("doc_id", "source", bad)
+      val e = intercept[IllegalArgumentException] {
+        Sampling.upsample(df, "doc_id", "source", rates = Seq("g" -> 2.0))
+      }
+      assert(e.getMessage.contains(bad))
+    }
+  }
+
   // ---------------------------------------------------------- shuffle ----
 
   test("shuffled: partition-order read equals the global md5 order, seeded") {

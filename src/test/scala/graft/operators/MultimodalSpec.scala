@@ -168,6 +168,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(half == ContainerMeta("webm", 617L, -1, -1))
   }
 
+  test("WebM unknown-size Segment (all-ones size vint) extends to the enclosing bound") {
+    // live-streamed Matroska writes the Segment with the RFC 8794 §6.2
+    // "unknown size" vint (all value bits set) because the final length
+    // isn't known at write time; the parser must treat it as
+    // extends-to-EOF, not as a literal length that fails the bounds check
+    val b = ContainerFixtures.webm(1000000L, 1234.0, "payload".getBytes)
+    // layout: EBML header el (4B id + 4B size + empty body) = bytes 0..8,
+    // then Segment id (4B) at 8..12 and its 4-byte size vint at 12..16
+    assert((b(8) & 0xFF) == 0x18 && (b(12) & 0xF0) == 0x10,
+      "fixture layout assumption (Segment size vint at offset 12)")
+    val unknown = b.clone()
+    unknown(12) = 0x1F.toByte; unknown(13) = 0xFF.toByte
+    unknown(14) = 0xFF.toByte; unknown(15) = 0xFF.toByte
+    assert(ContainerCodec.meta(unknown) == ContainerMeta("webm", 1234L, -1, -1),
+      "unknown-size Segment must parse identically to the sized one")
+    // truncation hygiene is preserved: a child whose LITERAL size lies
+    // past EOF still refuses (only the reserved all-ones pattern extends)
+    val lying = b.clone()
+    lying(15) = (lying(15) | 0x40).toByte // inflate Segment size, not all-ones
+    assert(ContainerCodec.meta(lying).kind == "none")
+  }
+
   test("randomized WAV/MP4 builder-parser roundtrips match the spec arithmetic") {
     val rnd = new scala.util.Random(83)
     for (_ <- 1 to 40) {

@@ -84,4 +84,34 @@ class SaltingSpec extends AnyFunSuite {
         s"salts=$salts thr=$thr must not change the join result")
     assert(plain.count(_._1 == 1L) == 10000, "hot key × 2 dim rows")
   }
+
+  test("skewJoin spreads a hot key flooded with byte-identical rows across salts") {
+    import spark.implicits._
+    // the canonical skew shape: one hot key whose 5000 fact rows are
+    // ALL byte-identical — a content-derived salt would collapse them
+    // onto a single salt (and a single task), silently disabling the
+    // spread that is the operator's entire purpose
+    val fact = ((0 until 5000).map(_ => (1L, 42L)) ++
+      (2L until 20L).map(k => (k, k))).toDF("k", "payload")
+    val dim = (Seq((1L, "hot"), (1L, "hot2")) ++
+      (2L until 20L).map(k => (k, s"d$k"))).toDF("k", "label")
+    for (salts <- Seq(8, 16)) {
+      val hot = Salting.hotKeys(fact, Seq("k"), 100L)
+      val salted = Salting.saltedLeft(fact, Seq("k"), salts, hot)
+      val hotSalts = salted.filter($"k" === 1L)
+        .select("_salt").distinct().count()
+      assert(hotSalts >= salts / 2,
+        s"identical-row flood must reach >= ${salts / 2} of $salts salts, got $hotSalts")
+      val cold = salted.filter($"k" =!= 1L)
+        .select("_salt").distinct().collect().map(_.getInt(0)).toSeq
+      assert(cold == Seq(0), "cold keys stay on salt 0 (no dim replication cost)")
+      // and the join result is still exactly the plain join
+      def sorted(df: org.apache.spark.sql.DataFrame) =
+        df.select("k", "payload", "label")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+          .sortBy(t => (t._1, t._2, t._3)).toSeq
+      assert(sorted(Salting.skewJoin(fact, dim, Seq("k"), salts, 100L)) ==
+        sorted(fact.join(dim, "k")))
+    }
+  }
 }
