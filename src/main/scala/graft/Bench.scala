@@ -34,15 +34,26 @@ object Bench {
     // SPARK_GRAFT_BENCH_VERBOSE: per-run times to stderr (regression
     // triage — the median hides cold-fill vs steady-state structure)
     val verbose = sys.env.contains("SPARK_GRAFT_BENCH_VERBOSE")
+    // Untimed warmup runs per query (default 1, 0 restores the old
+    // behavior): a 7-run sweep of the round-6 "regressions" showed run 1
+    // consistently 2-4× the steady state (JIT + parquet footer/codegen
+    // caches) with runs 2+ flat — so with runs=3 the median sits one
+    // contended run away from the cold outlier, and round-over-round
+    // deltas measured scheduler luck, not code. Steady state is what the
+    // bench claims to compare.
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
     val results = queries.map { case (name, fn) =>
-      val raw = (1 to runs).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         finally graft.operators.CacheRegistry.releaseAll()
         (System.nanoTime() - t0) / 1e9
       }
+      val cold = (1 to warmup).map(_ => once())
+      val raw = (1 to runs).map(_ => once())
       if (verbose) System.err.println(
-        f"[bench] $name: ${raw.map(t => f"$t%.3f").mkString(" ")}")
+        f"[bench] $name: ${raw.map(t => f"$t%.3f").mkString(" ")}" +
+          (if (cold.nonEmpty) cold.map(t => f"$t%.3f").mkString(" (warmup ", " ", ")") else ""))
       val times = raw.sorted
       name -> times(times.length / 2)
     }
@@ -52,6 +63,7 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val meta = Seq(
       s""""runs":$runs""",
+      s""""warmup":$warmup""",
       s""""load_avg":${osBean.getSystemLoadAverage}""",
       s""""available_cpus":${Runtime.getRuntime.availableProcessors}""",
       s""""jvm":"${sys.props.getOrElse("java.version", "?")}"""",

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Persistence for TRAINED artifacts — k-means centroid sets
+  * ([[Similarity.trainCentroids]]) and BPE merge tables ([[Bpe.train]]).
+  *
+  * A production pipeline trains these once and serves them across JOBS:
+  * the per-JVM memo (`ExtensionQueries`' TrieMaps) amortizes training
+  * within a session, but a restarted cluster retrains from scratch —
+  * exactly the artifact-reuse shape `pretrained` /
+  * rank-ordered-merges parameters were designed to receive. Save/load
+  * closes that loop: parquet via the Hadoop FileSystem API, so the same
+  * code addresses local disk, HDFS or an object store.
+  *
+  * Both artifacts are driver-sized by construction (nlist ids + dim
+  * floats; numMerges string pairs), so `collect()` on load is bounded.
+  * Ordering is preserved explicitly: an `ordinal`/`rank` column rides
+  * along and the load sorts on it — centroid array INDEX is the cell id
+  * used by the inverted lists, and merge RANK is the encoder's priority,
+  * so "same set, different order" would be a silently different model.
+  * Training is bit-deterministic for a given corpus, so a loaded
+  * artifact is indistinguishable from the in-memory one (asserted
+  * round-trip in ExtensionSpec/BpeSpec).
+  */
+object Artifacts {
+
+  /** True when `path` holds a completed write (parquet `_SUCCESS`). */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Persist a centroid set as (ordinal, cent_id, centroid) parquet.
+    * One file — the artifact is KBs; a thousand-task write would be
+    * shuffle theater. */
+  def saveCentroids(spark: SparkSession, path: String,
+                    centIds: Array[Long], cents: Array[Array[Float]]): Unit = {
+    import spark.implicits._
+    require(centIds.length == cents.length,
+      s"ids/centroids length mismatch: ${centIds.length} vs ${cents.length}")
+    centIds.indices.map(i => (i, centIds(i), cents(i).toSeq))
+      .toDF("ordinal", "cent_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveCentroids]] artifact, index order restored — feeds the
+    * `pretrained` parameter of ivfTopK / ivfTopKQuantized /
+    * semanticDedup unchanged. */
+  def loadCentroids(spark: SparkSession, path: String)
+      : (Array[Long], Array[Array[Float]]) = {
+    val rows = spark.read.parquet(path).orderBy("ordinal").collect()
+    require(rows.nonEmpty, s"empty centroid artifact at $path")
+    (rows.map(_.getLong(1)), rows.map(_.getSeq[Float](2).toArray))
+  }
+
+  /** Persist a BPE merge table as (rank, a, b) parquet. */
+  def saveMerges(spark: SparkSession, path: String,
+                 merges: Seq[(String, String)]): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "a", "b")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveMerges]] artifact in rank order — feeds
+    * [[graft.functions.TextExpressions.bpeEncode]] / [[Bpe.encodeWord]]
+    * (rank = list index) unchanged. */
+  def loadMerges(spark: SparkSession, path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+}

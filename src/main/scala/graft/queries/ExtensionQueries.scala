@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Bpe, Dedup, Multimodal, Packing, Relevance, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Artifacts, Bpe, Dedup, Multimodal, Packing, Relevance, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -129,6 +129,22 @@ ORDER BY d.doc_id"""
     * Lloyd iterations up to twice per query invocation. */
   private val centroidCache = scala.collection.concurrent.TrieMap
     .empty[(String, Int), (Array[Long], Array[Array[Float]])]
+  /** Trained-artifact store root — train-once-serve-across-JOBS: the
+    * per-JVM TrieMaps die with the session, so every fresh JVM (each
+    * Verify/Bench invocation, every restarted cluster) used to pay the
+    * full Lloyd/BPE training again. The memo thunks now write-through to
+    * [[graft.operators.Artifacts]] parquet keyed by (corpus dir, params)
+    * and return the LOADED artifact, so (a) training happens once per
+    * corpus ever, and (b) every query result the driver checks is
+    * produced from a round-tripped artifact — load-parity is exercised
+    * by the correctness gate itself, not just by unit tests. Training is
+    * bit-deterministic per corpus; delete the store to force retrain. */
+  private def artifactRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_DIR", "target/artifacts")
+  private def artifactPath(kind: String, sfDir: String, param: String): String = {
+    val corpus = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"$artifactRoot/$corpus/$kind-$param"
+  }
   /** The one nlist both ann_ivf query paths share — a pretrained
     * quantizer probed with a different cell count than it was trained
     * for silently changes recall, so the cache key and the ivfTopK call
@@ -136,16 +152,31 @@ ORDER BY d.doc_id"""
   private val IvfNlist = 16
   private def centroidsFor(e: DataFrame, sfDir: String, nlist: Int)
       : (Array[Long], Array[Array[Float]]) =
-    centroidCache.getOrElseUpdate((sfDir, nlist),
-      Similarity.trainCentroids(e, nlist, trainIters = 2))
+    centroidCache.getOrElseUpdate((sfDir, nlist), {
+      val spark = e.sparkSession
+      val path = artifactPath("centroids", sfDir, nlist.toString)
+      if (!Artifacts.exists(spark, path)) {
+        val (ids, cents) = Similarity.trainCentroids(e, nlist, trainIters = 2)
+        Artifacts.saveCentroids(spark, path, ids, cents)
+      }
+      Artifacts.loadCentroids(spark, path)
+    })
   /** Auto-sized variant for the semantic-dedup pair: the count() that
     * sizes the cells runs inside the memo thunk, so a warm JVM pays a
     * TrieMap lookup, not a Spark job, per invocation (-1 = auto key,
     * never a real nlist). */
   private def autoCentroidsFor(e: DataFrame, sfDir: String)
       : (Array[Long], Array[Array[Float]]) =
-    centroidCache.getOrElseUpdate((sfDir, -1),
-      Similarity.trainCentroids(e, Similarity.autoNlist(e.count()), trainIters = 2))
+    centroidCache.getOrElseUpdate((sfDir, -1), {
+      val spark = e.sparkSession
+      val path = artifactPath("centroids", sfDir, "auto")
+      if (!Artifacts.exists(spark, path)) {
+        val (ids, cents) =
+          Similarity.trainCentroids(e, Similarity.autoNlist(e.count()), trainIters = 2)
+        Artifacts.saveCentroids(spark, path, ids, cents)
+      }
+      Artifacts.loadCentroids(spark, path)
+    })
 
   /** LSH variant — result depends on banding, so rows-only driver check;
     * recall vs the exact query is asserted in DedupSpec. */
@@ -720,8 +751,14 @@ SELECT doc_id, substring(text, 1, 32) AS decoded FROM documents ORDER BY doc_id"
   private val bpeMergeCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
   private def bpeMerges(spark: SparkSession, sfDir: String): Seq[(String, String)] =
-    bpeMergeCache.getOrElseUpdate(sfDir,
-      Bpe.train(Tables(spark, sfDir, "documents"), "text", numMerges = 24))
+    bpeMergeCache.getOrElseUpdate(sfDir, {
+      val path = artifactPath("bpe-merges", sfDir, "24")
+      if (!Artifacts.exists(spark, path)) {
+        val merges = Bpe.train(Tables(spark, sfDir, "documents"), "text", numMerges = 24)
+        Artifacts.saveMerges(spark, path, merges)
+      }
+      Artifacts.loadMerges(spark, path)
+    })
 
   /** BPE subword tokenization with merges TRAINED ON THIS CORPUS
     * ([[Bpe.train]] → [[graft.functions.TextExpressions.bpeEncode]]) —

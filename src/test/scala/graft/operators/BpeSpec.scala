@@ -160,4 +160,23 @@ class BpeSpec extends AnyFunSuite {
       .collect()
     assert(nulls(0).isNullAt(0) && nulls(1).getSeq[String](0).isEmpty)
   }
+
+  test("merge-table artifact round-trips in rank order and encodes unchanged") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val trained = Bpe.train(docs, "text", numMerges = 24)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-artifacts").toString + "/bpe-24"
+    Artifacts.saveMerges(spark, path, trained)
+    assert(Artifacts.exists(spark, path))
+    val loaded = Artifacts.loadMerges(spark, path)
+    // exact sequence — RANK is the encoder's merge priority
+    assert(loaded == trained)
+    def encode(merges: Seq[(String, String)]) =
+      docs.limit(50).select(col("doc_id"),
+          graft.functions.TextExpressions.bpeEncode(col("text"), merges).as("p"))
+        .as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
+    assert(encode(loaded) == encode(trained),
+      "a loaded merge table must encode identically to the trained one")
+  }
 }

@@ -510,4 +510,26 @@ class ExtensionSpec extends AnyFunSuite {
     assert(f.n_bytes == 11L && f.width == 12 && f.height == 12 && f.n_frames == 12)
     assert(f.checksum_hex == "b94d27b9934d3e08a52e52d7da7dabfac484efe37a5380ee9088f7ace2efcde9")
   }
+
+  test("centroid artifact round-trips bit-exactly and serves ivfTopK unchanged") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 10)
+    val trained = Similarity.trainCentroids(e, nlist = 16, trainIters = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-artifacts").toString + "/centroids-16"
+    assert(!Artifacts.exists(spark, path))
+    Artifacts.saveCentroids(spark, path, trained._1, trained._2)
+    assert(Artifacts.exists(spark, path))
+    val loaded = Artifacts.loadCentroids(spark, path)
+    // bit-exact, ORDER INCLUDED — centroid index is the cell id
+    assert(loaded._1.toSeq == trained._1.toSeq)
+    assert(loaded._2.map(_.toSeq).toSeq == trained._2.map(_.toSeq).toSeq)
+    def serve(p: (Array[Long], Array[Array[Float]])) =
+      Similarity.ivfTopK(q, e, k = 3, nlist = 16, pretrained = Some(p))
+        .select("query_id", "cand_id", "rank", "sim")
+        .collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+    assert(serve(loaded) == serve(trained),
+      "a loaded quantizer must serve the same results as the in-memory one")
+  }
 }
