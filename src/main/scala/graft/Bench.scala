@@ -23,13 +23,14 @@ object Bench {
     // warm the JVM/session so the first query doesn't pay executor spin-up
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    // *_violations rows are correctness diagnostics (empty-set proofs for
-    // the LSH family), not operators — excluded so the headline total
-    // stays comparable across rounds and against BASELINE.md.
+    // *_violations / *_recall rows are correctness diagnostics (empty-set
+    // and retrieval-quality proofs for the LSH family), not operators —
+    // excluded so the headline total stays comparable across rounds and
+    // against BASELINE.md.
     // SPARK_GRAFT_BENCH_ONLY: comma-separated name filter (local iteration)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(_._1.endsWith("_violations"))
+      .filterNot(n => n._1.endsWith("_violations") || n._1.endsWith("_recall"))
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // SPARK_GRAFT_BENCH_VERBOSE: per-run times to stderr (regression
     // triage — the median hides cold-fill vs steady-state structure)

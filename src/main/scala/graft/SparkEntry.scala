@@ -101,6 +101,12 @@ object SparkEntry {
     "ann_lsh_violations" -> (ExtensionQueries.annLshViolations _),
     "ann_ivf_violations" -> (ExtensionQueries.annIvfViolations _),
     "ann_ivfq_violations" -> (ExtensionQueries.annIvfqViolations _),
+    // -- recall gates: the violations rows prove precision; these prove
+    //    the approximate indexes RETRIEVE (mean recall@k >= 0.9 vs the
+    //    oracle-green exact frame), reduced to a constant provable row --
+    "ann_lsh_recall" -> (ExtensionQueries.annLshRecall _),
+    "ann_ivf_recall" -> (ExtensionQueries.annIvfRecall _),
+    "ann_ivfq_recall" -> (ExtensionQueries.annIvfqRecall _),
     "text_winnow_violations" -> (ExtensionQueries.textWinnowViolations _),
     "corpus_clean" -> (ExtensionQueries.corpusClean _),
     "multimodal_features" -> (ExtensionQueries.multimodalFeatures _),
@@ -169,6 +175,9 @@ object SparkEntry {
     "ann_lsh_violations" -> ExtensionQueries.violationOracle,
     "ann_ivf_violations" -> ExtensionQueries.violationOracle,
     "ann_ivfq_violations" -> ExtensionQueries.violationOracle,
+    "ann_lsh_recall" -> ExtensionQueries.annRecallOracle,
+    "ann_ivf_recall" -> ExtensionQueries.annRecallOracle,
+    "ann_ivfq_recall" -> ExtensionQueries.annRecallOracle,
     "text_winnow_violations" -> ExtensionQueries.textWinnowViolationsOracle,
     "text_bpe_violations" -> ExtensionQueries.violationOracle,
     "text_heavy_hitters" -> ExtensionQueries.textHeavyHittersOracle,
