@@ -36,6 +36,7 @@ object SparkEntry {
     "events_retention" -> (AnalyticsQueries.eventsRetention _),
     "events_retention_cum" -> (AnalyticsQueries.eventsRetentionCum _),
     "events_sequence_match" -> (AnalyticsQueries.eventsSequenceMatch _),
+    "events_sequence_match_timed" -> (AnalyticsQueries.eventsSequenceMatchTimed _),
     "top_words" -> (AnalyticsQueries.topWords _),
     // -- core analytics operators (SURVEY §2.6 "free from Catalyst") --
     "q1_pricing" -> (AnalyticsQueries.q1Pricing _),
@@ -137,6 +138,7 @@ object SparkEntry {
     "events_retention" -> AnalyticsQueries.eventsRetentionOracle,
     "events_retention_cum" -> AnalyticsQueries.eventsRetentionCumOracle,
     "events_sequence_match" -> AnalyticsQueries.eventsSequenceMatchOracle,
+    "events_sequence_match_timed" -> AnalyticsQueries.eventsSequenceMatchTimedOracle,
     "top_words" -> AnalyticsQueries.topWordsOracle,
     "q1_pricing" -> AnalyticsQueries.q1PricingOracle,
     "q3_shipping" -> AnalyticsQueries.q3ShippingOracle,

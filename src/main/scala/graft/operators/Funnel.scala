@@ -21,16 +21,40 @@ import org.apache.spark.sql.functions._
   * stage once at runtime — asserted on the adaptive final plan in
   * FunnelSpec.
   *
+  * Per-step TIME BOUNDS (ClickHouse `sequenceMatch`'s `(?t<=3600)`
+  * conditions): `maxGapsUs(i)` caps the gap between step i+1's and step
+  * i+2's chosen timestamps, inclusive, on top of the global window.
+  * Semantics stay GREEDY-EARLIEST: each stage keeps the earliest event
+  * qualifying against the PREVIOUS stage's chosen timestamp — the funnel
+  * contract, deterministic and one-join-per-step at any scale. (A full
+  * NFA sequence match would instead ask "does ANY chain satisfy the
+  * gaps" — with gap caps a later, non-earliest step-i event can rescue a
+  * chain greedy rejects; that existence semantics needs a per-key
+  * ordered scan, not a cascade, and is out of scope here. Greedy is what
+  * `windowFunnel`-style analytics mean by a timed funnel.)
+  *
   * @param ev      events with `keyCol`, `typeCol`, and `tsUsCol` (long
   *                microseconds — integer comparisons, engine-portable)
+  * @param maxGapsUs per-step inclusive gap caps, one per step
+  *                TRANSITION (size = steps.size - 1); None = only the
+  *                global window bounds that transition. Empty = no
+  *                per-step bounds (the pre-existing funnel).
   * @return one row per key that completed step 1:
   *         (key, funnel_level, t1_us … tN_us), tI_us null beyond the
   *         reached level. */
 object Funnel {
   def funnel(ev: DataFrame, keyCol: String, typeCol: String, tsUsCol: String,
-             steps: Seq[String], windowUs: Long): DataFrame = {
+             steps: Seq[String], windowUs: Long,
+             maxGapsUs: Seq[Option[Long]] = Seq.empty): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")
     require(windowUs > 0, "window must be positive")
+    require(maxGapsUs.isEmpty || maxGapsUs.size == steps.size - 1,
+      s"maxGapsUs must have one entry per step transition " +
+        s"(${steps.size - 1}), got ${maxGapsUs.size}")
+    require(maxGapsUs.flatten.forall(_ > 0), "gap caps must be positive")
+    val gaps: Seq[Option[Long]] =
+      if (maxGapsUs.isEmpty) Seq.fill(math.max(steps.size - 1, 0))(None)
+      else maxGapsUs
     val reserved = "funnel_level" +: (1 to steps.size).map(i => s"t${i}_us")
     require(!Seq(keyCol, typeCol, tsUsCol).exists(reserved.contains),
       s"input columns must not collide with funnel output names: $reserved")
@@ -45,9 +69,11 @@ object Funnel {
       // (constant per key, so min() just restates it), so stage i needs
       // ONE keyed join against its predecessor — not a second join back
       // to s1 for the anchor
+      val inWindow = ts > col(prevTs) && ts <= col("t1_us") + windowUs
+      val inGap = gaps(i - 1).fold(lit(true))(g => ts <= col(prevTs) + g)
       frames += ev.filter(col(typeCol) === steps(i))
         .join(frames(i - 1), keyCol)
-        .filter(ts > col(prevTs) && ts <= col("t1_us") + windowUs)
+        .filter(inWindow && inGap)
         .groupBy(keyCol).agg(min(col("t1_us")).as("t1_us"), min(ts).as(thisTs))
     }
     val joined = frames.tail.foldLeft(s1: DataFrame) { (acc, f) =>

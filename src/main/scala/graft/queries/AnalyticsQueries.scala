@@ -216,6 +216,51 @@ SELECT s1.user_id, CAST(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) A
 FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
 ORDER BY s1.user_id"""
 
+  /** ClickHouse `sequenceMatch('(?1)(?t<=86400)(?2)(?t<=259200)(?3)')`
+    * analogue: view → click within a day → purchase within three days,
+    * all inside a 30-day window — per-step gap caps on top of the
+    * window, greedy-earliest at each stage ([[graft.operators.Funnel]]
+    * semantics; the oracle mirrors the cascade stage by stage). */
+  def eventsSequenceMatchTimed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, sfDir, "events")
+      .select($"user_id", $"event_type", expr("unix_micros(ts)").as("ts_us"))
+    graft.operators.Funnel.funnel(ev, "user_id", "event_type", "ts_us",
+        steps = Seq("view", "click", "purchase"),
+        windowUs = 30L * 24 * 3600 * 1000000,
+        maxGapsUs = Seq(Some(86400L * 1000000), Some(259200L * 1000000)))
+      .select($"user_id", $"funnel_level",
+        ($"funnel_level" === 3).cast("int").as("matched"))
+      .orderBy("user_id")
+  }
+
+  val eventsSequenceMatchTimedOracle: String = """
+WITH s1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, min(s1.t1) AS t1, min(epoch_us(e.ts)) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click'
+    AND epoch_us(e.ts) > s1.t1
+    AND epoch_us(e.ts) <= s1.t1 + 86400000000
+    AND epoch_us(e.ts) <= s1.t1 + 2592000000000
+  GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(e.ts) > s2.t2
+    AND epoch_us(e.ts) <= s2.t2 + 259200000000
+    AND epoch_us(e.ts) <= s2.t1 + 2592000000000
+  GROUP BY 1)
+SELECT s1.user_id,
+       CAST(1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS funnel_level,
+       CAST(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS matched
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+ORDER BY s1.user_id"""
+
   /** Cumulative sibling of [[eventsRetention]]: "returned within ≤ N
     * days" (any day in (day0, day0+N]) instead of exactly day0+N —
     * monotone across offsets, the shape retention dashboards plot.

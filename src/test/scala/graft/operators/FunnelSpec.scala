@@ -104,6 +104,72 @@ class FunnelSpec extends AnyFunSuite {
     assert(!got.contains(2L))
   }
 
+  private def runTimed(rows: Seq[(Long, String, Long)], steps: Seq[String],
+                       w: Long, gaps: Seq[Option[Long]])
+      : Map[Long, (Int, Seq[Option[Long]])] = {
+    import spark.implicits._
+    Funnel.funnel(rows.toDF("user_id", "event_type", "t_us"),
+        "user_id", "event_type", "t_us", steps, w, gaps)
+      .collect().map { r =>
+        r.getLong(0) -> (r.getInt(1),
+          (2 until r.length).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i))))
+      }.toMap
+  }
+
+  test("per-step gap caps: inclusive boundary, one-past excluded, per-transition") {
+    val rows = Seq(
+      (1L, "view", 0L), (1L, "click", 100L), (1L, "purchase", 400L),
+      (2L, "view", 0L), (2L, "click", 101L),   // one past the 100 cap → level 1
+      (3L, "view", 0L), (3L, "click", 100L), (3L, "purchase", 401L)) // 2nd gap 301 > 300
+    val got = runTimed(rows, Seq("view", "click", "purchase"), w = 100000L,
+      gaps = Seq(Some(100L), Some(300L)))
+    assert(got(1L) == ((3, Seq(Some(0L), Some(100L), Some(400L)))),
+      "gaps exactly at the caps are inclusive")
+    assert(got(2L)._1 == 1, "gap one past the first cap stops at level 1")
+    assert(got(3L)._1 == 2, "second-transition cap binds independently")
+  }
+
+  test("gap caps bound the PREVIOUS step, the window bounds the anchor") {
+    // click at t1+900 within both; purchase at click+450: inside its 500
+    // gap but past the 1000 anchor window → window still binds
+    val rows = Seq((1L, "view", 0L), (1L, "click", 900L), (1L, "purchase", 1350L))
+    val got = runTimed(rows, Seq("view", "click", "purchase"), w = 1000L,
+      gaps = Seq(None, Some(500L)))
+    assert(got(1L)._1 == 2)
+    // with a window wide enough the same gap admits it
+    val got2 = runTimed(rows, Seq("view", "click", "purchase"), w = 10000L,
+      gaps = Seq(None, Some(500L)))
+    assert(got2(1L)._1 == 3)
+  }
+
+  test("greedy-earliest with gaps is documented semantics: earlier anchor can lose a chain") {
+    // anchor t1=0 → click must be <= 100; the only click is at 150,
+    // reachable from the LATER view at 60 — greedy (by contract) misses
+    val rows = Seq((1L, "view", 0L), (1L, "view", 60L), (1L, "click", 150L))
+    val got = runTimed(rows, Seq("view", "click"), w = 100000L,
+      gaps = Seq(Some(100L)))
+    assert(got(1L) == ((1, Seq(Some(0L), None))),
+      "funnel semantics anchor at the earliest step-1 event")
+  }
+
+  test("empty gaps and all-None gaps equal the untimed funnel") {
+    val rows = Seq(
+      (1L, "view", 100L), (1L, "click", 1100L),
+      (2L, "view", 100L), (2L, "click", 1101L))
+    val untimed = run(rows, Seq("view", "click"), w = 1000L)
+    assert(runTimed(rows, Seq("view", "click"), 1000L, Seq.empty) == untimed)
+    assert(runTimed(rows, Seq("view", "click"), 1000L, Seq(None)) == untimed)
+  }
+
+  test("gap caps reject bad arity and non-positive caps") {
+    intercept[IllegalArgumentException] {
+      runTimed(Seq((1L, "a", 0L)), Seq("a", "b"), 100L, Seq(Some(1L), Some(2L)))
+    }
+    intercept[IllegalArgumentException] {
+      runTimed(Seq((1L, "a", 0L)), Seq("a", "b"), 100L, Seq(Some(0L)))
+    }
+  }
+
   test("cascade stages materialize once: runtime plan reuses stage exchanges") {
     import spark.implicits._
     // stage i's subtree appears twice in the STATIC plan (inside stage
