@@ -31,6 +31,16 @@ object Artifacts {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** True when `path` exists and is non-empty. DYNAMIC partition
+    * overwrite commits per-partition and leaves no root `_SUCCESS`
+    * marker, so partitioned incremental stores (the streaming dedup
+    * index) use presence-of-data as their existence test. */
+  def hasData(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
   /** Persist a centroid set as (ordinal, cent_id, centroid) parquet.
     * One file — the artifact is KBs; a thousand-task write would be
     * shuffle theater. */

@@ -126,13 +126,38 @@ object Dedup {
                         idCol: String, textCol: String,
                         bands: Int = 16, rowsPerBand: Int = 4,
                         shingleWidth: Int = 3, threshold: Double = 0.7,
-                        maxBucket: Int = 64): DataFrame = {
-    val k = bands * rowsPerBand
+                        maxBucket: Int = 64): DataFrame =
+    minhashLshAgainstPrepared(
+      minhashPrepare(index, idCol, textCol, bands, rowsPerBand, shingleWidth),
+      minhashPrepare(incoming, idCol, textCol, bands, rowsPerBand, shingleWidth),
+      bands, rowsPerBand, threshold, maxBucket)
+
+  /** Signature preparation split out of [[minhashLshAgainst]]: (id, sh,
+    * sig) rows, one scan. At 100 TB the standing index's signatures are
+    * computed ONCE here at index-build time and PERSISTED; every ingest
+    * batch then joins against the stored frame instead of re-hashing the
+    * whole index per batch (see
+    * [[graft.streaming.StreamingAnalytics.nearDedupIntake]]). */
+  def minhashPrepare(df: DataFrame, idCol: String, textCol: String,
+                     bands: Int = 16, rowsPerBand: Int = 4,
+                     shingleWidth: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+        shingleHashes(col(textCol), shingleWidth).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))
+
+  /** [[minhashLshAgainst]] over ALREADY-PREPARED (id, sh, sig) frames
+    * ([[minhashPrepare]] output, fresh or loaded from storage). The
+    * signature scheme (bands × rowsPerBand, shingleWidth) must match the
+    * preparation — same contract as reusing index-build-time signatures
+    * anywhere else. */
+  def minhashLshAgainstPrepared(indexPrep: DataFrame, incomingPrep: DataFrame,
+                                bands: Int = 16, rowsPerBand: Int = 4,
+                                threshold: Double = 0.7,
+                                maxBucket: Int = 64): DataFrame = {
     def prep(df: DataFrame, out: String): DataFrame = {
-      val d = df.select(col(idCol).as(out),
-          shingleHashes(col(textCol), shingleWidth).as(s"sh_$out"))
-        .filter(size(col(s"sh_$out")) > 0)
-        .withColumn(s"sig_$out", minhashSignature(col(s"sh_$out"), k))
+      val d = df.select(col("id").as(out), col("sh").as(s"sh_$out"),
+          col("sig").as(s"sig_$out"))
         .persist()
       CacheRegistry.track(d)
       d
@@ -144,8 +169,8 @@ object Dedup {
               slice(col(s"sig_$id"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
         .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "band")
 
-    val idx = prep(index, "index_id")
-    val inc = prep(incoming, "incoming_id")
+    val idx = prep(indexPrep, "index_id")
+    val inc = prep(incomingPrep, "incoming_id")
     val wBucket = org.apache.spark.sql.expressions.Window
       .partitionBy("band", "bucket").orderBy("index_id")
     val idxB = bucketRows(idx, "index_id")

@@ -71,4 +71,96 @@ object StreamingAnalytics {
       .dropDuplicatesWithinWatermark("fingerprint")
       .filter(col("quality_score") >= minQuality)
   }
+
+  /** NEAR-dedup streaming intake — "dedupe today's crawl against the
+    * index", wired to streaming: a `foreachBatch` gate that, per
+    * micro-batch,
+    *
+    *  1. applies the [[corpusIntake]] quality gate and an exact
+    *     within-batch dedup (keep smallest id per normalized
+    *     fingerprint — the batch operator's deterministic keep rule;
+    *     cross-batch exact dups are a jaccard-1.0 case of step 2);
+    *  2. drops within-batch near-duplicates
+    *     ([[graft.operators.Dedup.minhashLsh]], keep the pair minimum);
+    *  3. drops documents near-duplicating the STANDING INDEX at
+    *     `indexPath` ([[graft.operators.Dedup.minhashLshAgainstPrepared]]
+    *     — the index stores PREPARED (id, sh, sig) rows, so batch
+    *     ingest joins stored signatures instead of re-hashing the whole
+    *     index every batch: at 100 TB each index document is shingled
+    *     exactly once, at admission);
+    *  4. appends the survivors' prepared rows to the index, partitioned
+    *     by `batch_id` with dynamic partition overwrite — a RETRIED
+    *     micro-batch overwrites its own partition instead of
+    *     double-inserting (foreachBatch's at-least-once contract made
+    *     idempotent), then hands the surviving documents to `sink`.
+    *
+    * The gate is ordered so the index only ever receives documents that
+    * passed every filter — admission order between batches is the
+    * stream's arrival order, exactly like the exact-dedup intake's
+    * keep-first-arrival. Use with
+    * `docs.writeStream.foreachBatch(gate).start()`.
+    *
+    * Input batches need `doc_id` + `textCol` columns (the intake's keep
+    * rules are id-based). "Drop the larger id of any qualifying pair"
+    * is the same policy batch consumers apply to [[Dedup.minhashLsh]]
+    * output — transitive chains may over-drop (a~b, b~c drops both b
+    * and c); clustering beyond pairs is [[Dedup]]'s
+    * connected-components job, deliberately not a per-batch cost.
+    *
+    * @param sink receives (survivors with quality/langid columns,
+    *             batchId) AFTER the index append — write to the corpus
+    *             store, metrics, etc. */
+  def nearDedupIntake(indexPath: String, textCol: String = "text",
+                      minQuality: Double = 0.5,
+                      bands: Int = 16, rowsPerBand: Int = 4,
+                      shingleWidth: Int = 3, threshold: Double = 0.7,
+                      maxBucket: Int = 64,
+                      sink: (DataFrame, Long) => Unit = (_, _) => ())
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    import graft.operators.{Artifacts, Dedup, TextAnalysis}
+    val spark = batch.sparkSession
+    val enriched = TextAnalysis.cleanEnrich(batch, textCol)
+      .filter(col("quality_score") >= minQuality)
+    // exact within-batch: keep the smallest doc_id per fingerprint
+    val exactKeep = enriched.groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val exactDeduped = enriched.join(exactKeep, Seq("fingerprint", "doc_id"))
+      .persist()
+    try {
+      // near within-batch: drop the larger id of any qualifying pair
+      val innerPairs = Dedup.minhashLsh(exactDeduped, "doc_id", textCol,
+        bands, rowsPerBand, shingleWidth, threshold, maxBucket)
+      val innerSurvivors = exactDeduped.join(
+        innerPairs.select(col("id_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      val prepared = Dedup.minhashPrepare(innerSurvivors, "doc_id", textCol,
+        bands, rowsPerBand, shingleWidth)
+      // localCheckpoint, NOT persist: the survivors plan READS the index
+      // this batch is about to EXTEND, and writing to a path recaches
+      // every cached plan that scans it (CacheManager.recacheByPath) —
+      // a persisted frame would be recomputed against the post-append
+      // index and match the admitted documents against THEMSELVES.
+      // Checkpointing truncates the lineage to materialized blocks, so
+      // nothing downstream can ever re-touch the pre-append scan.
+      val survivors =
+        (if (Artifacts.hasData(spark, indexPath)) {
+          val index = spark.read.parquet(indexPath)
+          val matches = Dedup.minhashLshAgainstPrepared(index, prepared,
+            bands, rowsPerBand, threshold, maxBucket)
+          innerSurvivors.join(
+            matches.select(col("incoming_id").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+        } else innerSurvivors)
+          .localCheckpoint(true)
+      val admitted = prepared
+        .join(survivors.select("doc_id"), col("id") === col("doc_id"))
+        .select(col("id"), col("sh"), col("sig"), lit(batchId).as("batch_id"))
+      admitted.write
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .mode("overwrite")
+        .parquet(indexPath)
+      sink(survivors, batchId)
+    } finally exactDeduped.unpersist()
+  }
 }

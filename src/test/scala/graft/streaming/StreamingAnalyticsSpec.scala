@@ -128,4 +128,73 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       assert(!ids.contains(4L))
     } finally q.stop()
   }
+
+  test("near-dedup intake: later-batch near-copy is dropped against the standing index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // long stopword-rich texts that clear the quality gate; DISTINCT
+    // topics share only stopword runs (3-shingle Jaccard well under the
+    // 0.5 threshold), while a near copy changes one content word and
+    // stays well above it
+    def doc(topic: String): String =
+      s"the $topic system and the $topic runtime are the part of the " +
+        s"$topic stack which reads the $topic rows and the $topic tables " +
+        s"while it is the $topic job that keeps the $topic data in the " +
+        s"$topic store for the $topic users of the $topic week"
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val indexPath = java.nio.file.Files
+      .createTempDirectory("graft-ndidx").toString + "/index"
+    val admitted = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val gate = StreamingAnalytics.nearDedupIntake(indexPath, threshold = 0.5,
+      sink = (df, bid) =>
+        admitted ++= df.select("doc_id").collect().map(r => (bid, r.getLong(0))))
+    val q = mem.toDF().toDF("timestamp", "doc_id", "text")
+      .writeStream.foreachBatch(gate).start()
+    try {
+      // batch 0: two distinct docs + a within-batch near-copy of doc 1
+      mem.addData((ts(1), 1L, doc("spark")), (ts(2), 2L, doc("flink")),
+        (ts(3), 3L, doc("spark").replace("rows", "records")))
+      q.processAllAvailable()
+      // batch 1: near-copy of doc 1 (CROSS-batch, via the index), an
+      // exact copy of doc 2 (jaccard 1.0 case), and a fresh doc
+      mem.addData((ts(4), 4L, doc("spark").replace("store", "lake")),
+        (ts(5), 5L, doc("flink")), (ts(6), 6L, doc("duckdb")))
+      q.processAllAvailable()
+      // batch 2: near-copy of the FRESH doc admitted in batch 1 — the
+      // index must have grown batch over batch
+      mem.addData((ts(7), 7L, doc("duckdb").replace("tables", "frames")))
+      q.processAllAvailable()
+      val byBatch = admitted.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert(byBatch(0L) == Set(1L, 2L), s"batch 0 admitted ${byBatch.get(0L)}")
+      assert(byBatch.getOrElse(1L, Set.empty[Long]) == Set(6L),
+        s"batch 1 must drop the cross-batch near copy (4) and exact copy (5): $byBatch")
+      assert(byBatch.getOrElse(2L, Set.empty[Long]) == Set.empty[Long],
+        s"batch 2's near copy of doc 6 must be dropped: $byBatch")
+      // the standing index holds exactly the admitted docs' signatures
+      val indexIds = spark.read.parquet(indexPath)
+        .select("id").as[Long].collect().toSet
+      assert(indexIds == Set(1L, 2L, 6L))
+
+      // STREAMING ≡ BATCH: the same corpus through the batch operators
+      // (ids increase with arrival, so keep-smallest-id == keep-first)
+      val all = Seq(
+        (1L, doc("spark")), (2L, doc("flink")),
+        (3L, doc("spark").replace("rows", "records")),
+        (4L, doc("spark").replace("store", "lake")),
+        (5L, doc("flink")), (6L, doc("duckdb")),
+        (7L, doc("duckdb").replace("tables", "frames"))).toDF("doc_id", "text")
+      val enriched = graft.operators.TextAnalysis.cleanEnrich(all, "text")
+        .filter($"quality_score" >= 0.5)
+      val exactKeep = enriched.groupBy($"fingerprint")
+        .agg(org.apache.spark.sql.functions.min($"doc_id").as("doc_id"))
+      val exactDeduped = enriched.join(exactKeep, Seq("fingerprint", "doc_id"))
+      val pairs = graft.operators.Dedup.minhashLsh(
+        exactDeduped, "doc_id", "text", threshold = 0.5)
+      val batchSurvivors = exactDeduped.join(
+          pairs.select($"id_b".as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+        .select("doc_id").as[Long].collect().toSet
+      assert(batchSurvivors == indexIds,
+        s"streaming admission ($indexIds) must equal the batch pipeline ($batchSurvivors)")
+    } finally q.stop()
+  }
 }
