@@ -1,0 +1,90 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-probe data generator: replicate a testdata scale dir N× with
+  * domain-consistent key offsets, so per-query scaling ratios can be
+  * measured one order of magnitude up from the largest driver-provided
+  * scale factor (`Bench` pointed at the output dir).
+  *
+  * Every copy `k` offsets EVERY key/id column by `k × 10⁹` — one global
+  * offset keeps foreign keys consistent (an order's `o_custkey + k·10⁹`
+  * still matches its customer's `c_custkey + k·10⁹`), and joins match
+  * within a copy exactly like the original, so join selectivities and
+  * group cardinalities scale linearly the way a genuinely bigger corpus
+  * would. `region`/`nation` stay as-is (TPC-H holds them fixed across
+  * scale factors) and nation/region FOREIGN KEYS are not offset, so
+  * every copy's customers still land in the 25 real nations.
+  *
+  * Two columns are deliberately perturbed per copy so the scaled corpus
+  * does not degenerate:
+  *  - `documents.text` gets a ` copyK` suffix token — otherwise every
+  *    document would have 10 byte-identical twins and the dedup family
+  *    would measure a pathological all-duplicates corpus rather than a
+  *    10× one;
+  *  - `embeddings.embedding` first component += k·10⁻³ — breaks exact
+  *    cosine ties between copies.
+  *
+  * Usage: `runMain graft.tools.ScaleUp <srcSfDir> <outDir> [copies=10]`.
+  */
+object ScaleUp {
+  private val Offset = 1000000000L
+
+  /** Key/id columns to offset per copy, by table. Attribute columns and
+    * nation/region foreign keys are left untouched. */
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+  private val passthrough = Seq("region", "nation")
+
+  def scaleTable(df: DataFrame, table: String, copies: Int): DataFrame = {
+    val copied = df.withColumn("_copy",
+      explode(sequence(lit(0L), lit(copies - 1L))))
+    val keyed = keyCols.getOrElse(table, Seq.empty).foldLeft(copied) {
+      (acc, c) => acc.withColumn(c, col(c) + col("_copy") * Offset)
+    }
+    val perturbed = table match {
+      case "documents" =>
+        keyed.withColumn("text",
+          when(col("_copy") === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" copy"), col("_copy"))))
+      case "embeddings" =>
+        keyed.withColumn("embedding",
+          when(col("_copy") === 0, col("embedding"))
+            .otherwise(concat(
+              array((element_at(col("embedding"), 1) +
+                col("_copy").cast("float") / lit(1000.0f)).cast("float")),
+              slice(col("embedding"), 2, 100000))))
+      case _ => keyed
+    }
+    perturbed.drop("_copy")
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleUp <srcSfDir> <outDir> [copies]")
+    val (src, out) = (args(0), args(1))
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val tables = keyCols.keys.toSeq ++ passthrough
+    for (t <- tables.sorted) {
+      val in = spark.read.parquet(s"$src/$t.parquet")
+      val scaled = if (passthrough.contains(t)) in else scaleTable(in, t, copies)
+      scaled.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[scale-up] $t: ${in.count()} -> ${scaled.count()} rows")
+    }
+    spark.stop()
+  }
+}
