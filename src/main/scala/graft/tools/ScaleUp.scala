@@ -18,13 +18,19 @@ import org.apache.spark.sql.functions._
   * every copy's customers still land in the 25 real nations.
   *
   * Two columns are deliberately perturbed per copy so the scaled corpus
-  * does not degenerate:
-  *  - `documents.text` gets a ` copyK` suffix token — otherwise every
-  *    document would have 10 byte-identical twins and the dedup family
-  *    would measure a pathological all-duplicates corpus rather than a
-  *    10× one;
-  *  - `embeddings.embedding` first component += k·10⁻³ — breaks exact
-  *    cosine ties between copies.
+  * is 10 ISOMORPHIC, mutually-DISSIMILAR shards — each copy reproduces
+  * the original's internal duplicate/similarity structure, and copies
+  * share (almost) nothing with each other, so pair counts and cluster
+  * sizes scale linearly the way a genuinely 10× corpus's would. (A mere
+  * suffix token would leave every document 9 near-duplicate twins: the
+  * dup GRAPH would densify ~45× and a scaling probe would measure
+  * duplicate-density growth, not data growth.)
+  *  - `documents.text`: copy k > 0 suffixes EVERY token with `_k` — a
+  *    consistent within-copy renaming (shingle structure isomorphic to
+  *    the original) that shares no shingles across copies;
+  *  - `embeddings.embedding`: copy k rotates the dimensions by k — an
+  *    exact isometry within the copy (all within-copy cosines
+  *    preserved), while cross-copy similarities decorrelate.
   *
   * Usage: `runMain graft.tools.ScaleUp <srcSfDir> <outDir> [copies=10]`.
   */
@@ -54,14 +60,16 @@ object ScaleUp {
       case "documents" =>
         keyed.withColumn("text",
           when(col("_copy") === 0, col("text"))
-            .otherwise(concat(col("text"), lit(" copy"), col("_copy"))))
+            .otherwise(array_join(
+              transform(split(col("text"), " "),
+                w => concat(w, lit("_"), col("_copy"))), " ")))
       case "embeddings" =>
         keyed.withColumn("embedding",
           when(col("_copy") === 0, col("embedding"))
             .otherwise(concat(
-              array((element_at(col("embedding"), 1) +
-                col("_copy").cast("float") / lit(1000.0f)).cast("float")),
-              slice(col("embedding"), 2, 100000))))
+              slice(col("embedding"), (col("_copy") + 1).cast("int"),
+                size(col("embedding")) - col("_copy").cast("int")),
+              slice(col("embedding"), lit(1), col("_copy").cast("int")))))
       case _ => keyed
     }
     perturbed.drop("_copy")
@@ -80,7 +88,10 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
     val tables = keyCols.keys.toSeq ++ passthrough
     for (t <- tables.sorted) {
-      val in = spark.read.parquet(s"$src/$t.parquet")
+      // Tables handles the events table's INT64 TIMESTAMP(NANOS) (read
+      // nanos-as-long, rebuild a micros TimestampType); the scaled copy
+      // is then written as plain micros, which Tables also accepts
+      val in = graft.queries.Tables(spark, src, t)
       val scaled = if (passthrough.contains(t)) in else scaleTable(in, t, copies)
       scaled.write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[scale-up] $t: ${in.count()} -> ${scaled.count()} rows")
