@@ -108,6 +108,8 @@ object SparkEntry {
     "ann_lsh_recall" -> (ExtensionQueries.annLshRecall _),
     "ann_ivf_recall" -> (ExtensionQueries.annIvfRecall _),
     "ann_ivfq_recall" -> (ExtensionQueries.annIvfqRecall _),
+    "dedup_minhash_recall" -> (ExtensionQueries.dedupMinhashRecall _),
+    "dedup_embedding_recall" -> (ExtensionQueries.dedupEmbeddingRecall _),
     "text_winnow_violations" -> (ExtensionQueries.textWinnowViolations _),
     "corpus_clean" -> (ExtensionQueries.corpusClean _),
     "multimodal_features" -> (ExtensionQueries.multimodalFeatures _),
@@ -180,6 +182,8 @@ object SparkEntry {
     "ann_lsh_recall" -> ExtensionQueries.annRecallOracle,
     "ann_ivf_recall" -> ExtensionQueries.annRecallOracle,
     "ann_ivfq_recall" -> ExtensionQueries.annRecallOracle,
+    "dedup_minhash_recall" -> ExtensionQueries.dedupMinhashRecallOracle,
+    "dedup_embedding_recall" -> ExtensionQueries.dedupEmbeddingRecallOracle,
     "text_winnow_violations" -> ExtensionQueries.textWinnowViolationsOracle,
     "text_bpe_violations" -> ExtensionQueries.violationOracle,
     "text_heavy_hitters" -> ExtensionQueries.textHeavyHittersOracle,

@@ -273,8 +273,16 @@ ORDER BY incoming_id, index_id"""
     * Candidates are hash-family-dependent → rows-only driver check;
     * recall vs [[dedupEmbeddingExact]] is asserted in ExtensionSpec
     * (mirrors the dedup_minhash_lsh / dedup_ngram_jaccard pairing). */
+  /** LSH geometry tuned like [[annLshTopK]]'s: pairs at cosine 0.4
+    * (θ≈66°, hyperplane-collision p≈0.63/bit) on this near-isotropic
+    * corpus need wide buckets — the 8×8-bit default measured 0.22 recall
+    * against the exact twin; 16 tables × 4 bits gives
+    * 1-(1-0.63⁴)^16 ≈ 0.94 expected, gated by [[dedupEmbeddingRecall]].
+    * maxBucket widens with the bucket count drop (2⁴ buckets/table) so
+    * the rank-span guard doesn't reintroduce misses at driver scale. */
   def dedupEmbeddingCosine(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.cosineDedup(Tables(spark, sfDir, "embeddings"), threshold = 0.4)
+    Similarity.cosineDedup(Tables(spark, sfDir, "embeddings"), threshold = 0.4,
+        tables = 16, bitsPerTable = 4, maxBucket = 256)
       .orderBy("id_a", "id_b")
 
   /** Exact all-pairs baseline — the oracle-checkable twin of
@@ -556,6 +564,37 @@ ORDER BY query_id, rank"""
 
   val annRecallOracle: String =
     "SELECT CAST(10 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS recall_ok"
+
+  /** [[annRecall]]'s sibling for the dedup families: fraction of the
+    * EXACT pair set (the hash-green oracle twin) that the approximate
+    * operator retrieves, thresholded and reduced to a provable row. The
+    * oracle derives the expected pair count from the twin's own SQL, so
+    * nothing is hardcoded; recall_ok is vacuously 1 on an empty exact
+    * set. Precision is the `*_violations` rows' job — this gates the
+    * OTHER failure mode, silent misses. */
+  private def pairRecall(exact: DataFrame, approx: DataFrame,
+                         minRecall: Double): DataFrame = {
+    val truth = exact.select(col("id_a"), col("id_b"))
+    val hits = approx.select(col("id_a"), col("id_b"), lit(1).as("hit"))
+    truth.join(hits, Seq("id_a", "id_b"), "left_outer")
+      .agg(count(lit(1)).as("n_exact_pairs"),
+        when(count(lit(1)) === 0, 1L)
+          .otherwise((count(col("hit")).cast("double") / count(lit(1)) >= minRecall)
+            .cast("long")).as("recall_ok"))
+  }
+
+  def dedupMinhashRecall(spark: SparkSession, sfDir: String): DataFrame =
+    pairRecall(dedupNgramJaccard(spark, sfDir), dedupMinhashLsh(spark, sfDir), 0.9)
+
+  def dedupEmbeddingRecall(spark: SparkSession, sfDir: String): DataFrame =
+    pairRecall(dedupEmbeddingExact(spark, sfDir), dedupEmbeddingCosine(spark, sfDir), 0.9)
+
+  private def pairRecallOracle(exactTwinOracle: String): String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+       CAST(1 AS BIGINT) AS recall_ok FROM ($exactTwinOracle) exact"""
+
+  val dedupMinhashRecallOracle: String = pairRecallOracle(dedupNgramJaccardOracle)
+  val dedupEmbeddingRecallOracle: String = pairRecallOracle(dedupEmbeddingExactOracle)
 
   /** Int8-quantized embedding store (array emitted as JSON for the
     * driver's pandas-side hash). */
