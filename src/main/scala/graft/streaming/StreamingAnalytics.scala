@@ -163,4 +163,44 @@ object StreamingAnalytics {
       sink(survivors, batchId)
     } finally exactDeduped.unpersist()
   }
+
+  /** Compact a [[nearDedupIntake]] standing index: one parquet partition
+    * per micro-batch is the idempotent-retry contract, but thousands of
+    * ingest batches mean thousands of small files — the classic
+    * streaming small-files problem, paid on EVERY subsequent batch's
+    * index scan. Rewrites the index as a single `batch_id = -1`
+    * generation of `numFiles` right-sized files, atomically from the
+    * reader's perspective (same SparkSession): stage to `<path>._compact`,
+    * swap via FileSystem rename, keep the old generation at
+    * `<path>._pre_compact` until the caller verifies. Run between
+    * batches (e.g. from a foreachBatch hook every N batches) — not
+    * concurrently with one. Live batch_ids are never negative, so a
+    * compacted generation can never collide with a retried batch's
+    * dynamic-partition overwrite. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                   numFiles: Int = 32): Unit = {
+    import graft.operators.Artifacts
+    require(numFiles >= 1, "numFiles must be >= 1")
+    if (!Artifacts.hasData(spark, indexPath)) return
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = path.getFileSystem(hadoopConf)
+    val staging = new org.apache.hadoop.fs.Path(indexPath + "._compact")
+    val backup = new org.apache.hadoop.fs.Path(indexPath + "._pre_compact")
+    spark.read.parquet(indexPath)
+      .select(col("id"), col("sh"), col("sig"), lit(-1L).as("batch_id"))
+      .repartition(numFiles, col("id"))
+      .write.partitionBy("batch_id").mode("overwrite")
+      .parquet(staging.toString)
+    if (fs.exists(backup)) fs.delete(backup, true)
+    if (!fs.rename(path, backup))
+      throw new java.io.IOException(s"compaction swap failed: $path -> $backup")
+    if (!fs.rename(staging, path)) {
+      fs.rename(backup, path) // restore — the index must never vanish
+      throw new java.io.IOException(s"compaction swap failed: $staging -> $path")
+    }
+    // the shared FileStatusCache can hold the pre-swap listing for this
+    // path; a later batch reading stale statuses would hit deleted files
+    spark.catalog.refreshByPath(indexPath)
+  }
 }

@@ -197,4 +197,46 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
         s"streaming admission ($indexIds) must equal the batch pipeline ($batchSurvivors)")
     } finally q.stop()
   }
+
+  test("index compaction collapses batch partitions and gating continues unchanged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def doc(topic: String): String =
+      s"the $topic system and the $topic runtime are the part of the " +
+        s"$topic stack which reads the $topic rows and the $topic tables " +
+        s"while it is the $topic job that keeps the $topic data in the " +
+        s"$topic store for the $topic users of the $topic week"
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val indexPath = java.nio.file.Files
+      .createTempDirectory("graft-ndcompact").toString + "/index"
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val gate = StreamingAnalytics.nearDedupIntake(indexPath, threshold = 0.5,
+      sink = (df, _) => admitted ++= df.select("doc_id").collect().map(_.getLong(0)))
+    val q = mem.toDF().toDF("timestamp", "doc_id", "text")
+      .writeStream.foreachBatch(gate).start()
+    try {
+      mem.addData((ts(1), 1L, doc("spark"))); q.processAllAvailable()
+      mem.addData((ts(2), 2L, doc("flink"))); q.processAllAvailable()
+      mem.addData((ts(3), 3L, doc("duckdb"))); q.processAllAvailable()
+      def partitions() = new java.io.File(indexPath).listFiles()
+        .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+      assert(partitions() == Set("batch_id=0", "batch_id=1", "batch_id=2"))
+
+      StreamingAnalytics.compactIndex(spark, indexPath, numFiles = 2)
+      assert(partitions() == Set("batch_id=-1"),
+        "compaction must collapse the per-batch generations")
+      assert(spark.read.parquet(indexPath).select("id").as[Long].collect().toSet ==
+        Set(1L, 2L, 3L), "compaction must preserve the index contents")
+      assert(!new java.io.File(indexPath + "._compact").exists())
+
+      // the gate keeps working against the compacted generation: a near
+      // copy of a pre-compaction doc is dropped, a fresh doc admitted
+      // (and lands in a NEW batch partition beside the compacted one)
+      mem.addData((ts(4), 4L, doc("spark").replace("store", "lake")),
+        (ts(5), 5L, doc("trino")))
+      q.processAllAvailable()
+      assert(admitted.toSet == Set(1L, 2L, 3L, 5L), s"got $admitted")
+      assert(partitions() == Set("batch_id=-1", "batch_id=3"))
+    } finally q.stop()
+  }
 }
