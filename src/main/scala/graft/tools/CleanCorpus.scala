@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   *   <out>/splits/     deterministic train/val/test assignment
   *   <out>/packed/     GPT-style sequence-pack manifest (seqLen tokens)
   *   <out>/bpe_merges/ learned BPE merge table (rank-ordered)
+  *   <out>/nd_index/   MinHash signature standing index over the cleaned
+  *                     corpus, in [[graft.streaming.StreamingAnalytics
+  *                     .nearDedupIntake]]'s layout (batch_id = -1
+  *                     generation) — the batch bootstrap of the
+  *                     streaming intake: later crawls dedupe against
+  *                     this without re-shingling it
   *   <out>/report/     one-row run summary
   *
   * Every stage is the library operator, unchanged — this tool is
@@ -26,7 +32,8 @@ import org.apache.spark.sql.functions._
   * Usage: CleanCorpus <documents.parquet> <outDir> [master]
   * Env: SPARK_GRAFT_SEQLEN (default 1024), SPARK_GRAFT_BPE_MERGES
   * (default 64), SPARK_GRAFT_MIN_QUALITY (default 0.5),
-  * SPARK_GRAFT_SPAN (span-dedup tokens per span, default 20, 0 = off).
+  * SPARK_GRAFT_SPAN (span-dedup tokens per span, default 20, 0 = off),
+  * SPARK_GRAFT_ND_INDEX (near-dedup index generation, default 1, 0 = off).
   */
 object CleanCorpus {
   def main(args: Array[String]): Unit = {
@@ -73,6 +80,17 @@ object CleanCorpus {
     Packing.packManifest(clean, "doc_id", "source",
         size(TextAnalysis.tokens(col("text"))), seqLen = seqLen)
       .write.mode("overwrite").parquet(s"$outDir/packed")
+
+    // 3b. standing near-dedup index: PREPARED (id, sh, sig) signature
+    //     rows in the streaming intake's layout, so an ingest pipeline
+    //     boots from this batch build and each cleaned document is
+    //     shingled exactly once, here
+    if (sys.env.getOrElse("SPARK_GRAFT_ND_INDEX", "1").toInt > 0)
+      Dedup.minhashPrepare(clean.select("doc_id", "text"), "doc_id", "text")
+        .withColumn("batch_id", lit(-1L))
+        .write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").mode("overwrite")
+        .parquet(s"$outDir/nd_index")
 
     // 4. BPE merge table learned from the cleaned text
     val merges = Bpe.train(clean, "text", numMerges = nMerges)
