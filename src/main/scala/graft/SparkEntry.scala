@@ -37,6 +37,7 @@ object SparkEntry {
     "events_retention_cum" -> (AnalyticsQueries.eventsRetentionCum _),
     "events_sequence_match" -> (AnalyticsQueries.eventsSequenceMatch _),
     "events_sequence_match_timed" -> (AnalyticsQueries.eventsSequenceMatchTimed _),
+    "events_sequence_count" -> (AnalyticsQueries.eventsSequenceCount _),
     "top_words" -> (AnalyticsQueries.topWords _),
     // -- core analytics operators (SURVEY §2.6 "free from Catalyst") --
     "q1_pricing" -> (AnalyticsQueries.q1Pricing _),
@@ -141,6 +142,7 @@ object SparkEntry {
     "events_retention_cum" -> AnalyticsQueries.eventsRetentionCumOracle,
     "events_sequence_match" -> AnalyticsQueries.eventsSequenceMatchOracle,
     "events_sequence_match_timed" -> AnalyticsQueries.eventsSequenceMatchTimedOracle,
+    "events_sequence_count" -> AnalyticsQueries.eventsSequenceCountOracle,
     "top_words" -> AnalyticsQueries.topWordsOracle,
     "q1_pricing" -> AnalyticsQueries.q1PricingOracle,
     "q3_shipping" -> AnalyticsQueries.q3ShippingOracle,

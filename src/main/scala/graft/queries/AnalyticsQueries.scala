@@ -261,6 +261,42 @@ SELECT s1.user_id,
 FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
 ORDER BY s1.user_id"""
 
+  /** ClickHouse `sequenceCount('(?1)(?2)')` analogue: how many DISJOINT
+    * view→click chains each user completed
+    * ([[graft.operators.SequenceCount]] counter-promotion greedy). The
+    * oracle states the two-step closed form: with same-timestamp clicks
+    * ordered before views (the strict-increase rule), matched = #click −
+    * max_prefix(#click − #view) — parenthesis matching. k ≥ 3 is pinned
+    * by the spec's exhaustive-optimum differential instead. */
+  def eventsSequenceCount(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, sfDir, "events")
+      .select($"user_id", $"event_type", expr("unix_micros(ts)").as("ts_us"))
+    graft.operators.SequenceCount.sequenceCount(ev, "user_id", "event_type",
+        "ts_us", steps = Seq("view", "click"))
+      .orderBy("user_id")
+  }
+
+  val eventsSequenceCountOracle: String = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CASE event_type WHEN 'view' THEN 1 ELSE -1 END AS delta,
+         CASE event_type WHEN 'view' THEN 1 ELSE 0 END AS is_a
+  FROM events WHERE event_type IN ('view', 'click')),
+r AS (
+  SELECT user_id, is_a,
+         sum(-delta) OVER (PARTITION BY user_id ORDER BY t, delta
+                           ROWS UNBOUNDED PRECEDING) AS b_minus_a
+  FROM ev),
+agg AS (
+  SELECT user_id,
+         sum(CASE WHEN is_a = 0 THEN 1 ELSE 0 END) AS n_b,
+         greatest(max(b_minus_a), 0) AS unmatched_b,
+         sum(is_a) AS n_a
+  FROM r GROUP BY 1)
+SELECT user_id, CAST(n_b - unmatched_b AS BIGINT) AS n_matches
+FROM agg WHERE n_a > 0 ORDER BY user_id"""
+
   /** Cumulative sibling of [[eventsRetention]]: "returned within ≤ N
     * days" (any day in (day0, day0+N]) instead of exactly day0+N —
     * monotone across offsets, the shape retention dashboards plot.
