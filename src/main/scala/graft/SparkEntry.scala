@@ -117,6 +117,7 @@ object SparkEntry {
     "multimodal_resize" -> (ExtensionQueries.multimodalResize _),
     "multimodal_frames" -> (ExtensionQueries.multimodalFrames _),
     "multimodal_media_meta" -> (ExtensionQueries.multimodalMediaMeta _),
+    "multimodal_audio_stats" -> (ExtensionQueries.multimodalAudioStats _),
     "events_session_window" -> (AnalyticsQueries.eventsSessionWindow _),
     // -- spark.sql surface over registered views + custom SQL functions --
     "sql_events_arrayjoin" -> (PipelineQueries.sqlArrayJoin _),
@@ -172,6 +173,7 @@ object SparkEntry {
     "multimodal_resize" -> ExtensionQueries.multimodalResizeOracle,
     "multimodal_frames" -> ExtensionQueries.multimodalFramesOracle,
     "multimodal_media_meta" -> ExtensionQueries.multimodalMediaMetaOracle,
+    "multimodal_audio_stats" -> ExtensionQueries.multimodalAudioStatsOracle,
     "events_session_window" -> AnalyticsQueries.eventsSessionWindowOracle,
     "sql_events_arrayjoin" -> PipelineQueries.sqlArrayJoinOracle,
     "sql_mime_decode" -> ExtensionQueries.sqlMimeDecodeOracle,

@@ -155,28 +155,67 @@ object Multimodal {
     /** RIFF/WAVE: `fmt ` chunk (sample rate, channels, bits/sample) +
       * `data` chunk size → exact PCM duration. Chunk sizes are validated
       * against the buffer; a truncated or lying header → None. */
-    private[operators] def parseWav(b: Array[Byte]): Option[ContainerMeta] = {
+    /** Shared RIFF/WAVE chunk walk: (fmtTag, rate, channels, bits,
+      * dataOff, dataLen) — the metadata path reads the sizes, the PCM
+      * decoder also needs WHERE the data chunk lives and the format tag
+      * (only tag 1 = integer PCM is decodable without a codec). */
+    private def wavChunks(b: Array[Byte])
+        : Option[(Int, Int, Int, Int, Int, Long)] = {
       if (b.length < 44 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "WAVE")
         return None
       var off = 12
-      var fmt: Option[(Int, Int, Int)] = None // (rate, channels, bits)
+      var fmt: Option[(Int, Int, Int, Int)] = None // (tag, rate, ch, bits)
+      var dataOff = -1
       var dataLen = -1L
       while (off + 8 <= b.length && (fmt.isEmpty || dataLen < 0)) {
         val id = fourcc(b, off)
         val sz = le32(b, off + 4)
         if (sz > b.length) return None // declared size can't fit the buffer
         if (id == "fmt " && sz >= 16 && off + 8 + 16 <= b.length)
-          fmt = Some((le32(b, off + 12).toInt, le16(b, off + 10), le16(b, off + 22)))
+          fmt = Some((le16(b, off + 8), le32(b, off + 12).toInt,
+            le16(b, off + 10), le16(b, off + 22)))
         else if (id == "data") {
           if (off + 8 + sz > b.length) return None // declared past the buffer
+          dataOff = off + 8
           dataLen = sz
         }
         off += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
       }
-      fmt.collect { case (rate, ch, bits) if rate > 0 && ch > 0 && bits > 0 && dataLen >= 0 =>
-        ContainerMeta("wav", dataLen * 8000L / (rate.toLong * ch * bits), rate, ch)
+      fmt.collect { case (tag, rate, ch, bits)
+          if rate > 0 && ch > 0 && bits > 0 && dataLen >= 0 =>
+        (tag, rate, ch, bits, dataOff, dataLen)
       }
     }
+
+    private[operators] def parseWav(b: Array[Byte]): Option[ContainerMeta] =
+      wavChunks(b).map { case (_, rate, ch, bits, _, dataLen) =>
+        ContainerMeta("wav", dataLen * 8000L / (rate.toLong * ch * bits), rate, ch)
+      }
+
+    /** REAL PCM sample decode — the one payload family decodable with no
+      * codec dependency: WAVE format tag 1, 16-bit signed LE or 8-bit
+      * unsigned (rebased to signed), channels interleaved. Anything else
+      * (float WAV, compressed tags, truncated data) returns None and
+      * falls to the documented stub path. */
+    private[operators] def decodeWavPcm(b: Array[Byte])
+        : Option[(ContainerMeta, Array[Int])] =
+      wavChunks(b).collect {
+        case (1, rate, ch, bits, dataOff, dataLen)
+            if (bits == 16 && dataLen % 2 == 0) || bits == 8 =>
+          val n = if (bits == 16) (dataLen / 2).toInt else dataLen.toInt
+          val out = new Array[Int](n)
+          var i = 0
+          if (bits == 16)
+            while (i < n) {
+              out(i) = (((b(dataOff + 2 * i) & 0xFF) |
+                (b(dataOff + 2 * i + 1) << 8)).toShort).toInt
+              i += 1
+            }
+          else
+            while (i < n) { out(i) = (b(dataOff + i) & 0xFF) - 128; i += 1 }
+          (ContainerMeta("wav", dataLen * 8000L / (rate.toLong * ch * bits),
+            rate, ch), out)
+      }
 
     /** ISO BMFF (MP4): walk top-level boxes to `moov`, then its children
       * to `mvhd`; duration = mvhd.duration / mvhd.timescale (v0 32-bit and
@@ -414,6 +453,40 @@ object Multimodal {
 
   case class MediaContainer(doc_id: Long, kind: String, duration_ms: Long,
                             sample_rate: Int, channels: Int, n_bytes: Long)
+
+  /** Integer-exact audio sample statistics — floats never cross the
+    * engine boundary: `sum_sq` (Σ sample², exact in 63 bits for any
+    * realistic clip) and `peak` let a consumer derive RMS/clipping
+    * without the decoder. Non-decodable payloads (no WAV signature,
+    * compressed tag, float samples) get the -1 sentinel row. */
+  case class AudioStats(doc_id: Long, n_samples: Long, peak: Long,
+                        sum_sq: Long, sample_rate: Int, channels: Int)
+
+  /** Batch PCM decode + stats: per-partition streaming map, no shuffle —
+    * same stage shape as [[extractFeatures]], but the samples are REAL
+    * decoded PCM ([[ContainerCodec.decodeWavPcm]]). */
+  def audioStats(rows: Dataset[MediaRow]): Dataset[AudioStats] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        ContainerCodec.decodeWavPcm(r.media) match {
+          case Some((meta, samples)) =>
+            var peak = 0L
+            var sumSq = 0L
+            var i = 0
+            while (i < samples.length) {
+              val v = samples(i).toLong
+              if (math.abs(v) > peak) peak = math.abs(v)
+              sumSq += v * v
+              i += 1
+            }
+            AudioStats(r.doc_id, samples.length.toLong, peak, sumSq,
+              meta.sample_rate, meta.channels)
+          case None => AudioStats(r.doc_id, -1L, -1L, -1L, -1, -1)
+        }
+      }
+    }
+  }
 
   /** Container-header metadata extraction ([[ContainerCodec]]): per-row
     * fixed-header parse, no decode, no shuffle — a pure map stage. */

@@ -1392,6 +1392,47 @@ SELECT doc_id,
                                 WHEN 2 THEN 140 ELSE 53 END AS BIGINT) AS n_bytes
 FROM m ORDER BY doc_id"""
 
+  /** REAL PCM decode through the planted-fixture oracle loop: each doc
+    * gets a WAV whose 16-bit samples follow an integer ramp derived from
+    * (doc_id, position), Spark decodes the BYTES back through
+    * [[Multimodal.audioStats]]'s real parser, and DuckDB recomputes the
+    * exact integer statistics from the same formula — floats never cross
+    * the engine boundary (sum_sq + peak stand in for RMS). */
+  def multimodalAudioStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"n_chars", $"source")
+      .as[(Long, Long, String)]
+      .map { case (id, nChars, src) =>
+        val n = (nChars % 200 + 8).toInt
+        val data = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = ((id * 31 + i.toLong * 7) % 65536L - 32768L).toInt
+          data(2 * i) = (s & 0xFF).toByte
+          data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+          i += 1
+        }
+        Multimodal.MediaRow(id,
+          Multimodal.ContainerFixtures.wav(8000, 1, 16, data), "audio/wav", src)
+      }
+    Multimodal.audioStats(rows).toDF().orderBy("doc_id")
+  }
+
+  val multimodalAudioStatsOracle: String = """
+WITH d AS (SELECT doc_id, n_chars % 200 + 8 AS n FROM documents),
+i AS (
+  SELECT doc_id, unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS i FROM d),
+s AS (
+  SELECT doc_id, ((doc_id * 31 + i * 7) % 65536) - 32768 AS v FROM i)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(max(abs(v)) AS BIGINT) AS peak,
+       CAST(sum(v * v) AS BIGINT) AS sum_sq,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS channels
+FROM s GROUP BY doc_id ORDER BY doc_id"""
+
   val multimodalFeaturesOracle: String = """
 SELECT doc_id,
        'image/t' || (doc_id % 3) AS media_type,

@@ -190,6 +190,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ContainerCodec.meta(lying).kind == "none")
   }
 
+  test("PCM decode: 16-bit signed LE roundtrip, 8-bit rebase, refusals") {
+    // 16-bit: full signed range survives the byte roundtrip
+    val vals = Array(-32768, -1, 0, 1, 127, 128, 32767, -12345)
+    val data16 = new Array[Byte](vals.length * 2)
+    vals.zipWithIndex.foreach { case (v, i) =>
+      data16(2 * i) = (v & 0xFF).toByte; data16(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val Some((m16, s16)) =
+      ContainerCodec.decodeWavPcm(ContainerFixtures.wav(44100, 1, 16, data16))
+    assert(s16.toSeq == vals.toSeq && m16.sample_rate == 44100)
+    // 8-bit WAV is UNSIGNED by spec: rebased to signed around 128
+    val Some((_, s8)) = ContainerCodec.decodeWavPcm(
+      ContainerFixtures.wav(8000, 1, 8, Array[Byte](0, 127.toByte, 128.toByte, 255.toByte)))
+    assert(s8.toSeq == Seq(-128, -1, 0, 127))
+    // refusals -> None (stub path), never garbage samples:
+    // odd byte count for 16-bit, non-WAV payload
+    assert(ContainerCodec.decodeWavPcm(
+      ContainerFixtures.wav(8000, 1, 16, Array[Byte](1, 2, 3))).isEmpty)
+    assert(ContainerCodec.decodeWavPcm("not a wav at all".getBytes).isEmpty)
+    // non-PCM format tag (3 = IEEE float): patch fmt tag at offset 20
+    val float32 = ContainerFixtures.wav(8000, 1, 16, data16).clone()
+    float32(20) = 3
+    assert(ContainerCodec.decodeWavPcm(float32).isEmpty)
+    // ... while the metadata path still reads the container header
+    assert(ContainerCodec.meta(float32).kind == "wav")
+  }
+
   test("randomized WAV/MP4 builder-parser roundtrips match the spec arithmetic") {
     val rnd = new scala.util.Random(83)
     for (_ <- 1 to 40) {
