@@ -30,6 +30,8 @@ object SparkEntry {
     "events_asof_purchase" -> (AnalyticsQueries.eventsAsofPurchase _),
     "salted_user_types" -> (AnalyticsQueries.saltedUserTypes _),
     "salted_value_median" -> (AnalyticsQueries.saltedValueMedian _),
+    "salted_value_median_weighted" -> (AnalyticsQueries.saltedValueMedianWeighted _),
+    "events_asof_purchase_tol" -> (AnalyticsQueries.eventsAsofPurchaseTol _),
     "salted_order_lines" -> (AnalyticsQueries.saltedOrderLines _),
     "events_window_count" -> (AnalyticsQueries.eventsWindowCount _),
     "events_funnel" -> (AnalyticsQueries.eventsFunnel _),
@@ -136,6 +138,8 @@ object SparkEntry {
     "events_asof_purchase" -> AnalyticsQueries.eventsAsofPurchaseOracle,
     "salted_user_types" -> AnalyticsQueries.saltedUserTypesOracle,
     "salted_value_median" -> AnalyticsQueries.saltedValueMedianOracle,
+    "salted_value_median_weighted" -> AnalyticsQueries.saltedValueMedianWeightedOracle,
+    "events_asof_purchase_tol" -> AnalyticsQueries.eventsAsofPurchaseTolOracle,
     "salted_order_lines" -> AnalyticsQueries.saltedOrderLinesOracle,
     "events_window_count" -> AnalyticsQueries.eventsWindowCountOracle,
     "events_funnel" -> AnalyticsQueries.eventsFunnelOracle,

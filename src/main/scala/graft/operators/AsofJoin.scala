@@ -23,11 +23,21 @@ object AsofJoin {
 
   /** @param rightValues right columns to attach (emitted under the same
     *                    names; must not collide with left column names)
+    * @param tolerance   optional maximum left−right time distance,
+    *                    inclusive (µs for timestamp time columns, the
+    *                    column's own units for numeric ones) — pandas
+    *                    `merge_asof(tolerance=…)` semantics: when the
+    *                    latest-≤ match is older than the bound the row
+    *                    gets NULLS, it does not fall through to an even
+    *                    older right row. Costs one predicate on the
+    *                    already-backfilled struct — the plan is
+    *                    unchanged.
     * @note ties among right rows at the same (key, time) are resolved
     *       arbitrarily — give the right side unique times per key. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
-               rightValues: Seq[String]): DataFrame = {
+               rightValues: Seq[String],
+               tolerance: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("__t", col(leftTime))
@@ -41,16 +51,32 @@ object AsofJoin {
     // left rows then see only left rows in their window → stay null.
     // null keys AND null times match nothing (a null __t would sort
     // first under Spark's nulls-first ascending and get adopted)
+    // the matched row's own time rides in the struct so a tolerance can
+    // be checked after the backfill without a second pass
     val r = right
       .where(col(key).isNotNull && col(rightTime).isNotNull)
       .select(col(key), col(rightTime).as("__t"), lit(0).as("__side"),
-        struct(rightValues.map(col): _*).as("__r"))
+        struct((col(rightTime).as("__rt") +: rightValues.map(col)): _*).as("__r"))
     val all = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    all.withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+    val backfilled = all
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .select(leftCols.map(col) ++
-        rightValues.map(c => col("__r").getField(c).as(c)): _*)
+    // tolerance units: MICROSECONDS for timestamp time columns, the
+    // column's own units for numeric ones
+    def asLong(c: org.apache.spark.sql.Column,
+               dt: org.apache.spark.sql.types.DataType) = dt match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case _ => c.cast("long")
+    }
+    val bounded = tolerance.fold(backfilled) { tol =>
+      backfilled.withColumn("__r",
+        when(asLong(col("__t"), left.schema(leftTime).dataType) -
+          asLong(col("__r").getField("__rt"), right.schema(rightTime).dataType)
+          <= tol, col("__r")))
+    }
+    bounded.select(leftCols.map(col) ++
+      rightValues.map(c => col("__r").getField(c).as(c)): _*)
   }
 }

@@ -80,12 +80,28 @@ object Salting {
     *
     * @return one row per key: (key, p<pct> value), e.g. `p50`. */
   def exactPercentile(df: DataFrame, key: String, value: String,
-                      p: Double): DataFrame = {
+                      p: Double): DataFrame =
+    exactPercentileWeighted(df, key, value, p, weight = None)
+
+  /** [[exactPercentile]] with per-row integer weights (ClickHouse
+    * `quantileExactWeighted`): the element whose cumulative weight first
+    * reaches `floor((W−1)·p)+1` of the total weight W — identical to
+    * replicating each row `weight` times and taking the unweighted
+    * percentile, without materializing a single replica. Same
+    * no-holistic-buffer decomposition: the groupBy collapses to distinct
+    * values with SUMMED weights map-side, so the hot-key exchange still
+    * carries (key, value, partial sum) rows. Rows with NULL or
+    * non-positive weight are ignored. */
+  def exactPercentileWeighted(df: DataFrame, key: String, value: String,
+                              p: Double, weight: Option[String]): DataFrame = {
     require(p >= 0.0 && p <= 1.0, s"percentile out of range: $p")
     val outCol = s"p${math.round(p * 100)}"
-    val counts = df.filter(col(value).isNotNull)
+    val weighted = weight.fold(df.withColumn("_w", lit(1L))) { w =>
+      df.withColumn("_w", col(w).cast("long")).filter(col("_w") > 0)
+    }
+    val counts = weighted.filter(col(value).isNotNull)
       .groupBy(col(key), col(value).as("_v"))
-      .agg(count(lit(1)).as("_c"))
+      .agg(sum(col("_w")).as("_c"))
     val wCum = Window.partitionBy(key).orderBy("_v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(key)

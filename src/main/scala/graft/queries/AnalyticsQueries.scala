@@ -668,6 +668,38 @@ WITH m AS (
   FROM events WHERE value IS NOT NULL GROUP BY event_type)
 SELECT event_type, med AS p50, med AS p50_list FROM m ORDER BY event_type"""
 
+  /** WEIGHTED exact median (ClickHouse `quantileExactWeighted`): p50 of
+    * lineitem extended price weighted by quantity — the element whose
+    * cumulative weight first reaches floor((W−1)·0.5)+1. Same
+    * no-holistic-buffer decomposition as [[saltedValueMedian]]; the
+    * oracle replays the cumulative-weight walk in SQL. */
+  def saltedValueMedianWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables(spark, sfDir, "lineitem")
+      .select($"l_returnflag", $"l_extendedprice", $"l_quantity")
+    graft.operators.Salting.exactPercentileWeighted(
+        li, "l_returnflag", "l_extendedprice", 0.5, weight = Some("l_quantity"))
+      .orderBy("l_returnflag")
+  }
+
+  val saltedValueMedianWeightedOracle: String = """
+WITH c AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         SUM(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND CAST(l_quantity AS BIGINT) > 0
+  GROUP BY 1, 2),
+r AS (
+  SELECT l_returnflag, v, w,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM c)
+SELECT l_returnflag, v AS p50
+FROM r
+WHERE cum - w < FLOOR((tot - 1) * 0.5) + 1 AND FLOOR((tot - 1) * 0.5) + 1 <= cum
+ORDER BY l_returnflag"""
+
   /** Manual salted fact⨝dim join ([[graft.operators.Salting.skewJoin]]):
     * lineitem (fact, potentially key-skewed) against orders (dim side,
     * replicated ×salts) — result must equal the plain inner join, which
@@ -719,6 +751,40 @@ GROUP BY 1 ORDER BY 1"""
   val eventsAsofPurchaseOracle: String = """
 SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, e.event_type,
        p.last_purchase_us, p.purchase_value
+FROM events e
+ASOF LEFT JOIN (
+  SELECT user_id, ts, epoch_us(ts) AS last_purchase_us, value AS purchase_value
+  FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+ORDER BY e.event_id"""
+
+  /** [[eventsAsofPurchase]] with a 7-day match tolerance (pandas
+    * `merge_asof(tolerance=…)`): a purchase older than the bound yields
+    * NULLS — it does not fall through to an even older one. The oracle
+    * is the native ASOF JOIN with the too-old match nulled by CASE,
+    * which is exactly that semantics. */
+  def eventsAsofPurchaseTol(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, sfDir, "events")
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+    val purchases = Tables(spark, sfDir, "events")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"ts",
+        unix_micros($"ts").as("last_purchase_us"), $"value".as("purchase_value"))
+    graft.operators.AsofJoin.asofJoin(ev, purchases, "user_id", "ts", "ts",
+        Seq("last_purchase_us", "purchase_value"),
+        tolerance = Some(7L * 24 * 3600 * 1000000))
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+        $"event_type", $"last_purchase_us", $"purchase_value")
+      .orderBy($"event_id")
+  }
+
+  val eventsAsofPurchaseTolOracle: String = """
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, e.event_type,
+       CASE WHEN epoch_us(e.ts) - p.last_purchase_us <= 604800000000
+            THEN p.last_purchase_us END AS last_purchase_us,
+       CASE WHEN epoch_us(e.ts) - p.last_purchase_us <= 604800000000
+            THEN p.purchase_value END AS purchase_value
 FROM events e
 ASOF LEFT JOIN (
   SELECT user_id, ts, epoch_us(ts) AS last_purchase_us, value AS purchase_value

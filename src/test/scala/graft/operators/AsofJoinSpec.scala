@@ -64,4 +64,27 @@ class AsofJoinSpec extends AnyFunSuite {
       .collect().head
     assert(row.isNullAt(3), "null-time right rows must be excluded")
   }
+
+  test("tolerance: too-old matches null out, they don't fall through to older rows") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "k", 200L),  // match at 200: distance 0 → kept
+      (2L, "k", 299L),  // latest <= is 200, distance 99 <= 100 → kept
+      (3L, "k", 300L),  // distance 100, inclusive bound → kept
+      (4L, "k", 301L),  // distance 101 → NULL (not the older 50 either)
+      (5L, "k", 460L)   // latest <= is 400, distance 60 → kept
+    ).toDF("id", "k", "t")
+    val right = Seq(("k", 50L, "old"), ("k", 200L, "a"), ("k", 400L, "b"))
+      .toDF("k", "t", "v")
+    val out = AsofJoin.asofJoin(left, right, "k", "t", "t", Seq("v"),
+        tolerance = Some(100L))
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(out == Map(1L -> Some("a"), 2L -> Some("a"), 3L -> Some("a"),
+      4L -> None, 5L -> Some("b")))
+    // no tolerance = the unbounded operator, unchanged
+    val unbounded = AsofJoin.asofJoin(left, right, "k", "t", "t", Seq("v"))
+      .orderBy("id").collect().map(r => Option(r.getString(3)))
+    assert(unbounded.forall(_.isDefined))
+  }
 }

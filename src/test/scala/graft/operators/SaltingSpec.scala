@@ -52,6 +52,29 @@ class SaltingSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted percentile equals replicate-then-unweighted, non-positive weights dropped") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1.0, 3L), ("a", 5.0, 1L), ("a", 2.0, 2L),  // multiset 1,1,1,2,2,5
+      ("b", 9.0, 0L), ("b", 4.0, 0L), ("b", 7.0, -2L), // zero/negative ignored
+      ("c", 3.0, 4L))
+    val df = rows.toDF("k", "v", "w")
+    for (p <- Seq(0.0, 0.25, 0.5, 0.9, 1.0)) {
+      val got = Salting.exactPercentileWeighted(df, "k", "v", p, Some("w"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // reference: physically replicate each row `w` times, unweighted
+      val replicated = rows.flatMap { case (k, v, w) =>
+        Seq.fill(math.max(0, w.toInt))((k, v))
+      }.toDF("k", "v")
+      val ref = Salting.exactPercentile(replicated, "k", "v", p)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got == ref, s"p=$p")
+    }
+    // all-nonpositive-weight key emits no row
+    assert(!Salting.exactPercentileWeighted(df, "k", "v", 0.5, Some("w"))
+      .collect().map(_.getString(0)).contains("b"))
+  }
+
   test("exact percentile ignores nulls and emits one row per key") {
     import spark.implicits._
     val df = Seq(("a", Some(3.0)), ("a", None), ("a", Some(1.0)), ("b", None))
