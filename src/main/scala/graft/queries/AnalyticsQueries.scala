@@ -668,6 +668,44 @@ WITH m AS (
   FROM events WHERE value IS NOT NULL GROUP BY event_type)
 SELECT event_type, med AS p50, med AS p50_list FROM m ORDER BY event_type"""
 
+  /** ClickHouse `argMax` (the single most common migration idiom: "the
+    * row's value at the key's latest timestamp"): last event type and
+    * value per user, plus first (argMin) type, in ONE aggregation —
+    * Spark's codegen'd `max_by`/`min_by`, no window, no self-join. Ties
+    * on the timestamp are broken by the event struct's remaining fields
+    * (deterministic on this data: event_id is unique). */
+  def eventsArgMax(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, sfDir, "events")
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        unix_micros($"ts").as("ts_us"))
+    // tie-break: order by (ts_us, event_id) — max_by/min_by take a
+    // struct ordering key so equal timestamps can't flap between runs
+    ev.groupBy($"user_id")
+      .agg(
+        max_by($"event_type", struct($"ts_us", $"event_id")).as("last_type"),
+        max_by($"value", struct($"ts_us", $"event_id")).as("last_value"),
+        min_by($"event_type", struct($"ts_us", $"event_id")).as("first_type"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val eventsArgMaxOracle: String = """
+WITH r AS (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rl,
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY epoch_us(ts), event_id) AS rf,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events)
+SELECT user_id,
+       max(CASE WHEN rl = 1 THEN event_type END) AS last_type,
+       max(CASE WHEN rl = 1 THEN value END) AS last_value,
+       max(CASE WHEN rf = 1 THEN event_type END) AS first_type,
+       CAST(max(n) AS BIGINT) AS n_events
+FROM r GROUP BY user_id ORDER BY user_id"""
+
   /** WEIGHTED exact median (ClickHouse `quantileExactWeighted`): p50 of
     * lineitem extended price weighted by quantity — the element whose
     * cumulative weight first reaches floor((W−1)·0.5)+1. Same

@@ -198,6 +198,36 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a replayed micro-batch overwrites its own partition: no double-admission") {
+    import spark.implicits._
+    def doc(topic: String): String =
+      s"the $topic system and the $topic runtime are the part of the " +
+        s"$topic stack which reads the $topic rows and the $topic tables " +
+        s"while it is the $topic job that keeps the $topic data in the " +
+        s"$topic store for the $topic users of the $topic week"
+    val indexPath = java.nio.file.Files
+      .createTempDirectory("graft-ndretry").toString + "/index"
+    val gate = StreamingAnalytics.nearDedupIntake(indexPath, threshold = 0.5)
+    gate(Seq((1L, doc("spark"))).toDF("doc_id", "text"), 0L)
+    val batch1 = Seq((2L, doc("flink"))).toDF("doc_id", "text")
+    gate(batch1, 1L)
+    val before = spark.read.parquet(indexPath)
+      .select("id", "batch_id").as[(Long, Long)].collect().toSet
+    // foreachBatch's at-least-once: the SAME batch id replays after a
+    // failure — dynamic partition overwrite must leave the index exactly
+    // as if it ran once
+    gate(batch1, 1L)
+    val after = spark.read.parquet(indexPath)
+      .select("id", "batch_id").as[(Long, Long)].collect().toSet
+    assert(after == before && before == Set((1L, 0L), (2L, 1L)),
+      s"replay must be idempotent: before=$before after=$after")
+    // and the replayed doc was NOT flagged as a dup of itself mid-retry:
+    // a third batch near-copying doc 2 still dedupes against ONE copy
+    gate(Seq((3L, doc("flink").replace("rows", "records"))).toDF("doc_id", "text"), 2L)
+    val ids = spark.read.parquet(indexPath).select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L), "near copy of the replayed doc must be dropped")
+  }
+
   test("index compaction collapses batch partitions and gating continues unchanged") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
