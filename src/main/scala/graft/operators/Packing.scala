@@ -61,4 +61,67 @@ object Packing {
         (least(col("tok_before") + col("n_tok"), col("seq_start") + seqLen)
           - col("span_start")).as("tok_len"))
   }
+
+  /** DOCUMENT-ATOMIC packing — the no-split sibling of [[packManifest]]
+    * for pipelines that must not truncate or splice documents (SFT
+    * examples, contrastive pairs, anything where a half document is
+    * garbage): within each shard, first-fit-decreasing bin packing of
+    * whole documents into `seqLen`-token bins.
+    *
+    * Scale design: ONE hash exchange on the shard + an in-partition sort
+    * on (shard, n_tok DESC, doc_id) — the secondary-sort pattern — then
+    * a streaming per-shard FFD fold. FFD keeps every bin's remaining
+    * capacity; documents arrive largest-first, so the classic guarantee
+    * holds: AT MOST ONE bin per shard ends ≤ half full (two half-empty
+    * bins contradict first-fit — the later bin's first doc, ≤ half a
+    * bin by arrival order, would have fit the earlier one). That
+    * invariant is the driver-checkable liveness proof
+    * (`corpus_pack_bins_violations`); the assignment itself is
+    * order-dependent, so the driver row is rows-only and the spec
+    * differentials a reference FFD. Open-bin state is bounded by
+    * bins-per-shard; for 100 TB shards cap memory by pre-splitting
+    * shards (the caller owns shard granularity, same contract as
+    * [[packManifest]]).
+    *
+    * Documents longer than `seqLen` cannot pack whole — they are
+    * EMITTED with `bin_id = -1` rather than silently dropped, so the
+    * caller decides (truncate, split via [[packManifest]], discard).
+    *
+    * @return (shard, bin_id, doc_id, n_tok, bin_off): document occupies
+    *         [bin_off, bin_off + n_tok) of its shard's bin. */
+  def packBins(docs: DataFrame, idCol: String, shardCol: String,
+               nTok: Column, seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val slim = docs.select(col(shardCol).cast("string").as("shard"),
+        col(idCol).cast("long").as("doc_id"), nTok.cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .as[(String, Long, Long)]
+    slim
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("n_tok").desc, col("doc_id"))
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(String, Long, Long, Long, Long)] {
+          private var shard: String = _
+          // open bins: (bin id, used tokens); FFD scans first-fit order
+          private var bins = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+          def hasNext: Boolean = buf.hasNext
+          def next(): (String, Long, Long, Long, Long) = {
+            val (s, id, n) = buf.next()
+            if (s != shard) { shard = s; bins = scala.collection.mutable.ArrayBuffer() }
+            if (n > seqLen) (s, -1L, id, n, -1L)
+            else {
+              val i = bins.indexWhere(_._2 + n <= seqLen)
+              val (bin, off) =
+                if (i >= 0) { val b = bins(i); bins(i) = (b._1, b._2 + n); (b._1, b._2) }
+                else { bins += ((bins.length.toLong, n)); (bins.length - 1L, 0L) }
+              (s, bin, id, n, off)
+            }
+          }
+        }
+      }
+      .toDF("shard", "bin_id", "doc_id", "n_tok", "bin_off")
+  }
 }

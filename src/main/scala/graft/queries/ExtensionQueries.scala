@@ -985,6 +985,62 @@ FROM documents ORDER BY doc_id"""
 
   /** GPT-style sequence-pack manifest at seqLen=1024, sharded by source
     * ([[Packing.packManifest]]). */
+  /** Document-atomic FFD packing ([[Packing.packBins]]) — assignment is
+    * order-dependent → rows-only driver check; the invariants that make
+    * it a CORRECT packing are proved by [[corpusPackBinsViolations]] and
+    * the FFD differential in CorpusOpsSpec. seqLen 96 sits just under
+    * the corpus's 99-token max so the sf corpora produce multi-doc
+    * bins AND real oversize (-1) rows. */
+  private val PackBinsSeqLen = 96
+  def corpusPackBins(spark: SparkSession, sfDir: String): DataFrame =
+    Packing.packBins(Tables(spark, sfDir, "documents"), "doc_id", "source",
+        size(TextAnalysis.tokens(col("text"))), seqLen = PackBinsSeqLen)
+      .orderBy("shard", "bin_id", "doc_id")
+
+  /** Driver-checkable packing invariants, none requiring the (order-
+    * dependent) assignment itself:
+    *  1. conservation — every tokenized doc appears exactly once;
+    *  2. capacity — no bin's token sum exceeds seqLen;
+    *  3. tiling — within a bin, offset spans tile [0, load) exactly;
+    *  4. oversize — bin_id = -1 exactly for docs with n_tok > seqLen;
+    *  5. FFD liveness — at most ONE bin per shard at most half full
+    *     (two contradict first-fit), the bound that makes "packed"
+    *     mean something at 100 TB. */
+  def corpusPackBinsViolations(spark: SparkSession, sfDir: String): DataFrame = {
+    val seqLen = PackBinsSeqLen
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source").as("shard"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+    val packed = Packing.packBins(Tables(spark, sfDir, "documents"), "doc_id",
+      "source", size(TextAnalysis.tokens(col("text"))), seqLen = seqLen)
+    val conservation = docs.join(packed.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_assign")), Seq("doc_id"), "left_outer")
+      .agg(count(when(coalesce(col("n_assign"), lit(0L)) =!= 1L, 1)).as("v1"))
+    val binAgg = packed.filter(col("bin_id") >= 0)
+      .groupBy("shard", "bin_id")
+      .agg(sum(col("n_tok")).as("load"))
+    val capacity = binAgg.agg(count(when(col("load") > seqLen, 1)).as("v2"))
+    // exact tiling: in bin_off order every span starts where the
+    // previous one ended (first at 0) — endpoint sums alone would miss
+    // an overlap canceled by an equal gap
+    val wBin = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard", "bin_id").orderBy("bin_off")
+    val tiling = packed.filter(col("bin_id") >= 0)
+      .withColumn("prev_end",
+        lag(col("bin_off") + col("n_tok"), 1, 0L).over(wBin))
+      .agg(count(when(col("bin_off") =!= col("prev_end"), 1)).as("v3"))
+    val oversize = packed.agg(
+      count(when((col("bin_id") === -1L) =!= (col("n_tok") > seqLen), 1)).as("v4"))
+    val liveness = binAgg.filter(col("load") * 2 <= seqLen)
+      .groupBy("shard").agg(count(lit(1)).as("n_half"))
+      .agg(count(when(col("n_half") > 1, 1)).as("v5"))
+    conservation.crossJoin(capacity).crossJoin(tiling)
+      .crossJoin(oversize).crossJoin(liveness)
+      .select((col("v1") + col("v2") + col("v3") + col("v4") + col("v5"))
+        .as("n_violations"), lit(1L).as("has_pairs"))
+  }
+
   def corpusPackSequences(spark: SparkSession, sfDir: String): DataFrame =
     Packing.packManifest(Tables(spark, sfDir, "documents"), "doc_id", "source",
         size(TextAnalysis.tokens(col("text"))), seqLen = 1024)

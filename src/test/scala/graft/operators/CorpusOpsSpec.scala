@@ -386,6 +386,57 @@ class CorpusOpsSpec extends AnyFunSuite {
       (0L, 3L, 5L, 0L, 3L)))  // doc 3 starts right after doc 2: -1 shifted nothing
   }
 
+  test("packBins: first-fit-decreasing reference, oversize sentinel, order invariance") {
+    import spark.implicits._
+    def referenceFfd(docs: Seq[(Long, Long)], cap: Long): Map[Long, (Long, Long)] = {
+      // (doc_id -> (bin, off)) — textbook FFD, largest first, id tiebreak
+      val bins = scala.collection.mutable.ArrayBuffer[Long]()
+      val out = scala.collection.mutable.Map[Long, (Long, Long)]()
+      docs.sortBy { case (id, n) => (-n, id) }.foreach { case (id, n) =>
+        if (n > cap) out(id) = (-1L, -1L)
+        else {
+          val i = bins.indexWhere(_ + n <= cap)
+          if (i >= 0) { out(id) = (i.toLong, bins(i)); bins(i) += n }
+          else { out(id) = (bins.length.toLong, 0L); bins += n }
+        }
+      }
+      out.toMap
+    }
+    val docs = Seq( // (id, tokens) incl. an oversize and exact-fit edge
+      (1L, 60L), (2L, 50L), (3L, 40L), (4L, 40L), (5L, 10L),
+      (6L, 101L), (7L, 100L), (8L, 1L))
+    val expected = referenceFfd(docs, cap = 100L)
+    for (seed <- Seq(0, 1, 2)) { // input order must not matter
+      val shuffled = new scala.util.Random(seed).shuffle(docs)
+      val df = shuffled.map { case (id, n) => (id, "s", n) }
+        .toDF("doc_id", "shard", "n_tok").repartition(3 + seed)
+      val got = Packing.packBins(df, "doc_id", "shard", col("n_tok"), seqLen = 100)
+        .collect().map(r => r.getLong(2) -> (r.getLong(1), r.getLong(4))).toMap
+      assert(got == expected, s"seed=$seed")
+    }
+    // shards pack independently
+    val multi = Seq((1L, "a", 80L), (2L, "b", 80L), (3L, "a", 20L))
+      .toDF("doc_id", "shard", "n_tok")
+    val m = Packing.packBins(multi, "doc_id", "shard", col("n_tok"), 100)
+      .collect().map(r => r.getLong(2) -> (r.getString(0), r.getLong(1), r.getLong(4))).toMap
+    assert(m == Map(1L -> (("a", 0L, 0L)), 2L -> (("b", 0L, 0L)), 3L -> (("a", 0L, 80L))))
+  }
+
+  test("packBins FFD liveness: at most one bin per shard ends half-empty") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val docs = (1L to 400L).map(id => (id, "s" + (id % 3), 1L + rnd.nextInt(100)))
+      .toDF("doc_id", "shard", "n_tok")
+    val loads = Packing.packBins(docs, "doc_id", "shard", col("n_tok"), 128)
+      .filter(col("bin_id") >= 0)
+      .groupBy("shard", "bin_id").agg(sum("n_tok").as("load"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    loads.groupBy(_._1).foreach { case (shard, ls) =>
+      val halfEmpty = ls.count(_._2 * 2 <= 128)
+      assert(halfEmpty <= 1, s"shard $shard: $halfEmpty bins <= half full")
+    }
+  }
+
   // --------------------------------------------------------- upsample ----
 
   test("upsample: repeat factors, weightedSample agreement, monotone nesting") {
