@@ -229,6 +229,55 @@ object TextAnalysis {
       .drop("n_total")
   }
 
+  /** WEIGHTED heavy hitters (SpaceSaving, Metwally et al. 2005) — "which
+    * items carry more than 1/(k+1) of the total WEIGHT": heavy sources
+    * by token mass, heavy domains by bytes — where [[heavyHitters]]
+    * counts occurrences. Same two-phase discipline: per-partition
+    * SpaceSaving summaries with k+1 counters (an eviction inherits the
+    * minimum counter + the new weight, so any item whose true partition
+    * weight exceeds W_p/(k+1) is guaranteed present at partition end; a
+    * globally heavy item is partition-heavy somewhere by averaging →
+    * always a candidate), then an EXACT recount of the bounded candidate
+    * set and the integer threshold — the emitted answer is exact, so the
+    * driver oracle states it in plain SQL. Eviction scans the counter
+    * table (O(k) per eviction) — right for report-sized k; use a heap
+    * variant before pushing k into the thousands.
+    *
+    * @return (item, weight) for every item with
+    *         total weight × (k+1) > Σ weights. */
+  def heavyHittersWeighted(df: DataFrame, itemCol: String, weightCol: String,
+                           k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(itemCol).cast("string").as("item"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("item").isNotNull && col("w") > 0)
+      .as[(String, Long)]
+    val candidates = rows.mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      val cap = k + 1
+      it.foreach { case (item, w) =>
+        if (counts.contains(item) || counts.size < cap)
+          counts.update(item, counts.getOrElse(item, 0L) + w)
+        else {
+          val (minItem, minW) = counts.minBy(_._2)
+          counts.remove(minItem)
+          counts.update(item, minW + w) // SpaceSaving: inherit the minimum
+        }
+      }
+      counts.keysIterator.map(Tuple1(_))
+    }.toDF("item").distinct()
+    val totalFrame = rows.toDF("item", "w")
+      .agg(coalesce(sum(col("w")), lit(0L)).as("w_total"))
+    rows.toDF("item", "w")
+      .join(broadcast(candidates), "item")
+      .groupBy("item").agg(sum(col("w")).as("weight"))
+      .crossJoin(broadcast(totalFrame))
+      .filter(col("weight") * (k + 1) > col("w_total"))
+      .drop("w_total")
+  }
+
   /** Corpus-relative token-frequency quality (the CCNet-style signal the
     * per-document [[qualityColumns]] cannot see): per document, the mean
     * document frequency of its DISTINCT tokens and its hapax ratio

@@ -985,6 +985,27 @@ FROM documents ORDER BY doc_id"""
 
   /** GPT-style sequence-pack manifest at seqLen=1024, sharded by source
     * ([[Packing.packManifest]]). */
+  /** Token-MASS heavy hitters ([[TextAnalysis.heavyHittersWeighted]]):
+    * which sources carry more than 1/(k+1) of the corpus's tokens — the
+    * mixture-governance question behind per-source caps. k = 18 puts
+    * the threshold just under this corpus's ~5%-uniform source shares
+    * so the answer is non-trivially selective. Exact thresholded
+    * answer → plain SQL oracle. */
+  def corpusHeavySources(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("source"), size(TextAnalysis.tokens(col("text"))).as("n_tok"))
+    TextAnalysis.heavyHittersWeighted(docs, "source", "n_tok", k = 18)
+      .orderBy("item")
+  }
+
+  val corpusHeavySourcesOracle: String = """
+WITH w AS (
+  SELECT source AS item,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS weight
+  FROM documents GROUP BY 1),
+t AS (SELECT SUM(weight) AS w_total FROM w)
+SELECT item, weight FROM w, t WHERE weight * 19 > w_total ORDER BY item"""
+
   /** Document-atomic FFD packing ([[Packing.packBins]]) — assignment is
     * order-dependent → rows-only driver check; the invariants that make
     * it a CORRECT packing are proved by [[corpusPackBinsViolations]] and

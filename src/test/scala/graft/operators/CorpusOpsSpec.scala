@@ -270,6 +270,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(many == want, "the sketch's candidate set varies with partitioning; the answer must not")
   }
 
+  test("weighted heavy hitters: exact above the weight threshold, partitioning-independent") {
+    import spark.implicits._
+    // skew by WEIGHT, not occurrence count: 'whale' appears once with a
+    // huge weight, 'ants' appears constantly with tiny weights summing
+    // under the bar, 'mid' crosses it by accumulation
+    val rows = Seq(("whale", 5000L)) ++
+      (1 to 400).map(i => (s"ant$i", 1L)) ++
+      (1 to 40).map(_ => ("mid", 30L))
+    val k = 5
+    val w = rows.map(_._2).sum
+    val want = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .filter { case (_, s) => s * (k + 1) > w }.toMap
+    assert(want.keySet == Set("whale", "mid"), s"fixture sanity: $want")
+    def run(parts: Int, seed: Int): Map[String, Long] = {
+      val shuffled = new scala.util.Random(seed).shuffle(rows)
+      TextAnalysis.heavyHittersWeighted(
+          shuffled.toDF("item", "w").repartition(parts), "item", "w", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    assert(run(1, 0) == want)
+    assert(run(17, 1) == want,
+      "summary contents vary with partitioning/order; the thresholded answer must not")
+    // null items and non-positive weights are ignored
+    val withJunk = (rows.map { case (i, v) => (Option(i), v) } ++
+      Seq((None, 99999L), (Option("neg"), -5L))).toDF("item", "w")
+    assert(TextAnalysis.heavyHittersWeighted(withJunk, "item", "w", k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == want)
+  }
+
   // ------------------------------------------------------- freqQuality ----
 
   test("token-frequency quality: hand-checked df and hapax ratios") {
