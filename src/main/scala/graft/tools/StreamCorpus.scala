@@ -1,0 +1,73 @@
+package graft.tools
+
+import graft.streaming.StreamingAnalytics
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+/** Continuous corpus ingest CLI — the streaming completion of
+  * [[CleanCorpus]]: watch a directory for new document parquet
+  * (doc_id, text, source, …), gate each micro-batch through
+  * [[StreamingAnalytics.nearDedupIntake]] (quality → exact dedup →
+  * within-batch near-dedup → near-dedup against the standing signature
+  * index), append the survivors to the corpus store, and grow the index.
+  *
+  * Point `--index` at a [[CleanCorpus]] `nd_index/` output to bootstrap
+  * from a batch-built corpus: new crawls then dedupe against everything
+  * the batch build admitted, without re-shingling it. Every
+  * `--compact-every` batches the index's per-batch partitions are
+  * collapsed ([[StreamingAnalytics.compactIndex]]) so scan cost doesn't
+  * grow with micro-batch count.
+  *
+  * Composition + I/O only — semantics live in the spec'd operators.
+  *
+  * Usage: StreamCorpus <inputDir> <outDir> [--follow]
+  * Env: SPARK_GRAFT_ND_INDEX_PATH (default <outDir>/nd_index),
+  * SPARK_GRAFT_MIN_QUALITY (default 0.5), SPARK_GRAFT_ND_THRESHOLD
+  * (default 0.7), SPARK_GRAFT_COMPACT_EVERY (default 64 batches, 0 = off).
+  */
+object StreamCorpus {
+  def main(args: Array[String]): Unit = {
+    val inputDir = args(0)
+    val outDir = args(1)
+    val follow = args.length > 2 && args(2) == "--follow"
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+      .appName("graft-stream-corpus")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val indexPath = sys.env.getOrElse("SPARK_GRAFT_ND_INDEX_PATH", s"$outDir/nd_index")
+    val minQuality = sys.env.getOrElse("SPARK_GRAFT_MIN_QUALITY", "0.5").toDouble
+    val threshold = sys.env.getOrElse("SPARK_GRAFT_ND_THRESHOLD", "0.7").toDouble
+    val compactEvery = sys.env.getOrElse("SPARK_GRAFT_COMPACT_EVERY", "64").toInt
+
+    val docs = spark.readStream
+      .schema(spark.read.parquet(inputDir).schema) // file source needs a fixed schema
+      .parquet(inputDir)
+
+    val gate = StreamingAnalytics.nearDedupIntake(indexPath,
+      minQuality = minQuality, threshold = threshold,
+      sink = (survivors, batchId) => {
+        val n = survivors.count()
+        survivors.write.mode("append").parquet(s"$outDir/clean")
+        println(s"[stream-corpus] batch=$batchId admitted=$n")
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          StreamingAnalytics.compactIndex(spark, indexPath)
+          println(s"[stream-corpus] batch=$batchId compacted index")
+        }
+      })
+
+    val q = docs.writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .foreachBatch(gate)
+      .trigger(if (follow) Trigger.ProcessingTime("5 seconds")
+        else Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.stop()
+  }
+}
