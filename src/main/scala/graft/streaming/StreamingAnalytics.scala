@@ -164,6 +164,82 @@ object StreamingAnalytics {
     } finally exactDeduped.unpersist()
   }
 
+  /** Keyed state for [[sequenceCountUpdates]]: events inside the
+    * watermark horizon buffer until their time is FINAL, then fold into
+    * the counter-promotion DP ([[graft.operators.SequenceCount]]
+    * semantics, verbatim). Counter arrays are k+1 longs; the buffer is
+    * bounded by the lateness horizon per key. */
+  case class SeqCountState(buf: List[(Long, Int)], counters: List[Long],
+                           fresh: List[Long], curTs: Long, opened: Long)
+
+  /** Streaming `sequenceCount` — disjoint strictly-increasing chain
+    * matches per key, continuously (the live sibling of
+    * [[graft.operators.SequenceCount.sequenceCount]]). The DP needs
+    * events in time order, so arrivals BUFFER in keyed state until the
+    * watermark passes their timestamp (late data beyond `lateness` is
+    * dropped by the watermark, same contract as every operator here);
+    * final-timed events fold in sorted order into the same
+    * counters/fresh discipline — the fold is order-independent among
+    * equal timestamps, so micro-batch boundaries cannot change a count
+    * (streaming ≡ batch, differential-pinned in the spec). An event-time
+    * timeout drains a key's buffer when no new events arrive for it.
+    *
+    * Emits, in Update mode, one row per key per trigger with activity:
+    * (user_id, n_matches, folded_through_us) — n_matches is monotone,
+    * so consumers read the latest row per key.
+    *
+    * @param events streaming frame with `user_id`, `event_type`,
+    *               event-time `timestamp` columns */
+  def sequenceCountUpdates(events: DataFrame, steps: Seq[String],
+                           lateness: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(steps.nonEmpty, "need at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val k = steps.size
+    val stepIdx = steps.zipWithIndex.toMap
+    val typed = events
+      .withWatermark("timestamp", lateness)
+      .select(col("user_id").cast("long"), col("event_type").cast("string"),
+        col("timestamp"))
+      .as[(Long, String, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        (key: Long, it: Iterator[(Long, String, java.sql.Timestamp)],
+         state: GroupState[SeqCountState]) => {
+          val st = state.getOption.getOrElse(SeqCountState(
+            Nil, List.fill(k + 1)(0L), List.fill(k + 1)(0L), Long.MinValue, 0L))
+          val incoming = it.flatMap { case (_, tpe, ts) =>
+            stepIdx.get(tpe).map(i => (ts.getTime * 1000L, i + 1))
+          }.toList
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, pending) = (st.buf ++ incoming).partition(_._1 <= wmUs)
+          val counters = st.counters.toArray
+          val fresh = st.fresh.toArray
+          var curTs = st.curTs
+          var opened = st.opened
+          ready.sortBy(identity).foreach { case (ts, i) =>
+            if (ts != curTs) {
+              var j = 1
+              while (j <= k) { counters(j) += fresh(j); fresh(j) = 0; j += 1 }
+              curTs = ts
+            }
+            if (i == 1) { fresh(1) += 1; opened += 1 }
+            else if (counters(i - 1) > 0) { counters(i - 1) -= 1; fresh(i) += 1 }
+          }
+          state.update(SeqCountState(pending, counters.toList, fresh.toList,
+            curTs, opened))
+          // drain the buffer even if this key never hears another event:
+          // wake when the watermark passes the earliest pending timestamp
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(pending.map(_._1).min / 1000L + 1)
+          if (opened > 0 && ready.nonEmpty)
+            Iterator((key, counters(k) + fresh(k), curTs))
+          else Iterator.empty
+        })
+      .toDF("user_id", "n_matches", "folded_through_us")
+  }
+
   /** Compact a [[nearDedupIntake]] standing index: one parquet partition
     * per micro-batch is the idempotent-retry contract, but thousands of
     * ingest batches mean thousands of small files — the classic

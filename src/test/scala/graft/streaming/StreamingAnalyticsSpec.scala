@@ -198,6 +198,50 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sequenceCount equals the batch fold, out-of-order arrivals included") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val name = s"seqcount_${System.nanoTime()}"
+    val q = StreamingAnalytics.sequenceCountUpdates(
+        mem.toDF().toDF("timestamp", "user_id", "event_type"),
+        steps = Seq("view", "click"), lateness = "10 minutes")
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName(name).start()
+    val events = scala.collection.mutable.ArrayBuffer[(Timestamp, Long, String)]()
+    def add(rows: (Timestamp, Long, String)*): Unit = {
+      events ++= rows; mem.addData(rows: _*); q.processAllAvailable()
+    }
+    try {
+      // batch 1: user 1 completes one chain; user 2 opens only
+      add((ts(1), 1L, "view"), (ts(2), 1L, "click"), (ts(3), 2L, "view"))
+      // batch 2: OUT OF ORDER inside the horizon — a view at ts(4)
+      // arrives after a click at ts(5) was announced; the buffered fold
+      // must still chain view(4) -> click(5)
+      add((ts(5), 1L, "click"), (ts(4), 1L, "view"), (ts(6), 2L, "click"))
+      // advance the watermark far past every event, then once more so
+      // the event-time timeout drains the remaining buffers
+      add((ts(50), 3L, "view"))
+      add((ts(55), 3L, "view"))
+      val got = spark.table(name)
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.max("n_matches").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // batch reference over every event whose time the watermark passed
+      val wmUs = (ts(55).getTime - 10 * 60 * 1000) * 1000L
+      val folded = events.filter(_._1.getTime * 1000L <= wmUs)
+        .map { case (t, u, e) => (u, e, t.getTime * 1000L) }.toSeq
+      val batch = graft.operators.SequenceCount.sequenceCount(
+          folded.toDF("user_id", "event_type", "t_us"),
+          "user_id", "event_type", "t_us", Seq("view", "click"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.view.filterKeys(_ != 3L).toMap ==
+        batch.view.filterKeys(_ != 3L).toMap,
+        s"streaming $got vs batch $batch")
+      assert(got(1L) == 2L, "both chains counted, including the out-of-order one")
+      assert(got(2L) == 1L)
+    } finally q.stop()
+  }
+
   test("a replayed micro-batch overwrites its own partition: no double-admission") {
     import spark.implicits._
     def doc(topic: String): String =
