@@ -668,6 +668,63 @@ WITH m AS (
   FROM events WHERE value IS NOT NULL GROUP BY event_type)
 SELECT event_type, med AS p50, med AS p50_list FROM m ORDER BY event_type"""
 
+  /** ClickHouse array higher-order surface (`arrayMap` / `arrayFilter` /
+    * `arrayReduce` — what a migration leans on constantly): per user,
+    * collect the sorted event values, transform (×2), filter (> median
+    * of the corpus? no — a fixed 50.0 bound, engine-portable), and
+    * aggregate (sum) — all as Spark's codegen'd lambda functions
+    * `transform`/`filter`/`aggregate` over one collected array, proving
+    * the HOF surface end-to-end against DuckDB's list lambdas. Values
+    * ride fixed-point longs (cents) so no float crosses the boundary. */
+  def sqlArrayHof(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "events")
+      .select($"user_id",
+        floor($"value" * 100 + 0.5).cast("long").as("cents"))
+      .groupBy($"user_id")
+      .agg(array_sort(collect_list($"cents")).as("vals"))
+      .select($"user_id",
+        size($"vals").as("n"),
+        aggregate(transform($"vals", v => v * 2), lit(0L), _ + _).as("sum_doubled"),
+        size(filter($"vals", _ > 5000L)).as("n_over_50"))
+      .orderBy("user_id")
+  }
+
+  val sqlArrayHofOracle: String = """
+WITH v AS (
+  SELECT user_id,
+         list_sort(list(CAST(floor(value * 100 + 0.5) AS BIGINT))) AS vals
+  FROM events GROUP BY user_id)
+SELECT user_id,
+       CAST(len(vals) AS INTEGER) AS n,
+       CAST(list_aggregate(list_transform(vals, v -> v * 2), 'sum') AS BIGINT)
+         AS sum_doubled,
+       CAST(len(list_filter(vals, v -> v > 5000)) AS INTEGER) AS n_over_50
+FROM v ORDER BY user_id"""
+
+  /** ClickHouse `histogram`-style fixed-width value histogram via
+    * `width_bucket` (both engines implement the SQL-standard function):
+    * event values over [0, 500) in 20 buckets, per event type. */
+  def eventsValueHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "events")
+      .filter($"value".isNotNull)
+      .groupBy($"event_type",
+        width_bucket($"value", lit(0.0), lit(500.0), lit(20)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "bucket")
+  }
+
+  // DuckDB has no width_bucket; the oracle states Spark's exact formula
+  // (floor(numBuckets·(v − min)/(max − min)) + 1, in-range values only —
+  // this corpus is within [0, 500) by construction)
+  val eventsValueHistogramOracle: String = """
+SELECT event_type,
+       CAST(floor(20 * value / 500.0) + 1 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** ClickHouse `argMax` (the single most common migration idiom: "the
     * row's value at the key's latest timestamp"): last event type and
     * value per user, plus first (argMin) type, in ONE aggregation —
