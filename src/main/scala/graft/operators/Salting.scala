@@ -114,6 +114,37 @@ object Salting {
       .select(col(key), col("_v").as(outCol))
   }
 
+  /** Multi-percentile sibling of [[exactPercentile]] (ClickHouse
+    * `quantilesExact(p…)(x)`): ALL requested percentiles from the ONE
+    * (key, value, count) histogram + cumulative-sum frame — the whole
+    * point of the decomposition is that extra percentiles are extra
+    * FILTERS, not extra scans or shuffles. Emits one row per key with a
+    * `p<pct>` column per requested percentile (lower-interpolation
+    * discrete values, like the single-p operator). */
+  def exactPercentiles(df: DataFrame, key: String, value: String,
+                       ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty, "need at least one percentile")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0), s"percentile out of range: $ps")
+    val labels = ps.map(p => s"p${math.round(p * 100)}")
+    require(labels.distinct.size == labels.size,
+      s"percentiles collide after rounding to integer labels: $labels")
+    val counts = df.filter(col(value).isNotNull)
+      .groupBy(col(key), col(value).as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val wCum = Window.partitionBy(key).orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(key)
+    val cum = counts
+      .withColumn("_cum", sum(col("_c")).over(wCum))
+      .withColumn("_n", sum(col("_c")).over(wAll))
+    val picks = ps.zip(labels).map { case (p, label) =>
+      val rank = floor((col("_n") - 1) * lit(p)) + 1
+      max(when(col("_cum") - col("_c") < rank && rank <= col("_cum"),
+        col("_v"))).as(label)
+    }
+    cum.groupBy(col(key)).agg(picks.head, picks.tail: _*)
+  }
+
   /** Salted inner equi-join for EXTREME key skew — the manual fallback
     * when AQE's skew-join split (which only splits oversized partitions
     * of a sort-merge join after the fact) isn't enough: a hot key whose

@@ -763,6 +763,30 @@ SELECT user_id,
        CAST(max(n) AS BIGINT) AS n_events
 FROM r GROUP BY user_id ORDER BY user_id"""
 
+  /** ClickHouse `quantilesExact(0.25, 0.5, 0.75, 0.95)(value)`: all four
+    * exact percentiles per event type from ONE histogram+cumsum pass
+    * ([[graft.operators.Salting.exactPercentiles]] — extra percentiles
+    * are extra filters, not extra scans). */
+  def saltedValueQuartiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, sfDir, "events")
+      .select($"event_type", $"value").filter($"value".isNotNull)
+    graft.operators.Salting.exactPercentiles(ev, "event_type", "value",
+        Seq(0.25, 0.5, 0.75, 0.95))
+      .orderBy("event_type")
+  }
+
+  val saltedValueQuartilesOracle: String = """
+WITH m AS (
+  SELECT event_type, list_sort(list(value)) AS vs, count(*) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+SELECT event_type,
+       list_extract(vs, CAST(floor((n - 1) * 0.25) AS BIGINT) + 1) AS p25,
+       list_extract(vs, CAST(floor((n - 1) * 0.5) AS BIGINT) + 1) AS p50,
+       list_extract(vs, CAST(floor((n - 1) * 0.75) AS BIGINT) + 1) AS p75,
+       list_extract(vs, CAST(floor((n - 1) * 0.95) AS BIGINT) + 1) AS p95
+FROM m ORDER BY event_type"""
+
   /** WEIGHTED exact median (ClickHouse `quantileExactWeighted`): p50 of
     * lineitem extended price weighted by quantity — the element whose
     * cumulative weight first reaches floor((W−1)·0.5)+1. Same

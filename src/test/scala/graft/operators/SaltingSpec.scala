@@ -75,6 +75,27 @@ class SaltingSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).contains("b"))
   }
 
+  test("multi-percentile one-pass equals the single-p operator at every p") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val df = (1 to 500).map(_ => (s"k${rnd.nextInt(4)}", rnd.nextInt(40).toDouble))
+      .toDF("k", "v")
+    val ps = Seq(0.0, 0.25, 0.5, 0.75, 0.95, 1.0)
+    val multi = Salting.exactPercentiles(df, "k", "v", ps)
+      .collect().map(r => r.getString(0) ->
+        (1 to ps.size).map(r.getDouble)).toMap
+    ps.zipWithIndex.foreach { case (p, i) =>
+      val single = Salting.exactPercentile(df, "k", "v", p)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      single.foreach { case (k, v) =>
+        assert(multi(k)(i) == v, s"p=$p key=$k")
+      }
+    }
+    intercept[IllegalArgumentException] { // label collision after rounding
+      Salting.exactPercentiles(df, "k", "v", Seq(0.501, 0.502))
+    }
+  }
+
   test("exact percentile ignores nulls and emits one row per key") {
     import spark.implicits._
     val df = Seq(("a", Some(3.0)), ("a", None), ("a", Some(1.0)), ("b", None))
