@@ -38,6 +38,12 @@ object AsofJoin {
                leftTime: String, rightTime: String,
                rightValues: Seq[String],
                tolerance: Option[Long] = None): DataFrame = {
+    // __rt is the reserved field carrying the matched right row's own
+    // time through the backfill for the tolerance check; a right value
+    // column of the same name would make getField("__rt") ambiguous
+    // (same guard family as Funnel/Sampling's output-name checks).
+    require(!rightValues.contains("__rt"),
+      "rightValues must not contain the reserved name __rt")
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("__t", col(leftTime))

@@ -26,6 +26,34 @@ object Salting {
   def saltCol(salts: Int, from: Column*): Column =
     pmod(xxhash64(from: _*), lit(salts.toLong)).cast("int")
 
+  /** Attach a positional per-row token `_row_token` =
+    * (partition_id << 40) | row_index_within_partition — the
+    * identical-row spreader for salting when no stable row id column
+    * exists. Positional, so byte-identical rows in a hot-key flood
+    * still fan out across salts (a content hash would collapse them
+    * onto ONE salt and silently disable the spread).
+    *
+    * Determinism contract: recomputation yields the same token exactly
+    * when the input stage recomputes its partitions in the same order —
+    * true of file scans (splits are fixed), NOT guaranteed downstream
+    * of a shuffle (fetch order varies across attempts). Callers whose
+    * salted frame is shuffle-derived should pass their stable row id
+    * via `rowId` instead; this is why the salt is never derived from
+    * `monotonically_increasing_id` used directly as a join key — a
+    * stage retry re-salting rows differently can duplicate or drop
+    * join output. One narrow pass; no shuffle. */
+  private[operators] def withRowToken(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val schema = df.schema.add("_row_token", org.apache.spark.sql.types.LongType,
+      nullable = false)
+    df.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      it.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ ((pid << 40) | i.toLong))
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Two-phase collect_set: per-(key, salt) partial sets, then a final
     * merge per key. Any single task's buffer is bounded by the salt
     * fan-out even if one key dominates the table. */
@@ -50,11 +78,19 @@ object Salting {
     * final merged array is still the key's whole multiset (that's the
     * operator's contract). When only an order statistic of that multiset
     * is needed, use [[exactPercentile]] instead — it never materializes
-    * the multiset anywhere. */
+    * the multiset anywhere.
+    *
+    * @param rowId stable per-row id column for the salt — pass it when
+    *              `df` is shuffle-derived (see [[withRowToken]]'s
+    *              determinism contract); defaults to the positional
+    *              row token. */
   def saltedSortedList(df: DataFrame, key: String, value: String,
-                       salts: Int = 16): DataFrame =
-    df.withColumn("_salt",
-        pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)).cast("int"))
+                       salts: Int = 16,
+                       rowId: Option[String] = None): DataFrame =
+    rowId.map(id => df.withColumn("_salt", saltCol(salts, col(id))))
+      .getOrElse(withRowToken(df)
+        .withColumn("_salt", saltCol(salts, col("_row_token")))
+        .drop("_row_token"))
       .groupBy(col(key), col("_salt"))
       .agg(collect_list(col(value)).as("_partial"))
       .groupBy(col(key))
@@ -156,11 +192,16 @@ object Salting {
     * the hot keys before the exchange, so the pre-pass shuffles at most
     * one row per distinct key; the resulting hot set is tiny by the
     * nature of skew and is broadcast). Hot fact rows get a salt in
-    * [0, salts) derived from a synthetic per-row id — NOT from the row's
+    * [0, salts) derived from a per-row id — NOT from the row's
     * contents, because the canonical hot-key flood is byte-identical
     * rows, which a content hash would collapse onto ONE salt, silently
     * disabling the spread (same reasoning as [[saltedSortedList]]).
-    * Cold rows keep salt 0.
+    * The id is the caller's `rowId` column when given (fully
+    * deterministic under any retry), else the positional
+    * [[withRowToken]] (deterministic for scan-stage inputs; see its
+    * contract — the salt is a JOIN KEY here, so a retry-unstable salt
+    * could duplicate or drop matches, which is why
+    * `monotonically_increasing_id` is not used). Cold rows keep salt 0.
     * Each right (dim) row replicates to all `salts` ONLY for hot keys —
     * cold keys pay nothing — and the join runs on keys + salt. Result
     * is EXACTLY the plain inner join for any salt assignment (each
@@ -171,12 +212,13 @@ object Salting {
     * Use for fact⨝dim with a skewed fact; for two huge tables bucket
     * both sides instead. */
   def skewJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-               salts: Int = 16, hotThreshold: Long = 1000000L): DataFrame = {
+               salts: Int = 16, hotThreshold: Long = 1000000L,
+               rowId: Option[String] = None): DataFrame = {
     require(keys.nonEmpty, "need at least one join key")
     require(salts >= 1, "salts must be >= 1")
     require(hotThreshold >= 1, "hotThreshold must be >= 1")
     val hot = hotKeys(left, keys, hotThreshold)
-    val l = saltedLeft(left, keys, salts, hot)
+    val l = saltedLeft(left, keys, salts, hot, rowId)
     val r = right.join(broadcast(hot), keys, "left_outer")
       .withColumn("_salt", explode(
         when(col("_hot").isNotNull,
@@ -201,10 +243,14 @@ object Salting {
     * assert the spread directly (identical-row floods MUST still fan out
     * across salts, which the per-row-id salt guarantees). */
   private[operators] def saltedLeft(left: DataFrame, keys: Seq[String],
-                                    salts: Int, hot: DataFrame): DataFrame =
-    left.join(broadcast(hot), keys, "left_outer")
+                                    salts: Int, hot: DataFrame,
+                                    rowId: Option[String] = None): DataFrame = {
+    val withId = rowId.map(c => left.withColumn("_row_token", col(c)))
+      .getOrElse(withRowToken(left))
+    withId.join(broadcast(hot), keys, "left_outer")
       .withColumn("_salt",
         when(col("_hot").isNotNull,
-          saltCol(salts, monotonically_increasing_id())).otherwise(0))
-      .drop("_hot")
+          saltCol(salts, col("_row_token"))).otherwise(0))
+      .drop("_hot", "_row_token")
+  }
 }

@@ -142,11 +142,22 @@ object StreamingAnalytics {
       // index and match the admitted documents against THEMSELVES.
       // Checkpointing truncates the lineage to materialized blocks, so
       // nothing downstream can ever re-touch the pre-append scan.
+      // Retry idempotency, read side: on an at-least-once replay (crash
+      // after the index append, before the checkpoint commit) this
+      // batch's own signatures are already IN the index — in its
+      // batch_id partition, or folded into batch_id = -1 if a compaction
+      // ran between the attempts. Without exclusion every replayed doc
+      // self-matches at jaccard 1.0 and the batch silently vanishes from
+      // the sink. Two guards, one per case: partition-prune the batch's
+      // own batch_id (free — partition filter), and drop id-equal match
+      // pairs (covers the post-compaction copy, where batch_id is -1).
       val survivors =
         (if (Artifacts.hasData(spark, indexPath)) {
           val index = spark.read.parquet(indexPath)
+            .filter(col("batch_id") =!= lit(batchId))
           val matches = Dedup.minhashLshAgainstPrepared(index, prepared,
             bands, rowsPerBand, threshold, maxBucket)
+            .filter(col("index_id") =!= col("incoming_id"))
           innerSurvivors.join(
             matches.select(col("incoming_id").as("doc_id")).distinct(),
             Seq("doc_id"), "left_anti")
@@ -161,7 +172,16 @@ object StreamingAnalytics {
         .mode("overwrite")
         .parquet(indexPath)
       sink(survivors, batchId)
-    } finally exactDeduped.unpersist()
+    } finally {
+      exactDeduped.unpersist()
+      // minhashLsh / minhashLshAgainstPrepared persist() intermediates
+      // and register them here; a long-running stream that never
+      // released them would grow storage memory per micro-batch (and
+      // every index write's recacheByPath would recompute the leaked
+      // index-scan caches). Batches execute serially in foreachBatch,
+      // so releasing between batches is safe.
+      graft.operators.CacheRegistry.releaseAll()
+    }
   }
 
   /** Keyed state for [[sequenceCountUpdates]]: events inside the
@@ -249,12 +269,18 @@ object StreamingAnalytics {
     * reader's perspective (same SparkSession): stage to `<path>._compact`,
     * swap via FileSystem rename, keep the old generation at
     * `<path>._pre_compact` until the caller verifies. Run between
-    * batches (e.g. from a foreachBatch hook every N batches) — not
-    * concurrently with one. Live batch_ids are never negative, so a
-    * compacted generation can never collide with a retried batch's
-    * dynamic-partition overwrite. */
+    * batches — the safe hook is the START of batch N (before its index
+    * read), with `belowBatchId = N`: batches < N have committed, and
+    * batch N's OWN partition — possibly written by a failed earlier
+    * attempt of N whose retry is about to dynamic-partition-overwrite
+    * it — is left out of the fold, so a retried batch can never find
+    * its rows duplicated into `-1`. Compacting from a sink hook AFTER
+    * the append (pre-commit) has exactly that race; don't. Live
+    * batch_ids are never negative, so a compacted generation can never
+    * collide with a retried batch's dynamic-partition overwrite. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
-                   numFiles: Int = 32): Unit = {
+                   numFiles: Int = 32,
+                   belowBatchId: Long = Long.MaxValue): Unit = {
     import graft.operators.Artifacts
     require(numFiles >= 1, "numFiles must be >= 1")
     if (!Artifacts.hasData(spark, indexPath)) return
@@ -264,7 +290,9 @@ object StreamingAnalytics {
     val staging = new org.apache.hadoop.fs.Path(indexPath + "._compact")
     val backup = new org.apache.hadoop.fs.Path(indexPath + "._pre_compact")
     spark.read.parquet(indexPath)
-      .select(col("id"), col("sh"), col("sig"), lit(-1L).as("batch_id"))
+      .select(col("id"), col("sh"), col("sig"),
+        when(col("batch_id") < lit(belowBatchId), lit(-1L))
+          .otherwise(col("batch_id")).as("batch_id"))
       .repartition(numFiles, col("id"))
       .write.partitionBy("batch_id").mode("overwrite")
       .parquet(staging.toString)

@@ -49,17 +49,27 @@ object StreamCorpus {
       .schema(spark.read.parquet(inputDir).schema) // file source needs a fixed schema
       .parquet(inputDir)
 
-    val gate = StreamingAnalytics.nearDedupIntake(indexPath,
+    val inner = StreamingAnalytics.nearDedupIntake(indexPath,
       minQuality = minQuality, threshold = threshold,
       sink = (survivors, batchId) => {
         val n = survivors.count()
         survivors.write.mode("append").parquet(s"$outDir/clean")
         println(s"[stream-corpus] batch=$batchId admitted=$n")
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-          StreamingAnalytics.compactIndex(spark, indexPath)
-          println(s"[stream-corpus] batch=$batchId compacted index")
-        }
       })
+    // Compact at the START of a batch, never from the sink: a sink-side
+    // compaction runs after the index append but before the checkpoint
+    // commit, so a crash in that window would replay the batch against
+    // an index whose own partition was already folded into batch_id=-1
+    // (duplicated signatures). At batch start, everything below batchId
+    // has committed and the fold excludes batchId itself, so a retry's
+    // dynamic-partition overwrite stays idempotent.
+    val gate: (org.apache.spark.sql.DataFrame, Long) => Unit = { (batch, batchId) =>
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+        StreamingAnalytics.compactIndex(spark, indexPath, belowBatchId = batchId)
+        println(s"[stream-corpus] batch=$batchId compacted index (< $batchId)")
+      }
+      inner(batch, batchId)
+    }
 
     val q = docs.writeStream
       .option("checkpointLocation", s"$outDir/_checkpoint")

@@ -251,7 +251,10 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
         s"$topic store for the $topic users of the $topic week"
     val indexPath = java.nio.file.Files
       .createTempDirectory("graft-ndretry").toString + "/index"
-    val gate = StreamingAnalytics.nearDedupIntake(indexPath, threshold = 0.5)
+    val sunk = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val gate = StreamingAnalytics.nearDedupIntake(indexPath, threshold = 0.5,
+      sink = (df, bid) =>
+        sunk ++= df.select("doc_id").collect().map(r => (bid, r.getLong(0))))
     gate(Seq((1L, doc("spark"))).toDF("doc_id", "text"), 0L)
     val batch1 = Seq((2L, doc("flink"))).toDF("doc_id", "text")
     gate(batch1, 1L)
@@ -265,11 +268,58 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       .select("id", "batch_id").as[(Long, Long)].collect().toSet
     assert(after == before && before == Set((1L, 0L), (2L, 1L)),
       s"replay must be idempotent: before=$before after=$after")
+    // the replay crashed AFTER the index append, so its own signatures
+    // were already in the index — the doc must NOT self-match at
+    // jaccard 1.0 and silently vanish from the sink (at-least-once
+    // delivery, not at-most-once): the replayed run re-emits doc 2
+    assert(sunk.count(_ == (1L, 2L)) == 2,
+      s"replayed batch must re-deliver its survivors to the sink: $sunk")
     // and the replayed doc was NOT flagged as a dup of itself mid-retry:
     // a third batch near-copying doc 2 still dedupes against ONE copy
     gate(Seq((3L, doc("flink").replace("rows", "records"))).toDF("doc_id", "text"), 2L)
     val ids = spark.read.parquet(indexPath).select("id").as[Long].collect().toSet
     assert(ids == Set(1L, 2L), "near copy of the replayed doc must be dropped")
+
+    // the post-compaction copy: a compaction folded a batch's partition
+    // into batch_id=-1 before its replay (the batch_id partition filter
+    // can no longer see it) — the id-equality guard must still stop the
+    // self-match, and the replayed docs still reach the sink
+    val batch3 = Seq((9L, doc("trino"))).toDF("doc_id", "text")
+    gate(batch3, 3L)
+    StreamingAnalytics.compactIndex(spark, indexPath, numFiles = 1)
+    gate(batch3, 3L)
+    assert(sunk.count(_ == (3L, 9L)) == 2,
+      s"post-compaction replay must re-deliver doc 9: $sunk")
+  }
+
+  test("compactIndex(belowBatchId) leaves the in-flight batch's partition out of the fold") {
+    import spark.implicits._
+    def doc(topic: String): String =
+      s"the $topic system and the $topic runtime are the part of the " +
+        s"$topic stack which reads the $topic rows and the $topic tables " +
+        s"while it is the $topic job that keeps the $topic data in the " +
+        s"$topic store for the $topic users of the $topic week"
+    val indexPath = java.nio.file.Files
+      .createTempDirectory("graft-ndbound").toString + "/index"
+    val gate = StreamingAnalytics.nearDedupIntake(indexPath, threshold = 0.5)
+    gate(Seq((1L, doc("spark"))).toDF("doc_id", "text"), 0L)
+    gate(Seq((2L, doc("flink"))).toDF("doc_id", "text"), 1L)
+    // batch 2's first attempt appended its partition, then crashed; the
+    // start-of-retry compaction runs with belowBatchId = 2 — committed
+    // batches fold, batch 2's own partition must survive untouched so
+    // the retry's dynamic-partition overwrite stays idempotent
+    val batch2 = Seq((3L, doc("duckdb"))).toDF("doc_id", "text")
+    gate(batch2, 2L)
+    StreamingAnalytics.compactIndex(spark, indexPath, numFiles = 1,
+      belowBatchId = 2L)
+    val mid = spark.read.parquet(indexPath)
+      .select("id", "batch_id").as[(Long, Long)].collect().toSet
+    assert(mid == Set((1L, -1L), (2L, -1L), (3L, 2L)),
+      s"fold must stop below batch 2: $mid")
+    gate(batch2, 2L)   // the retry
+    val after = spark.read.parquet(indexPath)
+      .select("id", "batch_id").as[(Long, Long)].collect().toSet
+    assert(after == mid, s"retry after bounded compaction must be a no-op: $after")
   }
 
   test("index compaction collapses batch partitions and gating continues unchanged") {
