@@ -273,9 +273,26 @@ object Similarity {
       cents: Array[Array[Float]]): Column =
     element_at(cellsAssign(vec, centIds, cents, keep = 1), 1)
 
+  /** Rows Lloyd iterates over: training beyond this cap is a full-corpus
+    * scan per iteration for no centroid-quality gain — a quantizer is
+    * trained on a bounded deterministic sample (standard IVF practice)
+    * and ASSIGNMENT still covers every vector. At test scale (≤ cap)
+    * training is exact and unchanged. */
+  val TrainSampleCap: Long = 100000L
+
   def trainCentroids(corpus: DataFrame, nlist: Int,
       trainIters: Int): (Array[Long], Array[Array[Float]]) = {
-    val centroidRows = corpus
+    // deterministic hash-gate sample, no sort/shuffle: keep vec_ids in
+    // the smallest 1/k hash stratum (the seed order below stays a
+    // subset of it, so seeds are sample members)
+    val n = corpus.count()
+    val train0 = if (n <= TrainSampleCap) corpus
+      else {
+        val k = math.max(1L, n / TrainSampleCap)
+        corpus.filter(pmod(xxhash64(col("vec_id")), lit(k)) === 0)
+      }
+    val train = train0.select(col("vec_id"), col("embedding"))
+    val centroidRows = train
       .select(col("vec_id").cast("long").as("cent_id"), col("embedding"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(nlist)
@@ -284,9 +301,14 @@ object Similarity {
     var cents = centroidRows.map(_.getSeq[Float](1).toArray)
 
     for (_ <- 1 to trainIters) {
-      val assigned = corpus.select(
+      // cell is computed in its OWN projection, once per vector — a
+      // combined select(cellAssign, posexplode) re-evaluates the
+      // nlist×dim assignment scan per EXPLODED row (dim× the work;
+      // measured 76 s → 4 s at 20k×157)
+      val assigned = train.select(
         cellAssign(col("embedding"), centIds, cents).as("cell"),
-        posexplode(col("embedding")))
+        col("embedding"))
+        .select(col("cell"), posexplode(col("embedding")))
         // dim-mismatched vectors assign to a null cell by contract
         // (NearestCentroids) — drop them from training like the inverted
         // lists drop them at query time
@@ -470,6 +492,70 @@ object Similarity {
         slimBuckets(base, "vec_id", "embedding", "vec_id", tables, bitsPerTable),
         keys = Seq("table", "bucket"), idCol = "vec_id",
         order = Seq("vec_id"), maxSpan = maxBucket)
+      .join(base.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(base.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        col("nrm").as("nb")), "id_b")
+      .withColumn("sim", vecDot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
+  /** Embedding near-duplicate pairs via k-means CELLS — [[cosineDedup]]'s
+    * scale path, and the default the corpus-dedup query registers. The
+    * LSH variant's geometry has a fixed bucket count, so per-bucket
+    * occupancy — and with it candidate volume — grows with corpus size:
+    * at a recall-tuned 16×4-bit geometry a random (non-qualifying) pair
+    * still collides in some table with p ≈ 0.64, which is "most of
+    * all-pairs" arriving through bucket machinery. Cells instead grow
+    * WITH the corpus ([[autoNlist]]: cell count ∝ n at ~maxCell/2
+    * expected occupancy), so per-cell work is constant and total
+    * candidate volume stays ~linear at any scale — the same shape that
+    * keeps [[semanticDedup]] near-linear at the one-order-up probe.
+    *
+    * Recall comes from multi-probe assignment: every vector joins its
+    * `probeCells` nearest cells (map-side, [[cellsAssign]] — dense scan
+    * to [[DenseAssignLimit]] cells, two-level coarse index beyond), and
+    * a pair is examined when the two probe sets share ANY cell. Near
+    * neighbors rank cells near-identically, so probing ≥2 cells covers
+    * the cell-boundary pairs single-assignment SemDeDup concedes;
+    * `dedup_embedding_recall` gates the measured floor against the
+    * exact twin. Candidates are verified with exact cosine — emitted
+    * pairs are exact (misses allowed, false positives never).
+    *
+    * Scale shape: one corpus scan for assignment (no shuffle), slim
+    * (cell, vec_id) rows shuffle ×probeCells, SpanGuard-bounded in-cell
+    * pairing, vectors re-attached only to deduped candidates. Trainer
+    * cost amortizes via `pretrained` ([[trainCentroids]] / Artifacts),
+    * like IVF's quantizer.
+    *
+    * @return (id_a, id_b, sim) — id_a < id_b, sim = exact cosine ≥
+    *         threshold. Zero-norm vectors excluded (cosine family
+    *         contract); dim-mismatched vectors assign to no cell and
+    *         emit no pairs. */
+  def cosineDedupCells(df: DataFrame, threshold: Double, nlist: Int = 0,
+                       trainIters: Int = 2, maxCell: Int = 256,
+                       probeCells: Int = 2,
+                       pretrained: Option[(Array[Long], Array[Array[Float]])] = None)
+      : DataFrame = {
+    require(probeCells >= 1, "probeCells must be >= 1")
+    require(nlist == 0 || pretrained.forall(_._2.length == nlist),
+      s"pretrained centroid set has ${pretrained.get._2.length} cells but nlist=$nlist")
+    val (centIds, cents) = pretrained.getOrElse {
+      val effNlist = if (nlist > 0) nlist else autoNlist(df.count(), maxCell)
+      trainCentroids(df, effNlist, trainIters)
+    }
+    val base = df.select(col("vec_id"), col("embedding"),
+        vecNorm(col("embedding")).as("nrm"),
+        cellsAssign(col("embedding"), centIds, cents, probeCells).as("cells"))
+      .filter(col("nrm") > 0).persist()
+    CacheRegistry.track(base)
+    val slim = base.filter(col("cells").isNotNull)
+      .select(explode(col("cells")).as("cell"), col("vec_id"))
+    // a pair meeting in several shared cells is emitted once —
+    // SpanGuard's final (id_a, id_b) dedup runs after the keys drop
+    SpanGuard.pairs(slim, keys = Seq("cell"), idCol = "vec_id",
+        order = Seq("vec_id"), maxSpan = maxCell * probeCells)
       .join(base.select(col("vec_id").as("id_a"), col("embedding").as("va"),
         col("nrm").as("na")), "id_a")
       .join(base.select(col("vec_id").as("id_b"), col("embedding").as("vb"),

@@ -147,6 +147,50 @@ class ExtensionSpec extends AnyFunSuite {
     assert(found >= 18, s"LSH cosine dedup found only $found/20 planted near-dup pairs")
   }
 
+  /** The cells scale path's twin of the LSH planted-twin test: recall in
+    * the SPARSE regime (real near-dups, threshold 0.9) plus the
+    * no-product plan guarantee. */
+  test("embedding cosine dedup (cells) finds planted twins, no cartesian in plan") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val twins = e.filter(col("vec_id") < 20)
+      .select(($"vec_id" + 10000).as("vec_id"),
+        transform($"embedding", v => v * lit(1.01f) + lit(0.003f)).as("embedding"))
+    val out = Similarity.cosineDedupCells(e.unionByName(twins), threshold = 0.9,
+      probeCells = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"cosineDedupCells plan must be cell-joined, got:\n$plan")
+    val pairs = out.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val found = (0L until 20L).count(i => pairs.contains((i, i + 10000)))
+    assert(found == 20, s"cells cosine dedup found only $found/20 planted near-dup pairs")
+    CacheRegistry.releaseAll()
+  }
+
+  test("oversized identical-embedding cell flood is span-bounded, zero-norm kept out") {
+    import spark.implicits._
+    // 300 identical embeddings assign to the SAME top-probeCells cells —
+    // the degenerate flood. The span guard must bound pairs at
+    // O(n × span) while still surfacing every member, and a zero vector
+    // must never pair (NaN cosine contract).
+    val vec = Array(0.6f, -0.2f, 0.9f, 0.1f, -0.7f, 0.3f, 0.5f, -0.4f)
+    val outlier = Array(-0.6f, 0.2f, -0.9f, -0.1f, 0.7f, -0.3f, -0.5f, 0.4f)
+    val zero = Array.fill(8)(0.0f)
+    val rows = (0 until 300).map(i => (i.toLong, vec)) ++
+      Seq((9999L, outlier), (10000L, zero))
+    val df = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val out = Similarity.cosineDedupCells(df, threshold = 0.9, maxCell = 32,
+      probeCells = 2)
+    val pairs = out.select("id_a", "id_b").as[(Long, Long)].collect()
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert((0L until 300L).toSet.subsetOf(members), "every cluster member must surface")
+    assert(!members.contains(9999L) && !members.contains(10000L))
+    assert(pairs.length <= 300 * 32 * 2 * 2,
+      s"span guard must bound pairs at n×span, got ${pairs.length} (all-pairs = ${300 * 299 / 2})")
+    CacheRegistry.releaseAll()
+  }
+
   test("oversized identical-embedding cluster (> maxBucket) is linear, not quadratic") {
     import spark.implicits._
     // 300 identical embeddings land whole in ONE RHP bucket in every
