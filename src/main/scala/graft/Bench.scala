@@ -58,19 +58,23 @@ object Bench {
       val times = raw.sorted
       name -> times(times.length / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // per-query values rounded to ms: the round-7 driver artifact came
+    // back "parsed": null because the full-precision line outgrew the
+    // driver's log-tail capture window and was truncated mid-map —
+    // three decimals is all the medians mean anyway
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val meta = Seq(
       s""""runs":$runs""",
       s""""warmup":$warmup""",
-      s""""load_avg":${osBean.getSystemLoadAverage}""",
+      f""""load_avg":${osBean.getSystemLoadAverage}%.2f""",
       s""""available_cpus":${Runtime.getRuntime.availableProcessors}""",
       s""""jvm":"${sys.props.getOrElse("java.version", "?")}"""",
       s""""spark":"${spark.version}"""").mkString(",")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$meta}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",$meta}"""
     println(line)
     // also write the artifact directly: the driver's log-tail scrape has
     // to fish this line out of interleaved sbt/Spark noise and has twice
@@ -80,5 +84,8 @@ object Bench {
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(out, line + "\n")
     spark.stop()
+    // last stdout line of the process, AFTER Spark's shutdown chatter —
+    // a tail capture that sees anything sees this
+    println(line)
   }
 }
