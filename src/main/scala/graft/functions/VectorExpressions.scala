@@ -224,6 +224,186 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Per-table random-hyperplane bucket codes of a float vector: element
+    * t = the `bitsPerTable`-bit bucket whose bit b is the sign of the
+    * dot with plane p = t·bitsPerTable + b — the SAME plane derivation
+    * and bucket layout as [[RhpSignature]] + shiftright extraction, but
+    * without packing all planes into one 64-bit signature, so any
+    * tables × bitsPerTable works. (The packed form silently corrupts
+    * beyond 64 total bits: Java shifts mod 64, so plane p ≥ 64 ORs its
+    * sign into bit p−64 — a consistent but unintended hash family, and
+    * one [[RhpMultiProbe]]'s unpacked probes cannot match.) For
+    * configurations within 64 bits the emitted buckets are bit-identical
+    * to the packed path. */
+  case class RhpTableBuckets(child: Expression, tables: Int, bitsPerTable: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "rhp_table_buckets"
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      val out = new Array[Long](tables)
+      var t = 0
+      while (t < tables) {
+        var bucket = 0L
+        var b = 0
+        while (b < bitsPerTable) {
+          val p = t * bitsPerTable + b
+          val pBase = XXH64.hashLong(p.toLong, 42L)
+          var dot = 0.0
+          var i = 0
+          while (i < n) {
+            val plane = XXH64.hashLong(i.toLong, pBase).toDouble / 9.223372036854776e18
+            dot += v.getFloat(i).toDouble * plane
+            i += 1
+          }
+          if (dot >= 0) bucket |= (1L << b)
+          b += 1
+        }
+        out(t) = bucket
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val b = ctx.freshName("b")
+        val t = ctx.freshName("t")
+        val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        val bucket = ctx.freshName("bucket")
+        val buckets = ctx.freshName("buckets")
+        val pBase = ctx.freshName("pBase")
+        val xxh = classOf[XXH64].getName
+        s"""
+        int $n = $a.numElements();
+        long[] $buckets = new long[$tables];
+        for (int $t = 0; $t < $tables; $t++) {
+          long $bucket = 0L;
+          for (int $b = 0; $b < $bitsPerTable; $b++) {
+            long $pBase = $xxh.hashLong((long) ($t * $bitsPerTable + $b), 42L);
+            double $dot = 0.0;
+            for (int $i = 0; $i < $n; $i++) {
+              $dot += ((double) $a.getFloat($i)) *
+                (((double) $xxh.hashLong((long) $i, $pBase)) / 9.223372036854776e18);
+            }
+            if ($dot >= 0) $bucket |= (1L << $b);
+          }
+          $buckets[$t] = $bucket;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($buckets);
+        """
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Query-directed multi-probe bucket sequence for random-hyperplane
+    * LSH (Lv et al., VLDB'07, adapted to hyperplane signatures): for
+    * each of `tables` sub-signatures of `bitsPerTable` bits, emit the
+    * base bucket plus the `probes − 1` buckets obtained by flipping the
+    * LEAST-CONFIDENT bit subsets — ranked by the summed squared
+    * hyperplane margins of the flipped bits, enumerated in increasing
+    * score with the standard extend/shift heap (so two small-margin
+    * flips can outrank one large-margin flip). A query then inspects
+    * the buckets its near neighbors most plausibly landed in, which
+    * buys the recall that deeper (scale-adaptive) bucket codes cost —
+    * without touching the corpus side: corpus vectors still insert into
+    * exactly one bucket per table.
+    *
+    * Hyperplanes and bucket layout are bit-identical to [[RhpSignature]]
+    * (bucket bit j of table t = global signature bit t·bitsPerTable+j),
+    * so probe buckets join directly against [[RhpSignature]]-built
+    * corpus buckets. Output: array of tables × probes longs,
+    * table-major, base bucket first per table — may contain duplicate
+    * (table, bucket) pairs when 2^bitsPerTable < probes; dedup after
+    * the explode. */
+  case class RhpMultiProbe(child: Expression, tables: Int, bitsPerTable: Int,
+                           probes: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "rhp_multi_probe"
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      val out = new Array[Long](tables * probes)
+      val margins = new Array[Double](bitsPerTable)
+      val order = new Array[Int](bitsPerTable)
+      var t = 0
+      while (t < tables) {
+        var base = 0L
+        var b = 0
+        while (b < bitsPerTable) {
+          val p = t * bitsPerTable + b
+          val pBase = XXH64.hashLong(p.toLong, 42L)
+          var dot = 0.0
+          var i = 0
+          while (i < n) {
+            val plane = XXH64.hashLong(i.toLong, pBase).toDouble / 9.223372036854776e18
+            dot += v.getFloat(i).toDouble * plane
+            i += 1
+          }
+          if (dot >= 0) base |= (1L << b)
+          margins(b) = dot * dot
+          b += 1
+        }
+        // bit indices by increasing |margin| (the flip-plausibility order)
+        var k = 0
+        while (k < bitsPerTable) { order(k) = k; k += 1 }
+        // insertion sort on margins — bitsPerTable is small
+        var s = 1
+        while (s < bitsPerTable) {
+          val oi = order(s); val om = margins(oi)
+          var j = s - 1
+          while (j >= 0 && margins(order(j)) > om) { order(j + 1) = order(j); j -= 1 }
+          order(j + 1) = oi
+          s += 1
+        }
+        out(t * probes) = base
+        // heap of flip subsets over margin-sorted positions: seed {0};
+        // pop S → emit; push S+extend (add pos max+1) and S+shift
+        // (replace max with max+1) — enumerates by increasing Σ margin²
+        val heap = new java.util.PriorityQueue[(Double, List[Int])](
+          11, (a: (Double, List[Int]), b: (Double, List[Int])) =>
+            java.lang.Double.compare(a._1, b._1))
+        if (bitsPerTable > 0) heap.add((margins(order(0)), List(0)))
+        var emitted = 1
+        while (emitted < probes && !heap.isEmpty) {
+          val (score, subset) = heap.poll()
+          var bucket = base
+          subset.foreach(pos => bucket ^= (1L << order(pos)))
+          out(t * probes + emitted) = bucket
+          emitted += 1
+          val mx = subset.head // subsets kept max-first
+          if (mx + 1 < bitsPerTable) {
+            heap.add((score + margins(order(mx + 1)), (mx + 1) :: subset))
+            heap.add((score - margins(order(mx)) + margins(order(mx + 1)),
+              (mx + 1) :: subset.tail))
+          }
+        }
+        // fewer subsets than probes (tiny bitsPerTable): pad with base
+        while (emitted < probes) { out(t * probes + emitted) = base; emitted += 1 }
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("rhpMultiProbe", this, classOf[RhpMultiProbe].getName)
+      nullSafeCodeGen(ctx, ev, a => {
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($a);"
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Distinct w-gram hashes from an array of per-word hashes: each gram
     * hash chains its words' hashes through XXH64 — replaces the
     * slice+concat+hash-string HOF formulation (which built 1M+ strings
@@ -555,6 +735,13 @@ object VectorExpressions {
     GraftBridge.column(MinHashSignature(GraftBridge.expr(h), k))
   def rhpSig(vec: Column, nBits: Int): Column =
     GraftBridge.column(RhpSignature(GraftBridge.expr(vec), nBits))
+  def rhpMultiProbe(vec: Column, tables: Int, bitsPerTable: Int,
+                    probes: Int): Column =
+    GraftBridge.column(RhpMultiProbe(GraftBridge.expr(vec), tables,
+      bitsPerTable, probes))
+  def rhpTableBuckets(vec: Column, tables: Int, bitsPerTable: Int): Column =
+    GraftBridge.column(RhpTableBuckets(GraftBridge.expr(vec), tables,
+      bitsPerTable))
   def hashShingles(wordHashes: Column, w: Int): Column =
     GraftBridge.column(HashShingles(GraftBridge.expr(wordHashes), w))
   def nearestCentroids(vec: Column, centIds: Array[Long],

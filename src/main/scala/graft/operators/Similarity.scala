@@ -68,17 +68,17 @@ object Similarity {
     * (id, table, bucket) rows — the ONLY columns that ride the ×`tables`
     * explode and the bucket join; full float arrays are re-attached after
     * candidate dedup (same discipline as [[Dedup.minhashLsh]]'s
-    * shingle-free join sides). */
+    * shingle-free join sides). Buckets come from the per-table code
+    * array ([[graft.functions.VectorExpressions.RhpTableBuckets]] —
+    * bit-identical to the old packed-signature extraction within 64
+    * total bits, and CORRECT beyond it, where the packed long silently
+    * OR-folded planes ≥ 64 onto earlier bits). */
   private def slimBuckets(df: DataFrame, id: String, vec: String,
-                          outId: String, tables: Int, bitsPerTable: Int): DataFrame = {
-    val mask = (1L << bitsPerTable) - 1
+                          outId: String, tables: Int, bitsPerTable: Int): DataFrame =
     df.select(col(id).as(outId),
-        rhpSignature(col(vec), tables * bitsPerTable).as("sig"))
-      .select(col(outId),
-        posexplode(transform(sequence(lit(0), lit(tables - 1)),
-          t => call_function("shiftright", col("sig"), t * bitsPerTable).bitwiseAND(mask))))
+        posexplode(graft.functions.VectorExpressions.rhpTableBuckets(
+          col(vec), tables, bitsPerTable)))
       .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "table")
-  }
 
   /** ANN top-k: candidates share at least one of `tables` sub-signatures
     * (bitsPerTable bits each), exact cosine re-rank within candidates.
@@ -93,29 +93,60 @@ object Similarity {
     *   the query meets the WHOLE bucket and results are identical to the
     *   unguarded join; only oversized buckets degrade, to a deterministic
     *   2·maxBucket-candidate sample per query (ANN contract: misses are
-    *   allowed, emitted rows stay exact). */
+    *   allowed, emitted rows stay exact).
+    * @param bitsPerTable bucket-code depth; 0 = AUTO — size the code to
+    *   the corpus (⌈log2(n / (maxBucket/2))⌉) so expected occupancy
+    *   stays ~maxBucket/2 and the block guard is inactive in the
+    *   non-degenerate regime AT ANY SCALE. A fixed shallow code's
+    *   buckets grow with the corpus until the guard samples them
+    *   (recall decays — measured 0.16 @5 at the 20k-row probe for the
+    *   fixed 3-bit geometry); a fixed deep code starves small corpora.
+    *   Auto + multi-probe is the scale-stable pairing.
+    * @param probes multi-probe width: each query additionally inspects
+    *   the probes−1 buckets reachable by flipping its least-confident
+    *   signature bits per table ([[graft.functions.VectorExpressions
+    *   .RhpMultiProbe]], query-directed Lv et al. ordering) — recall at
+    *   deep codes for query-side-only cost (the corpus still inserts
+    *   once per table). 1 = exact-bucket behavior. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               tables: Int = 8, bitsPerTable: Int = 8,
-              maxBucket: Int = 64): DataFrame = {
+              maxBucket: Int = 64, probes: Int = 1): DataFrame = {
+    require(probes >= 1, "probes must be >= 1")
     val qBase = queries.select(col("vec_id").as("query_id"), col("embedding").as("queryv"),
       vecNorm(col("embedding")).as("queryn")).filter(col("queryn") > 0)
     val cBase = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("candv"),
       vecNorm(col("embedding")).as("candn")).filter(col("candn") > 0).persist()
     CacheRegistry.track(cBase)
+    val bpt = if (bitsPerTable > 0) bitsPerTable
+      else math.max(1, math.ceil(math.log(
+        math.max(1.0, cBase.count().toDouble / math.max(1, maxBucket / 2)))
+        / math.log(2.0)).toInt)
 
     val wBucket = Window.partitionBy("table", "bucket").orderBy("cand_id")
     // persisted: consumed by both the block-count aggregate and the
     // candidate join — otherwise the signature explode + bucket window
     // sort over |corpus|×tables rows runs twice (cf. cosineDedup)
-    val cBuckets = slimBuckets(cBase, "cand_id", "candv", "cand_id", tables, bitsPerTable)
+    val cBuckets = slimBuckets(cBase, "cand_id", "candv", "cand_id", tables, bpt)
       .withColumn("blk", floor((row_number().over(wBucket) - 1) / lit(maxBucket)))
       .persist()
     CacheRegistry.track(cBuckets)
-    // per-(table, bucket) block count — at most tables × 2^bitsPerTable
+    // per-(table, bucket) block count — at most tables × 2^bpt
     // rows, broadcast onto the query side to address a block
     val nBlks = cBuckets.groupBy("table", "bucket")
       .agg((max(col("blk")) + 1).as("nblk"))
-    val qProbes = slimBuckets(qBase, "query_id", "queryv", "query_id", tables, bitsPerTable)
+    val qBuckets =
+      if (probes <= 1)
+        slimBuckets(qBase, "query_id", "queryv", "query_id", tables, bpt)
+      else qBase.select(col("query_id"),
+          posexplode(graft.functions.VectorExpressions.rhpMultiProbe(
+            col("queryv"), tables, bpt, probes)))
+        .select(col("query_id"),
+          floor(col("pos") / lit(probes)).cast("int").as("table"),
+          col("col").as("bucket"))
+        // duplicate probe buckets appear when 2^bpt < probes (pad) — a
+        // dup would double-join its bucket's rows
+        .dropDuplicates("query_id", "table", "bucket")
+    val qProbes = qBuckets
       .join(broadcast(nBlks), Seq("table", "bucket"))
       .select(col("table"), col("bucket"), col("query_id"),
         explode(array(

@@ -540,19 +540,22 @@ SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 5
 ORDER BY query_id, rank"""
 
   /** LSH ANN — bucket-dependent candidates, rows-only check; retrieval
-    * quality gated by [[annLshRecall]]. Table geometry is tuned to THIS
-    * corpus: the synthetic embeddings are near-isotropic (true top-5
-    * cosine ~0.3-0.37 against a ~0 bulk → hyperplane-collision p ≈ 0.62
-    * per bit), so narrow buckets lose the neighbors — 16 tables × 3 bits
-    * gives 1-(1-0.62³)^16 ≈ 0.99 expected recall (4 bits measured 0.86,
-    * under the 0.9 gate), with per-query candidate work still bounded by
-    * the maxBucket block guard. A real (clustered) embedding space
-    * supports more bits per table; the recall row is what licenses any
-    * such retune. */
+    * quality gated by [[annLshRecall]]. Geometry is SCALE-ADAPTIVE, not
+    * corpus-tuned: `bitsPerTable = 0` sizes the bucket code to the
+    * corpus (expected occupancy ~maxBucket/2 at any n), and the deep
+    * code's recall is bought back with query-directed multi-probe
+    * (corpus still inserts once per table — probe cost is query-side
+    * only). The old fixed 16×3 code was tuned to the sf0.01 gate and
+    * DECAYED with corpus growth as its buckets outgrew the block guard:
+    * recall@5 measured 0.96 at n=500 but 0.66 at n=2k and 0.22 at n=20k
+    * (RecallProbe, ScaleUp corpus). This geometry measures 1.0 / 1.0 /
+    * 1.0 at the same three scales with flat wall time — the candidate
+    * volume per query stays ~tables × probes × maxBucket regardless of
+    * corpus size. */
   def annLshTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables(spark, sfDir, "embeddings")
     Similarity.lshTopK(e.filter(col("vec_id") < 10), e, k = 5,
-        tables = 16, bitsPerTable = 3)
+        tables = 24, bitsPerTable = 0, probes = 32)
       .orderBy("query_id", "rank")
   }
 

@@ -64,6 +64,37 @@ object RecallProbe {
       Similarity.cosineDedup(e, threshold, tables = 16, bitsPerTable = 4,
         maxBucket = 256)
     }
+
+    // -- ANN recall@5 sweep: brute-force truth over the first 10 ids --
+    val q = e.filter(col("vec_id") < 10)
+    val truth = Similarity.bruteForceTopK(q, e, 5)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    CacheRegistry.releaseAll()
+    def annMeasure(label: String)(run: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val got = run.select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val secs = (System.nanoTime() - t0) / 1e9
+      CacheRegistry.releaseAll()
+      val recall = if (truth.isEmpty) 1.0
+        else truth.count(got.contains).toDouble / truth.size
+      println(f"[probe] ann $label%-36s recall@5=$recall%.3f time=$secs%6.2fs")
+    }
+    annMeasure("lsh 16x3 (current fixed)") {
+      Similarity.lshTopK(q, e, 5, tables = 16, bitsPerTable = 3)
+    }
+    val bitsList = sys.env.get("PROBE_BITS").map(_.split(",").map(_.toInt).toSeq)
+      .getOrElse(Seq(0))
+    val tablesList = sys.env.get("PROBE_TABLES").map(_.split(",").map(_.toInt).toSeq)
+      .getOrElse(Seq(16, 24))
+    val probesList = sys.env.get("PROBE_PROBES").map(_.split(",").map(_.toInt).toSeq)
+      .getOrElse(Seq(4, 8, 16))
+    for (bits <- bitsList; t <- tablesList; pr <- probesList) {
+      annMeasure(s"lsh bits=$bits tables=$t probes=$pr") {
+        Similarity.lshTopK(q, e, 5, tables = t, bitsPerTable = bits, probes = pr)
+      }
+    }
     spark.stop()
   }
 }

@@ -122,6 +122,63 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(bad.isNullAt(0))
   }
 
+  test("rhp_table_buckets matches the packed-signature extraction within 64 bits") {
+    import spark.implicits._
+    // the packed path: one 64-bit signature, buckets = bit slices
+    check(Prop.forAll(vecGen) { (v: List[Float]) =>
+      val (tables, bits) = (8, 6)   // 48 planes — inside the packed window
+      val row = Seq(Tuple1(v)).toDF("v")
+        .select(col("v").cast("array<float>").as("v"))
+        .select(
+          VectorExpressions.rhpSig($"v", tables * bits).as("sig"),
+          VectorExpressions.rhpTableBuckets($"v", tables, bits).as("b"))
+        .collect().head
+      val sig = row.getLong(0)
+      val mask = (1L << bits) - 1
+      val expected = (0 until tables).map(t => (sig >>> (t * bits)) & mask)
+      row.getSeq[Long](1) == expected
+    })
+  }
+
+  test("rhp_table_buckets is well-defined past 64 total planes (packed path is not)") {
+    import spark.implicits._
+    val (tables, bits) = (24, 9)   // 216 planes — packed long would alias mod 64
+    val rnd = new scala.util.Random(7)
+    val vs = Seq.fill(40)(List.fill(16)((rnd.nextDouble() * 2 - 1).toFloat))
+    val rows = vs.map(Tuple1(_)).toDF("v")
+      .select(col("v").cast("array<float>").as("v"))
+      .select(VectorExpressions.rhpTableBuckets($"v", tables, bits))
+      .collect().map(_.getSeq[Long](0))
+    assert(rows.forall(b => b.length == tables && b.forall(x => x >= 0 && x < (1L << bits))))
+    // distinct planes per table: tables must not be copies of each other
+    assert(rows.map(_.toSeq).toSeq.transpose.map(_.toSet).distinct.length > 1)
+  }
+
+  test("rhp_multi_probe: base bucket first, flips confined to each table's bits, no repeats") {
+    import spark.implicits._
+    val (tables, bits, probes) = (4, 8, 16)
+    val rnd = new scala.util.Random(11)
+    val vs = Seq.fill(20)(List.fill(16)((rnd.nextDouble() * 2 - 1).toFloat))
+    val rows = vs.map(Tuple1(_)).toDF("v")
+      .select(col("v").cast("array<float>").as("v"))
+      .select(
+        VectorExpressions.rhpTableBuckets($"v", tables, bits).as("base"),
+        VectorExpressions.rhpMultiProbe($"v", tables, bits, probes).as("probes"))
+      .collect()
+    rows.foreach { r =>
+      val base = r.getSeq[Long](0)
+      val all = r.getSeq[Long](1)
+      assert(all.length == tables * probes)
+      (0 until tables).foreach { t =>
+        val tp = all.slice(t * probes, (t + 1) * probes)
+        assert(tp.head == base(t), "probe 0 must be the exact bucket")
+        assert(tp.forall(b => (b & ~((1L << bits) - 1)) == 0L))
+        // enumeration never repeats a bucket while distinct flips remain
+        assert(tp.distinct.length == probes.min(1 << bits))
+      }
+    }
+  }
+
   test("winnow fingerprint invariant under repartitioning") {
     import spark.implicits._
     val docs = (0 until 64).map(i => (i.toLong, s"document number $i with some shared words " * 3))
