@@ -260,6 +260,163 @@ object StreamingAnalytics {
       .toDF("user_id", "n_matches", "folded_through_us")
   }
 
+  /** Keyed state for [[funnelUpdates]]: the watermark-horizon event
+    * buffer plus the chosen timestamp per completed stage (greedy
+    * prefix — never revised, only extended). */
+  case class FunnelState(buf: List[(Long, Int)], chosen: List[Long])
+
+  /** Streaming N-step strict funnel — the live sibling of
+    * [[graft.operators.Funnel.funnel]], same greedy-earliest semantics:
+    * t1 is the key's earliest step-1 event, each later stage keeps the
+    * earliest event STRICTLY after the previous stage's chosen
+    * timestamp, within `windowUs` of t1 (inclusive) and within its
+    * per-transition gap cap. Arrivals buffer in keyed state until the
+    * watermark passes their timestamp ([[sequenceCountUpdates]]'s
+    * discipline), so stages fold over a globally time-ordered sequence
+    * and a chosen timestamp is FINAL the moment it is set — greedy's
+    * "earliest qualifying" is exactly "first qualifying in time order",
+    * which is why the incremental fold equals the batch cascade at the
+    * same watermark horizon (differential-pinned in the spec). Late
+    * events beyond `lateness` are dropped by the watermark; an
+    * event-time timeout drains a key's buffer when no new events arrive.
+    *
+    * Emits, in Update mode, one row per key per trigger with step-1
+    * activity: (user_id, funnel_level, t1_us … tN_us) — the batch output
+    * schema; funnel_level is monotone, so consumers read the latest row
+    * per key.
+    *
+    * @param events streaming frame with `user_id`, `event_type`,
+    *               event-time `timestamp` columns */
+  def funnelUpdates(events: DataFrame, steps: Seq[String], windowUs: Long,
+                    maxGapsUs: Seq[Option[Long]] = Seq.empty,
+                    lateness: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(steps.nonEmpty, "need at least one funnel step")
+    require(windowUs > 0, "window must be positive")
+    require(maxGapsUs.isEmpty || maxGapsUs.size == steps.size - 1,
+      s"maxGapsUs must have one entry per step transition " +
+        s"(${steps.size - 1}), got ${maxGapsUs.size}")
+    require(maxGapsUs.flatten.forall(_ > 0), "gap caps must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val k = steps.size
+    val gaps: Seq[Option[Long]] =
+      if (maxGapsUs.isEmpty) Seq.fill(math.max(k - 1, 0))(None) else maxGapsUs
+    val stepIdx = steps.zipWithIndex.toMap
+    val typed = events
+      .withWatermark("timestamp", lateness)
+      .select(col("user_id").cast("long"), col("event_type").cast("string"),
+        col("timestamp"))
+      .as[(Long, String, java.sql.Timestamp)]
+    val updates = typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        (key: Long, it: Iterator[(Long, String, java.sql.Timestamp)],
+         state: GroupState[FunnelState]) => {
+          val st = state.getOption.getOrElse(FunnelState(Nil, Nil))
+          val incoming = it.flatMap { case (_, tpe, ts) =>
+            stepIdx.get(tpe).map(i => (ts.getTime * 1000L, i + 1))
+          }.toList
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, pending) = (st.buf ++ incoming).partition(_._1 <= wmUs)
+          val chosen = scala.collection.mutable.ArrayBuffer(st.chosen: _*)
+          // (ts, step) order: at equal timestamps the earlier step folds
+          // first, matching the batch cascade where stage i+1 must be
+          // STRICTLY after stage i's choice (equal-ts never chains)
+          ready.sortBy(identity).foreach { case (ts, i) =>
+            if (i == 1) {
+              if (chosen.isEmpty) chosen += ts
+            } else if (chosen.size == i - 1 &&
+                ts > chosen(i - 2) && ts <= chosen.head + windowUs &&
+                gaps(i - 2).forall(g => ts <= chosen(i - 2) + g))
+              chosen += ts
+          }
+          state.update(FunnelState(pending, chosen.toList))
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(pending.map(_._1).min / 1000L + 1)
+          if (chosen.nonEmpty && ready.nonEmpty)
+            Iterator((key, chosen.size, chosen.toSeq))
+          else Iterator.empty
+        })
+      .toDF("user_id", "funnel_level", "ts_us")
+    updates.select(col("user_id") +: col("funnel_level").cast("int").as("funnel_level") +:
+      (1 to k).map(i =>   // ts_us only reaches funnel_level: NULL beyond
+        try_element_at(col("ts_us"), lit(i)).as(s"t${i}_us")): _*)
+  }
+
+  /** Keyed state for [[retentionUpdates]]: horizon buffer of
+    * (ts_us, period), the cohort period (MinValue = not yet seen), and
+    * one hit flag per offset. */
+  case class RetentionState(buf: List[(Long, Long)], p0: Long,
+                            hit: List[Boolean])
+
+  /** Streaming per-key cohort retention — the live sibling of
+    * [[graft.operators.Retention.cohorts]], emitting PER-KEY flag
+    * updates instead of the batch per-cohort roll-up (a second stateful
+    * aggregation behind flatMapGroupsWithState is not composable in
+    * Update mode; the roll-up is one exact groupBy over the latest row
+    * per key, pinned against the batch operator in the spec). Arrivals
+    * buffer until the watermark finalizes their event time, then fold in
+    * time order: the first finalized event fixes the cohort period p0
+    * (the batch `min(period)` — equal because `period` is derived from
+    * event time and therefore non-decreasing in it, which this operator
+    * REQUIRES of its input), later events set `retained_p<o>` flags
+    * (`period == p0 + o`, or any period in (p0, p0+o] with
+    * `cumulative`). Flags are monotone; consumers read the latest row
+    * per key.
+    *
+    * @param events streaming frame with `user_id`, event-time
+    *               `timestamp`, and integer `period` columns (period
+    *               non-decreasing in timestamp, e.g.
+    *               `micros div 86400000000`) */
+  def retentionUpdates(events: DataFrame, offsets: Seq[Int],
+                       cumulative: Boolean = false,
+                       lateness: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(offsets.nonEmpty, "need at least one retention offset")
+    require(offsets.forall(_ >= 1), "offsets must be >= 1")
+    require(offsets.distinct == offsets, "offsets must be distinct")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark("timestamp", lateness)
+      .select(col("user_id").cast("long"), col("timestamp"),
+        col("period").cast("long"))
+      .as[(Long, java.sql.Timestamp, Long)]
+    val updates = typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        (key: Long, it: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: GroupState[RetentionState]) => {
+          val st = state.getOption.getOrElse(
+            RetentionState(Nil, Long.MinValue, List.fill(offsets.size)(false)))
+          val incoming = it.map { case (_, ts, p) => (ts.getTime * 1000L, p) }.toList
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, pending) = (st.buf ++ incoming).partition(_._1 <= wmUs)
+          var p0 = st.p0
+          val hit = st.hit.toArray
+          ready.sortBy(identity).foreach { case (_, p) =>
+            if (p0 == Long.MinValue) p0 = p
+            else {
+              var oi = 0
+              while (oi < offsets.size) {
+                if (if (cumulative) p > p0 && p <= p0 + offsets(oi)
+                    else p == p0 + offsets(oi)) hit(oi) = true
+                oi += 1
+              }
+            }
+          }
+          state.update(RetentionState(pending, p0, hit.toList))
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(pending.map(_._1).min / 1000L + 1)
+          if (p0 != Long.MinValue && ready.nonEmpty)
+            Iterator((key, p0, hit.toSeq))
+          else Iterator.empty
+        })
+      .toDF("user_id", "cohort_period", "hits")
+    updates.select(col("user_id") +: col("cohort_period") +:
+      offsets.zipWithIndex.map { case (o, i) =>
+        element_at(col("hits"), i + 1).cast("int").as(s"retained_p$o") }: _*)
+  }
+
   /** Compact a [[nearDedupIntake]] standing index: one parquet partition
     * per micro-batch is the idempotent-retry contract, but thousands of
     * ingest batches mean thousands of small files — the classic

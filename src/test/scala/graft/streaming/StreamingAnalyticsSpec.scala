@@ -363,4 +363,100 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       assert(partitions() == Set("batch_id=-1", "batch_id=3"))
     } finally q.stop()
   }
+
+  test("streaming funnel equals the batch cascade, out-of-order arrivals included") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val name = s"funnel_${System.nanoTime()}"
+    val steps = Seq("view", "cart", "purchase")
+    val windowUs = 30L * 60 * 1000000
+    val q = StreamingAnalytics.funnelUpdates(
+        mem.toDF().toDF("timestamp", "user_id", "event_type"),
+        steps, windowUs, lateness = "10 minutes")
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName(name).start()
+    val events = scala.collection.mutable.ArrayBuffer[(Timestamp, Long, String)]()
+    def add(rows: (Timestamp, Long, String)*): Unit = {
+      events ++= rows; mem.addData(rows: _*); q.processAllAvailable()
+    }
+    try {
+      // user 1 completes in order; user 2's cart ARRIVES before its view
+      // (out of order inside the horizon); user 3 views only; user 4's
+      // purchase falls outside the 30-min window of its view
+      add((ts(1), 1L, "view"), (ts(2), 1L, "cart"), (ts(3), 2L, "cart"))
+      add((ts(2), 2L, "view"), (ts(4), 1L, "purchase"), (ts(5), 3L, "view"))
+      add((ts(6), 4L, "view"), (ts(45), 4L, "purchase"), (ts(8), 4L, "cart"))
+      // advance the watermark past everything, then drain timeouts
+      add((ts(57), 9L, "view"))
+      add((ts(59), 9L, "view"))
+      val got = spark.table(name)
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max("funnel_level").as("lvl"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val wmUs = (ts(59).getTime - 10 * 60 * 1000) * 1000L
+      val folded = events.filter(_._1.getTime * 1000L <= wmUs)
+        .map { case (t, u, e) => (u, e, t.getTime * 1000L) }.toSeq
+      val batch = graft.operators.Funnel.funnel(
+          folded.toDF("user_id", "event_type", "t_us"),
+          "user_id", "event_type", "t_us", steps, windowUs)
+        .select("user_id", "funnel_level")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got.view.filterKeys(_ != 9L).toMap ==
+        batch.view.filterKeys(_ != 9L).toMap, s"streaming $got vs batch $batch")
+      assert(got(1L) == 3 && got(2L) == 2 && got(3L) == 1 && got(4L) == 2)
+      // the chosen timestamps match the batch cascade's minima
+      val t4 = spark.table(name).filter($"user_id" === 4L && $"funnel_level" === 2)
+        .select("t1_us", "t2_us", "t3_us").collect().last
+      assert(t4.getLong(0) == ts(6).getTime * 1000L)
+      assert(t4.getLong(1) == ts(8).getTime * 1000L)
+      assert(t4.isNullAt(2), "out-of-window purchase must not fill t3")
+    } finally q.stop()
+  }
+
+  test("streaming retention per-key flags roll up to the batch cohort table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val name = s"retention_${System.nanoTime()}"
+    // period = minutes since epoch: non-decreasing in event time
+    val q = StreamingAnalytics.retentionUpdates(
+        mem.toDF().toDF("timestamp", "user_id")
+          .withColumn("period", org.apache.spark.sql.functions
+            .expr("cast(timestamp as long) div 60")),
+        offsets = Seq(1, 3), lateness = "10 minutes")
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName(name).start()
+    val events = scala.collection.mutable.ArrayBuffer[(Timestamp, Long)]()
+    def add(rows: (Timestamp, Long)*): Unit = {
+      events ++= rows; mem.addData(rows: _*); q.processAllAvailable()
+    }
+    try {
+      // user 1: returns at +1 and +3; user 2: returns at +2 only (misses
+      // both offsets); user 3: cohort event only; user 2's +2 return
+      // arrives before its cohort event (out of order in the horizon)
+      add((ts(1), 1L), (ts(2), 1L), (ts(4), 2L))
+      add((ts(2), 2L), (ts(4), 1L), (ts(5), 3L))
+      add((ts(57), 9L))
+      add((ts(59), 9L))
+      val latest = spark.table(name)
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.min("cohort_period").as("cohort_period"),
+          org.apache.spark.sql.functions.max("retained_p1").as("retained_p1"),
+          org.apache.spark.sql.functions.max("retained_p3").as("retained_p3"))
+        .filter($"user_id" =!= 9L)
+      val gotCohorts = latest.groupBy("cohort_period")
+        .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_keys"),
+          org.apache.spark.sql.functions.sum("retained_p1").as("retained_p1"),
+          org.apache.spark.sql.functions.sum("retained_p3").as("retained_p3"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val wmUs = (ts(59).getTime - 10 * 60 * 1000) * 1000L
+      val folded = events.filter(_._1.getTime * 1000L <= wmUs)
+        .map { case (t, u) => (u, t.getTime / 60000L) }.toSeq
+      val batch = graft.operators.Retention.cohorts(
+          folded.toDF("user_id", "period"), "user_id", "period", Seq(1, 3))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(gotCohorts == batch, s"streaming $gotCohorts vs batch $batch")
+    } finally q.stop()
+  }
 }
