@@ -209,6 +209,13 @@ object Salting {
     * in SaltingSpec with dim duplicates across thresholds and salt
     * counts.
     *
+    * The hot set is materialized on the driver (it is broadcast-sized
+    * by construction: at most |fact| / hotThreshold keys). When it is
+    * EMPTY — skew insurance on an input that turned out unskewed — the
+    * whole salting apparatus is skipped and the plan IS the plain join;
+    * the insurance premium is exactly the one map-side-combined
+    * detection scan.
+    *
     * Use for fact⨝dim with a skewed fact; for two huge tables bucket
     * both sides instead. */
   def skewJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
@@ -217,15 +224,22 @@ object Salting {
     require(keys.nonEmpty, "need at least one join key")
     require(salts >= 1, "salts must be >= 1")
     require(hotThreshold >= 1, "hotThreshold must be >= 1")
-    val hot = hotKeys(left, keys, hotThreshold)
-    val l = saltedLeft(left, keys, salts, hot, rowId)
-    val r = right.join(broadcast(hot), keys, "left_outer")
-      .withColumn("_salt", explode(
-        when(col("_hot").isNotNull,
-          sequence(lit(0), lit(salts - 1)).cast("array<int>"))
-          .otherwise(array(lit(0)))))
-      .drop("_hot")
-    l.join(r, keys :+ "_salt").drop("_salt")
+    val hotFrame = hotKeys(left, keys, hotThreshold)
+    val hotLocal = hotFrame.collect()
+    if (hotLocal.isEmpty) {
+      left.join(right, keys)
+    } else {
+      val hot = left.sparkSession.createDataFrame(
+        java.util.Arrays.asList(hotLocal: _*), hotFrame.schema)
+      val l = saltedLeft(left, keys, salts, hot, rowId)
+      val r = right.join(broadcast(hot), keys, "left_outer")
+        .withColumn("_salt", explode(
+          when(col("_hot").isNotNull,
+            sequence(lit(0), lit(salts - 1)).cast("array<int>"))
+            .otherwise(array(lit(0)))))
+        .drop("_hot")
+      l.join(r, keys :+ "_salt").drop("_salt")
+    }
   }
 
   /** Keys with more than `hotThreshold` rows, as a tiny broadcastable
@@ -241,16 +255,35 @@ object Salting {
 
   /** The fact side with its `_salt` assignment — separate so tests can
     * assert the spread directly (identical-row floods MUST still fan out
-    * across salts, which the per-row-id salt guarantees). */
+    * across salts, which the per-row-id salt guarantees).
+    *
+    * Without a caller row id, the positional token pass costs a full
+    * row serde (mapPartitions leaves whole-stage codegen), so it is
+    * applied to the HOT subset only: cold rows take a broadcast
+    * anti-join branch that stays entirely in codegen with `_salt = 0`,
+    * hot rows take the semi-join branch through [[withRowToken]]. The
+    * serde premium therefore scales with the skewed fraction, not the
+    * table — at 100 TB with a handful of hot keys, the cold 99% never
+    * leaves the vectorized path. (The fact scans twice, but both
+    * branches are pruned, pushed-down parquet scans; cheaper than one
+    * full-width row serde of everything.) */
   private[operators] def saltedLeft(left: DataFrame, keys: Seq[String],
                                     salts: Int, hot: DataFrame,
-                                    rowId: Option[String] = None): DataFrame = {
-    val withId = rowId.map(c => left.withColumn("_row_token", col(c)))
-      .getOrElse(withRowToken(left))
-    withId.join(broadcast(hot), keys, "left_outer")
-      .withColumn("_salt",
-        when(col("_hot").isNotNull,
-          saltCol(salts, col("_row_token"))).otherwise(0))
-      .drop("_hot", "_row_token")
-  }
+                                    rowId: Option[String] = None): DataFrame =
+    rowId match {
+      case Some(c) =>
+        left.join(broadcast(hot), keys, "left_outer")
+          .withColumn("_salt",
+            when(col("_hot").isNotNull, saltCol(salts, col(c))).otherwise(0))
+          .drop("_hot")
+      case None =>
+        val hotKeysOnly = hot.drop("_hot")
+        val cold = left.join(broadcast(hotKeysOnly), keys, "left_anti")
+          .withColumn("_salt", lit(0))
+        val hotRows = withRowToken(
+            left.join(broadcast(hotKeysOnly), keys, "left_semi"))
+          .withColumn("_salt", saltCol(salts, col("_row_token")))
+          .drop("_row_token")
+        cold.unionByName(hotRows)
+    }
 }
