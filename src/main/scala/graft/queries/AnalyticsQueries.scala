@@ -966,4 +966,58 @@ FROM lineitem"""
           $"approx_p50" > $"p55", 1)).as("n_violations"),
         least(count(lit(1)), lit(1L)).as("has_pairs"))
   }
+
+  /** Distinct users per event type answered from a MERGEABLE sketch
+    * cube ([[graft.operators.Sketches]]): raw events are sketched once
+    * into per-(type, shard) HLL rows, then the answer is a union over
+    * the cube — the pre-aggregation shape that answers distinct-count
+    * roll-ups at 100 TB without rescanning the fact table. Approximate
+    * by construction → no DuckDB oracle; accuracy is driver-gated by
+    * [[eventsDistinctHllViolations]] and the exact twin
+    * [[eventsDistinctExact]] is oracle-checked. */
+  def eventsDistinctHll(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+    graft.operators.Sketches.hllRollup(
+        graft.operators.Sketches.hllCube(ev, Seq("event_type"), "user_id"),
+        Seq("event_type"), estimateCol = "approx_users")
+      .orderBy("event_type")
+  }
+
+  /** Exact twin of [[eventsDistinctHll]]. */
+  def eventsDistinctExact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "events")
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy("event_type")
+  }
+
+  val eventsDistinctExactOracle: String = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1 ORDER BY 1"""
+
+  /** Accuracy gate for the sketch cube: every per-type estimate — and a
+    * SECOND roll-up from a re-sharded cube (different merge topology) —
+    * must land within 5% of exact (lgK 12 → ~1.6% rsd; 3σ). The
+    * re-shard leg pins the no-accuracy-loss-from-pre-aggregation
+    * contract the operator's scaladoc states. */
+  def eventsDistinctHllViolations(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, sfDir, "events")
+    val est = eventsDistinctHll(spark, sfDir)
+    val resharded = graft.operators.Sketches.hllRollup(
+        graft.operators.Sketches.hllCube(ev, Seq("event_type"), "user_id",
+          shards = 7),
+        Seq("event_type"), estimateCol = "approx_users_b")
+    val exact = eventsDistinctExact(spark, sfDir)
+    est.join(resharded, "event_type").join(exact, "event_type")
+      .select(
+        (abs($"approx_users" - $"n_users").cast("double") / $"n_users")
+          .as("rel_a"),
+        (abs($"approx_users_b" - $"n_users").cast("double") / $"n_users")
+          .as("rel_b"))
+      .select(
+        count(when($"rel_a" > 0.05 || $"rel_b" > 0.05, 1)).as("n_violations"),
+        least(count(lit(1)), lit(1L)).as("has_pairs"))
+  }
 }
