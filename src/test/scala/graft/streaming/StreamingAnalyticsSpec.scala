@@ -42,6 +42,37 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed HLL distinct: streaming estimate stays in the batch sketch bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, String)]
+    val name = s"hll_${System.nanoTime()}"
+    val q = StreamingAnalytics.windowedDistinctUsers(
+        mem.toDF().toDF("ts", "event_type", "user_id"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(name).start()
+    try {
+      // 400 distinct users for type a, 70 for type b, split across two
+      // micro-batches so cross-batch sketch state must merge
+      val batch1 = (0 until 250).map(i => (ts(1), "a", s"u$i")) ++
+        (0 until 40).map(i => (ts(2), "b", s"v$i"))
+      val batch2 = (150 until 400).map(i => (ts(3), "a", s"u$i")) ++
+        (30 until 70).map(i => (ts(2), "b", s"v$i"))
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      mem.addData((ts(30), "a", "late")) // close the first window
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .filter($"window_start" === Timestamp.valueOf("2024-01-01 10:00:00"))
+        .select("event_type", "approx_distinct")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(math.abs(rows("a") - 400).toDouble / 400 <= 0.05)
+      assert(math.abs(rows("b") - 70).toDouble / 70 <= 0.05)
+    } finally q.stop()
+  }
+
   test("streaming corpus intake: dedup + quality gate match batch semantics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
