@@ -65,4 +65,72 @@ object Sketches {
     a.unionByName(b)
       .groupBy((dims :+ "_shard").map(col): _*)
       .agg(hll_union_agg(col("hll")).as("hll"))
+
+  // ------------------------------------------------- theta set algebra ----
+
+  /** Per-`dims` Theta sketches of `countCol`'s distinct values. Theta
+    * (unlike HLL) supports INTERSECTION and DIFFERENCE, so one sketch
+    * row per group answers every audience-overlap question between
+    * groups — |A∩B|, |A∖B| — without a pairwise self-join of raw rows.
+    * A pairwise exact answer at 100 TB is a self-join of the fact table
+    * per pair; from this table it is set algebra over KB-sized sketch
+    * blobs. Accuracy: ~1/√2^lgK rsd on unions; intersection error
+    * grows when |A∩B| is small relative to the union (the standard
+    * Theta caveat) — the violations gate prices both. */
+  def thetaSketches(df: DataFrame, dims: Seq[String],
+                    countCol: String): DataFrame =
+    df.groupBy(dims.map(col): _*)
+      .agg(call_function("theta_sketch_agg", col(countCol)).as("theta"))
+
+  /** All ordered pairs of groups with their set-algebra estimates:
+    * (left dims, right dims, n_left, n_right, n_intersect, n_only_left).
+    * The sketch table is tiny (one row per group) — the pair join is a
+    * broadcast cross of sketch blobs, never a row self-join. */
+  def thetaOverlap(sketches: DataFrame, dim: String): DataFrame = {
+    val l = sketches.select(col(dim).as("a"), col("theta").as("ta"))
+    val r = sketches.select(col(dim).as("b"), col("theta").as("tb"))
+    l.crossJoin(r).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        call_function("theta_sketch_estimate", col("ta")).as("n_a"),
+        call_function("theta_sketch_estimate", col("tb")).as("n_b"),
+        call_function("theta_sketch_estimate",
+          call_function("theta_intersection", col("ta"), col("tb")))
+          .as("n_intersect"),
+        call_function("theta_sketch_estimate",
+          call_function("theta_difference", col("ta"), col("tb")))
+          .as("n_only_a"))
+  }
+
+  // ---------------------------------------------- kll quantile sketches ----
+
+  /** Per-(dims, `_shard`) KLL quantile sketches of a double `valueCol` —
+    * the order-statistics sibling of [[hllCube]]: the cube persists as
+    * parquet and any later roll-up answers arbitrary quantiles via a
+    * rank-error-bounded merge, never a re-sort of raw rows. KLL rank
+    * error at the default k=200 is ~1.65% (±ε of the RANK, so the
+    * returned value lies between the exact (p−ε) and (p+ε) quantiles —
+    * that value-between-rank-bounds form is what the gate checks). */
+  def kllCube(df: DataFrame, dims: Seq[String], valueCol: String,
+              shards: Int = 32): DataFrame = {
+    require(dims.nonEmpty, "need at least one dimension column")
+    require(shards >= 1, "shards must be >= 1")
+    val keys = dims.map(col) :+
+      pmod(xxhash64(col(valueCol)), lit(shards.toLong)).cast("int").as("_shard")
+    df.groupBy(keys: _*)
+      .agg(call_function("kll_sketch_agg_double", col(valueCol)).as("kll"))
+  }
+
+  /** Roll a KLL cube up to `dims` and extract quantiles `ps`, one
+    * `p<percent>` column per requested quantile. */
+  def kllRollup(cube: DataFrame, dims: Seq[String],
+                ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty, "need at least one quantile")
+    val merged = cube.groupBy(dims.map(col): _*)
+      .agg(call_function("kll_merge_agg_double", col("kll")).as("kll"))
+    val qs = ps.map { p =>
+      call_function("kll_sketch_get_quantile_double", col("kll"), lit(p))
+        .as(s"p${(p * 100).round}")
+    }
+    merged.select(dims.map(col) ++ qs: _*)
+  }
 }

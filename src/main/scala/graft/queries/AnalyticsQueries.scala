@@ -1020,4 +1020,107 @@ FROM events GROUP BY 1 ORDER BY 1"""
         count(when($"rel_a" > 0.05 || $"rel_b" > 0.05, 1)).as("n_violations"),
         least(count(lit(1)), lit(1L)).as("has_pairs"))
   }
+
+  /** Audience overlap between every pair of event types from Theta
+    * sketches ([[graft.operators.Sketches.thetaOverlap]]): |A|, |B|,
+    * |A∩B|, |A∖B| — set algebra over one KB-sized sketch row per type,
+    * where the exact answer is a per-pair self-join of the fact table.
+    * At driver scale the sketches hold fewer than 2^lgK entries and are
+    * in EXACT mode; the violations gate still prices the full 5% bound
+    * so the estimation-mode contract is what's registered. */
+  def eventsAudienceTheta(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+    graft.operators.Sketches.thetaOverlap(
+        graft.operators.Sketches.thetaSketches(ev, Seq("event_type"), "user_id"),
+        "event_type")
+      .orderBy("a", "b")
+  }
+
+  /** Exact twin of [[eventsAudienceTheta]] — pairwise distinct-user
+    * set measures via a distinct-pairs self-join. */
+  def eventsAudienceExact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables(spark, sfDir, "events")
+      .select($"event_type", $"user_id").distinct()
+    val c = d.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val inter = d.as("x").join(d.as("y"),
+        $"x.user_id" === $"y.user_id" && $"x.event_type" < $"y.event_type")
+      .groupBy($"x.event_type".as("a"), $"y.event_type".as("b"))
+      .agg(count(lit(1)).as("n_intersect"))
+    inter
+      .join(c.select($"event_type".as("a"), $"n".as("n_a")), "a")
+      .join(c.select($"event_type".as("b"), $"n".as("n_b")), "b")
+      .select($"a", $"b", $"n_a", $"n_b", $"n_intersect",
+        ($"n_a" - $"n_intersect").as("n_only_a"))
+      .orderBy("a", "b")
+  }
+
+  val eventsAudienceExactOracle: String = """
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+i AS (SELECT x.event_type AS a, y.event_type AS b,
+             CAST(count(*) AS BIGINT) AS n_intersect
+      FROM d x JOIN d y ON x.user_id = y.user_id AND x.event_type < y.event_type
+      GROUP BY 1, 2)
+SELECT i.a, i.b, ca.n AS n_a, cb.n AS n_b, i.n_intersect,
+       ca.n - i.n_intersect AS n_only_a
+FROM i JOIN c ca ON ca.event_type = i.a JOIN c cb ON cb.event_type = i.b
+ORDER BY 1, 2"""
+
+  /** 5% gate on every Theta set-algebra measure vs the exact twin. */
+  def eventsAudienceThetaViolations(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val est = eventsAudienceTheta(spark, sfDir)
+    val exact = eventsAudienceExact(spark, sfDir)
+      .withColumnsRenamed(Map("n_a" -> "e_a", "n_b" -> "e_b",
+        "n_intersect" -> "e_int", "n_only_a" -> "e_only"))
+    def rel(e: Column, x: Column): Column =
+      abs(e.cast("double") - x) / greatest(x.cast("double"), lit(1.0))
+    est.join(exact, Seq("a", "b"))
+      .select(
+        count(when(
+          rel($"n_a", $"e_a") > 0.05 || rel($"n_b", $"e_b") > 0.05 ||
+          rel($"n_intersect", $"e_int") > 0.05 ||
+          rel($"n_only_a", $"e_only") > 0.05, 1)).as("n_violations"),
+        least(count(lit(1)), lit(1L)).as("has_pairs"))
+  }
+
+  /** Per-type value quantiles answered from a mergeable KLL sketch cube
+    * ([[graft.operators.Sketches.kllCube]]) — the order-statistics
+    * sibling of the HLL cube; the exact twin is the hash-green
+    * `salted_value_quartiles` (histogram+cumsum exact percentiles). */
+  def eventsValueKll(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, sfDir, "events")
+      .select($"event_type", $"value").filter($"value".isNotNull)
+    graft.operators.Sketches.kllRollup(
+        graft.operators.Sketches.kllCube(ev, Seq("event_type"), "value"),
+        Seq("event_type"), Seq(0.5, 0.9, 0.99))
+      .orderBy("event_type")
+  }
+
+  /** KLL rank-error gate: the sketch's p-quantile value must lie
+    * between the EXACT (p−3ε) and (p+3ε) quantiles (ε≈1.65% at the
+    * default k=200 — rank error, not value error, which is why the
+    * bound brackets in rank space). */
+  def eventsValueKllViolations(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val est = eventsValueKll(spark, sfDir)
+    val bounds = Tables(spark, sfDir, "events")
+      .filter($"value".isNotNull)
+      .groupBy($"event_type")
+      .agg(
+        expr("percentile(value, 0.45)").as("lo50"),
+        expr("percentile(value, 0.55)").as("hi50"),
+        expr("percentile(value, 0.85)").as("lo90"),
+        expr("percentile(value, 0.95)").as("hi90"),
+        expr("percentile(value, 0.94)").as("lo99"),
+        max($"value").as("hi99"))
+    est.join(bounds, "event_type")
+      .select(
+        count(when($"p50" < $"lo50" || $"p50" > $"hi50" ||
+          $"p90" < $"lo90" || $"p90" > $"hi90" ||
+          $"p99" < $"lo99" || $"p99" > $"hi99", 1)).as("n_violations"),
+        least(count(lit(1)), lit(1L)).as("has_pairs"))
+  }
 }

@@ -73,6 +73,55 @@ class SketchesSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
   }
 
+  test("theta overlap estimates intersection and difference within bound") {
+    // users 0-299 do "a"; 200-499 do "b": |a|=300 |b|=300 |a∩b|=100 |a\b|=200
+    val rows = (0 until 300).map(u => ("a", s"u$u")) ++
+      (200 until 500).map(u => ("b", s"u$u"))
+    val df = rows.toDF("event_type", "user_id")
+    val overlap = Sketches.thetaOverlap(
+        Sketches.thetaSketches(df, Seq("event_type"), "user_id"), "event_type")
+      .collect().head
+    def rel(est: Long, exact: Double) = math.abs(est - exact) / exact
+    assert(overlap.getString(0) == "a" && overlap.getString(1) == "b")
+    assert(rel(overlap.getLong(2), 300) <= 0.05, s"n_a=${overlap.getLong(2)}")
+    assert(rel(overlap.getLong(3), 300) <= 0.05, s"n_b=${overlap.getLong(3)}")
+    assert(rel(overlap.getLong(4), 100) <= 0.05, s"n_int=${overlap.getLong(4)}")
+    assert(rel(overlap.getLong(5), 200) <= 0.05, s"n_only=${overlap.getLong(5)}")
+  }
+
+  test("kll cube roll-up returns quantiles within the rank-error bound") {
+    // values 1..10000 per type: exact p-quantile of type t is ~p*10000
+    val rows = for (t <- Seq("x", "y"); v <- 1 to 10000)
+      yield (t, v.toDouble * (if (t == "x") 1 else 3))
+    val df = rows.toDF("event_type", "value")
+    val q = Sketches.kllRollup(
+        Sketches.kllCube(df, Seq("event_type"), "value", shards = 16),
+        Seq("event_type"), Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // rank error eps≈1.65% at k=200: value at p must sit within the
+    // exact (p±3eps) quantile values
+    def inRankBound(v: Double, p: Double, scale: Double): Boolean = {
+      val eps = 0.05
+      v >= (p - eps) * 10000 * scale && v <= (p + eps) * 10000 * scale
+    }
+    for ((t, scale) <- Seq(("x", 1.0), ("y", 3.0))) {
+      val (p50, p90, p99) = q(t)
+      assert(inRankBound(p50, 0.50, scale), s"$t p50=$p50")
+      assert(inRankBound(p90, 0.90, scale), s"$t p90=$p90")
+      assert(inRankBound(p99, 0.99, scale), s"$t p99=$p99")
+    }
+  }
+
+  test("kll cube merges across shard counts and parquet round-trip within bound") {
+    val df = (1 to 5000).map(v => ("z", v.toDouble)).toDF("event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("kll_cube").toString
+    Sketches.kllCube(df, Seq("event_type"), "value", shards = 8)
+      .write.mode("overwrite").parquet(dir)
+    val p50 = Sketches.kllRollup(spark.read.parquet(dir), Seq("event_type"),
+        Seq(0.5)).collect().head.getDouble(1)
+    assert(math.abs(p50 - 2500) <= 0.05 * 5000, s"p50=$p50")
+  }
+
   test("coarser roll-up over a dim subset answers from the cube and is in-bound") {
     val cube = Sketches.hllCube(
       events.withColumn("half", ($"event_id" % 2).cast("int")),
