@@ -458,6 +458,79 @@ object StreamingAnalytics {
     * the append (pre-commit) has exactly that race; don't. Live
     * batch_ids are never negative, so a compacted generation can never
     * collide with a retried batch's dynamic-partition overwrite. */
+  /** Continuously-maintained HLL sketch cube ([[graft.operators
+    * .Sketches]]) over a document/event stream: each micro-batch
+    * sketches its own rows and appends them to the persisted cube,
+    * partitioned by `batch_id` with dynamic partition overwrite (the
+    * same at-least-once discipline as [[nearDedupIntake]]'s index).
+    * Any reader answers distinct-count roll-ups from the live cube via
+    * [[graft.operators.Sketches.hllRollup]] without touching the
+    * stream or the raw rows.
+    *
+    * Replay safety is STRICTLY STRONGER here than for the dedup index:
+    * a retried batch overwrites its own partition (no duplicate rows),
+    * and even the compaction race nearDedupIntake must guard against —
+    * a replayed batch whose rows were already folded into the
+    * `batch_id = -1` partition, leaving the same data represented
+    * twice — is harmless, because sketch insertion has SET semantics:
+    * unioning a value's sketch contribution twice is the identity.
+    * Distinct-count cubes are idempotent under at-least-once delivery
+    * by construction; no exclusion guard exists because none is
+    * needed.
+    *
+    * Use with `events.writeStream.foreachBatch(
+    * sketchCubeIntake(path, Seq("event_type"), "user_id")).start()`. */
+  def sketchCubeIntake(cubePath: String, dims: Seq[String],
+                       countCol: String, shards: Int = 32, lgK: Int = 12,
+                       sink: (Long) => Unit = _ => ())
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    graft.operators.Sketches.hllCube(batch, dims, countCol, shards, lgK)
+      .withColumn("batch_id", lit(batchId))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .mode("overwrite")
+      .parquet(cubePath)
+    sink(batchId)
+  }
+
+  /** Fold a streamed cube's per-batch partitions below `belowBatchId`
+    * into one `batch_id = -1` partition, UNIONING same-(dims, _shard)
+    * sketches — file count stops growing with stream lifetime while
+    * estimates are unchanged (union associativity; and see
+    * [[sketchCubeIntake]] for why a replay racing the fold cannot
+    * corrupt a set-semantics cube). Same staged-swap discipline as
+    * [[compactIndex]]: never leaves the path without data. */
+  def compactCube(spark: org.apache.spark.sql.SparkSession, cubePath: String,
+                  dims: Seq[String], numFiles: Int = 8,
+                  belowBatchId: Long = Long.MaxValue): Unit = {
+    import graft.operators.Artifacts
+    require(numFiles >= 1, "numFiles must be >= 1")
+    if (!Artifacts.hasData(spark, cubePath)) return
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(cubePath)
+    val fs = path.getFileSystem(hadoopConf)
+    val staging = new org.apache.hadoop.fs.Path(cubePath + "._compact")
+    val backup = new org.apache.hadoop.fs.Path(cubePath + "._pre_compact")
+    val all = spark.read.parquet(cubePath)
+      .withColumn("batch_id",
+        when(col("batch_id") < lit(belowBatchId), lit(-1L))
+          .otherwise(col("batch_id")))
+    all.groupBy((dims :+ "_shard" :+ "batch_id").map(col): _*)
+      .agg(hll_union_agg(col("hll")).as("hll"))
+      .repartition(numFiles)
+      .write.partitionBy("batch_id").mode("overwrite")
+      .parquet(staging.toString)
+    if (fs.exists(backup)) fs.delete(backup, true)
+    if (!fs.rename(path, backup))
+      throw new java.io.IOException(s"compaction swap failed: $path -> $backup")
+    if (!fs.rename(staging, path)) {
+      fs.rename(backup, path)
+      throw new java.io.IOException(s"compaction swap failed: $staging -> $path")
+    }
+    spark.catalog.refreshByPath(cubePath)
+  }
+
   def compactIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                    numFiles: Int = 32,
                    belowBatchId: Long = Long.MaxValue): Unit = {

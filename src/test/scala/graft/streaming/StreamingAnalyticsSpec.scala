@@ -73,6 +73,53 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sketch cube intake: streamed cube answers in-bound, replay and compaction are harmless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cubePath = java.nio.file.Files.createTempDirectory("cube_intake").toString + "/cube"
+    val ckpt = java.nio.file.Files.createTempDirectory("cube_ckpt").toString
+    val mem = MemoryStream[(String, String)]
+    val q = mem.toDF().toDF("event_type", "user_id")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(StreamingAnalytics.sketchCubeIntake(
+        cubePath, Seq("event_type"), "user_id", shards = 4))
+      .start()
+    try {
+      // 300 users for "a" across two batches (overlap 100-199), 80 for "b"
+      mem.addData((0 until 200).map(u => ("a", s"u$u")): _*)
+      q.processAllAvailable()
+      mem.addData(((100 until 300).map(u => ("a", s"u$u")) ++
+        (0 until 80).map(u => ("b", s"v$u"))): _*)
+      q.processAllAvailable()
+      def estimates(): Map[String, Long] =
+        graft.operators.Sketches.hllRollup(
+            spark.read.parquet(cubePath), Seq("event_type"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val live = estimates()
+      assert(math.abs(live("a") - 300).toDouble / 300 <= 0.05, s"a=${live("a")}")
+      assert(math.abs(live("b") - 80).toDouble / 80 <= 0.05, s"b=${live("b")}")
+
+      // at-least-once REPLAY: re-run batch 1's intake directly — the
+      // partition overwrite plus set semantics leave estimates unchanged
+      StreamingAnalytics.sketchCubeIntake(cubePath, Seq("event_type"),
+        "user_id", shards = 4).apply(
+        ((100 until 300).map(u => ("a", s"u$u")) ++
+          (0 until 80).map(u => ("b", s"v$u"))).toDF("event_type", "user_id"), 1L)
+      assert(estimates() == live, "replayed batch changed the cube's answers")
+
+      // compaction folds batch partitions; answers stay in-bound
+      StreamingAnalytics.compactCube(spark, cubePath, Seq("event_type"),
+        numFiles = 2, belowBatchId = 2L)
+      val folded = spark.read.parquet(cubePath)
+        .select("batch_id").distinct().as[Long].collect().toSet
+      assert(folded == Set(-1L), s"unexpected partitions: $folded")
+      val post = estimates()
+      assert(math.abs(post("a") - 300).toDouble / 300 <= 0.05, s"a=${post("a")}")
+      assert(math.abs(post("b") - 80).toDouble / 80 <= 0.05, s"b=${post("b")}")
+    } finally q.stop()
+  }
+
   test("streaming corpus intake: dedup + quality gate match batch semantics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
