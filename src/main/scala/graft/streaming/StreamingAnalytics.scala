@@ -440,24 +440,6 @@ object StreamingAnalytics {
         element_at(col("hits"), i + 1).cast("int").as(s"retained_p$o") }: _*)
   }
 
-  /** Compact a [[nearDedupIntake]] standing index: one parquet partition
-    * per micro-batch is the idempotent-retry contract, but thousands of
-    * ingest batches mean thousands of small files — the classic
-    * streaming small-files problem, paid on EVERY subsequent batch's
-    * index scan. Rewrites the index as a single `batch_id = -1`
-    * generation of `numFiles` right-sized files, atomically from the
-    * reader's perspective (same SparkSession): stage to `<path>._compact`,
-    * swap via FileSystem rename, keep the old generation at
-    * `<path>._pre_compact` until the caller verifies. Run between
-    * batches — the safe hook is the START of batch N (before its index
-    * read), with `belowBatchId = N`: batches < N have committed, and
-    * batch N's OWN partition — possibly written by a failed earlier
-    * attempt of N whose retry is about to dynamic-partition-overwrite
-    * it — is left out of the fold, so a retried batch can never find
-    * its rows duplicated into `-1`. Compacting from a sink hook AFTER
-    * the append (pre-commit) has exactly that race; don't. Live
-    * batch_ids are never negative, so a compacted generation can never
-    * collide with a retried batch's dynamic-partition overwrite. */
   /** Continuously-maintained HLL sketch cube ([[graft.operators
     * .Sketches]]) over a document/event stream: each micro-batch
     * sketches its own rows and appends them to the persisted cube,
@@ -494,6 +476,36 @@ object StreamingAnalytics {
     sink(batchId)
   }
 
+  /** Streamed KLL quantile cube: [[sketchCubeIntake]]'s order-statistics
+    * sibling, maintaining a [[graft.operators.Sketches.kllCube]] over
+    * `valueCol` per micro-batch — any reader answers arbitrary
+    * quantiles from the live cube via `Sketches.kllRollup`.
+    *
+    * Replay safety is WEAKER than the HLL cube's, because KLL is a
+    * multiset sketch, not a set sketch: a retried batch's dynamic
+    * partition overwrite REPLACES its own partition, which is exactly
+    * idempotent (duplicating or replacing a whole batch's multiset
+    * leaves every rank fraction unchanged only when it replaces) — but
+    * a replay racing a compaction that already folded the batch into
+    * `batch_id = -1` would leave that batch's values at double weight,
+    * which DOES shift quantiles (unlike HLL, where double insertion is
+    * the identity). So KLL compaction follows [[compactIndex]]'s
+    * stricter discipline: run [[compactKllCube]] only between batches,
+    * with `belowBatchId` = the next batch id, never from a sink hook
+    * racing a retry window. */
+  def kllCubeIntake(cubePath: String, dims: Seq[String], valueCol: String,
+                    shards: Int = 32, sink: (Long) => Unit = _ => ())
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    graft.operators.Sketches.kllCube(batch, dims, valueCol, shards)
+      .withColumn("batch_id", lit(batchId))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .mode("overwrite")
+      .parquet(cubePath)
+    sink(batchId)
+  }
+
   /** Fold a streamed cube's per-batch partitions below `belowBatchId`
     * into one `batch_id = -1` partition, UNIONING same-(dims, _shard)
     * sketches — file count stops growing with stream lifetime while
@@ -503,7 +515,23 @@ object StreamingAnalytics {
     * [[compactIndex]]: never leaves the path without data. */
   def compactCube(spark: org.apache.spark.sql.SparkSession, cubePath: String,
                   dims: Seq[String], numFiles: Int = 8,
-                  belowBatchId: Long = Long.MaxValue): Unit = {
+                  belowBatchId: Long = Long.MaxValue): Unit =
+    compactSketchCube(spark, cubePath, dims, numFiles, belowBatchId,
+      hll_union_agg(col("hll")).as("hll"))
+
+  /** [[compactCube]] for a [[kllCubeIntake]] cube. Multiset semantics:
+    * safe only between batches (see [[kllCubeIntake]]) — pass the next
+    * batch id as `belowBatchId` so a live retry window is never folded. */
+  def compactKllCube(spark: org.apache.spark.sql.SparkSession,
+                     cubePath: String, dims: Seq[String], numFiles: Int = 8,
+                     belowBatchId: Long = Long.MaxValue): Unit =
+    compactSketchCube(spark, cubePath, dims, numFiles, belowBatchId,
+      call_function("kll_merge_agg_double", col("kll")).as("kll"))
+
+  private def compactSketchCube(spark: org.apache.spark.sql.SparkSession,
+                                cubePath: String, dims: Seq[String],
+                                numFiles: Int, belowBatchId: Long,
+                                mergeAgg: Column): Unit = {
     import graft.operators.Artifacts
     require(numFiles >= 1, "numFiles must be >= 1")
     if (!Artifacts.hasData(spark, cubePath)) return
@@ -517,7 +545,7 @@ object StreamingAnalytics {
         when(col("batch_id") < lit(belowBatchId), lit(-1L))
           .otherwise(col("batch_id")))
     all.groupBy((dims :+ "_shard" :+ "batch_id").map(col): _*)
-      .agg(hll_union_agg(col("hll")).as("hll"))
+      .agg(mergeAgg)
       .repartition(numFiles)
       .write.partitionBy("batch_id").mode("overwrite")
       .parquet(staging.toString)
@@ -531,6 +559,24 @@ object StreamingAnalytics {
     spark.catalog.refreshByPath(cubePath)
   }
 
+  /** Compact a [[nearDedupIntake]] standing index: one parquet partition
+    * per micro-batch is the idempotent-retry contract, but thousands of
+    * ingest batches mean thousands of small files — the classic
+    * streaming small-files problem, paid on EVERY subsequent batch's
+    * index scan. Rewrites the index as a single `batch_id = -1`
+    * generation of `numFiles` right-sized files, atomically from the
+    * reader's perspective (same SparkSession): stage to `<path>._compact`,
+    * swap via FileSystem rename, keep the old generation at
+    * `<path>._pre_compact` until the caller verifies. Run between
+    * batches — the safe hook is the START of batch N (before its index
+    * read), with `belowBatchId = N`: batches < N have committed, and
+    * batch N's OWN partition — possibly written by a failed earlier
+    * attempt of N whose retry is about to dynamic-partition-overwrite
+    * it — is left out of the fold, so a retried batch can never find
+    * its rows duplicated into `-1`. Compacting from a sink hook AFTER
+    * the append (pre-commit) has exactly that race; don't. Live
+    * batch_ids are never negative, so a compacted generation can never
+    * collide with a retried batch's dynamic-partition overwrite. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                    numFiles: Int = 32,
                    belowBatchId: Long = Long.MaxValue): Unit = {

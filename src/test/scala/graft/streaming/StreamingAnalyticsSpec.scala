@@ -120,6 +120,51 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("kll cube intake: streamed quantiles in rank bound, replay idempotent, compaction safe between batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cubePath = java.nio.file.Files.createTempDirectory("kll_intake").toString + "/cube"
+    val ckpt = java.nio.file.Files.createTempDirectory("kll_ckpt").toString
+    // two batches of values 0..999 per key; exact p50 = 499 or 500
+    val b0 = (0 until 500).map(v => ("a", v.toDouble))
+    val b1 = (500 until 1000).map(v => ("a", v.toDouble))
+    val mem = MemoryStream[(String, Double)]
+    val q = mem.toDF().toDF("event_type", "value")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(StreamingAnalytics.kllCubeIntake(
+        cubePath, Seq("event_type"), "value", shards = 4))
+      .start()
+    try {
+      mem.addData(b0: _*)
+      q.processAllAvailable()
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      def p50(): Double =
+        graft.operators.Sketches.kllRollup(
+            spark.read.parquet(cubePath), Seq("event_type"), Seq(0.5))
+          .collect().head.getDouble(1)
+      // KLL rank error ~1.65% at k=200: value at p50 must lie between
+      // the exact 45th and 55th percentile values (generous bracket)
+      val live = p50()
+      assert(live >= 450 && live <= 550, s"p50=$live")
+      // at-least-once REPLAY of batch 1: partition overwrite replaces the
+      // batch's own sketches — the multiset, and so every quantile, is
+      // unchanged
+      StreamingAnalytics.kllCubeIntake(cubePath, Seq("event_type"),
+        "value", shards = 4).apply(b1.toDF("event_type", "value"), 1L)
+      assert(p50() == live, "replayed batch shifted quantiles")
+      // compaction between batches (belowBatchId = next batch id)
+      StreamingAnalytics.compactKllCube(spark, cubePath, Seq("event_type"),
+        numFiles = 2, belowBatchId = 2L)
+      val folded = spark.read.parquet(cubePath)
+        .select("batch_id").distinct().as[Long].collect().toSet
+      assert(folded == Set(-1L), s"unexpected partitions: $folded")
+      val post = p50()
+      assert(post >= 450 && post <= 550, s"post-compaction p50=$post")
+    } finally q.stop()
+  }
+
   test("streaming corpus intake: dedup + quality gate match batch semantics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
