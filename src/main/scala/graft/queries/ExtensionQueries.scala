@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Artifacts, Bpe, Dedup, Multimodal, Packing, Relevance, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Artifacts, Bpe, Dedup, LanguageModel, Multimodal, Packing, Relevance, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1024,6 +1024,53 @@ SELECT doc_id,
 FROM f, s
 WHERE tf1 + tf2 + tf3 > 0
 ORDER BY doc_id"""
+
+  /** Bigram-LM memo — same train-once-serve-across-JOBS discipline as
+    * [[centroidsFor]]/BPE: counts are corpus metadata (bit-deterministic
+    * groupBys), persisted via [[LanguageModel.save]] and served LOADED so
+    * the correctness gate exercises the artifact round-trip every run. */
+  private val lmCache = scala.collection.concurrent.TrieMap
+    .empty[String, LanguageModel.NgramLm]
+  private def lmFor(docs: DataFrame, sfDir: String): LanguageModel.NgramLm =
+    lmCache.getOrElseUpdate(sfDir, {
+      val spark = docs.sparkSession
+      val path = artifactPath("ngramlm", sfDir, "bigram")
+      if (!Artifacts.exists(spark, path + "/meta"))
+        LanguageModel.save(spark, path, LanguageModel.train(docs, "text"))
+      LanguageModel.load(spark, path)
+    })
+
+  /** CCNet-style model-based quality score: mean smoothed bigram
+    * likelihood of each document under the corpus's own LM
+    * ([[LanguageModel.scoreMeanLikelihood]], add-1 smoothing) — kept in
+    * rational IEEE arithmetic with exact fixed-point sums so the whole
+    * score hash-matches the DuckDB oracle; the textbook log-perplexity
+    * twin is ScalaTest-verified in LanguageModelSpec. */
+  def textLmLikelihood(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    LanguageModel.scoreMeanLikelihood(docs, "doc_id", "text",
+        lmFor(docs, sfDir))
+      .orderBy("doc_id")
+  }
+
+  val textLmLikelihoodOracle: String = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tr0 AS (SELECT doc_id, unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS z FROM t),
+tr AS (SELECT doc_id, z[1] AS prev, z[2] AS cur FROM tr0),
+big AS (SELECT prev, cur, count(*) AS cb FROM tr GROUP BY 1, 2),
+ctx AS (SELECT prev, count(*) AS cc FROM tr GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vs
+      FROM (SELECT unnest(w) AS tok FROM t)),
+p AS (
+  SELECT tr.doc_id,
+    CAST(floor((CAST(cb AS DOUBLE) + 1.0) / (CAST(cc AS DOUBLE) + 1.0 * vs)
+               * 1000000000.0 + 0.5) AS BIGINT) AS fx
+  FROM tr JOIN big USING (prev, cur) JOIN ctx USING (prev) CROSS JOIN v)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+       CAST(sum(fx) AS BIGINT) AS sum_fx,
+       CAST(sum(fx) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000000.0
+         AS lm_score
+FROM p GROUP BY doc_id ORDER BY doc_id"""
 
   /** Deterministic 80/10/10 train/val/test assignment
     * ([[Sampling.hashSplit]] — md5-bucketed, stable under appends and
