@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** N-gram language-model quality scoring — the model-based document
   * filter of a CCNet-style training-data pipeline: train a smoothed
-  * bigram LM on the corpus (or a trusted reference corpus), score every
+  * order-n LM (default bigram; any n ≥ 2 via the composite context key)
+  * on the corpus (or a trusted reference corpus), score every
   * document by how well the model predicts its token transitions, and
   * gate or bucket on the score. Low-likelihood documents are boilerplate,
   * non-linguistic noise, or out-of-domain text.
@@ -42,23 +43,31 @@ object LanguageModel {
   final case class NgramLm(bigrams: DataFrame, contexts: DataFrame,
                            vocabSize: Long)
 
-  /** Token transitions (w_i, w_{i+1}) of a single-space-tokenized text
-    * column as an array of (prev, cur) structs — built inside the row
-    * with array HOFs, so extraction adds no shuffle. */
-  private def transitions(toks: Column): Column =
-    zip_with(
-      slice(toks, lit(1), size(toks) - 1),
-      slice(toks, lit(2), size(toks) - 1),
-      (p, c) => struct(p.as("prev"), c.as("cur")))
+  /** Token transitions (context → next token) of a single-space-
+    * tokenized text column as an array of (prev, cur) structs — built
+    * inside the row with array HOFs, so extraction adds no shuffle. The
+    * context is the n−1 preceding tokens re-joined on the tokenizer's
+    * separator: tokens cannot contain a space, so the joined string is
+    * an unambiguous composite key (no struct/array join keys needed). */
+  private def transitions(toks: Column, n: Int): Column = {
+    require(n >= 2, "n-gram order must be >= 2")
+    when(size(toks) < n, array().cast("array<struct<prev:string,cur:string>>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => struct(
+          array_join(slice(toks, i, lit(n - 1)), TextAnalysis.TokenSep).as("prev"),
+          element_at(toks, i + (n - 1)).as("cur"))))
+  }
 
-  /** Train a bigram LM over `textCol`: c(prev,cur), c(prev), |V|.
-    * Reference corpora and target corpora share tokenizer semantics
-    * ([[TextAnalysis.tokens]]), so a model trained on one scores the
-    * other. */
-  def train(docs: DataFrame, textCol: String): NgramLm = {
+  /** Train an order-`n` LM over `textCol`: c(context, next), c(context),
+    * |V| (unigram vocabulary — the standard smoothing denominator at any
+    * order). Reference corpora and target corpora share tokenizer
+    * semantics ([[TextAnalysis.tokens]]), so a model trained on one
+    * scores the other. */
+  def train(docs: DataFrame, textCol: String, n: Int = 2): NgramLm = {
     val toks = TextAnalysis.tokens(col(textCol))
     val tr = docs
-      .select(explode(transitions(toks)).as("bg"))
+      .select(explode(transitions(toks, n)).as("bg"))
       .select(col("bg.prev").as("prev"), col("bg.cur").as("cur"))
     val bigrams = tr.groupBy("prev", "cur").agg(count(lit(1)).as("c_big"))
     val contexts = tr.groupBy("prev").agg(count(lit(1)).as("c_ctx"))
@@ -80,11 +89,12 @@ object LanguageModel {
     * Output: (idCol, n_trans, sum_fx, lm_score) with
     * lm_score = sum_fx / n_trans / 1e9 ∈ (0, 1]. */
   def scoreMeanLikelihood(docs: DataFrame, idCol: String, textCol: String,
-                          model: NgramLm, k: Double = 1.0): DataFrame = {
+                          model: NgramLm, k: Double = 1.0,
+                          n: Int = 2): DataFrame = {
     require(k > 0, "smoothing k must be positive")
     val toks = TextAnalysis.tokens(col(textCol))
     val tr = docs
-      .select(col(idCol), explode(transitions(toks)).as("bg"))
+      .select(col(idCol), explode(transitions(toks, n)).as("bg"))
       .select(col(idCol), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
     val joined = tr
       .join(model.bigrams, Seq("prev", "cur"), "left")
@@ -125,11 +135,12 @@ object LanguageModel {
     * [[scoreMeanLikelihood]]; log arithmetic, so verified by ScalaTest
     * against a reference fold rather than the cross-engine hash gate. */
   def scorePerplexity(docs: DataFrame, idCol: String, textCol: String,
-                      model: NgramLm, k: Double = 1.0): DataFrame = {
+                      model: NgramLm, k: Double = 1.0,
+                      n: Int = 2): DataFrame = {
     require(k > 0, "smoothing k must be positive")
     val toks = TextAnalysis.tokens(col(textCol))
     val tr = docs
-      .select(col(idCol), explode(transitions(toks)).as("bg"))
+      .select(col(idCol), explode(transitions(toks, n)).as("bg"))
       .select(col(idCol), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
     val p = (coalesce(col("c_big"), lit(0L)).cast("double") + lit(k)) /
       (coalesce(col("c_ctx"), lit(0L)).cast("double") +

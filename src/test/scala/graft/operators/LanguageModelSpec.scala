@@ -16,18 +16,24 @@ class LanguageModelSpec extends AnyFunSuite {
     rows.toDF("doc_id", "text")
   }
 
+  /** Context/next transitions of order n (context = n-1 tokens joined
+    * by a space), matching the operator's composite-key contract. */
+  private def refTransitions(t: String, n: Int): Seq[(String, String)] = {
+    val w = t.split(" ", -1)
+    if (w.length < n) Seq.empty
+    else (0 to w.length - n).map(i =>
+      w.slice(i, i + n - 1).mkString(" ") -> w(i + n - 1))
+  }
+
   /** Plain-Scala reference of the exact fixed-point score. */
   private def refScores(train: Seq[(Long, String)], score: Seq[(Long, String)],
-                        k: Double = 1.0): Map[Long, (Long, Long, Double)] = {
-    val trTrain = train.flatMap { case (_, t) =>
-      val w = t.split(" ", -1); w.init.zip(w.tail)
-    }
+                        k: Double = 1.0, n: Int = 2): Map[Long, (Long, Long, Double)] = {
+    val trTrain = train.flatMap { case (_, t) => refTransitions(t, n) }
     val big = trTrain.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
     val ctx = trTrain.groupBy(_._1).map { case (p, xs) => p -> xs.size.toLong }
     val v = train.flatMap(_._2.split(" ", -1)).distinct.size.toDouble
     score.flatMap { case (id, t) =>
-      val w = t.split(" ", -1)
-      val tr = w.init.zip(w.tail)
+      val tr = refTransitions(t, n)
       if (tr.isEmpty) None
       else {
         val fxs = tr.map { bg =>
@@ -119,6 +125,29 @@ class LanguageModelSpec extends AnyFunSuite {
         docsDf(Seq(20L -> "zebra quantum flux")), "doc_id", "text", m)
       .collect().head.getDouble(2)
     assert(alien > got(1L))
+  }
+
+  test("trigram order: composite context key, bit-equal to reference; short docs absent") {
+    val df = docsDf(corpus)
+    val m3 = LanguageModel.train(df, "text", n = 3)
+    val big = m3.bigrams.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(big(("the cat", "sat")) === 1L)
+    assert(big(("the cat", "ate")) === 1L)
+    assert(m3.vocabSize === 10L) // unigram vocab regardless of order
+    val got = LanguageModel.scoreMeanLikelihood(df, "doc_id", "text", m3, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val want = refScores(corpus, corpus, n = 3)
+    assert(got.keySet === want.keySet)
+    assert(got.keySet === Set(1L, 2L, 3L)) // "word" (1 token) absent
+    got.foreach { case (id, (nTr, fx, s)) =>
+      assert((nTr, fx, s) === want(id), s"doc $id")
+    }
+    // 2-token doc has no trigram transitions
+    val short = LanguageModel.scoreMeanLikelihood(
+      docsDf(Seq(30L -> "two tokens")), "doc_id", "text", m3, n = 3)
+    assert(short.count() === 0L)
   }
 
   test("save/load round-trip serves bit-identical scores") {
