@@ -207,6 +207,42 @@ object StreamingAnalytics {
     }
   }
 
+  /** Model-based streaming gate — the serving half of train-once,
+    * serve-forever: score each arriving micro-batch under a PERSISTED
+    * n-gram LM ([[graft.operators.LanguageModel.save]]) and keep
+    * documents whose mean smoothed transition likelihood clears
+    * `minScore` (the CCNet-style model filter applied at ingest, before
+    * documents ever land in the corpus).
+    *
+    * The model is loaded once, on the first batch, and reused for the
+    * stream's lifetime. Scoring is STATELESS — transitions explode +
+    * two many-to-one joins against the static model + an exact per-doc
+    * long-SUM re-agg, all within the micro-batch — so no streaming
+    * state, watermark, or replay guard exists: a replayed batch
+    * recomputes exactly the same scores from its own rows and the
+    * static model. Documents with fewer than `n` tokens have no
+    * transitions and are dropped (unscorable; pair with an upstream
+    * length gate, e.g. [[corpusIntake]]'s quality filter).
+    *
+    * Output to `sink`: the batch's surviving rows plus their
+    * `lm_score`. */
+  def lmScoreIntake(modelPath: String, idCol: String = "doc_id",
+                    textCol: String = "text", minScore: Double = 0.0,
+                    k: Double = 1.0, n: Int = 2,
+                    sink: (DataFrame, Long) => Unit = (_, _) => ())
+      : (DataFrame, Long) => Unit = {
+    var model: graft.operators.LanguageModel.NgramLm = null
+    (batch, batchId) => {
+      if (model == null)
+        model = graft.operators.LanguageModel.load(batch.sparkSession, modelPath)
+      val scored = graft.operators.LanguageModel
+        .scoreMeanLikelihood(batch, idCol, textCol, model, k, n)
+        .filter(col("lm_score") >= minScore)
+        .select(col(idCol), col("lm_score"))
+      sink(batch.join(scored, Seq(idCol)), batchId)
+    }
+  }
+
   /** Keyed state for [[sequenceCountUpdates]]: events inside the
     * watermark horizon buffer until their time is FINAL, then fold into
     * the counter-promotion DP ([[graft.operators.SequenceCount]]

@@ -165,6 +165,48 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("lm score intake: persisted model gates the stream; scores equal the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.LanguageModel
+    val corpus = Seq(
+      1L -> "the cat sat on the mat", 2L -> "the cat ate the fish",
+      3L -> "dogs chase the cat")
+    val modelPath = java.nio.file.Files.createTempDirectory("lm_model").toString + "/m"
+    LanguageModel.save(spark, modelPath,
+      LanguageModel.train(corpus.toDF("doc_id", "text"), "text"))
+    val ckpt = java.nio.file.Files.createTempDirectory("lm_ckpt").toString
+    val got = scala.collection.mutable.Map.empty[Long, Double]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(StreamingAnalytics.lmScoreIntake(
+        modelPath, minScore = 0.2,
+        sink = (df, _) => df.select("doc_id", "lm_score").collect()
+          .foreach(r => got.synchronized { got(r.getLong(0)) = r.getDouble(1) })))
+      .start()
+    try {
+      // model-like doc, alien doc, and a 1-token (unscorable) doc
+      mem.addData(10L -> "the cat sat on the mat",
+        11L -> "zebra quantum flux vortex", 12L -> "word")
+      q.processAllAvailable()
+      mem.addData(13L -> "the cat ate the fish")
+      q.processAllAvailable()
+    } finally q.stop()
+    // batch reference: same model, same score
+    val model = LanguageModel.load(spark, modelPath)
+    val want = LanguageModel.scoreMeanLikelihood(
+        Seq(10L -> "the cat sat on the mat", 11L -> "zebra quantum flux vortex",
+          12L -> "word", 13L -> "the cat ate the fish").toDF("doc_id", "text"),
+        "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got.keySet === Set(10L, 13L), s"got $got") // alien + short dropped
+    assert(want(11L) < 0.2, "alien doc should score below the gate")
+    assert(got(10L) === want(10L) && got(13L) === want(13L),
+      "streamed scores differ from the batch operator")
+  }
+
   test("streaming corpus intake: dedup + quality gate match batch semantics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
