@@ -366,32 +366,35 @@ object Similarity {
     (centIds, cents)
   }
 
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4,
-              broadcastProbes: Boolean = true,
-              trainIters: Int = 2,
-              pretrained: Option[(Array[Long], Array[Array[Float]])] = None): DataFrame = {
-    // a pretrained quantizer probed as if it had a different cell count
-    // silently changes recall — refuse the mismatch instead (trainIters
-    // is inherently unused with pretrained; nlist must agree)
-    require(pretrained.forall(_._2.length == nlist),
-      s"pretrained quantizer has ${pretrained.get._2.length} cells but nlist=$nlist")
-    val (centIds, cents) =
-      pretrained.getOrElse(trainCentroids(corpus, nlist, trainIters))
-    // dispatches to the two-level coarse index past DenseAssignLimit, so
-    // the 4096-cell dense-scan ceiling doesn't cap IVF either
-    def nearest(vec: Column, keep: Int): Column =
-      cellsAssign(vec, centIds, cents, keep)
-
-    // inverted lists: single nearest cell per corpus vector, zero-shuffle;
-    // zero-norm vectors excluded (cosine family contract — bruteForceTopK)
-    val lists = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("candv"),
-      vecNorm(col("embedding")).as("candn"),
-      element_at(nearest(col("embedding"), 1), 1).as("cent_id"))
+  /** Corpus side of the IVF index, computed ONCE: each vector assigned
+    * to its single nearest cell, norm precomputed, zero-norm vectors
+    * excluded (cosine family contract — bruteForceTopK). Persist (or
+    * parquet) the result and serve many query batches against it via
+    * [[ivfTopKPrepared]] — the ANN sibling of [[Dedup.minhashPrepare]]:
+    * at 100 TB each corpus vector is assigned exactly once, at index
+    * build, never re-assigned per query batch. */
+  def ivfPrepare(corpus: DataFrame,
+                 quantizer: (Array[Long], Array[Array[Float]])): DataFrame = {
+    val (centIds, cents) = quantizer
+    corpus.select(col("vec_id").as("cand_id"), col("embedding").as("candv"),
+        vecNorm(col("embedding")).as("candn"),
+        element_at(cellsAssign(col("embedding"), centIds, cents, 1), 1)
+          .as("cent_id"))
       .filter(col("candn") > 0)
+  }
+
+  /** Probe prepared inverted lists ([[ivfPrepare]]) with a query frame:
+    * nprobe nearest cells per query, candidates joined cell-wise, exact
+    * cosine, top-k per query. Bit-identical to [[ivfTopK]] with the same
+    * quantizer — the monolithic path delegates here. */
+  def ivfTopKPrepared(lists: DataFrame, queries: DataFrame, k: Int,
+                      quantizer: (Array[Long], Array[Array[Float]]),
+                      nprobe: Int = 4,
+                      broadcastProbes: Boolean = true): DataFrame = {
+    val (centIds, cents) = quantizer
     val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("queryv"),
       vecNorm(col("embedding")).as("queryn"),
-      explode(nearest(col("embedding"), nprobe)).as("cent_id"))
+      explode(cellsAssign(col("embedding"), centIds, cents, nprobe)).as("cent_id"))
       .filter(col("queryn") > 0)
     // cand appears in exactly one cell and probe cells are distinct per
     // query, so (query_id, cand_id) pairs are already unique — no dedup.
@@ -403,6 +406,22 @@ object Similarity {
     cands.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
+  }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              broadcastProbes: Boolean = true,
+              trainIters: Int = 2,
+              pretrained: Option[(Array[Long], Array[Array[Float]])] = None): DataFrame = {
+    // a pretrained quantizer probed as if it had a different cell count
+    // silently changes recall — refuse the mismatch instead (trainIters
+    // is inherently unused with pretrained; nlist must agree)
+    require(pretrained.forall(_._2.length == nlist),
+      s"pretrained quantizer has ${pretrained.get._2.length} cells but nlist=$nlist")
+    val quantizer =
+      pretrained.getOrElse(trainCentroids(corpus, nlist, trainIters))
+    ivfTopKPrepared(ivfPrepare(corpus, quantizer), queries, k, quantizer,
+      nprobe, broadcastProbes)
   }
 
   /** IVF ANN with a QUANTIZED first stage — the memory-bandwidth scale

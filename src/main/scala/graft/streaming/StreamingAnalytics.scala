@@ -243,6 +243,30 @@ object StreamingAnalytics {
     }
   }
 
+  /** Streaming similarity search — serve ANN queries as they arrive
+    * against a PREPARED IVF index ([[graft.operators.Similarity
+    * .ivfPrepare]], persisted or cached) and a persisted quantizer
+    * ([[graft.operators.Artifacts.saveCentroids]]). The corpus is
+    * assigned to cells ONCE at index build; each micro-batch of query
+    * embeddings (`vec_id`, `embedding`) pays only its own probes, the
+    * cell-wise candidate join, and the exact top-k — stateless, so no
+    * watermark or replay guard, and results are bit-identical to the
+    * batch [[graft.operators.Similarity.ivfTopKPrepared]] on the same
+    * rows. */
+  def annSearchIntake(lists: DataFrame, centroidsPath: String, k: Int,
+                      nprobe: Int = 4,
+                      sink: (DataFrame, Long) => Unit = (_, _) => ())
+      : (DataFrame, Long) => Unit = {
+    var quantizer: (Array[Long], Array[Array[Float]]) = null
+    (batch, batchId) => {
+      if (quantizer == null)
+        quantizer = graft.operators.Artifacts
+          .loadCentroids(batch.sparkSession, centroidsPath)
+      sink(graft.operators.Similarity
+        .ivfTopKPrepared(lists, batch, k, quantizer, nprobe), batchId)
+    }
+  }
+
   /** Keyed state for [[sequenceCountUpdates]]: events inside the
     * watermark horizon buffer until their time is FINAL, then fold into
     * the counter-promotion DP ([[graft.operators.SequenceCount]]
@@ -517,18 +541,23 @@ object StreamingAnalytics {
     * `valueCol` per micro-batch — any reader answers arbitrary
     * quantiles from the live cube via `Sketches.kllRollup`.
     *
-    * Replay safety is WEAKER than the HLL cube's, because KLL is a
-    * multiset sketch, not a set sketch: a retried batch's dynamic
-    * partition overwrite REPLACES its own partition, which is exactly
-    * idempotent (duplicating or replacing a whole batch's multiset
-    * leaves every rank fraction unchanged only when it replaces) — but
-    * a replay racing a compaction that already folded the batch into
-    * `batch_id = -1` would leave that batch's values at double weight,
-    * which DOES shift quantiles (unlike HLL, where double insertion is
-    * the identity). So KLL compaction follows [[compactIndex]]'s
-    * stricter discipline: run [[compactKllCube]] only between batches,
-    * with `belowBatchId` = the next batch id, never from a sink hook
-    * racing a retry window. */
+    * Replay safety is WEAKER than the HLL cube's, on both axes:
+    *
+    *  - KLL is a MULTISET sketch: a replay racing a compaction that
+    *    already folded the batch into `batch_id = -1` would leave that
+    *    batch's values at double weight, which shifts quantiles (unlike
+    *    HLL, where double insertion is the identity). So KLL compaction
+    *    follows [[compactIndex]]'s stricter discipline: run
+    *    [[compactKllCube]] only between batches, with `belowBatchId` =
+    *    the next batch id, never from a sink hook racing a retry window.
+    *  - KLL is RANDOMIZED: a retried batch's dynamic partition
+    *    overwrite replaces its partition with a re-sketch of the SAME
+    *    multiset — the represented data is unchanged (no double
+    *    weighting), but compaction coin-flips make the new sketch a
+    *    different in-bound approximation, so estimates may move within
+    *    the rank-error bound across a replay (HLL's deterministic
+    *    hashing reproduces bit-identical sketches; KLL's contract is
+    *    the bound, not the bits). */
   def kllCubeIntake(cubePath: String, dims: Seq[String], valueCol: String,
                     shards: Int = 32, sink: (Long) => Unit = _ => ())
       : (DataFrame, Long) => Unit = { (batch, batchId) =>

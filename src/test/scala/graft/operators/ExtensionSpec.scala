@@ -555,6 +555,25 @@ class ExtensionSpec extends AnyFunSuite {
     assert(f.checksum_hex == "b94d27b9934d3e08a52e52d7da7dabfac484efe37a5380ee9088f7ace2efcde9")
   }
 
+  test("ivfPrepare + ivfTopKPrepared equals monolithic ivfTopK, including via parquet") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 10)
+    val quant = Similarity.trainCentroids(e, nlist = 16, trainIters = 2)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "rank", "sim")
+        .collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+    val mono = canon(Similarity.ivfTopK(q, e, k = 3, nlist = 16,
+      pretrained = Some(quant)))
+    val lists = Similarity.ivfPrepare(e, quant)
+    assert(canon(Similarity.ivfTopKPrepared(lists, q, k = 3, quant)) == mono)
+    // serve from a PERSISTED index (the streaming/serving path)
+    val path = java.nio.file.Files
+      .createTempDirectory("ivf-lists").toString + "/lists"
+    lists.write.parquet(path)
+    val reloaded = spark.read.parquet(path)
+    assert(canon(Similarity.ivfTopKPrepared(reloaded, q, k = 3, quant)) == mono)
+  }
+
   test("centroid artifact round-trips bit-exactly and serves ivfTopK unchanged") {
     import spark.implicits._
     val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 import java.sql.Timestamp
@@ -148,12 +149,22 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       // the exact 45th and 55th percentile values (generous bracket)
       val live = p50()
       assert(live >= 450 && live <= 550, s"p50=$live")
-      // at-least-once REPLAY of batch 1: partition overwrite replaces the
-      // batch's own sketches — the multiset, and so every quantile, is
-      // unchanged
+      // at-least-once REPLAY of batch 1: partition overwrite replaces
+      // the batch's sketches with a re-sketch of the SAME multiset — no
+      // double-weighting, but KLL's randomized compaction means the new
+      // sketch is a different in-bound approximation, so assert the
+      // bound, not bit-equality (contrast the HLL cube test above)
       StreamingAnalytics.kllCubeIntake(cubePath, Seq("event_type"),
         "value", shards = 4).apply(b1.toDF("event_type", "value"), 1L)
-      assert(p50() == live, "replayed batch shifted quantiles")
+      val replayed = p50()
+      assert(replayed >= 450 && replayed <= 550,
+        s"replayed-batch p50=$replayed outside the rank bound")
+      val nAfterReplay = spark.read.parquet(cubePath)
+        .filter(col("batch_id") === 1L).count()
+      assert(nAfterReplay ==
+        spark.read.parquet(cubePath).filter(col("batch_id") === 1L)
+          .select("event_type", "_shard").distinct().count(),
+        "replay duplicated (dims, shard) sketch rows in the partition")
       // compaction between batches (belowBatchId = next batch id)
       StreamingAnalytics.compactKllCube(spark, cubePath, Seq("event_type"),
         numFiles = 2, belowBatchId = 2L)
@@ -205,6 +216,44 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(want(11L) < 0.2, "alien doc should score below the gate")
     assert(got(10L) === want(10L) && got(13L) === want(13L),
       "streamed scores differ from the batch operator")
+  }
+
+  test("ann search intake: streamed query batches match the batch prepared-index search") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Artifacts, Similarity}
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val quant = Similarity.trainCentroids(e, nlist = 8, trainIters = 2)
+    val centPath = java.nio.file.Files.createTempDirectory("ann_cent").toString + "/c"
+    Artifacts.saveCentroids(spark, centPath, quant._1, quant._2)
+    val lists = Similarity.ivfPrepare(e, quant).persist()
+    val ckpt = java.nio.file.Files.createTempDirectory("ann_ckpt").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val queries = e.filter(col("vec_id") < 6)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(StreamingAnalytics.annSearchIntake(
+        lists, centPath, k = 3, nprobe = 2,
+        sink = (df, _) => df.select("query_id", "cand_id", "rank", "sim")
+          .collect().foreach(r => got.synchronized { got += r.toSeq })))
+      .start()
+    try {
+      mem.addData(queries.take(3).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(queries.drop(3).toSeq: _*)
+      q.processAllAvailable()
+    } finally { q.stop(); lists.unpersist() }
+    val want = Similarity.ivfTopKPrepared(
+        lists, e.filter(col("vec_id") < 6), k = 3, quant, nprobe = 2)
+      .select("query_id", "cand_id", "rank", "sim")
+      .collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+    assert(got.sortBy(_.mkString(",")).toSeq == want,
+      "streamed ANN results differ from the batch prepared-index search")
   }
 
   test("streaming corpus intake: dedup + quality gate match batch semantics") {
