@@ -101,6 +101,15 @@ object Sketches {
           .as("n_only_a"))
   }
 
+  /** Merge a theta table that holds MULTIPLE sketch rows per group —
+    * e.g. one per ingest micro-batch ([[graft.streaming
+    * .StreamingAnalytics.thetaCubeIntake]]) or per appended increment —
+    * back to one sketch per `dims` group, unioning without accuracy
+    * loss. The result feeds [[thetaOverlap]] unchanged. */
+  def thetaRollup(cube: DataFrame, dims: Seq[String]): DataFrame =
+    cube.groupBy(dims.map(col): _*)
+      .agg(call_function("theta_union_agg", col("theta")).as("theta"))
+
   // ---------------------------------------------- kll quantile sketches ----
 
   /** Per-(dims, `_shard`) KLL quantile sketches of a double `valueCol` —

@@ -581,8 +581,8 @@ object StreamingAnalytics {
   def compactCube(spark: org.apache.spark.sql.SparkSession, cubePath: String,
                   dims: Seq[String], numFiles: Int = 8,
                   belowBatchId: Long = Long.MaxValue): Unit =
-    compactSketchCube(spark, cubePath, dims, numFiles, belowBatchId,
-      hll_union_agg(col("hll")).as("hll"))
+    compactSketchCube(spark, cubePath, dims :+ "_shard", numFiles,
+      belowBatchId, hll_union_agg(col("hll")).as("hll"))
 
   /** [[compactCube]] for a [[kllCubeIntake]] cube. Multiset semantics:
     * safe only between batches (see [[kllCubeIntake]]) — pass the next
@@ -590,11 +590,42 @@ object StreamingAnalytics {
   def compactKllCube(spark: org.apache.spark.sql.SparkSession,
                      cubePath: String, dims: Seq[String], numFiles: Int = 8,
                      belowBatchId: Long = Long.MaxValue): Unit =
+    compactSketchCube(spark, cubePath, dims :+ "_shard", numFiles,
+      belowBatchId, call_function("kll_merge_agg_double", col("kll")).as("kll"))
+
+  /** Streamed Theta set-algebra cube: [[sketchCubeIntake]]'s sibling for
+    * audience-overlap questions — each micro-batch writes one Theta
+    * sketch per `dims` group ([[graft.operators.Sketches
+    * .thetaSketches]]); readers merge per-batch rows with
+    * [[graft.operators.Sketches.thetaRollup]] and answer |A|, |B|,
+    * |A∩B|, |A∖B| for any group pair via `thetaOverlap` — live, from
+    * KB-sized blobs, never the raw stream. Theta insertion is SET
+    * semantics with deterministic value hashing, so the HLL cube's
+    * replay argument applies verbatim: overwrite, replay, even a
+    * replay racing [[compactThetaCube]] all leave answers unchanged. */
+  def thetaCubeIntake(cubePath: String, dims: Seq[String], countCol: String,
+                      sink: (Long) => Unit = _ => ())
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    graft.operators.Sketches.thetaSketches(batch, dims, countCol)
+      .withColumn("batch_id", lit(batchId))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .mode("overwrite")
+      .parquet(cubePath)
+    sink(batchId)
+  }
+
+  /** [[compactCube]] for a [[thetaCubeIntake]] cube (set semantics —
+    * same harmless-replay story as the HLL fold). */
+  def compactThetaCube(spark: org.apache.spark.sql.SparkSession,
+                       cubePath: String, dims: Seq[String], numFiles: Int = 8,
+                       belowBatchId: Long = Long.MaxValue): Unit =
     compactSketchCube(spark, cubePath, dims, numFiles, belowBatchId,
-      call_function("kll_merge_agg_double", col("kll")).as("kll"))
+      call_function("theta_union_agg", col("theta")).as("theta"))
 
   private def compactSketchCube(spark: org.apache.spark.sql.SparkSession,
-                                cubePath: String, dims: Seq[String],
+                                cubePath: String, groupCols: Seq[String],
                                 numFiles: Int, belowBatchId: Long,
                                 mergeAgg: Column): Unit = {
     import graft.operators.Artifacts
@@ -609,7 +640,7 @@ object StreamingAnalytics {
       .withColumn("batch_id",
         when(col("batch_id") < lit(belowBatchId), lit(-1L))
           .otherwise(col("batch_id")))
-    all.groupBy((dims :+ "_shard" :+ "batch_id").map(col): _*)
+    all.groupBy((groupCols :+ "batch_id").map(col): _*)
       .agg(mergeAgg)
       .repartition(numFiles)
       .write.partitionBy("batch_id").mode("overwrite")

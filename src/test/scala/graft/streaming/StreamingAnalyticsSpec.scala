@@ -121,6 +121,53 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("theta cube intake: live audience overlap from the streamed cube; replay and compaction harmless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sketches
+    val cubePath = java.nio.file.Files.createTempDirectory("theta_intake").toString + "/cube"
+    val ckpt = java.nio.file.Files.createTempDirectory("theta_ckpt").toString
+    // audience a = u0..u299, b = u200..u499 → |a|=300 |b|=300 |a∩b|=100,
+    // split across two batches with overlap inside and across groups
+    val b0 = (0 until 200).map(u => ("a", s"u$u")) ++
+      (200 until 350).map(u => ("b", s"u$u"))
+    val b1 = (100 until 300).map(u => ("a", s"u$u")) ++
+      (300 until 500).map(u => ("b", s"u$u"))
+    val mem = MemoryStream[(String, String)]
+    val q = mem.toDF().toDF("event_type", "user_id")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(StreamingAnalytics.thetaCubeIntake(
+        cubePath, Seq("event_type"), "user_id"))
+      .start()
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+      def overlap(): (Long, Long, Long) = {
+        val r = Sketches.thetaOverlap(
+          Sketches.thetaRollup(spark.read.parquet(cubePath), Seq("event_type")),
+          "event_type").collect().head
+        (r.getLong(2), r.getLong(3), r.getLong(4)) // n_a, n_b, n_intersect
+      }
+      val (na, nb, ni) = overlap()
+      assert(math.abs(na - 300.0) / 300 <= 0.05, s"n_a=$na")
+      assert(math.abs(nb - 300.0) / 300 <= 0.05, s"n_b=$nb")
+      assert(math.abs(ni - 100.0) / 100 <= 0.15, s"n_intersect=$ni")
+      // replay batch 1 directly: set semantics + deterministic hashing
+      // leave every estimate unchanged
+      StreamingAnalytics.thetaCubeIntake(cubePath, Seq("event_type"),
+        "user_id").apply(b1.toDF("event_type", "user_id"), 1L)
+      assert(overlap() == ((na, nb, ni)), "replay changed the cube's answers")
+      // compaction folds the batch partitions; answers unchanged
+      StreamingAnalytics.compactThetaCube(spark, cubePath, Seq("event_type"),
+        numFiles = 2, belowBatchId = 2L)
+      val folded = spark.read.parquet(cubePath)
+        .select("batch_id").distinct().as[Long].collect().toSet
+      assert(folded == Set(-1L), s"unexpected partitions: $folded")
+      assert(overlap() == ((na, nb, ni)), "compaction changed the cube's answers")
+    } finally q.stop()
+  }
+
   test("kll cube intake: streamed quantiles in rank bound, replay idempotent, compaction safe between batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
