@@ -20,10 +20,17 @@ import org.apache.spark.sql.streaming.Trigger
   *
   * Composition + I/O only — semantics live in the spec'd operators.
   *
+  * With `SPARK_GRAFT_LM_MODEL_PATH` set, each batch is additionally
+  * gated by mean bigram-LM likelihood under the persisted model
+  * ([[graft.operators.LanguageModel]], loaded once) before the dedup
+  * cascade — model-based filtering at ingest, trained offline.
+  *
   * Usage: StreamCorpus <inputDir> <outDir> [--follow]
   * Env: SPARK_GRAFT_ND_INDEX_PATH (default <outDir>/nd_index),
   * SPARK_GRAFT_MIN_QUALITY (default 0.5), SPARK_GRAFT_ND_THRESHOLD
-  * (default 0.7), SPARK_GRAFT_COMPACT_EVERY (default 64 batches, 0 = off).
+  * (default 0.7), SPARK_GRAFT_COMPACT_EVERY (default 64 batches, 0 = off),
+  * SPARK_GRAFT_LM_MODEL_PATH (off by default),
+  * SPARK_GRAFT_MIN_LM_SCORE (default 0.0).
   */
 object StreamCorpus {
   def main(args: Array[String]): Unit = {
@@ -63,12 +70,30 @@ object StreamCorpus {
     // (duplicated signatures). At batch start, everything below batchId
     // has committed and the fold excludes batchId itself, so a retry's
     // dynamic-partition overwrite stays idempotent.
+    val lmModelPath = sys.env.get("SPARK_GRAFT_LM_MODEL_PATH")
+    val minLmScore = sys.env.getOrElse("SPARK_GRAFT_MIN_LM_SCORE", "0.0").toDouble
+    var lmModel: Option[graft.operators.LanguageModel.NgramLm] = None
     val gate: (org.apache.spark.sql.DataFrame, Long) => Unit = { (batch, batchId) =>
       if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
         StreamingAnalytics.compactIndex(spark, indexPath, belowBatchId = batchId)
         println(s"[stream-corpus] batch=$batchId compacted index (< $batchId)")
       }
-      inner(batch, batchId)
+      val gated = lmModelPath match {
+        case Some(p) =>
+          import org.apache.spark.sql.functions.col
+          if (lmModel.isEmpty)
+            lmModel = Some(graft.operators.LanguageModel.load(spark, p))
+          // semi join keeps the batch schema unchanged for the intake;
+          // sub-bigram docs are unscorable and drop (the quality gate's
+          // min-length floor subsumes them anyway)
+          batch.join(graft.operators.LanguageModel
+              .scoreMeanLikelihood(batch, "doc_id", "text", lmModel.get)
+              .filter(col("lm_score") >= minLmScore)
+              .select("doc_id"),
+            Seq("doc_id"), "left_semi")
+        case None => batch
+      }
+      inner(gated, batchId)
     }
 
     val q = docs.writeStream
