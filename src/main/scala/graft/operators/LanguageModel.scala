@@ -91,25 +91,34 @@ object LanguageModel {
   def scoreMeanLikelihood(docs: DataFrame, idCol: String, textCol: String,
                           model: NgramLm, k: Double = 1.0,
                           n: Int = 2): DataFrame = {
-    require(k > 0, "smoothing k must be positive")
-    val toks = TextAnalysis.tokens(col(textCol))
-    val tr = docs
-      .select(col(idCol), explode(transitions(toks, n)).as("bg"))
-      .select(col(idCol), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
-    val joined = tr
-      .join(model.bigrams, Seq("prev", "cur"), "left")
-      .join(model.contexts, Seq("prev"), "left")
     // ((cb + k) / (cc + k·V)) · 1e9 + 0.5, floored — EXACTLY this
     // operation order in the oracle SQL, so the doubles are bit-equal
-    val p = (coalesce(col("c_big"), lit(0L)).cast("double") + lit(k)) /
-      (coalesce(col("c_ctx"), lit(0L)).cast("double") +
-        lit(k) * lit(model.vocabSize.toDouble))
+    val (joined, p) = joinedTransitions(docs, idCol, textCol, model, k, n)
     val fx = floor(p * lit(FxScale) + lit(0.5)).cast("long")
     joined.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_trans"), sum(fx).as("sum_fx"))
       .withColumn("lm_score",
         col("sum_fx").cast("double") / col("n_trans").cast("double") /
           lit(FxScale))
+  }
+
+  /** Shared scoring scaffold: per-doc transitions left-joined to the
+    * model's bigram and context counts, plus the smoothed probability
+    * column (unseen transition/context back off via coalesce(0)). */
+  private def joinedTransitions(docs: DataFrame, idCol: String,
+                                textCol: String, model: NgramLm,
+                                k: Double, n: Int): (DataFrame, Column) = {
+    require(k > 0, "smoothing k must be positive")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val joined = docs
+      .select(col(idCol), explode(transitions(toks, n)).as("bg"))
+      .select(col(idCol), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      .join(model.bigrams, Seq("prev", "cur"), "left")
+      .join(model.contexts, Seq("prev"), "left")
+    val p = (coalesce(col("c_big"), lit(0L)).cast("double") + lit(k)) /
+      (coalesce(col("c_ctx"), lit(0L)).cast("double") +
+        lit(k) * lit(model.vocabSize.toDouble))
+    (joined, p)
   }
 
   /** Persist a trained model as parquet under `path` ([[Artifacts]]
@@ -137,17 +146,8 @@ object LanguageModel {
   def scorePerplexity(docs: DataFrame, idCol: String, textCol: String,
                       model: NgramLm, k: Double = 1.0,
                       n: Int = 2): DataFrame = {
-    require(k > 0, "smoothing k must be positive")
-    val toks = TextAnalysis.tokens(col(textCol))
-    val tr = docs
-      .select(col(idCol), explode(transitions(toks, n)).as("bg"))
-      .select(col(idCol), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
-    val p = (coalesce(col("c_big"), lit(0L)).cast("double") + lit(k)) /
-      (coalesce(col("c_ctx"), lit(0L)).cast("double") +
-        lit(k) * lit(model.vocabSize.toDouble))
-    tr.join(model.bigrams, Seq("prev", "cur"), "left")
-      .join(model.contexts, Seq("prev"), "left")
-      .groupBy(col(idCol))
+    val (joined, p) = joinedTransitions(docs, idCol, textCol, model, k, n)
+    joined.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_trans"), sum(log(p)).as("sum_ln"))
       .withColumn("perplexity",
         exp(-col("sum_ln") / col("n_trans").cast("double")))
