@@ -1030,11 +1030,12 @@ ORDER BY doc_id"""
     * groupBys), persisted via [[LanguageModel.save]] and served LOADED so
     * the correctness gate exercises the artifact round-trip every run. */
   private val lmCache = scala.collection.concurrent.TrieMap
-    .empty[String, LanguageModel.NgramLm]
-  private def lmFor(docs: DataFrame, sfDir: String): LanguageModel.NgramLm =
-    lmCache.getOrElseUpdate(sfDir, {
+    .empty[(String, String), LanguageModel.NgramLm]
+  private def lmFor(docs: DataFrame, sfDir: String,
+                    variant: String = "bigram"): LanguageModel.NgramLm =
+    lmCache.getOrElseUpdate((sfDir, variant), {
       val spark = docs.sparkSession
-      val path = artifactPath("ngramlm", sfDir, "bigram")
+      val path = artifactPath("ngramlm", sfDir, variant)
       if (!Artifacts.exists(spark, path + "/meta"))
         LanguageModel.save(spark, path, LanguageModel.train(docs, "text"))
       LanguageModel.load(spark, path)
@@ -1066,6 +1067,41 @@ p AS (
     CAST(floor((CAST(cb AS DOUBLE) + 1.0) / (CAST(cc AS DOUBLE) + 1.0 * vs)
                * 1000000000.0 + 0.5) AS BIGINT) AS fx
   FROM tr JOIN big USING (prev, cur) JOIN ctx USING (prev) CROSS JOIN v)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+       CAST(sum(fx) AS BIGINT) AS sum_fx,
+       CAST(sum(fx) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000000.0
+         AS lm_score
+FROM p GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Held-out LM scoring: model trained on EVEN doc_ids only, scoring
+    * the ODD half — every unseen transition and unseen context exercises
+    * the add-k backoff (coalesce(0) joins) under the cross-engine hash
+    * gate, not just in ScalaTest. The production shape: score a fresh
+    * crawl under last month's model. */
+  def textLmHeldout(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val model = lmFor(docs.filter(col("doc_id") % 2 === 0), sfDir, "bigram-even")
+    LanguageModel.scoreMeanLikelihood(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", model)
+      .orderBy("doc_id")
+  }
+
+  val textLmHeldoutOracle: String = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tr0 AS (SELECT doc_id, unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS z FROM t),
+tr AS (SELECT doc_id, z[1] AS prev, z[2] AS cur FROM tr0),
+trn AS (SELECT * FROM tr WHERE doc_id % 2 = 0),
+big AS (SELECT prev, cur, count(*) AS cb FROM trn GROUP BY 1, 2),
+ctx AS (SELECT prev, count(*) AS cc FROM trn GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vs
+      FROM (SELECT unnest(w) AS tok FROM t WHERE doc_id % 2 = 0)),
+sc AS (SELECT * FROM tr WHERE doc_id % 2 = 1),
+p AS (
+  SELECT sc.doc_id,
+    CAST(floor((CAST(COALESCE(cb, 0) AS DOUBLE) + 1.0)
+               / (CAST(COALESCE(cc, 0) AS DOUBLE) + 1.0 * vs)
+               * 1000000000.0 + 0.5) AS BIGINT) AS fx
+  FROM sc LEFT JOIN big USING (prev, cur) LEFT JOIN ctx USING (prev) CROSS JOIN v)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
        CAST(sum(fx) AS BIGINT) AS sum_fx,
        CAST(sum(fx) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000000.0
