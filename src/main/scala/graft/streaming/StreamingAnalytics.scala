@@ -267,6 +267,61 @@ object StreamingAnalytics {
     }
   }
 
+  /** Keyed state for [[uniformSampleUpdates]]: the group's current
+    * top-k (priority, id) pairs — k rows, not the group's row count —
+    * plus an observation counter. */
+  case class SampleState(top: List[(String, Long)], seen: Long)
+
+  /** Standing per-group uniform sample over a stream — the streaming
+    * sibling of [[graft.operators.Sampling.capPerGroup]]: maintain, per
+    * group, the k rows with the SMALLEST (md5(id), id) priority seen so
+    * far. Because the priority is a pure function of the id, the
+    * running top-k is a uniform without-replacement sample of all ids
+    * ever observed, the result is independent of arrival order and
+    * micro-batch boundaries (top-k merge is associative + commutative +
+    * idempotent), a re-observed or replayed id is the identity, and the
+    * final sample EQUALS the batch operator on the same rows — spec'd
+    * as an exact differential. State is k pairs + a counter per group
+    * (bounded regardless of group size), so no watermark or timeout is
+    * needed: a standing sample never expires.
+    *
+    * Update-mode emission: one row per group per micro-batch that
+    * touched it — (group, sample_ids in priority-rank order, n_seen
+    * observations). Null ids are dropped (no hash draw — the batch
+    * operator's policy). */
+  def uniformSampleUpdates(docs: DataFrame, idCol: String, groupCol: String,
+                           k: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(k >= 1, "sample size k must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val typed = docs
+      .filter(col(idCol).isNotNull)
+      .select(col(groupCol).cast("string"), col(idCol).cast("long"))
+      .as[(String, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[(String, Long)],
+         state: GroupState[SampleState]) => {
+          val st = state.getOption.getOrElse(SampleState(Nil, 0L))
+          val incoming = it.map(_._2).toList
+          // same priority string the batch operator's md5(cast(id as
+          // string)) produces: lowercase hex of the decimal form
+          val merged = (st.top ++ incoming.map(id => (md5Hex(id.toString), id)))
+            .distinct.sorted.take(k)
+          val seen = st.seen + incoming.size
+          state.update(SampleState(merged, seen))
+          if (incoming.nonEmpty) Iterator((key, merged.map(_._2), seen))
+          else Iterator.empty
+        })
+      .toDF(groupCol, "sample_ids", "n_seen")
+  }
+
+  private def md5Hex(s: String): String =
+    "%032x".format(new java.math.BigInteger(1,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+
   /** Keyed state for [[sequenceCountUpdates]]: events inside the
     * watermark horizon buffer until their time is FINAL, then fold into
     * the counter-promotion DP ([[graft.operators.SequenceCount]]

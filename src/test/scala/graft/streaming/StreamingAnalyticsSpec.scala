@@ -303,6 +303,42 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       "streamed ANN results differ from the batch prepared-index search")
   }
 
+  test("uniform sample updates: standing sample equals batch capPerGroup exactly; replay is identity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sampling
+    // 2 groups × 40 ids, k=5, interleaved across 3 batches with one
+    // batch replayed — arrival order scrambled vs id order
+    val rows = (0 until 40).map(i => ("a", i * 7L % 40 + 100)) ++
+      (0 until 40).map(i => ("b", i * 11L % 40 + 500))
+    val batches = rows.grouped(27).toList
+    val latest = scala.collection.mutable.Map.empty[String, (Seq[Long], Long)]
+    val mem = MemoryStream[(String, Long)]
+    val q = StreamingAnalytics.uniformSampleUpdates(
+        mem.toDF().toDF("source", "doc_id"), "doc_id", "source", k = 5)
+      .writeStream
+      .outputMode("update")
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => latest.synchronized {
+          latest(r.getString(0)) = (r.getSeq[Long](1), r.getLong(2))
+        }))
+      .start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      mem.addData(batches(1): _*); q.processAllAvailable() // replay
+    } finally q.stop()
+    val batch = Sampling.capPerGroup(rows.toDF("source", "doc_id"),
+        "doc_id", "source", k = 5)
+      .orderBy("source", "rank_in_group")
+      .collect().groupBy(_.getString(0))
+      .map { case (g, rs) => g -> rs.map(_.getLong(1)).toSeq }
+    assert(latest.view.mapValues(_._1).toMap == batch,
+      s"streamed sample ${latest.toMap} != batch $batch")
+    // n_seen counts observations (replay re-counts); the SAMPLE is
+    // replay-invariant, which the equality above already proves
+    assert(latest("a")._2 >= 40 && latest("b")._2 >= 40)
+  }
+
   test("streaming corpus intake: dedup + quality gate match batch semantics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
