@@ -20,6 +20,10 @@ import org.apache.spark.sql.streaming.Trigger
   *
   * Composition + I/O only — semantics live in the spec'd operators.
   *
+  * Admitted batches also feed a live HLL source-cardinality cube at
+  * `<outDir>/source_cube` (when the schema has a `source` column) —
+  * distinct-count observability without rescanning the corpus.
+  *
   * With `SPARK_GRAFT_LM_MODEL_PATH` set, each batch is additionally
   * gated by mean bigram-LM likelihood under the persisted model
   * ([[graft.operators.LanguageModel]], loaded once) before the dedup
@@ -61,6 +65,15 @@ object StreamCorpus {
       sink = (survivors, batchId) => {
         val n = survivors.count()
         survivors.write.mode("append").parquet(s"$outDir/clean")
+        // live ingest observability: a mergeable HLL cube of distinct
+        // admitted docs per source — any monitor answers cardinality
+        // roll-ups from <outDir>/source_cube without scanning the
+        // corpus ([[StreamingAnalytics.sketchCubeIntake]]; set
+        // semantics, so sink-side placement is replay-safe)
+        if (n > 0 && survivors.columns.contains("source"))
+          StreamingAnalytics.sketchCubeIntake(
+            s"$outDir/source_cube", Seq("source"), "doc_id")
+            .apply(survivors, batchId)
         println(s"[stream-corpus] batch=$batchId admitted=$n")
       })
     // Compact at the START of a batch, never from the sink: a sink-side
