@@ -209,9 +209,12 @@ object Salting {
     * in SaltingSpec with dim duplicates across thresholds and salt
     * counts.
     *
-    * The hot set is materialized on the driver (it is broadcast-sized
-    * by construction: at most |fact| / hotThreshold keys). When it is
-    * EMPTY — skew insurance on an input that turned out unskewed — the
+    * The hot set stays DISTRIBUTED (persisted + broadcast into both
+    * sides; [[CacheRegistry]]-released by the caller) — it is
+    * broadcast-sized by construction (at most |fact| / hotThreshold
+    * keys), but it never lands on the driver as rows: the only eager
+    * driver-side decision is an `isEmpty` probe. When the hot set is
+    * empty — skew insurance on an input that turned out unskewed — the
     * whole salting apparatus is skipped and the plan IS the plain join;
     * the insurance premium is exactly the one map-side-combined
     * detection scan.
@@ -224,13 +227,10 @@ object Salting {
     require(keys.nonEmpty, "need at least one join key")
     require(salts >= 1, "salts must be >= 1")
     require(hotThreshold >= 1, "hotThreshold must be >= 1")
-    val hotFrame = hotKeys(left, keys, hotThreshold)
-    val hotLocal = hotFrame.collect()
-    if (hotLocal.isEmpty) {
+    val hot = CacheRegistry.track(hotKeys(left, keys, hotThreshold).persist())
+    if (hot.isEmpty) {
       left.join(right, keys)
     } else {
-      val hot = left.sparkSession.createDataFrame(
-        java.util.Arrays.asList(hotLocal: _*), hotFrame.schema)
       val l = saltedLeft(left, keys, salts, hot, rowId)
       val r = right.join(broadcast(hot), keys, "left_outer")
         .withColumn("_salt", explode(

@@ -134,11 +134,14 @@ object Sketches {
   def kllRollup(cube: DataFrame, dims: Seq[String],
                 ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty, "need at least one quantile")
+    val labels = ps.map(p => s"p${(p * 100).round}")
+    require(labels.distinct.size == labels.size,
+      s"quantiles collide after rounding to integer labels: $labels")
     val merged = cube.groupBy(dims.map(col): _*)
       .agg(call_function("kll_merge_agg_double", col("kll")).as("kll"))
-    val qs = ps.map { p =>
+    val qs = ps.zip(labels).map { case (p, label) =>
       call_function("kll_sketch_get_quantile_double", col("kll"), lit(p))
-        .as(s"p${(p * 100).round}")
+        .as(label)
     }
     merged.select(dims.map(col) ++ qs: _*)
   }

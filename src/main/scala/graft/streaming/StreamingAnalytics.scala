@@ -173,14 +173,28 @@ object StreamingAnalytics {
       // self-matches at jaccard 1.0 and the batch silently vanishes from
       // the sink. Two guards, one per case: partition-prune the batch's
       // own batch_id (free — partition filter), and drop id-equal match
-      // pairs (covers the post-compaction copy, where batch_id is -1).
+      // pairs ONLY where the index copy sits in the COMPACTED partition
+      // (batch_id = -1 — the post-compaction replay copy). An id-equal
+      // match against a LIVE batch partition is not a replay artifact —
+      // it is a source legitimately re-delivering a document under the
+      // same doc_id in a later batch — and must still dedup the
+      // incoming copy. (Re-delivery whose first copy was already
+      // compacted is indistinguishable from a replay by construction
+      // and is re-admitted; content-level near-dups of it still match
+      // at differing ids and drop normally.)
       val survivors =
         (if (Artifacts.hasData(spark, indexPath)) {
           val index = spark.read.parquet(indexPath)
             .filter(col("batch_id") =!= lit(batchId))
-          val matches = Dedup.minhashLshAgainstPrepared(index, prepared,
+          val matches0 = Dedup.minhashLshAgainstPrepared(index, prepared,
             bands, rowsPerBand, threshold, maxBucket)
-            .filter(col("index_id") =!= col("incoming_id"))
+          // partition-pruned slim scan: ids whose index row is compacted
+          val compactedIds = spark.read.parquet(indexPath)
+            .filter(col("batch_id") === lit(-1L))
+            .select(col("id").as("index_id"))
+          val matches = matches0.filter(col("index_id") === col("incoming_id"))
+            .join(compactedIds, Seq("index_id"), "left_anti")
+            .unionByName(matches0.filter(col("index_id") =!= col("incoming_id")))
           innerSurvivors.join(
             matches.select(col("incoming_id").as("doc_id")).distinct(),
             Seq("doc_id"), "left_anti")
@@ -279,11 +293,16 @@ object StreamingAnalytics {
     * running top-k is a uniform without-replacement sample of all ids
     * ever observed, the result is independent of arrival order and
     * micro-batch boundaries (top-k merge is associative + commutative +
-    * idempotent), a re-observed or replayed id is the identity, and the
-    * final sample EQUALS the batch operator on the same rows — spec'd
-    * as an exact differential. State is k pairs + a counter per group
-    * (bounded regardless of group size), so no watermark or timeout is
-    * needed: a standing sample never expires.
+    * idempotent), a re-observed or replayed id is the identity FOR THE
+    * SAMPLE, and the final sample EQUALS the batch operator on the same
+    * rows — spec'd as an exact differential. The `n_seen` counter is
+    * NOT replay-idempotent: it increments per observed row, so under
+    * at-least-once delivery a replayed micro-batch counts its rows
+    * again — read it as an at-least-once observation count (upper
+    * bound), exact under exactly-once delivery. Only the sample itself
+    * carries the replay-stable guarantee. State is k pairs + a counter
+    * per group (bounded regardless of group size), so no watermark or
+    * timeout is needed: a standing sample never expires.
     *
     * Update-mode emission: one row per group per micro-batch that
     * touched it — (group, sample_ids in priority-rank order, n_seen

@@ -589,6 +589,33 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       s"post-compaction replay must re-deliver doc 9: $sunk")
   }
 
+  test("same-id re-delivery in a later batch is a genuine duplicate, not a replay artifact") {
+    import spark.implicits._
+    def doc(topic: String): String =
+      s"the $topic system and the $topic runtime are the part of the " +
+        s"$topic stack which reads the $topic rows and the $topic tables " +
+        s"while it is the $topic job that keeps the $topic data in the " +
+        s"$topic store for the $topic users of the $topic week"
+    val indexPath = java.nio.file.Files
+      .createTempDirectory("graft-ndredeliver").toString + "/index"
+    val sunk = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val gate = StreamingAnalytics.nearDedupIntake(indexPath, threshold = 0.5,
+      sink = (df, bid) =>
+        sunk ++= df.select("doc_id").collect().map(r => (bid, r.getLong(0))))
+    gate(Seq((1L, doc("spark"))).toDF("doc_id", "text"), 0L)
+    // the source re-delivers doc 1 (same id, same text) in a DIFFERENT
+    // batch — not a Spark retry of batch 0. Its index copy sits in a
+    // LIVE partition (batch_id = 0), so the id-equal match must NOT be
+    // excused as a replay self-match: the incoming copy is a duplicate
+    gate(Seq((1L, doc("spark"))).toDF("doc_id", "text"), 1L)
+    assert(sunk.toSet == Set((0L, 1L)),
+      s"re-delivered doc must be deduped, not re-admitted: $sunk")
+    val idx = spark.read.parquet(indexPath)
+      .select("id", "batch_id").as[(Long, Long)].collect().toSet
+    assert(idx == Set((1L, 0L)),
+      s"index must keep exactly the first admission: $idx")
+  }
+
   test("compactIndex(belowBatchId) leaves the in-flight batch's partition out of the fold") {
     import spark.implicits._
     def doc(topic: String): String =
