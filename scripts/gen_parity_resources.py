@@ -42,6 +42,40 @@ class P(PostfixLogParser):
         self.faults.append(s)
 
 
+def run_reference(lines):
+    """Feed lines through the reference's actual parser; return the
+    collecting parser (events + faults)."""
+    p = P()
+    for line in lines:
+        p.feed_line(line)
+    return p
+
+
+def event_row(e):
+    """One reference event as the canonical JSON row the parity specs
+    compare against."""
+    # the reference keeps tz-naive timestamps naive
+    # (datetime.fromisoformat, parse.py:398); our parser's documented
+    # contract maps naive to UTC (LineParser "naive → UTC") — canonicalize
+    # the reference's naive datetimes the same way for comparison
+    ts = e.timestamp if e.timestamp.tzinfo is not None \
+        else e.timestamp.replace(tzinfo=datetime.timezone.utc)
+    return {
+        "ts_us": (ts - EPOCH) // MICRO,
+        "queue_id": e.queue_id, "domain_from": e.domain_from,
+        "domains_to": e.domains_to, "message_from": e.message_from,
+        "message_to": e.message_to, "message_id": e.message_id,
+        "message_subject": e.message_subject, "status": e.status,
+        "status_code": getattr(e, "status_code", None),
+        "status_postfix_code": getattr(e, "status_postfix_code", None),
+        "status_description": e.status_description, "client": e.client,
+        "orig_to": e.orig_to,
+        "dovecot_fileinto_action": e.dovecot_fileinto_action,
+        "delay": e.delay, "delays": e.delays, "dsn": e.dsn,
+        "nrcpt": e.nrcpt, "relay": e.relay, "size": e.size,
+        "raw_log": e.raw_log}
+
+
 def gen_lines(n_sessions, seed):
     import gen_parity_log
     out = "/tmp/_parity_ci.log"
@@ -51,9 +85,7 @@ def gen_lines(n_sessions, seed):
 
 def main(n_sessions=1500, seed=11):
     lines = gen_lines(n_sessions, seed)
-    p = P()
-    for line in lines:
-        p.feed_line(line)
+    p = run_reference(lines)
 
     res_dir = "src/test/resources/parity"
     os.makedirs(res_dir, exist_ok=True)
@@ -62,21 +94,7 @@ def main(n_sessions=1500, seed=11):
             f.write(l + "\n")
     with gzip.open(f"{res_dir}/expected_events.jsonl.gz", "wt") as f:
         for e in p.events:
-            row = {
-                "ts_us": (e.timestamp - EPOCH) // MICRO,
-                "queue_id": e.queue_id, "domain_from": e.domain_from,
-                "domains_to": e.domains_to, "message_from": e.message_from,
-                "message_to": e.message_to, "message_id": e.message_id,
-                "message_subject": e.message_subject, "status": e.status,
-                "status_code": getattr(e, "status_code", None),
-                "status_postfix_code": getattr(e, "status_postfix_code", None),
-                "status_description": e.status_description, "client": e.client,
-                "orig_to": e.orig_to,
-                "dovecot_fileinto_action": e.dovecot_fileinto_action,
-                "delay": e.delay, "delays": e.delays, "dsn": e.dsn,
-                "nrcpt": e.nrcpt, "relay": e.relay, "size": e.size,
-                "raw_log": e.raw_log}
-            f.write(json.dumps(row, sort_keys=True) + "\n")
+            f.write(json.dumps(event_row(e), sort_keys=True) + "\n")
     with open(f"{res_dir}/expected_counts.txt", "w") as f:
         f.write(f"{len(p.events)} {len(p.faults)}\n")
     print(f"lines={len(lines)} events={len(p.events)} faults={len(p.faults)}")

@@ -715,12 +715,16 @@ FROM v ORDER BY user_id"""
       .orderBy("event_type", "bucket")
   }
 
-  // DuckDB has no width_bucket; the oracle states Spark's exact formula
-  // (floor(numBuckets·(v − min)/(max − min)) + 1, in-range values only —
-  // this corpus is within [0, 500) by construction)
+  // DuckDB has no width_bucket; the oracle states Spark's exact
+  // semantics INCLUDING the under/overflow buckets: bucket 0 below min,
+  // numBuckets+1 at or above max, else floor(numBuckets·(v−min)/(max−min))+1.
+  // (The sf0.1 gate caught the overflow case: values > 500 exist there —
+  // 560.21 belongs in the clamp bucket 21, not floor-formula bucket 23.)
   val eventsValueHistogramOracle: String = """
 SELECT event_type,
-       CAST(floor(20 * value / 500.0) + 1 AS BIGINT) AS bucket,
+       CAST(CASE WHEN value < 0 THEN 0
+                 WHEN value >= 500 THEN 21
+                 ELSE floor(20 * value / 500.0) + 1 END AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS n
 FROM events WHERE value IS NOT NULL
 GROUP BY 1, 2 ORDER BY 1, 2"""
