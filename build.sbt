@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must bypass sbt's logger: the logger prefixes every
+// line with "[info] ", which defeats a tail JSON-parse of the bench's
+// final stdout line. StdoutOutput inherits the parent process streams.
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and drop the trailing "[success] Total time ..." line so the bench's
+// bare JSON line stays the last thing on stdout.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

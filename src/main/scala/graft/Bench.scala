@@ -5,19 +5,47 @@ import org.apache.spark.sql.SparkSession
   *
   * Prints ONE SHORT final JSON line — total seconds, query count, load
   * before/after, and the path of the full artifact — and writes the full
-  * per-query map (median + every individual run + warmup runs) to
-  * `target/bench.json`. The driver's log-tail capture truncated the old
-  * full-map line mid-map three rounds running ("parsed": null); the short
-  * line cannot outgrow any capture window, and the file carries everything.
+  * per-query map (median + every individual run + warmup runs + per-run
+  * system load) to `target/bench.json`. The short line cannot outgrow any
+  * tail-capture window, and (with `Compile / run / outputStrategy :=
+  * StdoutOutput` in build.sbt) reaches stdout raw, without sbt's
+  * "[info] " logger prefix.
   *
-  * Contention is made self-evident in the artifact: per-run times expose a
-  * 6-26× inflated run next to two steady ones (round 8's driver recording),
-  * and system load is sampled both before and after the sweep. Any query
-  * whose median exceeds 3× its fastest observed run is re-measured once and
-  * the better median kept, with its name recorded under "remeasured".
+  * Contention handling — two independent re-measure triggers:
+  *   1. in-process: median > 3× the fastest run this process has seen for
+  *      the query (a transient spike inside the sweep);
+  *   2. cross-artifact: median > 2× the query's median in the previous
+  *      COMMITTED artifact (default `BENCHFULL.json`, override with
+  *      SPARK_GRAFT_BENCH_PREV) and at least 0.25 s above it — catches
+  *      contention *sustained* across all runs, which trigger 1 cannot see
+  *      (round 9: the whole corpus_* family inflated 3-8× for the driver's
+  *      entire window).
+  * When either fires the query is re-measured once and the RE-MEASURED
+  * median is kept unconditionally (not min-of-medians, which would bias
+  * the artifact downward); the first median and the trigger reason are
+  * recorded under "remeasure_detail" so the raw data stays auditable.
+  * System load is sampled after every individual run ("loads_run") as well
+  * as before/after the sweep.
   */
 object Bench {
   private def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+
+  private def loadPrevMedians(path: String): Map[String, Double] =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val q = om.readTree(java.nio.file.Files.readString(p)).get("queries")
+        if (q == null) Map.empty
+        else {
+          val b = Map.newBuilder[String, Double]
+          val it = q.fields()
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+          b.result()
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -25,6 +53,11 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadBefore = osBean.getSystemLoadAverage
+    // Previous committed artifact: per-query medians from the last quiet,
+    // committed bench run — the reference point for sustained-contention
+    // detection (trigger 2).
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCHFULL.json")
+    val prevMedians = loadPrevMedians(prevPath)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -54,30 +87,43 @@ object Bench {
     val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
 
     case class QResult(name: String, median: Double, timed: Seq[Double],
-                       cold: Seq[Double], remeasured: Boolean)
+                       cold: Seq[Double], loads: Seq[Double],
+                       remeasured: Option[(Double, String)])
     val results = queries.map { case (name, fn) =>
+      val loadSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         finally graft.operators.CacheRegistry.releaseAll()
-        (System.nanoTime() - t0) / 1e9
+        val secs = (System.nanoTime() - t0) / 1e9
+        loadSamples += osBean.getSystemLoadAverage
+        secs
       }
       def median(ts: Seq[Double]): Double = { val s = ts.sorted; s(s.length / 2) }
       val cold = (1 to warmup).map(_ => once())
       val raw = (1 to runs).map(_ => once())
-      // A median >3× the fastest run this process has seen for the query is
-      // the signature of a contended window, not the plan — re-measure once
-      // and keep the better median so the artifact reflects the code.
+      val firstMed = median(raw)
       val best = (cold ++ raw).min
-      val (timed, med, re) =
-        if (runs >= 2 && median(raw) > 3 * best) {
+      val trigger: Option[String] =
+        if (runs < 2) None
+        else if (firstMed > 3 * best) Some("median_gt_3x_best")
+        else prevMedians.get(name) match {
+          case Some(p) if firstMed > 2 * p && firstMed - p > 0.25 =>
+            Some(s"median_gt_2x_prev(${fmt(p)})")
+          case _ => None
+        }
+      val (timed, med, re) = trigger match {
+        case Some(reason) =>
           val again = (1 to runs).map(_ => once())
-          (raw ++ again, math.min(median(raw), median(again)), true)
-        } else (raw, median(raw), false)
+          // keep the re-measured median unconditionally — min() of the two
+          // could only ever lower the number, a one-sided bias
+          (raw ++ again, median(again), Some((firstMed, reason)))
+        case None => (raw, firstMed, None)
+      }
       if (verbose) System.err.println(
         s"[bench] $name: ${timed.map(fmt).mkString(" ")}" +
           (if (cold.nonEmpty) cold.map(fmt).mkString(" (warmup ", " ", ")") else ""))
-      QResult(name, med, timed, cold, re)
+      QResult(name, med, timed, cold, loadSamples.toSeq, re)
     }
     val total = results.map(_.median).sum
     val loadAfter = osBean.getSystemLoadAverage
@@ -85,25 +131,31 @@ object Bench {
     val qs = results.map(r => "\"" + r.name + "\":" + fmt(r.median)).mkString("{", ",", "}")
     val runsDetail = results.map(r => "\"" + r.name + "\":" + jarr(r.timed)).mkString("{", ",", "}")
     val warmDetail = results.map(r => "\"" + r.name + "\":" + jarr(r.cold)).mkString("{", ",", "}")
-    val remeasured = results.filter(_.remeasured).map("\"" + _.name + "\"").mkString("[", ",", "]")
+    val loadDetail = results.map(r => "\"" + r.name + "\":" + jarr(r.loads)).mkString("{", ",", "}")
+    val remeasured = results.filter(_.remeasured.isDefined).map("\"" + _.name + "\"").mkString("[", ",", "]")
+    val remeasureDetail = results.flatMap(r => r.remeasured.map { case (first, reason) =>
+      s""""${r.name}":{"first_median":${fmt(first)},"kept_median":${fmt(r.median)},"trigger":"$reason"}"""
+    }).mkString("{", ",", "}")
     val meta = Seq(
       s""""runs":$runs""",
       s""""warmup":$warmup""",
       s""""load_before":${fmt(loadBefore)}""",
       s""""load_after":${fmt(loadAfter)}""",
+      s""""prev_artifact":"$prevPath"""",
+      s""""prev_queries_n":${prevMedians.size}""",
       s""""available_cpus":${Runtime.getRuntime.availableProcessors}""",
       s""""jvm":"${sys.props.getOrElse("java.version", "?")}"""",
       s""""spark":"${spark.version}"""").mkString(",")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs_sec":$runsDetail,"warmup_sec":$warmDetail,"remeasured":$remeasured,"sf":"$sfDir",$meta}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs_sec":$runsDetail,"warmup_sec":$warmDetail,"loads_run":$loadDetail,"remeasured":$remeasured,"remeasure_detail":$remeasureDetail,"sf":"$sfDir",$meta}"""
     val out = java.nio.file.Paths.get(outPath)
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(out, full + "\n")
     // SHORT final line (~250 bytes): everything a tail capture needs, and
     // nothing it can truncate. The full per-query map lives only in the file.
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"queries_n":${results.length},"queries_file":"$outPath","sf":"$sfDir",$meta}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"queries_n":${results.length},"queries_file":"$outPath","remeasured":$remeasured,"sf":"$sfDir",$meta}"""
     println(line)
     spark.stop()
     // last stdout line of the process, AFTER Spark's shutdown chatter —
