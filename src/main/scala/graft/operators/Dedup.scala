@@ -338,6 +338,55 @@ object Dedup {
     (current, CcStats(it, done))
   }
 
+  /** Incremental maintenance of a [[connectedComponents]] labeling: fold
+    * a NEW batch of duplicate pairs into an existing (id, label)
+    * assignment without re-running the closure over historical edges.
+    *
+    * Correctness: every existing label is its component's minimum member
+    * id, so contracting each new-edge endpoint to its current root
+    * preserves reachability, and the closure of the CONTRACTED graph
+    * (new edges only — batch-sized, never corpus-sized) yields each
+    * merged component's global minimum: the min over merged roots and
+    * fresh ids IS the min over all members. Labels therefore stay
+    * bit-identical to a from-scratch [[connectedComponents]] over the
+    * accumulated pair set (asserted as a differential in DedupSpec and
+    * StreamingAnalyticsSpec).
+    *
+    * Scale shape: historical edges are never touched; `labels` is
+    * scanned once, joined map-side against the broadcast-sized root
+    * remap (the delta closure runs over ≤ 2·|newPairs| contracted
+    * nodes). The return value is a DELTA — one row per id whose label
+    * changed or is newly seen — so an append-only store pays
+    * batch-sized write amplification, not a snapshot rewrite.
+    *
+    * @param labels existing assignment (id, label) — label = component
+    *               minimum, i.e. prior [[connectedComponents]] /
+    *               accumulated increment output
+    * @return (id, label) rows for changed or new ids only */
+  def connectedComponentsIncrement(labels: DataFrame, newPairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    val l = labels.select(col("id"), col("label"))
+    val contracted = newPairs
+      .select(col(aCol).as("a"), col(bCol).as("b"))
+      .join(l.select(col("id").as("a"), col("label").as("ra")), Seq("a"), "left_outer")
+      .join(l.select(col("id").as("b"), col("label").as("rb")), Seq("b"), "left_outer")
+      .select(coalesce(col("ra"), col("a")).as("id_a"),
+        coalesce(col("rb"), col("b")).as("id_b"))
+      // endpoints already sharing a root add nothing to the closure
+      .filter(col("id_a") =!= col("id_b"))
+    val delta = connectedComponents(contracted, maxIter = maxIter)
+    // touched roots whose label moved — every member of that root follows
+    val rootRemap = delta
+      .select(col("id").as("label"), col("label").as("new_label"))
+      .filter(col("label") =!= col("new_label"))
+    val moved = l.join(broadcast(rootRemap), Seq("label"))
+      .select(col("id"), col("new_label").as("label"))
+    // ids seen for the first time in any pair
+    val fresh = delta.join(l.select(col("id")), Seq("id"), "left_anti")
+    moved.unionByName(fresh.select(col("id"), col("label")))
+  }
+
   /** Benchmark decontamination: corpus documents sharing at least
     * `minShared` distinct word n-grams with any probe (benchmark/eval)
     * document — the standard train-test contamination sweep a pipeline

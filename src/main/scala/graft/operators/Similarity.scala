@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -331,39 +331,47 @@ object Similarity {
     val centIds = centroidRows.map(_.getLong(0))
     var cents = centroidRows.map(_.getSeq[Float](1).toArray)
 
-    for (_ <- 1 to trainIters) {
-      // cell is computed in its OWN projection, once per vector — a
-      // combined select(cellAssign, posexplode) re-evaluates the
-      // nlist×dim assignment scan per EXPLODED row (dim× the work;
-      // measured 76 s → 4 s at 20k×157)
-      val assigned = train.select(
-        cellAssign(col("embedding"), centIds, cents).as("cell"),
-        col("embedding"))
-        .select(col("cell"), posexplode(col("embedding")))
-        // dim-mismatched vectors assign to a null cell by contract
-        // (NearestCentroids) — drop them from training like the inverted
-        // lists drop them at query time
-        .where(col("cell").isNotNull)
-      val meanRows = assigned
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(floor(col("col").cast("double") * (1L << 24))
-          .cast("decimal(38,0)")).as("s"),
-          count(lit(1)).as("n"))
-        .collect()
-      val byCell = meanRows.groupBy(_.getLong(0))
-      val idIndex = centIds.zipWithIndex.toMap
-      val next = cents.map(_.clone())
-      byCell.foreach { case (cell, rows) =>
-        val ci = idIndex(cell)
-        rows.foreach { r =>
-          val pos = r.getInt(1)
-          next(ci)(pos) =
-            (r.getDecimal(2).doubleValue() / (1L << 24) / r.getLong(3)).toFloat
-        }
-      }
-      cents = next // cells with no members keep their previous centroid
-    }
+    for (_ <- 1 to trainIters)
+      cents = lloydStep(train, centIds, cents)
     (centIds, cents)
+  }
+
+  /** One Lloyd update: assign every `embedding` row to its nearest
+    * centroid, recompute cell means. Cells with no members keep their
+    * previous centroid. Driver traffic is nlist×dim aggregate rows —
+    * model-sized, never corpus-sized. */
+  private[operators] def lloydStep(train: DataFrame, centIds: Array[Long],
+      cents: Array[Array[Float]]): Array[Array[Float]] = {
+    // cell is computed in its OWN projection, once per vector — a
+    // combined select(cellAssign, posexplode) re-evaluates the
+    // nlist×dim assignment scan per EXPLODED row (dim× the work;
+    // measured 76 s → 4 s at 20k×157)
+    val assigned = train.select(
+      cellAssign(col("embedding"), centIds, cents).as("cell"),
+      col("embedding"))
+      .select(col("cell"), posexplode(col("embedding")))
+      // dim-mismatched vectors assign to a null cell by contract
+      // (NearestCentroids) — drop them from training like the inverted
+      // lists drop them at query time
+      .where(col("cell").isNotNull)
+    val meanRows = assigned
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(floor(col("col").cast("double") * (1L << 24))
+        .cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n"))
+      .collect()
+    val byCell = meanRows.groupBy(_.getLong(0))
+    val idIndex = centIds.zipWithIndex.toMap
+    val next = cents.map(_.clone())
+    byCell.foreach { case (cell, rows) =>
+      val ci = idIndex(cell)
+      rows.foreach { r =>
+        val pos = r.getInt(1)
+        next(ci)(pos) =
+          (r.getDecimal(2).doubleValue() / (1L << 24) / r.getLong(3)).toFloat
+      }
+    }
+    next
   }
 
   /** Corpus side of the IVF index, computed ONCE: each vector assigned
@@ -381,6 +389,133 @@ object Similarity {
         element_at(cellsAssign(col("embedding"), centIds, cents, 1), 1)
           .as("cent_id"))
       .filter(col("candn") > 0)
+  }
+
+  /** Append a new vector batch to a PERSISTED inverted-list store
+    * ([[ivfPrepare]] output written as parquet) without retraining or
+    * rebuilding: the batch is assigned under the SAME frozen quantizer
+    * and its list rows appended. A growing corpus pays one assignment
+    * scan per batch — not a full index rebuild — until
+    * [[ivfDriftProbe]] signals that the quantizer no longer fits the
+    * incoming distribution and a retrain is worth the rebuild.
+    *
+    * Parquet append is atomic at file granularity and each appended
+    * file carries only new `cand_id`s, so readers mid-append see a
+    * consistent (if slightly stale) index. Caller owns id-uniqueness,
+    * same as [[ivfPrepare]]. */
+  def ivfAppend(listsPath: String, batch: DataFrame,
+                quantizer: (Array[Long], Array[Array[Float]])): Unit = {
+    ivfPrepare(batch, quantizer)
+      .write.mode("append").parquet(listsPath)
+    batch.sparkSession.catalog.refreshByPath(listsPath)
+  }
+
+  /** The trained centroid set as a (cent_id, centv, centn) frame —
+    * nlist rows, broadcast-sized by construction. */
+  private def centroidFrame(spark: SparkSession,
+      quantizer: (Array[Long], Array[Array[Float]])): DataFrame = {
+    import spark.implicits._
+    val (ids, cents) = quantizer
+    ids.indices.map(i => (ids(i), cents(i).toSeq))
+      .toDF("cent_id", "centv")
+      .withColumn("centn", vecNorm(col("centv")))
+  }
+
+  /** Per-cell occupancy and mean assignment similarity of prepared
+    * inverted lists: (cent_id, n, mean_sim, share). One broadcast join
+    * against the nlist-row centroid frame + one groupBy — the store's
+    * health dashboard, and [[ivfDriftProbe]]'s baseline. */
+  def ivfCellStats(lists: DataFrame,
+      quantizer: (Array[Long], Array[Array[Float]])): DataFrame = {
+    val cf = broadcast(centroidFrame(lists.sparkSession, quantizer))
+    val withSim = lists.join(cf, Seq("cent_id"))
+      .withColumn("sim",
+        vecDot(col("candv"), col("centv")) / (col("candn") * col("centn")))
+    withSim.groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("n"), avg(col("sim")).as("mean_sim"))
+      .withColumn("share", col("n") / sum(col("n")).over(Window.partitionBy()))
+  }
+
+  /** What [[ivfDriftProbe]] measured, and its verdict. All inputs to
+    * `drifted` ride along so a pipeline can log/alert on the raw
+    * numbers, not just the boolean. */
+  final case class IvfDriftReport(
+      index_n: Long, batch_n: Long,
+      mean_sim_index: Double, mean_sim_batch: Double, sim_drop: Double,
+      hot_share_index: Double, hot_share_batch: Double,
+      reassign_fraction: Double, drifted: Boolean)
+
+  /** Decide whether a frozen quantizer still fits an incoming batch —
+    * the retrain signal for an [[ivfAppend]]-maintained store. Three
+    * independent drift symptoms, any one of which fires `drifted`:
+    *
+    *  1. assignment-quality drop: the batch's mean cosine to its
+    *     assigned centroid falls more than `simDropTol` RELATIVELY
+    *     below the index's own mean (the quantizer's cells are
+    *     centered on the OLD mass, so a shifted distribution lands
+    *     farther from every centroid). Relative, because the index's
+    *     in-sample mean carries the quantizer's training bias — a
+    *     held-out same-distribution batch always sits somewhat lower,
+    *     proportionally to the corpus' absolute sim scale;
+    *  2. cell skew: the batch's hottest-cell share exceeds `skewTol` ×
+    *     max(index hot share, 1/nlist) — a shifted batch collapses
+    *     into the few cells nearest its new mode, degrading those
+    *     lists toward brute-force scans. Only significant when the hot
+    *     cell holds at least `minHotCount` batch vectors: a handful of
+    *     vectors sharing a cell is sampling noise, not a mode;
+    *  3. reassignment churn: after ONE Lloyd step over a bounded
+    *     deterministic sample of index ∪ batch (the step a retrain
+    *     would take first), more than `reassignTol` of the batch flips
+    *     cells — centroids want to move toward the new mass.
+    *
+    * Cost: two assignment scans of the batch, one of the index's
+    * candv column, one sampled Lloyd step — all map-side against
+    * broadcast centroids; driver traffic stays model-sized. */
+  def ivfDriftProbe(lists: DataFrame, batch: DataFrame,
+      quantizer: (Array[Long], Array[Array[Float]]),
+      simDropTol: Double = 0.5, skewTol: Double = 3.0,
+      reassignTol: Double = 0.2, minHotCount: Long = 32L): IvfDriftReport = {
+    val (centIds, cents) = quantizer
+    val spark = lists.sparkSession
+    def stats(prepared: DataFrame): (Long, Double, Double) = {
+      val r = ivfCellStats(prepared, quantizer)
+        .agg(sum(col("n")), sum(col("n") * col("mean_sim")),
+          max(col("share")))
+        .head()
+      val n = if (r.isNullAt(0)) 0L else r.getLong(0)
+      (n,
+        if (n == 0) 0.0 else r.getDouble(1) / n,
+        if (r.isNullAt(2)) 0.0 else r.getDouble(2))
+    }
+    val preparedBatch = ivfPrepare(batch, quantizer).persist()
+    try {
+      val (indexN, simIndex, hotIndex) = stats(lists)
+      val (batchN, simBatch, hotBatch) = stats(preparedBatch)
+      // one Lloyd step over index ∪ batch, sampled exactly like
+      // trainCentroids — then count batch vectors that would move
+      val union = lists.select(col("cand_id").as("vec_id"),
+          col("candv").as("embedding"))
+        .unionByName(preparedBatch.select(col("cand_id").as("vec_id"),
+          col("candv").as("embedding")))
+      val total = indexN + batchN
+      val sample = if (total <= TrainSampleCap) union
+        else {
+          val k = math.max(1L, total / TrainSampleCap)
+          union.filter(pmod(xxhash64(col("vec_id")), lit(k)) === 0)
+        }
+      val moved = lloydStep(sample, centIds, cents)
+      val flips = preparedBatch.filter(
+        element_at(cellsAssign(col("candv"), centIds, cents, 1), 1) =!=
+          element_at(cellsAssign(col("candv"), centIds, moved, 1), 1)).count()
+      val reassign = if (batchN == 0) 0.0 else flips.toDouble / batchN
+      val simDrop = simIndex - simBatch
+      val skewBar = skewTol * math.max(hotIndex, 1.0 / centIds.length)
+      IvfDriftReport(indexN, batchN, simIndex, simBatch, simDrop,
+        hotIndex, hotBatch, reassign,
+        drifted = simDrop > simDropTol * math.abs(simIndex) ||
+          (hotBatch > skewBar && hotBatch * batchN >= minHotCount) ||
+          reassign > reassignTol)
+    } finally preparedBatch.unpersist()
   }
 
   /** Probe prepared inverted lists ([[ivfPrepare]]) with a query frame:

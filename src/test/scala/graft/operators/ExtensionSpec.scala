@@ -494,6 +494,41 @@ class ExtensionSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("incremental connected components ≡ batch recompute across edge batches") {
+    import spark.implicits._
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // seeded random graph sliced into 4 arrival batches — includes merges
+    // of previously-separate components, fresh nodes joining old
+    // components, and redundant intra-component edges
+    val rnd = new scala.util.Random(42)
+    val edges = (1 to 120).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2)
+    val batches = edges.grouped((edges.size + 3) / 4).toSeq
+    var labels = Seq.empty[(Long, Long)].toDF("id", "label")
+    var seen = Seq.empty[(Long, Long)]
+    for (b <- batches) {
+      seen ++= b
+      val delta = Dedup.connectedComponentsIncrement(
+        labels, b.toDF("id_a", "id_b"))
+      val deltaMap = asMap(delta)
+      // apply the delta the way a store would: delta wins per id
+      labels = (asMap(labels) ++ deltaMap).toSeq.toDF("id", "label")
+      assert(asMap(labels) == asMap(
+        Dedup.connectedComponents(seen.toDF("id_a", "id_b"))),
+        s"incremental labels diverge from batch recompute after ${seen.size} edges")
+      CacheRegistry.releaseAll()
+    }
+    // a directed merge: two established components joined by one edge —
+    // the delta must relabel every member of the losing component
+    val merged = Dedup.connectedComponentsIncrement(
+      Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L)).toDF("id", "label"),
+      Seq((2L, 11L)).toDF("id_a", "id_b"))
+    assert(asMap(merged) == Map(10L -> 1L, 11L -> 1L),
+      s"merge delta must cover exactly the losing component's members")
+    CacheRegistry.releaseAll()
+  }
+
   test("connected components surface a tested failure signal when budget runs out") {
     import spark.implicits._
     val chain = (0L until 299L).map(i => (i, i + 1)).toDF("id_a", "id_b")
@@ -572,6 +607,62 @@ class ExtensionSpec extends AnyFunSuite {
     lists.write.parquet(path)
     val reloaded = spark.read.parquet(path)
     assert(canon(Similarity.ivfTopKPrepared(reloaded, q, k = 3, quant)) == mono)
+  }
+
+  test("ivfAppend extends a round-tripped index; recall holds without retrain") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    // the store is built BEFORE the new batch arrives: quantizer trained
+    // and lists prepared on the base corpus only, both round-tripped
+    // through parquet (the production artifact path)
+    val base = e.filter(col("vec_id") >= 20)
+    val quant = Similarity.trainCentroids(base, nlist = 16, trainIters = 2)
+    val root = java.nio.file.Files
+      .createTempDirectory("ivf-append").toString
+    val listsPath = s"$root/lists"
+    Similarity.ivfPrepare(base, quant).write.parquet(listsPath)
+    Artifacts.saveCentroids(spark, s"$root/centroids", quant._1, quant._2)
+    val loadedQuant = Artifacts.loadCentroids(spark, s"$root/centroids")
+    // today's crawl: vectors 0..19, appended under the frozen quantizer
+    val batch = e.filter(col("vec_id") < 20)
+    Similarity.ivfAppend(listsPath, batch, loadedQuant)
+    val lists = spark.read.parquet(listsPath)
+    assert(lists.select("cand_id").distinct().count() == e.count(),
+      "appended store must cover base + batch")
+    // planted near-dup queries of the APPENDED vectors must be served
+    // from the extended lists at the planted-twin recall bar — the
+    // appended rows are fully live index members, not second-class
+    val q = batch.select(($"vec_id" + 10000).as("vec_id"),
+      transform($"embedding", v => v * lit(1.01f) + lit(0.003f)).as("embedding"))
+    val hits = Similarity.ivfTopKPrepared(lists, q, k = 1, loadedQuant)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toMap
+    val found = (0L until 20L).count(i => hits.get(i + 10000).contains(i))
+    assert(found >= 15, s"appended-index IVF found only $found/20 planted queries")
+    // and a same-distribution batch does NOT trip the drift probe
+    val report = Similarity.ivfDriftProbe(spark.read.parquet(listsPath),
+      batch, loadedQuant)
+    assert(!report.drifted,
+      s"same-distribution batch must not signal retrain: $report")
+    assert(report.batch_n == 20 && report.index_n == e.count(),
+      s"probe must see both sides: $report")
+  }
+
+  test("ivfDriftProbe fires on a shifted distribution") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val quant = Similarity.trainCentroids(e, nlist = 16, trainIters = 2)
+    val lists = Similarity.ivfPrepare(e, quant)
+    // a batch from a DIFFERENT mode: constant offset dominates every
+    // dimension, so the whole batch collapses toward the one centroid
+    // nearest the new mass and sits far from every trained centroid
+    val shifted = e.filter(col("vec_id") < 100)
+      .select(($"vec_id" + 50000).as("vec_id"),
+        transform($"embedding", v => v * lit(0.05f) + lit(5.0f)).as("embedding"))
+    val report = Similarity.ivfDriftProbe(lists, shifted, quant)
+    assert(report.drifted, s"shifted batch must signal retrain: $report")
+    assert(report.hot_share_batch > report.hot_share_index ||
+      report.sim_drop > 0.05 || report.reassign_fraction > 0.2,
+      s"at least one symptom must be material: $report")
   }
 
   test("centroid artifact round-trips bit-exactly and serves ivfTopK unchanged") {
