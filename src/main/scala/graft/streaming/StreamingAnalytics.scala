@@ -138,7 +138,8 @@ object StreamingAnalytics {
                       bands: Int = 16, rowsPerBand: Int = 4,
                       shingleWidth: Int = 3, threshold: Double = 0.7,
                       maxBucket: Int = 64,
-                      sink: (DataFrame, Long) => Unit = (_, _) => ())
+                      sink: (DataFrame, Long) => Unit = (_, _) => (),
+                      labelsPath: String = "")
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
     import graft.operators.{Artifacts, Dedup, TextAnalysis}
     val spark = batch.sparkSession
@@ -178,28 +179,56 @@ object StreamingAnalytics {
       // match against a LIVE batch partition is not a replay artifact —
       // it is a source legitimately re-delivering a document under the
       // same doc_id in a later batch — and must still dedup the
-      // incoming copy. (Re-delivery whose first copy was already
+      // incoming copy. (Re-delivery whose ONLY index copy was already
       // compacted is indistinguishable from a replay by construction
-      // and is re-admitted; content-level near-dups of it still match
-      // at differing ids and drop normally.)
-      val survivors =
-        (if (Artifacts.hasData(spark, indexPath)) {
+      // and is re-admitted ONCE; its re-admitted copy lives in a live
+      // partition, so every delivery after that dedups normally, as do
+      // content-level near-dups at differing ids.)
+      val indexMatches: Option[DataFrame] =
+        if (Artifacts.hasData(spark, indexPath)) {
           val index = spark.read.parquet(indexPath)
             .filter(col("batch_id") =!= lit(batchId))
           val matches0 = Dedup.minhashLshAgainstPrepared(index, prepared,
             bands, rowsPerBand, threshold, maxBucket)
-          // partition-pruned slim scan: ids whose index row is compacted
+          // Excuse id-equal matches ONLY for ids whose sole index copy
+          // sits in the compacted partition. The match rows carry no
+          // batch_id (candidate pairs are deduped to one (index_id,
+          // incoming_id) row), so an id with BOTH a compacted copy and a
+          // live re-admitted copy must NOT be excused on compacted
+          // membership alone — that would drop the single match row the
+          // live copy produces too, and every later same-id delivery
+          // would be re-admitted forever, accumulating duplicate index
+          // rows and sink emissions.
           val compactedIds = spark.read.parquet(indexPath)
             .filter(col("batch_id") === lit(-1L))
             .select(col("id").as("index_id"))
-          val matches = matches0.filter(col("index_id") === col("incoming_id"))
-            .join(compactedIds, Seq("index_id"), "left_anti")
-            .unionByName(matches0.filter(col("index_id") =!= col("incoming_id")))
+          val liveIds = spark.read.parquet(indexPath)
+            .filter(col("batch_id") =!= lit(-1L) && col("batch_id") =!= lit(batchId))
+            .select(col("id").as("index_id"))
+          val replayOnlyIds = compactedIds.join(liveIds, Seq("index_id"), "left_anti")
+          Some(matches0.filter(col("index_id") === col("incoming_id"))
+            .join(replayOnlyIds, Seq("index_id"), "left_anti")
+            .unionByName(matches0.filter(col("index_id") =!= col("incoming_id"))))
+        } else None
+      val survivors =
+        indexMatches.fold(innerSurvivors) { matches =>
           innerSurvivors.join(
             matches.select(col("incoming_id").as("doc_id")).distinct(),
             Seq("doc_id"), "left_anti")
-        } else innerSurvivors)
-          .localCheckpoint(true)
+        }.localCheckpoint(true)
+      // duplicate pairs this batch observed — the cluster-closure feed.
+      // Checkpointed BEFORE the index append for the same reason as the
+      // survivors: the match plan scans the index path this batch is
+      // about to extend. Id-equal matches are the same document
+      // (replay / re-delivery), not an edge.
+      val labelPairs: Option[DataFrame] =
+        if (labelsPath.isEmpty) None
+        else Some(indexMatches.fold(innerPairs.select("id_a", "id_b")) { m =>
+          innerPairs.select("id_a", "id_b").unionByName(
+            m.filter(col("index_id") =!= col("incoming_id"))
+              .select(col("index_id").as("id_a"),
+                col("incoming_id").as("id_b")))
+        }.localCheckpoint(true))
       val admitted = prepared
         .join(survivors.select("doc_id"), col("id") === col("doc_id"))
         .select(col("id"), col("sh"), col("sig"), lit(batchId).as("batch_id"))
@@ -208,6 +237,7 @@ object StreamingAnalytics {
         .partitionBy("batch_id")
         .mode("overwrite")
         .parquet(indexPath)
+      labelPairs.foreach(componentsApply(spark, labelsPath, _, batchId))
       sink(survivors, batchId)
     } finally {
       exactDeduped.unpersist()
@@ -753,27 +783,128 @@ object StreamingAnalytics {
     import graft.operators.Artifacts
     require(numFiles >= 1, "numFiles must be >= 1")
     if (!Artifacts.hasData(spark, indexPath)) return
+    swapInto(spark, indexPath) { staging =>
+      spark.read.parquet(indexPath)
+        .select(col("id"), col("sh"), col("sig"),
+          when(col("batch_id") < lit(belowBatchId), lit(-1L))
+            .otherwise(col("batch_id")).as("batch_id"))
+        // a re-delivery whose only copy was already compacted is re-admitted
+        // once (see nearDedupIntake) — identical content under the same id
+        // yields byte-identical (id, sh, sig) rows, so folding partitions is
+        // the natural point to collapse that bounded duplication
+        .distinct()
+        .repartition(numFiles, col("id"))
+        .write.partitionBy("batch_id").mode("overwrite")
+        .parquet(staging)
+    }
+  }
+
+  /** Write a replacement for `storePath` into a staging dir, then swap
+    * it in with two renames (backup kept until the swap lands — the
+    * store must never vanish, even mid-crash). Shared by the
+    * batch-partitioned incremental stores' compactions. */
+  private def swapInto(spark: org.apache.spark.sql.SparkSession,
+                       storePath: String)(write: String => Unit): Unit = {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
-    val path = new org.apache.hadoop.fs.Path(indexPath)
+    val path = new org.apache.hadoop.fs.Path(storePath)
     val fs = path.getFileSystem(hadoopConf)
-    val staging = new org.apache.hadoop.fs.Path(indexPath + "._compact")
-    val backup = new org.apache.hadoop.fs.Path(indexPath + "._pre_compact")
-    spark.read.parquet(indexPath)
-      .select(col("id"), col("sh"), col("sig"),
-        when(col("batch_id") < lit(belowBatchId), lit(-1L))
-          .otherwise(col("batch_id")).as("batch_id"))
-      .repartition(numFiles, col("id"))
-      .write.partitionBy("batch_id").mode("overwrite")
-      .parquet(staging.toString)
+    val staging = new org.apache.hadoop.fs.Path(storePath + "._compact")
+    val backup = new org.apache.hadoop.fs.Path(storePath + "._pre_compact")
+    write(staging.toString)
     if (fs.exists(backup)) fs.delete(backup, true)
     if (!fs.rename(path, backup))
       throw new java.io.IOException(s"compaction swap failed: $path -> $backup")
     if (!fs.rename(staging, path)) {
-      fs.rename(backup, path) // restore — the index must never vanish
+      fs.rename(backup, path) // restore — the store must never vanish
       throw new java.io.IOException(s"compaction swap failed: $staging -> $path")
     }
     // the shared FileStatusCache can hold the pre-swap listing for this
     // path; a later batch reading stale statuses would hit deleted files
-    spark.catalog.refreshByPath(indexPath)
+    spark.catalog.refreshByPath(storePath)
+  }
+
+  /** Current cluster assignment of an incrementally-maintained labels
+    * store ([[componentsApply]]): latest delta wins per id. Sparse by
+    * construction — only ids that ever appeared in a duplicate pair
+    * have rows; everything else is its own singleton component
+    * (callers COALESCE(label, id), same as the batch manifest).
+    *
+    * @param excludeBatchId partition to ignore — a replaying batch must
+    *        not read its own previous attempt's delta */
+  def currentComponents(spark: org.apache.spark.sql.SparkSession,
+                        labelsPath: String,
+                        excludeBatchId: Long = Long.MinValue): DataFrame = {
+    import graft.operators.Artifacts
+    import spark.implicits._
+    if (!Artifacts.hasData(spark, labelsPath))
+      Seq.empty[(Long, Long)].toDF("id", "label")
+    else
+      spark.read.parquet(labelsPath)
+        .filter(col("batch_id") =!= lit(excludeBatchId))
+        // compacted snapshot rows sit at batch_id = -1, so any live
+        // delta outranks them; among live deltas the newest batch wins
+        .groupBy(col("id"))
+        .agg(max_by(col("label"), col("batch_id")).as("label"))
+  }
+
+  /** Fold one micro-batch of duplicate pairs into the persisted labels
+    * store — incremental cluster closure
+    * ([[graft.operators.Dedup.connectedComponentsIncrement]]): the
+    * closure runs over the CONTRACTED batch graph only, and the store
+    * receives a batch-sized delta partition, never a snapshot rewrite.
+    * Replay-idempotent by the same discipline as the near-dedup index:
+    * the current assignment is read EXCLUDING this batch's partition
+    * and the delta lands via dynamic partition overwrite, so a retried
+    * batch recomputes and overwrites exactly its own rows. */
+  def componentsApply(spark: org.apache.spark.sql.SparkSession,
+                      labelsPath: String, pairs: DataFrame,
+                      batchId: Long): Unit = {
+    val current = currentComponents(spark, labelsPath, excludeBatchId = batchId)
+    val delta = graft.operators.Dedup
+      .connectedComponentsIncrement(current, pairs)
+      .withColumn("batch_id", lit(batchId))
+      // sever the store read from the store write (same rule as the
+      // survivors checkpoint: writing a path recaches every plan that
+      // scans it, and the writer must not read its own output path)
+      .localCheckpoint(true)
+    try {
+      // an all-empty write would create a bare dir that breaks schema
+      // inference on the next read; a no-pair batch simply leaves the
+      // store as-is (replay-safe: the same batch recomputes the same
+      // empty delta)
+      if (!delta.isEmpty) {
+        delta.write
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .mode("overwrite")
+          .parquet(labelsPath)
+        spark.catalog.refreshByPath(labelsPath)
+      }
+    } finally graft.operators.CacheRegistry.releaseAll()
+  }
+
+  /** Fold committed label deltas into a batch_id = -1 snapshot,
+    * latest-wins applied — bounds [[currentComponents]]' per-batch scan
+    * to (live corpus ids) instead of (Σ historical deltas). Same
+    * in-flight-batch exclusion contract as [[compactIndex]]. */
+  def compactLabels(spark: org.apache.spark.sql.SparkSession,
+                    labelsPath: String, numFiles: Int = 32,
+                    belowBatchId: Long = Long.MaxValue): Unit = {
+    import graft.operators.Artifacts
+    require(numFiles >= 1, "numFiles must be >= 1")
+    if (!Artifacts.hasData(spark, labelsPath)) return
+    swapInto(spark, labelsPath) { staging =>
+      val all = spark.read.parquet(labelsPath)
+      val folded = all.filter(col("batch_id") < lit(belowBatchId))
+        .groupBy(col("id"))
+        .agg(max_by(col("label"), col("batch_id")).as("label"))
+        .withColumn("batch_id", lit(-1L))
+      folded.unionByName(
+          all.filter(col("batch_id") >= lit(belowBatchId))
+            .select("id", "label", "batch_id"))
+        .repartition(numFiles, col("id"))
+        .write.partitionBy("batch_id").mode("overwrite")
+        .parquet(staging)
+    }
   }
 }

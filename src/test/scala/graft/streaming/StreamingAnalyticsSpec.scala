@@ -616,6 +616,113 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       s"index must keep exactly the first admission: $idx")
   }
 
+  test("streaming cluster closure: incremental labels ≡ batch closure across micro-batches") {
+    import spark.implicits._
+    def doc(topic: String): String =
+      s"the $topic system and the $topic runtime are the part of the " +
+        s"$topic stack which reads the $topic rows and the $topic tables " +
+        s"while it is the $topic job that keeps the $topic data in the " +
+        s"$topic store for the $topic users of the $topic week"
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ndlabels").toString
+    val indexPath = s"$root/index"
+    val labelsPath = s"$root/labels"
+    val gate = StreamingAnalytics.nearDedupIntake(indexPath, threshold = 0.5,
+      labelsPath = labelsPath)
+    def labelMap(): Map[Long, Long] =
+      StreamingAnalytics.currentComponents(spark, labelsPath)
+        .as[(Long, Long)].collect().toMap
+    def batchCc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+      graft.operators.Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+
+    // batch 0: 2 near-dups 1 (within-batch pair), 3 is distinct
+    gate(Seq(
+      (1L, doc("spark")),
+      (2L, doc("spark").replace("rows", "records")),
+      (3L, doc("flink"))).toDF("doc_id", "text"), 0L)
+    assert(labelMap() == batchCc(Seq((1L, 2L))),
+      s"after batch 0: ${labelMap()}")
+    // batch 1: 4 near-dups the INDEXED 1 (cross-index pair), 5 distinct
+    gate(Seq(
+      (4L, doc("spark").replace("tables", "frames")),
+      (5L, doc("trino"))).toDF("doc_id", "text"), 1L)
+    assert(labelMap() == batchCc(Seq((1L, 2L), (1L, 4L))),
+      s"after batch 1: ${labelMap()}")
+    // batch 2: 6 joins 3's cluster, 7 joins 5's — two clusters grow at once
+    gate(Seq(
+      (6L, doc("flink").replace("rows", "records")),
+      (7L, doc("trino").replace("week", "month"))).toDF("doc_id", "text"), 2L)
+    val pairsSoFar = Seq((1L, 2L), (1L, 4L), (3L, 6L), (5L, 7L))
+    assert(labelMap() == batchCc(pairsSoFar),
+      s"after batch 2: ${labelMap()}")
+    assert(labelMap() == Map(2L -> 1L, 4L -> 1L, 6L -> 3L, 7L -> 5L,
+      1L -> 1L, 3L -> 3L, 5L -> 5L))
+
+    // at-least-once: replaying batch 2 must leave the store unchanged
+    gate(Seq(
+      (6L, doc("flink").replace("rows", "records")),
+      (7L, doc("trino").replace("week", "month"))).toDF("doc_id", "text"), 2L)
+    assert(labelMap() == batchCc(pairsSoFar),
+      s"replayed batch must be idempotent: ${labelMap()}")
+
+    // compaction folds deltas; answers unchanged, and later increments
+    // (a component merge) still land on the folded snapshot
+    StreamingAnalytics.compactLabels(spark, labelsPath, numFiles = 1)
+    assert(labelMap() == batchCc(pairsSoFar),
+      s"compaction changed the assignment: ${labelMap()}")
+    StreamingAnalytics.componentsApply(spark, labelsPath,
+      Seq((2L, 6L)).toDF("id_a", "id_b"), 3L)
+    assert(labelMap() == batchCc(pairsSoFar :+ (2L, 6L)),
+      s"post-compaction merge: ${labelMap()}")
+    assert(labelMap().values.toSet.intersect(Set(3L)).isEmpty &&
+      labelMap()(3L) == 1L && labelMap()(6L) == 1L,
+      "merging 2~6 must fold flink's cluster into component 1")
+  }
+
+  test("re-delivery after compaction is re-admitted once; the next re-delivery dedups") {
+    import spark.implicits._
+    def doc(topic: String): String =
+      s"the $topic system and the $topic runtime are the part of the " +
+        s"$topic stack which reads the $topic rows and the $topic tables " +
+        s"while it is the $topic job that keeps the $topic data in the " +
+        s"$topic store for the $topic users of the $topic week"
+    val indexPath = java.nio.file.Files
+      .createTempDirectory("graft-ndcompactredeliver").toString + "/index"
+    val sunk = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val gate = StreamingAnalytics.nearDedupIntake(indexPath, threshold = 0.5,
+      sink = (df, bid) =>
+        sunk ++= df.select("doc_id").collect().map(r => (bid, r.getLong(0))))
+    // admit, then compact: doc 1's only index copy now sits in the
+    // compacted partition (batch_id = -1)
+    gate(Seq((1L, doc("spark"))).toDF("doc_id", "text"), 0L)
+    StreamingAnalytics.compactIndex(spark, indexPath, numFiles = 1)
+    // re-delivery in a later batch: indistinguishable from a
+    // post-compaction replay by construction — re-admitted ONCE; its
+    // new copy lands in a LIVE partition (batch_id = 1)
+    gate(Seq((1L, doc("spark"))).toDF("doc_id", "text"), 1L)
+    assert(sunk.toSet == Set((0L, 1L), (1L, 1L)),
+      s"post-compaction re-delivery must be re-admitted once: $sunk")
+    // THIRD delivery: doc 1 now has BOTH a compacted copy and a live
+    // re-admitted copy. The single (1,1) match row must not be excused
+    // on compacted membership alone — the live copy makes it a genuine
+    // duplicate, and the index must not accumulate another row
+    gate(Seq((1L, doc("spark"))).toDF("doc_id", "text"), 2L)
+    assert(sunk.toSet == Set((0L, 1L), (1L, 1L)),
+      s"third same-id delivery must dedup against the live copy: $sunk")
+    val idx = spark.read.parquet(indexPath)
+      .select("id", "batch_id").as[(Long, Long)].collect().toSet
+    assert(idx == Set((1L, -1L), (1L, 1L)),
+      s"index must hold the compacted copy plus one re-admission: $idx")
+    // a FOURTH delivery after another compaction folds the live copy:
+    // both copies now compacted → again indistinguishable from replay,
+    // re-admitted once more — the documented, bounded behavior
+    StreamingAnalytics.compactIndex(spark, indexPath, numFiles = 1)
+    gate(Seq((1L, doc("spark"))).toDF("doc_id", "text"), 3L)
+    assert(sunk.toSet == Set((0L, 1L), (1L, 1L), (3L, 1L)),
+      s"re-delivery after every copy is compacted re-admits once: $sunk")
+  }
+
   test("compactIndex(belowBatchId) leaves the in-flight batch's partition out of the fold") {
     import spark.implicits._
     def doc(topic: String): String =
