@@ -26,6 +26,12 @@ import org.apache.spark.sql.SparkSession
   * recorded under "remeasure_detail" so the raw data stays auditable.
   * System load is sampled after every individual run ("loads_run") as well
   * as before/after the sweep.
+  *
+  * Failure handling: a query that throws is NOT timed — it is listed in
+  * "failed" (+ first-line message in "failed_detail"), excluded from the
+  * total and the per-query map, and the process exits 2 after printing the
+  * artifact, so a broken query can never masquerade as a fast one (round
+  * 10: 13 analysis-time failures benched as plausible small times).
   */
 object Bench {
   private def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
@@ -88,20 +94,35 @@ object Bench {
 
     case class QResult(name: String, median: Double, timed: Seq[Double],
                        cold: Seq[Double], loads: Seq[Double],
-                       remeasured: Option[(Double, String)])
+                       remeasured: Option[(Double, String)],
+                       error: Option[String])
     val results = queries.map { case (name, fn) =>
       val loadSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+      // A throwing query must NOT bench as a plausible fast time (round 10:
+      // 13 analysis-time failures silently absorbed into the total). The
+      // first failure aborts the query's sweep; it is reported in
+      // "failed"/"failed_detail" and excluded from the total.
+      var error: Option[String] = None
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable => if (error.isEmpty) error = Some(
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(200)}")
+        }
         finally graft.operators.CacheRegistry.releaseAll()
         val secs = (System.nanoTime() - t0) / 1e9
         loadSamples += osBean.getSystemLoadAverage
         secs
       }
       def median(ts: Seq[Double]): Double = { val s = ts.sorted; s(s.length / 2) }
-      val cold = (1 to warmup).map(_ => once())
-      val raw = (1 to runs).map(_ => once())
+      def sweep(n: Int): Seq[Double] =
+        (1 to n).iterator.takeWhile(_ => error.isEmpty).map(_ => once()).toSeq
+      val cold = sweep(warmup)
+      val raw = sweep(runs)
+      if (error.isDefined) {
+        System.err.println(s"[bench] $name FAILED: ${error.get}")
+        QResult(name, Double.NaN, Nil, Nil, loadSamples.toSeq, None, error)
+      } else {
       val firstMed = median(raw)
       val best = (cold ++ raw).min
       val trigger: Option[String] =
@@ -114,24 +135,38 @@ object Bench {
         }
       val (timed, med, re) = trigger match {
         case Some(reason) =>
-          val again = (1 to runs).map(_ => once())
+          val again = sweep(runs)
           // keep the re-measured median unconditionally — min() of the two
           // could only ever lower the number, a one-sided bias
-          (raw ++ again, median(again), Some((firstMed, reason)))
+          if (error.isDefined) (raw, firstMed, None)
+          else (raw ++ again, median(again), Some((firstMed, reason)))
         case None => (raw, firstMed, None)
       }
-      if (verbose) System.err.println(
-        s"[bench] $name: ${timed.map(fmt).mkString(" ")}" +
-          (if (cold.nonEmpty) cold.map(fmt).mkString(" (warmup ", " ", ")") else ""))
-      QResult(name, med, timed, cold, loadSamples.toSeq, re)
+      if (error.isDefined) {
+        System.err.println(s"[bench] $name FAILED (re-measure): ${error.get}")
+        QResult(name, Double.NaN, Nil, Nil, loadSamples.toSeq, None, error)
+      } else {
+        if (verbose) System.err.println(
+          s"[bench] $name: ${timed.map(fmt).mkString(" ")}" +
+            (if (cold.nonEmpty) cold.map(fmt).mkString(" (warmup ", " ", ")") else ""))
+        QResult(name, med, timed, cold, loadSamples.toSeq, re, None)
+      }
+      }
     }
-    val total = results.map(_.median).sum
+    val (failed, ok) = results.partition(_.error.isDefined)
+    val total = ok.map(_.median).sum
     val loadAfter = osBean.getSystemLoadAverage
     def jarr(ts: Seq[Double]) = ts.map(fmt).mkString("[", ",", "]")
-    val qs = results.map(r => "\"" + r.name + "\":" + fmt(r.median)).mkString("{", ",", "}")
-    val runsDetail = results.map(r => "\"" + r.name + "\":" + jarr(r.timed)).mkString("{", ",", "}")
-    val warmDetail = results.map(r => "\"" + r.name + "\":" + jarr(r.cold)).mkString("{", ",", "}")
-    val loadDetail = results.map(r => "\"" + r.name + "\":" + jarr(r.loads)).mkString("{", ",", "}")
+    val qs = ok.map(r => "\"" + r.name + "\":" + fmt(r.median)).mkString("{", ",", "}")
+    val runsDetail = ok.map(r => "\"" + r.name + "\":" + jarr(r.timed)).mkString("{", ",", "}")
+    val warmDetail = ok.map(r => "\"" + r.name + "\":" + jarr(r.cold)).mkString("{", ",", "}")
+    val loadDetail = ok.map(r => "\"" + r.name + "\":" + jarr(r.loads)).mkString("{", ",", "}")
+    val failedArr = failed.map("\"" + _.name + "\"").mkString("[", ",", "]")
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val failedDetail = failed.map(r => "\"" + r.name + "\":" + jstr(r.error.get)).mkString("{", ",", "}")
     val remeasured = results.filter(_.remeasured.isDefined).map("\"" + _.name + "\"").mkString("[", ",", "]")
     val remeasureDetail = results.flatMap(r => r.remeasured.map { case (first, reason) =>
       s""""${r.name}":{"first_median":${fmt(first)},"kept_median":${fmt(r.median)},"trigger":"$reason"}"""
@@ -148,18 +183,21 @@ object Bench {
       s""""spark":"${spark.version}"""").mkString(",")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs_sec":$runsDetail,"warmup_sec":$warmDetail,"loads_run":$loadDetail,"remeasured":$remeasured,"remeasure_detail":$remeasureDetail,"sf":"$sfDir",$meta}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs_sec":$runsDetail,"warmup_sec":$warmDetail,"loads_run":$loadDetail,"failed":$failedArr,"failed_n":${failed.length},"failed_detail":$failedDetail,"remeasured":$remeasured,"remeasure_detail":$remeasureDetail,"sf":"$sfDir",$meta}"""
     val out = java.nio.file.Paths.get(outPath)
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(out, full + "\n")
     // SHORT final line (~250 bytes): everything a tail capture needs, and
     // nothing it can truncate. The full per-query map lives only in the file.
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"queries_n":${results.length},"queries_file":"$outPath","remeasured":$remeasured,"sf":"$sfDir",$meta}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"queries_n":${ok.length},"failed":$failedArr,"failed_n":${failed.length},"queries_file":"$outPath","remeasured":$remeasured,"sf":"$sfDir",$meta}"""
     println(line)
     spark.stop()
     // last stdout line of the process, AFTER Spark's shutdown chatter —
     // a tail capture that sees anything sees this
     println(line)
+    // loud failure: the artifact above is complete (total covers only the
+    // queries that ran), but a broken query must not exit 0
+    if (failed.nonEmpty) sys.exit(2)
   }
 }

@@ -11,9 +11,13 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * `timestamp_micros(a div K)` against timestamp literals into plain
   * integer comparisons on `a`.
   *
-  * Why it exists: the driver's events table stores INT64 TIMESTAMP(NANOS),
-  * which we read as a long and rebuild with `timestamp_micros(ts div
-  * 1000)` ([[graft.queries.Tables]]). A time-range predicate written
+  * Why it exists: the driver's events table originally stored INT64
+  * TIMESTAMP(NANOS), which we read as a long and rebuild with
+  * `timestamp_micros(ts div 1000)` ([[graft.queries.Tables]]). (The
+  * round-10 regeneration switched the file to µs TIMESTAMP, which
+  * surfaces as a plain `TimestampType` scan — predicates push natively
+  * there and this rule simply never matches; it remains for any
+  * nanos-encoded input.) A time-range predicate written
   * against the rebuilt column stops at that expression — Catalyst has no
   * rule to invert `timestamp_micros`, so nothing reaches the parquet scan
   * and a 100 TB time-range query degrades to a full scan. After this

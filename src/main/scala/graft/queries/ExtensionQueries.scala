@@ -943,6 +943,67 @@ SELECT doc_id, substring(text, 1, 32) AS decoded FROM documents ORDER BY doc_id"
         .as("has_pairs"))
   }
 
+  /** Exact DuckDB twin of [[textBpeTokens]]: a per-word recursive-CTE
+    * replay of the GPT-2 greedy encoder (lowest-rank adjacent pair first,
+    * all left-to-right non-overlapping occurrences per pass) over the
+    * SAME persisted merge table the Spark side trained
+    * ([[Artifacts.saveMerges]]). Each symbol is framed as
+    * `chr(1)·sym·chr(2)`, so the pair pattern `chr(1)a chr(2) chr(1)b
+    * chr(2)` can neither match inside a longer symbol nor self-overlap
+    * when a = b — plain `replace()` is then EXACTLY [[Bpe.mergeOnce]].
+    * The artifact path is the sf0.01 one because that is the only scale
+    * the driver's oracle gate runs at; the Spark query trains/loads the
+    * same artifact for that sfDir, so both sides encode with identical
+    * ranks. */
+  val textBpeTokensOracle: String = """
+WITH RECURSIVE merges AS (
+  SELECT rank, a, b
+  FROM read_parquet('/root/repo/target/artifacts/_root_testdata_sf0.01/bpe-merges-24/*.parquet')
+),
+words AS (
+  SELECT DISTINCT w FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE len(w) > 0
+),
+enc AS (
+  SELECT w AS word,
+         chr(1) || array_to_string(string_split(w, ''), chr(2) || chr(1)) || chr(2) AS state,
+         false AS done
+  FROM words
+  UNION ALL
+  SELECT t.word,
+         CASE WHEN m.rank IS NULL THEN t.state
+              ELSE replace(t.state,
+                     chr(1) || m.a || chr(2) || chr(1) || m.b || chr(2),
+                     chr(1) || m.a || m.b || chr(2)) END,
+         m.rank IS NULL
+  FROM (SELECT word, state,
+          (SELECT min(mm.rank) FROM merges mm
+            WHERE position(chr(1) || mm.a || chr(2) || chr(1) || mm.b || chr(2) IN state) > 0) AS br
+        FROM enc WHERE NOT done) t
+  LEFT JOIN merges m ON m.rank = t.br
+),
+final AS (
+  SELECT word,
+         string_split(trim(state, chr(1) || chr(2)), chr(2) || chr(1)) AS pieces
+  FROM enc WHERE done
+),
+tok AS (
+  SELECT doc_id, w, pos FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents) WHERE len(w) > 0
+),
+agg AS (
+  SELECT t.doc_id,
+         CAST(SUM(len(f.pieces)) AS BIGINT) AS n_pieces,
+         md5(string_agg(array_to_string(f.pieces, ' '), ' ' ORDER BY t.pos)) AS pieces_md5
+  FROM tok t JOIN final f ON f.word = t.w
+  GROUP BY t.doc_id)
+SELECT d.doc_id, coalesce(a.n_pieces, 0) AS n_pieces,
+       coalesce(a.pieces_md5, md5('')) AS pieces_md5
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
   def textFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "documents")
       .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
@@ -1158,6 +1219,49 @@ SELECT item, weight FROM w, t WHERE weight * 19 > w_total ORDER BY item"""
     Packing.packBins(Tables(spark, sfDir, "documents"), "doc_id", "source",
         size(TextAnalysis.tokens(col("text"))), seqLen = PackBinsSeqLen)
       .orderBy("shard", "bin_id", "doc_id")
+
+  /** Exact DuckDB twin of [[corpusPackBins]]: FFD is deterministic given
+    * the (shard, n_tok DESC, doc_id) arrival order, so a recursive CTE
+    * that folds one document per iteration — carrying each shard's
+    * open-bin loads as a BIGINT list, first-fit via
+    * `list_position(list_transform(...))` — reproduces the assignment
+    * bit-for-bit (DuckDB list_position returns 0/NULL for no-fit → open
+    * a new bin). The 96 literal is [[PackBinsSeqLen]]. */
+  val corpusPackBinsOracle: String = """
+WITH RECURSIVE ordered AS (
+  SELECT source AS shard, doc_id,
+         CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+         row_number() OVER (ORDER BY source, len(string_split(text,' ')) DESC, doc_id) AS rn
+  FROM documents
+  WHERE len(string_split(text,' ')) > 0
+),
+fold AS (
+  SELECT CAST(0 AS BIGINT) AS rn, CAST(NULL AS VARCHAR) AS shard,
+         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tok,
+         CAST(NULL AS BIGINT) AS bin_id, CAST(NULL AS BIGINT) AS bin_off,
+         CAST([] AS BIGINT[]) AS bins
+  UNION ALL
+  SELECT o.rn, o.shard, o.doc_id, o.n_tok,
+         CASE WHEN o.n_tok > 96 THEN -1
+              WHEN fit_idx >= 1 THEN fit_idx - 1
+              ELSE len(cur_bins) END,
+         CASE WHEN o.n_tok > 96 THEN -1
+              WHEN fit_idx >= 1 THEN cur_bins[fit_idx]
+              ELSE 0 END,
+         CASE WHEN o.n_tok > 96 THEN cur_bins
+              WHEN fit_idx >= 1 THEN
+                cur_bins[:fit_idx-1] || [cur_bins[fit_idx] + o.n_tok] || cur_bins[fit_idx+1:]
+              ELSE list_append(cur_bins, o.n_tok) END
+  FROM fold f
+  JOIN ordered o ON o.rn = f.rn + 1,
+  LATERAL (SELECT CASE WHEN o.shard IS DISTINCT FROM f.shard
+                       THEN CAST([] AS BIGINT[]) ELSE f.bins END AS cur_bins) c,
+  LATERAL (SELECT coalesce(list_position(
+             list_transform(c.cur_bins, b -> b + o.n_tok <= 96), true), 0) AS fit_idx) x
+)
+SELECT shard, bin_id, doc_id, n_tok, bin_off
+FROM fold WHERE rn > 0
+ORDER BY shard, bin_id, doc_id"""
 
   /** Driver-checkable packing invariants, none requiring the (order-
     * dependent) assignment itself:
