@@ -5,11 +5,18 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
-    val outDir = args(1)
+    // `--analyze-only`: construct every registered query against sfDir —
+    // DataFrame construction runs Catalyst analysis eagerly, so this
+    // catches schema/encoding breaks (the round-10 events TIMESTAMP_NTZ
+    // regression failed exactly here) in seconds, with no oracle and no
+    // execution. Exits non-zero on any failure.
+    val analyzeOnly = args.contains("--analyze-only")
+    val rest = args.filterNot(_ == "--analyze-only")
+    val sfDir = rest(0)
+    val outDir = if (rest.length > 1) rest(1) else "/tmp/graft-verify"
     // optional 3rd arg: comma-separated query-name filter (local iteration)
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (rest.length > 2) Some(rest(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,6 +26,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    if (analyzeOnly) {
+      val failures = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .flatMap { case (name, fn) =>
+          val r = try { fn(spark, sfDir).schema; None } catch {
+            case e: Throwable =>
+              System.err.println(s"[verify] ANALYZE FAIL $name: ${e.getMessage}")
+              Some(name)
+          }
+          graft.operators.CacheRegistry.releaseAll()
+          r
+        }
+      println(s"[verify] analyze-only: ${failures.length} failures" +
+        (if (failures.nonEmpty) failures.mkString(" (", ", ", ")") else ""))
+      spark.stop()
+      if (failures.nonEmpty) sys.exit(1) else return
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
