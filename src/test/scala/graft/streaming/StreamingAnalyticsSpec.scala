@@ -723,6 +723,55 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       s"re-delivery after every copy is compacted re-admits once: $sunk")
   }
 
+  test("soak: alternating compaction and re-delivery stays bounded across rounds") {
+    // The round-9 adversarial sequence — admit → compact → re-deliver →
+    // compact → re-deliver — extended to three full rounds. The invariant
+    // under ANY number of compactions: each compaction makes the next
+    // same-id re-delivery indistinguishable from a replay (re-admitted
+    // ONCE, documented), every further delivery before the next compaction
+    // dedups against the live copy, and compaction's distinct() collapses
+    // the byte-identical re-admission — so the index never exceeds one
+    // live + one compacted row per doc, and emissions are exactly one per
+    // (compaction, first-re-delivery) pair. Unbounded growth here is the
+    // re-delivery hole the round-10 replayOnly exclusion closed.
+    import spark.implicits._
+    def doc(topic: String): String =
+      s"the $topic system and the $topic runtime are the part of the " +
+        s"$topic stack which reads the $topic rows and the $topic tables " +
+        s"while it is the $topic job that keeps the $topic data in the " +
+        s"$topic store for the $topic users of the $topic week"
+    val indexPath = java.nio.file.Files
+      .createTempDirectory("graft-ndsoak").toString + "/index"
+    val sunk = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val gate = StreamingAnalytics.nearDedupIntake(indexPath, threshold = 0.5,
+      sink = (df, bid) =>
+        sunk ++= df.select("doc_id").collect().map(r => (bid, r.getLong(0))))
+    val payload = Seq((1L, doc("spark"))).toDF("doc_id", "text")
+    gate(payload, 0L)                       // admit
+    var bid = 1L
+    val expected = scala.collection.mutable.Set((0L, 1L))
+    (1 to 3).foreach { round =>
+      StreamingAnalytics.compactIndex(spark, indexPath, numFiles = 1)
+      val idxAfterCompact = spark.read.parquet(indexPath)
+        .select("id", "batch_id").as[(Long, Long)].collect().toSeq
+      assert(idxAfterCompact == Seq((1L, -1L)),
+        s"round $round: compaction must leave exactly the one folded row: $idxAfterCompact")
+      gate(payload, bid)                    // re-delivery: re-admitted once
+      expected += ((bid, 1L))
+      assert(sunk.toSet == expected.toSet,
+        s"round $round: first post-compaction re-delivery re-admits once: $sunk")
+      bid += 1
+      gate(payload, bid)                    // re-delivery: dedups vs live copy
+      assert(sunk.toSet == expected.toSet,
+        s"round $round: second re-delivery must dedup against the live copy: $sunk")
+      bid += 1
+      val idx = spark.read.parquet(indexPath)
+        .select("id", "batch_id").as[(Long, Long)].collect().toSet
+      assert(idx == Set((1L, -1L), (1L, bid - 2)),
+        s"round $round: index bounded at compacted + one live re-admission: $idx")
+    }
+  }
+
   test("compactIndex(belowBatchId) leaves the in-flight batch's partition out of the fold") {
     import spark.implicits._
     def doc(topic: String): String =
