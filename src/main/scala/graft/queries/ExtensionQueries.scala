@@ -843,8 +843,9 @@ FROM r2 ORDER BY doc_id"""
   val sqlMimeDecodeOracle: String = """
 SELECT doc_id, substring(text, 1, 32) AS decoded FROM documents ORDER BY doc_id"""
 
-  /** Winnowing fingerprints (rows-only: hash family is engine-internal;
-    * overlap semantics asserted in TextExpressionsSpec). The fingerprint
+  /** Winnowing fingerprints (exact twin: [[textWinnowOracle]] replays
+    * the hash kernel in DuckDB HUGEINT arithmetic; overlap semantics
+    * additionally asserted in TextExpressionsSpec). The fingerprint
     * array is emitted as a JSON string so the driver's pandas-side
     * sort/hash can handle the row (raw array columns crash its sort). */
   def textWinnow(spark: SparkSession, sfDir: String): DataFrame =
@@ -886,6 +887,67 @@ SELECT doc_id, substring(text, 1, 32) AS decoded FROM documents ORDER BY doc_id"
   val textWinnowViolationsOracle: String =
     """SELECT CAST(0 AS BIGINT) AS n_violations, CAST(1 AS BIGINT) AS has_pairs,
        CAST(0 AS BIGINT) AS n_nondeterministic"""
+
+  /** Exact DuckDB twin of [[textWinnow]] — the [[graft.functions.TextExpressions.WinnowFingerprint]]
+    * kernel replayed in SQL. The polynomial k-gram hash (base 1000003 mod
+    * 2^61−1) is a per-position Σ c_j·B^(k−1−j) with the eight power-mod
+    * constants inlined as literals; HUGEINT keeps each term exact (term
+    * < 2^77, far under the 2^127 ceiling), so the BIGINT result is
+    * bit-identical to the Scala mulmod chain. Winnowing reduces to the
+    * sorted DISTINCT set of per-window minima: the kernel's
+    * rightmost-min/index-change bookkeeping only suppresses duplicate
+    * VALUES (a window whose chosen index repeats contributes the same
+    * value), so the value set is unchanged — single global min for docs
+    * with ≤ w k-grams, empty for docs shorter than k. Valid because the
+    * corpus is BMP-only (the kernel hashes UTF-16 units; DuckDB's
+    * substr/ord walk codepoints — identical below U+10000, and
+    * textWinnowViolations pins the length discipline). */
+  val textWinnowOracle: String = """
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, len(text) - 8 + 2)) AS p
+  FROM documents WHERE len(text) >= 8
+),
+grams AS (
+  SELECT doc_id, p,
+         CAST((
+           SUM(CAST(ord(substr(text, CAST(p + o AS INT), 1)) AS HUGEINT) *
+               CASE o WHEN 0 THEN CAST(1501076012712181523 AS HUGEINT)
+                      WHEN 1 THEN CAST(2133831443680070909 AS HUGEINT)
+                      WHEN 2 THEN CAST(618155284961614297 AS HUGEINT)
+                      WHEN 3 THEN CAST(168760150033166695 AS HUGEINT)
+                      WHEN 4 THEN CAST(1000009000027000027 AS HUGEINT)
+                      WHEN 5 THEN CAST(1000006000009 AS HUGEINT)
+                      WHEN 6 THEN CAST(1000003 AS HUGEINT)
+                      WHEN 7 THEN CAST(1 AS HUGEINT) END)
+           % 2305843009213693951) AS BIGINT) AS h
+  FROM pos, (SELECT unnest(range(0, 8)) AS o)
+  GROUP BY doc_id, p
+),
+stats AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+winmin AS (
+  SELECT g.doc_id, min(g2.h) AS m
+  FROM grams g JOIN stats s USING (doc_id)
+  JOIN grams g2 ON g2.doc_id = g.doc_id AND g2.p BETWEEN g.p AND g.p + 3
+  WHERE s.n > 4 AND g.p + 4 <= s.n + 1
+  GROUP BY g.doc_id, g.p
+),
+shortdoc AS (
+  SELECT g.doc_id, min(g.h) AS m
+  FROM grams g JOIN stats s USING (doc_id)
+  WHERE s.n <= 4
+  GROUP BY g.doc_id
+),
+allmin AS (SELECT * FROM winmin UNION ALL SELECT * FROM shortdoc),
+fp AS (
+  SELECT doc_id, list(DISTINCT m ORDER BY m) AS fps
+  FROM allmin GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(len(f.fps), 0) AS INT) AS n_fp,
+       CASE WHEN f.doc_id IS NULL THEN '[]'
+            ELSE '[' || array_to_string(f.fps, ',') || ']' END AS fp_json
+FROM documents d LEFT JOIN fp f ON f.doc_id = d.doc_id
+ORDER BY d.doc_id"""
 
   /** BPE merge table for a scale dir, learned once per JVM: training is
     * a ~50-job iterative loop whose result is a tiny immutable value —
