@@ -80,9 +80,19 @@ object Bench {
     // excluded so the headline total stays comparable across rounds and
     // against BASELINE.md.
     // SPARK_GRAFT_BENCH_ONLY: comma-separated name filter (local iteration)
+    // SPARK_GRAFT_BENCH_EXCLUDE: comma-separated names to drop — scale-probe
+    // runs (ScaleUp corpora, sf1+) use it for the exact all-pairs oracle
+    // twins (dedup_embedding_exact/_twins, dedup_incremental_exact), which
+    // are quadratic BY CONSTRUCTION (they exist to gate the banded
+    // approximate paths) and would otherwise dominate a 10×+ corpus total
+    // the production paths never pay. Excluded names are recorded in the
+    // artifact ("excluded") so a reader can see the total's denominator.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val excluded = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE")
+      .map(_.split(",").toSet).getOrElse(Set.empty)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(n => n._1.endsWith("_violations") || n._1.endsWith("_recall"))
+      .filterNot(n => excluded.contains(n._1))
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // SPARK_GRAFT_BENCH_VERBOSE: per-run times to stderr (regression
     // triage — the median hides cold-fill vs steady-state structure)
@@ -172,6 +182,7 @@ object Bench {
       s""""${r.name}":{"first_median":${fmt(first)},"kept_median":${fmt(r.median)},"trigger":"$reason"}"""
     }).mkString("{", ",", "}")
     val meta = Seq(
+      s""""excluded":${excluded.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}""",
       s""""runs":$runs""",
       s""""warmup":$warmup""",
       s""""load_before":${fmt(loadBefore)}""",
