@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Artifacts, Bpe, Dedup, LanguageModel, Multimodal, Packing, Relevance, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Artifacts, Bpe, Dedup, LanguageModel, Multimodal, Packing, Relevance, Sampling, Similarity, TextAnalysis, TextClassifier}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1230,6 +1230,117 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
        CAST(sum(fx) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000000.0
          AS lm_score
 FROM p GROUP BY doc_id ORDER BY doc_id"""
+
+  /** NB language-classifier memo — train-once-serve-across-JOBS like
+    * [[lmFor]]: trained on EVEN doc_ids (label = lang), persisted via
+    * [[TextClassifier.save]], served LOADED so the gate exercises the
+    * artifact round-trip every run. */
+  private val nbCache = scala.collection.concurrent.TrieMap
+    .empty[String, TextClassifier.NbModel]
+  private def nbFor(docs: DataFrame, sfDir: String): TextClassifier.NbModel =
+    nbCache.getOrElseUpdate(sfDir, {
+      val spark = docs.sparkSession
+      val path = artifactPath("nb-lang", sfDir, "even")
+      if (!Artifacts.exists(spark, path + "/classes"))
+        TextClassifier.save(spark, path,
+          TextClassifier.train(docs.filter(col("doc_id") % 2 === 0),
+            "lang", "text"))
+      TextClassifier.load(spark, path)
+    })
+
+  /** Model-based language routing, the fastText-classifier stage of a
+    * CCNet/GPT-3-style pipeline: multinomial NB trained on the EVEN half
+    * (label = lang), classifying the held-out ODD half
+    * ([[TextClassifier]]). Scores are exact integer sums of persisted
+    * fixed-point log-weights, so the full train → persist → load →
+    * classify loop is hash-gated (the oracle replays the weight
+    * artifact); training math is spec-verified in TextClassifierSpec. */
+  def textNbClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val model = nbFor(docs, sfDir)
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"))
+      .join(TextClassifier.classify(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", model),
+        Seq("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Confusion matrix of [[textNbClassify]] — the per-class quality
+    * readout a routing stage is judged by (and a genuinely-held-out
+    * accuracy measurement: the odd half never reached training). */
+  def textNbConfusion(spark: SparkSession, sfDir: String): DataFrame =
+    textNbClassify(spark, sfDir)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted")
+
+  /** Exact DuckDB twin of [[textNbClassify]]: replays the PERSISTED
+    * weight/class tables (never recomputes ln — transcendental libm is
+    * not bit-portable; integer sums are) with the same sparse-backoff
+    * score: prior + Σ m·w + (L − M_c)·w0. Tie-break ORDER BY score
+    * DESC, label DESC ≡ Spark's struct-max. Artifact path is sf0.01 —
+    * the only scale the driver gate runs at (same convention as the BPE
+    * oracle). */
+  val textNbClassifyOracle: String = """
+WITH sc AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w
+  FROM documents WHERE doc_id % 2 = 1),
+occ AS (
+  SELECT doc_id, tok, count(*) AS m
+  FROM (SELECT doc_id, unnest(w) AS tok FROM sc) GROUP BY 1, 2),
+lens AS (SELECT doc_id, sum(m) AS len FROM occ GROUP BY 1),
+wt AS (SELECT * FROM read_parquet(
+  '/root/repo/target/artifacts/_root_testdata_sf0.01/nb-lang-even/weights/*.parquet')),
+cls AS (SELECT * FROM read_parquet(
+  '/root/repo/target/artifacts/_root_testdata_sf0.01/nb-lang-even/classes/*.parquet')),
+mt AS (
+  SELECT occ.doc_id, wt.label, sum(occ.m * wt.w_fx) AS s_w, sum(occ.m) AS mm
+  FROM occ JOIN wt ON occ.tok = wt.tok GROUP BY 1, 2),
+scored AS (
+  SELECT l.doc_id, c.label,
+         c.prior_fx + COALESCE(mt.s_w, 0) + (l.len - COALESCE(mt.mm, 0)) * c.w0_fx
+           AS score_fx
+  FROM lens l CROSS JOIN cls c
+  LEFT JOIN mt ON mt.doc_id = l.doc_id AND mt.label = c.label),
+pick AS (
+  SELECT doc_id, label AS predicted, score_fx,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_fx DESC, label DESC) AS rn
+  FROM scored)
+SELECT s.doc_id, s.lang, p.predicted, p.score_fx
+FROM sc s JOIN pick p ON s.doc_id = p.doc_id AND p.rn = 1
+ORDER BY s.doc_id"""
+
+  val textNbConfusionOracle: String = """
+WITH sc AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w
+  FROM documents WHERE doc_id % 2 = 1),
+occ AS (
+  SELECT doc_id, tok, count(*) AS m
+  FROM (SELECT doc_id, unnest(w) AS tok FROM sc) GROUP BY 1, 2),
+lens AS (SELECT doc_id, sum(m) AS len FROM occ GROUP BY 1),
+wt AS (SELECT * FROM read_parquet(
+  '/root/repo/target/artifacts/_root_testdata_sf0.01/nb-lang-even/weights/*.parquet')),
+cls AS (SELECT * FROM read_parquet(
+  '/root/repo/target/artifacts/_root_testdata_sf0.01/nb-lang-even/classes/*.parquet')),
+mt AS (
+  SELECT occ.doc_id, wt.label, sum(occ.m * wt.w_fx) AS s_w, sum(occ.m) AS mm
+  FROM occ JOIN wt ON occ.tok = wt.tok GROUP BY 1, 2),
+scored AS (
+  SELECT l.doc_id, c.label,
+         c.prior_fx + COALESCE(mt.s_w, 0) + (l.len - COALESCE(mt.mm, 0)) * c.w0_fx
+           AS score_fx
+  FROM lens l CROSS JOIN cls c
+  LEFT JOIN mt ON mt.doc_id = l.doc_id AND mt.label = c.label),
+pick AS (
+  SELECT doc_id, label AS predicted,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_fx DESC, label DESC) AS rn
+  FROM scored)
+SELECT s.lang, p.predicted, count(*) AS n_docs
+FROM sc s JOIN pick p ON s.doc_id = p.doc_id AND p.rn = 1
+GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** Deterministic 80/10/10 train/val/test assignment
     * ([[Sampling.hashSplit]] — md5-bucketed, stable under appends and
