@@ -421,8 +421,9 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard ≥ threshold via inverted index:
-    * explode distinct n-grams → self-join on ngram (df-capped) → count
-    * shared → Jaccard. The only shuffle keys are 8-byte ngram hashes. */
+    * explode distinct n-grams → self-join on ngram (df-capped,
+    * shuffle-hash) → count shared → Jaccard. The only shuffle keys are
+    * 8-byte ngram hashes. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxDocFreq: Int = 100): DataFrame = {
@@ -446,7 +447,14 @@ object Dedup {
     val capped = inverted.join(broadcast(hotGrams), Seq("g"), "left_anti")
       .persist()
     CacheRegistry.track(capped)
-    val shared = capped.as("x").join(capped.as("y"), col("x.g") === col("y.g"))
+    // SHUFFLE_HASH: without the hint AQE picks a sort-merge self-join,
+    // which SORTS the exploded index twice on top of the two exchanges —
+    // measured 3.5-4× slower at 10× rows (17.8 s vs 4.3 s at sf1) and
+    // strictly worse at every scale. Hash build per partition is safe
+    // here: build-side partitions are df-cap-bounded posting groups of
+    // slim (g, doc_id) rows, not corpus-sized.
+    val shared = capped.as("x").hint("shuffle_hash")
+      .join(capped.as("y"), col("x.g") === col("y.g"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .agg(count(lit(1)).as("shared"))
