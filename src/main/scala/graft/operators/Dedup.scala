@@ -68,7 +68,9 @@ object Dedup {
     // Shingling + signatures are the expensive stage and would otherwise
     // be recomputed once per self-join side — cache the per-doc result
     // (narrow: one row per doc) and keep the join sides shingle-free.
-    val docs = df.select(col(idCol).as("doc_id"),
+    // Par.widen: single-row-group inputs otherwise hash k signatures on
+    // one core (see Par's scaladoc).
+    val docs = Par.widen(df).select(col(idCol).as("doc_id"),
         shingleHashes(col(textCol), shingleWidth).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .withColumn("sig", minhashSignature(col("shingles"), k))
@@ -221,7 +223,8 @@ object Dedup {
     */
   def simhashDups(df: DataFrame, idCol: String, textCol: String,
                   maxHamming: Int = 6, maxBucket: Int = 64): DataFrame = {
-    val sh = df.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sim"))
+    val sh = Par.widen(df)
+      .select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sim"))
     val banded0 = sh.select(col("doc_id"), col("sim"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sim"), b * 16).bitwiseAND(0xFFFFL))))
@@ -405,7 +408,8 @@ object Dedup {
                         n: Int = 5, minShared: Int = 3,
                         maxDocFreq: Int = 100): DataFrame = {
     def grams(df: DataFrame, out: String): DataFrame =
-      df.select(col(idCol).as(out), shingleHashes(col(textCol), n).as("grams"))
+      Par.widen(df)
+        .select(col(idCol).as(out), shingleHashes(col(textCol), n).as("grams"))
         .filter(size(col("grams")) > 0)
         .select(col(out), explode(col("grams")).as("g"))
     val corpusGrams = grams(corpus, "doc_id").persist()
@@ -429,7 +433,7 @@ object Dedup {
                    maxDocFreq: Int = 100): DataFrame = {
     // cached: consumed by the inverted index, both self-join sides, and
     // the two size lookups
-    val grams = df.select(col(idCol).as("doc_id"),
+    val grams = Par.widen(df).select(col(idCol).as("doc_id"),
         shingleHashes(col(textCol), n).as("grams"))
       .filter(size(col("grams")) > 0)
       .persist()

@@ -66,7 +66,7 @@ object LanguageModel {
     * scores the other. */
   def train(docs: DataFrame, textCol: String, n: Int = 2): NgramLm = {
     val toks = TextAnalysis.tokens(col(textCol))
-    val tr = docs
+    val tr = Par.widen(docs)
       .select(explode(transitions(toks, n)).as("bg"))
       .select(col("bg.prev").as("prev"), col("bg.cur").as("cur"))
     val bigrams = tr.groupBy("prev", "cur").agg(count(lit(1)).as("c_big"))
@@ -110,7 +110,7 @@ object LanguageModel {
                                 k: Double, n: Int): (DataFrame, Column) = {
     require(k > 0, "smoothing k must be positive")
     val toks = TextAnalysis.tokens(col(textCol))
-    val joined = docs
+    val joined = Par.widen(docs)
       .select(col(idCol), explode(transitions(toks, n)).as("bg"))
       .select(col(idCol), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
       .join(model.bigrams, Seq("prev", "cur"), "left")

@@ -62,7 +62,7 @@ object TextClassifier {
   /** Train add-1-smoothed multinomial NB over whitespace tokens of
     * `textCol`, classes from `labelCol`. */
   def train(docs: DataFrame, labelCol: String, textCol: String): NbModel = {
-    val occ = docs.select(col(labelCol).as("label"),
+    val occ = Par.widen(docs).select(col(labelCol).as("label"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
     // |V|: pooled training vocabulary — one number on the driver
     val vocab = occ.select("tok").distinct().count()
@@ -94,7 +94,7 @@ object TextClassifier {
     * label DESC LIMIT 1` yields in SQL). */
   def classify(docs: DataFrame, idCol: String, textCol: String,
                model: NbModel): DataFrame = {
-    val occ = docs
+    val occ = Par.widen(docs)
       .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .groupBy("id", "tok").agg(count(lit(1)).as("m"))
     val lens = occ.groupBy("id").agg(sum(col("m")).as("len"))
