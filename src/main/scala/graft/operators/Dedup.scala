@@ -143,7 +143,7 @@ object Dedup {
   def minhashPrepare(df: DataFrame, idCol: String, textCol: String,
                      bands: Int = 16, rowsPerBand: Int = 4,
                      shingleWidth: Int = 3): DataFrame =
-    df.select(col(idCol).as("id"),
+    Par.widen(df).select(col(idCol).as("id"),
         shingleHashes(col(textCol), shingleWidth).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))

@@ -45,8 +45,9 @@ object Similarity {
                      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     val q = queries.select(col(qId).as("query_id"), col(qVec).as("qv"),
       vecNorm(col(qVec)).as("qn")).filter(col("qn") > 0)
-    val c = corpus.select(col(cId).as("cand_id"), col(cVec).as("cv"),
-      vecNorm(col(cVec)).as("cn")).filter(col("cn") > 0)
+    val c = graft.operators.Par.widen(corpus)
+      .select(col(cId).as("cand_id"), col(cVec).as("cv"),
+        vecNorm(col(cVec)).as("cn")).filter(col("cn") > 0)
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("sim", vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
@@ -114,8 +115,9 @@ object Similarity {
     require(probes >= 1, "probes must be >= 1")
     val qBase = queries.select(col("vec_id").as("query_id"), col("embedding").as("queryv"),
       vecNorm(col("embedding")).as("queryn")).filter(col("queryn") > 0)
-    val cBase = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("candv"),
-      vecNorm(col("embedding")).as("candn")).filter(col("candn") > 0).persist()
+    val cBase = Par.widen(corpus)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("candv"),
+        vecNorm(col("embedding")).as("candn")).filter(col("candn") > 0).persist()
     CacheRegistry.track(cBase)
     val bpt = if (bitsPerTable > 0) bitsPerTable
       else math.max(1, math.ceil(math.log(
@@ -384,7 +386,8 @@ object Similarity {
   def ivfPrepare(corpus: DataFrame,
                  quantizer: (Array[Long], Array[Array[Float]])): DataFrame = {
     val (centIds, cents) = quantizer
-    corpus.select(col("vec_id").as("cand_id"), col("embedding").as("candv"),
+    Par.widen(corpus)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("candv"),
         vecNorm(col("embedding")).as("candn"),
         element_at(cellsAssign(col("embedding"), centIds, cents, 1), 1)
           .as("cent_id"))
@@ -670,7 +673,7 @@ object Similarity {
                   tables: Int = 8, bitsPerTable: Int = 8,
                   maxBucket: Int = 64): DataFrame = {
     // zero-norm vectors excluded (cosine family contract — bruteForceTopK)
-    val base = df.select(col("vec_id"), col("embedding"),
+    val base = Par.widen(df).select(col("vec_id"), col("embedding"),
       vecNorm(col("embedding")).as("nrm")).filter(col("nrm") > 0).persist()
     CacheRegistry.track(base)
     SpanGuard.pairs(
@@ -730,7 +733,7 @@ object Similarity {
       val effNlist = if (nlist > 0) nlist else autoNlist(df.count(), maxCell)
       trainCentroids(df, effNlist, trainIters)
     }
-    val base = df.select(col("vec_id"), col("embedding"),
+    val base = Par.widen(df).select(col("vec_id"), col("embedding"),
         vecNorm(col("embedding")).as("nrm"),
         cellsAssign(col("embedding"), centIds, cents, probeCells).as("cells"))
       .filter(col("nrm") > 0).persist()
@@ -855,7 +858,7 @@ object Similarity {
       val effNlist = if (nlist > 0) nlist else autoNlist(df.count(), maxCell)
       trainCentroids(df, effNlist, trainIters)
     }
-    val base = df.select(col("vec_id"), col("embedding"),
+    val base = Par.widen(df).select(col("vec_id"), col("embedding"),
         vecNorm(col("embedding")).as("nrm"),
         cellAssign(col("embedding"), centIds, cents).as("cell"))
       .persist()

@@ -53,7 +53,7 @@ GROUP BY event_type ORDER BY event_type"""
     * same result, roughly half the per-row cost on the wide props blob. */
   def eventsJsonProps(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, sfDir, "events")
+    graft.operators.Par.widen(Tables(spark, sfDir, "events"))
       .select($"user_id",
         (from_json($"props", "k LONG", Map.empty[String, String])("k") % 10).as("k_bucket"))
       .groupBy($"k_bucket")

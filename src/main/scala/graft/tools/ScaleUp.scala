@@ -93,7 +93,15 @@ object ScaleUp {
       // is then written as plain micros, which Tables also accepts
       val in = graft.queries.Tables(spark, src, t)
       val scaled = if (passthrough.contains(t)) in else scaleTable(in, t, copies)
-      scaled.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      // repartition before write: the source tables are single-file,
+      // single-row-group parquet (unsplittable — scans arrive as ONE
+      // partition), and a genuinely 10× corpus is many files. Without
+      // this the scaled corpus inherits the pathology ×10 and every
+      // sf1 measurement charges queries for a serial scan no real
+      // corpus would impose.
+      val parts = if (passthrough.contains(t)) 1
+        else spark.sparkContext.defaultParallelism
+      scaled.repartition(parts).write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[scale-up] $t: ${in.count()} -> ${scaled.count()} rows")
     }
     spark.stop()
