@@ -287,6 +287,30 @@ object StreamingAnalytics {
     }
   }
 
+  /** Streaming classifier routing — the serving half of the NB
+    * classifier ([[graft.operators.TextClassifier]]): label each
+    * arriving micro-batch under a PERSISTED weight artifact (the
+    * fastText-style language/quality router applied at ingest). Same
+    * discipline as [[lmScoreIntake]]: model loaded once, scoring is
+    * STATELESS exact-integer arithmetic within the micro-batch — no
+    * streaming state or replay guard needed, a replayed batch
+    * recomputes identical labels from the static weights. Output rows
+    * are the batch's rows plus `predicted` / `score_fx`; route on
+    * `predicted` downstream (per-class sinks, drop-lists, quotas). */
+  def nbRouteIntake(modelPath: String, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    sink: (DataFrame, Long) => Unit = (_, _) => ())
+      : (DataFrame, Long) => Unit = {
+    var model: graft.operators.TextClassifier.NbModel = null
+    (batch, batchId) => {
+      if (model == null)
+        model = graft.operators.TextClassifier.load(batch.sparkSession, modelPath)
+      sink(batch.join(
+        graft.operators.TextClassifier.classify(batch, idCol, textCol, model),
+        Seq(idCol)), batchId)
+    }
+  }
+
   /** Streaming similarity search — serve ANN queries as they arrive
     * against a PREPARED IVF index ([[graft.operators.Similarity
     * .ivfPrepare]], persisted or cached) and a persisted quantizer

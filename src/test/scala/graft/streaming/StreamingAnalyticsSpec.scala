@@ -265,6 +265,43 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       "streamed scores differ from the batch operator")
   }
 
+  test("nb route intake: streamed labels equal the batch classifier bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextClassifier
+    val train = Seq(
+      (1L, "en", "the cat sat on the mat"), (2L, "en", "a dog and a cat"),
+      (3L, "fr", "le chat et le chien"), (4L, "fr", "un chien sur le tapis"))
+      .toDF("doc_id", "lang", "text")
+    val modelPath = java.nio.file.Files.createTempDirectory("nb_model").toString + "/m"
+    TextClassifier.save(spark, modelPath, TextClassifier.train(train, "lang", "text"))
+    val ckpt = java.nio.file.Files.createTempDirectory("nb_ckpt").toString
+    val got = scala.collection.mutable.Map.empty[Long, (String, Long)]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(StreamingAnalytics.nbRouteIntake(
+        modelPath,
+        sink = (df, _) => df.select("doc_id", "predicted", "score_fx").collect()
+          .foreach(r => got.synchronized {
+            got(r.getLong(0)) = (r.getString(1), r.getLong(2)) })))
+      .start()
+    val probes = Seq(10L -> "le chat dort", 11L -> "the dog sat",
+      12L -> "zebra zebra zebra")
+    try {
+      mem.addData(probes.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(probes.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val want = TextClassifier.classify(probes.toDF("doc_id", "text"),
+        "doc_id", "text", TextClassifier.load(spark, modelPath))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got.toMap === want, "streamed labels/scores differ from batch")
+    assert(got(10L)._1 === "fr" && got(11L)._1 === "en")
+  }
+
   test("ann search intake: streamed query batches match the batch prepared-index search") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
