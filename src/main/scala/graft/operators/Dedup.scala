@@ -63,18 +63,35 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  bands: Int = 16, rowsPerBand: Int = 4,
                  shingleWidth: Int = 3, threshold: Double = 0.7,
-                 maxBucket: Int = 64): DataFrame = {
-    val k = bands * rowsPerBand
-    // Shingling + signatures are the expensive stage and would otherwise
-    // be recomputed once per self-join side — cache the per-doc result
-    // (narrow: one row per doc) and keep the join sides shingle-free.
-    // Par.widen: single-row-group inputs otherwise hash k signatures on
-    // one core (see Par's scaladoc).
-    val docs = Par.widen(df).select(col(idCol).as("doc_id"),
+                 maxBucket: Int = 64): DataFrame =
+    minhashPairsFrom(minhashDocs(df, idCol, textCol,
+        bands * rowsPerBand, shingleWidth),
+      bands, rowsPerBand, threshold, maxBucket)
+
+  /** The per-document signature stage of [[minhashLsh]], exposed so
+    * callers can PERSIST it (one row per doc: doc_id, distinct shingle
+    * hashes, k-long minhash signature) and replay the exact same
+    * signatures later — both for incremental re-dedup and for an
+    * engine-independent oracle: everything DOWNSTREAM of this frame
+    * (banding, span-guarded pairing, exact Jaccard) is plain relational
+    * algebra over longs, expressible in any SQL engine, while the
+    * xxhash64 kernels live only here. Par.widen: single-row-group
+    * inputs otherwise hash k signatures on one core. */
+  def minhashDocs(df: DataFrame, idCol: String, textCol: String,
+                  k: Int, shingleWidth: Int): DataFrame =
+    Par.widen(df).select(col(idCol).as("doc_id"),
         shingleHashes(col(textCol), shingleWidth).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .withColumn("sig", minhashSignature(col("shingles"), k))
-      .persist()
+
+  /** Banding + pairing + exact-Jaccard verification over a
+    * [[minhashDocs]]-shaped frame (doc_id, shingles, sig). */
+  def minhashPairsFrom(docs0: DataFrame, bands: Int, rowsPerBand: Int,
+                       threshold: Double, maxBucket: Int): DataFrame = {
+    // Signatures/shingles are consumed by the bucket explode and BOTH
+    // verify-join sides — cache the per-doc frame (narrow: one row per
+    // doc) and keep the join sides shingle-free.
+    val docs = docs0.persist()
     CacheRegistry.track(docs)
 
     // (band, bandHash) bucket key per doc — bands explode is x`bands` rows,
@@ -222,9 +239,21 @@ object Dedup {
     *                  duplicates).
     */
   def simhashDups(df: DataFrame, idCol: String, textCol: String,
-                  maxHamming: Int = 6, maxBucket: Int = 64): DataFrame = {
-    val sh = Par.widen(df)
+                  maxHamming: Int = 6, maxBucket: Int = 64): DataFrame =
+    simhashPairsFrom(simhashDocs(df, idCol, textCol), maxHamming, maxBucket)
+
+  /** The per-document fingerprint stage of [[simhashDups]] (doc_id,
+    * 64-bit simhash) — exposed for persistence/replay, same rationale
+    * as [[minhashDocs]]: downstream of this frame the operator is pure
+    * bit arithmetic over longs, replayable in any SQL engine. */
+  def simhashDocs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Par.widen(df)
       .select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sim"))
+
+  /** Banding + span-guarded pairing + hamming verify over a
+    * [[simhashDocs]]-shaped frame. */
+  def simhashPairsFrom(sh: DataFrame, maxHamming: Int,
+                       maxBucket: Int): DataFrame = {
     val banded0 = sh.select(col("doc_id"), col("sim"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sim"), b * 16).bitwiseAND(0xFFFFL))))

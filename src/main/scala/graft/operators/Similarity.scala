@@ -112,6 +112,30 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               tables: Int = 8, bitsPerTable: Int = 8,
               maxBucket: Int = 64, probes: Int = 1): DataFrame = {
+    val f = lshProbeFrames(queries, corpus, tables, bitsPerTable,
+      maxBucket, probes)
+    lshRerankTopK(queries, corpus, f.qProbes, f.cBuckets, k)
+  }
+
+  /** The probe-geometry frames of [[lshTopK]] — (qProbes, cBuckets). */
+  final case class LshFrames(qProbes: DataFrame, cBuckets: DataFrame)
+
+  /** The signature/addressing stage of [[lshTopK]], exposed so callers
+    * can PERSIST both frames and replay the exact probe geometry later
+    * (incremental serving, and an engine-independent oracle: everything
+    * DOWNSTREAM — the (table, bucket, blk) candidate join, pair dedup,
+    * exact cosine re-rank, top-k — is plain relational algebra over the
+    * raw embeddings, while the RHP signature and block-addressing
+    * xxhash64 kernels live only here).
+    *
+    *  - `cBuckets`: (table, bucket, cand_id, blk) — one row per corpus
+    *    vector per table; `blk` is the rank-block within the bucket
+    *    (skew guard, see [[lshTopK]] @maxBucket).
+    *  - `qProbes`: (table, bucket, query_id, blk) — one row per
+    *    (query, probed bucket, addressed block). */
+  def lshProbeFrames(queries: DataFrame, corpus: DataFrame,
+                     tables: Int, bitsPerTable: Int,
+                     maxBucket: Int, probes: Int): LshFrames = {
     require(probes >= 1, "probes must be >= 1")
     val qBase = queries.select(col("vec_id").as("query_id"), col("embedding").as("queryv"),
       vecNorm(col("embedding")).as("queryn")).filter(col("queryn") > 0)
@@ -154,6 +178,19 @@ object Similarity {
         explode(array(
           pmod(xxhash64(col("query_id")), col("nblk")),
           pmod(xxhash64(col("query_id")) + 1, col("nblk")))).as("blk"))
+    LshFrames(qProbes, cBuckets)
+  }
+
+  /** The candidate-join + exact-rerank stage of [[lshTopK]] over
+    * [[lshProbeFrames]]-shaped frames: join probes to corpus blocks on
+    * (table, bucket, blk), dedup pairs, exact cosine, per-query top-k. */
+  def lshRerankTopK(queries: DataFrame, corpus: DataFrame,
+                    qProbes: DataFrame, cBuckets: DataFrame,
+                    k: Int): DataFrame = {
+    val qBase = queries.select(col("vec_id").as("query_id"), col("embedding").as("queryv"),
+      vecNorm(col("embedding")).as("queryn")).filter(col("queryn") > 0)
+    val cBase = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("candv"),
+      vecNorm(col("embedding")).as("candn")).filter(col("candn") > 0)
     val cands = qProbes.join(cBuckets, Seq("table", "bucket", "blk"))
       .filter(col("query_id") =!= col("cand_id"))
       .select("query_id", "cand_id")

@@ -190,17 +190,113 @@ ORDER BY d.doc_id"""
       Artifacts.loadCentroids(spark, path)
     })
 
-  /** LSH variant — result depends on banding, so rows-only driver check;
-    * recall vs the exact query is asserted in DedupSpec. */
+  /** Persisted [[Dedup.minhashDocs]] frame (doc_id, shingles, sig),
+    * computed once per corpus. Everything downstream of this frame —
+    * banding, span-guarded pairing, exact Jaccard — is plain relational
+    * algebra over longs, so persisting it makes the LSH query fully
+    * hash-gateable: the DuckDB oracle replays the same signatures and
+    * re-derives the pairs independently ([[dedupMinhashLshOracle]]).
+    * The xxhash64 kernels (shingling, minhash) live only in this stage;
+    * their math is spec-verified in DedupSpec + the recall gate. */
+  private def minhashDocsFor(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = artifactPath("minhash-sig", sfDir, "k64w3")
+    if (!Artifacts.exists(spark, path))
+      Dedup.minhashDocs(Tables(spark, sfDir, "documents"), "doc_id", "text",
+          k = 64, shingleWidth = 3)
+        .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** Banded MinHash-LSH near-dedup, hash-gated end to end: the
+    * signature stage is persisted ([[minhashDocsFor]]) and the oracle
+    * replays it, re-deriving banding + span-guard + exact Jaccard in
+    * SQL. Recall vs the exact query is additionally asserted in
+    * DedupSpec and [[dedupMinhashRecall]]. */
   def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.minhashLsh(Tables(spark, sfDir, "documents"), "doc_id", "text",
-        bands = 16, rowsPerBand = 4, shingleWidth = 3, threshold = 0.5)
+    Dedup.minhashPairsFrom(minhashDocsFor(spark, sfDir),
+        bands = 16, rowsPerBand = 4, threshold = 0.5, maxBucket = 64)
       .orderBy("id_a", "id_b")
 
+  /** Persisted [[Dedup.simhashDocs]] frame (doc_id, sim) — same replay
+    * rationale as [[minhashDocsFor]]: downstream is pure bit arithmetic
+    * over longs, so the oracle re-derives the pairs from the replayed
+    * fingerprints ([[dedupSimhashOracle]]). */
+  private def simhashDocsFor(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = artifactPath("simhash-sig", sfDir, "64")
+    if (!Artifacts.exists(spark, path))
+      Dedup.simhashDocs(Tables(spark, sfDir, "documents"), "doc_id", "text")
+        .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.simhashDups(Tables(spark, sfDir, "documents"), "doc_id", "text",
-        maxHamming = 3)
+    Dedup.simhashPairsFrom(simhashDocsFor(spark, sfDir),
+        maxHamming = 3, maxBucket = 64)
       .orderBy("id_a", "id_b")
+
+  /** Full SQL twin of [[dedupMinhashLsh]] over the REPLAYED signature
+    * artifact: 16 bands of 4 signature positions each (the band key is
+    * the slice itself — Spark buckets on xxhash64 of the slice, which
+    * induces the same grouping absent a 64-bit collision), SpanGuard's
+    * bounded rank-span pairing (rank distance ≤ 64 within a band
+    * bucket, id_a < id_b), exact shingle Jaccard via an unnest
+    * self-join (shingle hashes are distinct per doc, so COUNT(*) of
+    * matches = |intersection|). */
+  val dedupMinhashLshOracle: String = s"""
+WITH art AS (SELECT * FROM read_parquet(
+  '${oracleArtifact("minhash-sig", "k64w3")}/*.parquet')),
+b AS (
+  SELECT a.doc_id, t.band, a.sig[t.band*4+1 : t.band*4+4] AS key
+  FROM art a, (SELECT unnest(range(16)) AS band) t),
+r AS (
+  SELECT band, key, doc_id,
+         row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+  FROM b),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM r x JOIN r y ON x.band = y.band AND x.key = y.key
+   AND y.rn > x.rn AND y.rn - x.rn <= 64),
+ex AS (SELECT doc_id, unnest(shingles) AS h FROM art),
+sz AS (SELECT doc_id, len(shingles) AS n FROM art),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN ex ea ON ea.doc_id = c.id_a
+  JOIN ex eb ON eb.doc_id = c.id_b AND eb.h = ea.h
+  GROUP BY 1, 2),
+j AS (
+  SELECT i.id_a, i.id_b,
+         CAST(i.i AS DOUBLE) /
+           (CAST(sa.n + sb.n AS DOUBLE) - CAST(i.i AS DOUBLE)) AS jaccard
+  FROM inter i
+  JOIN sz sa ON sa.doc_id = i.id_a
+  JOIN sz sb ON sb.doc_id = i.id_b)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+ORDER BY id_a, id_b"""
+
+  /** Full SQL twin of [[dedupSimhash]] over the replayed fingerprint
+    * artifact: 4 16-bit bands (arithmetic shift + mask, identical to
+    * Spark's shiftright/bitwiseAND on signed longs), SpanGuard pairing,
+    * hamming = bit_count(xor) ≤ 3. */
+  val dedupSimhashOracle: String = s"""
+WITH art AS (SELECT * FROM read_parquet(
+  '${oracleArtifact("simhash-sig", "64")}/*.parquet')),
+b AS (
+  SELECT doc_id, sim, t.band, (sim >> (t.band*16)) & 65535 AS bucket
+  FROM art, (SELECT unnest(range(4)) AS band) t),
+r AS (
+  SELECT band, bucket, doc_id, sim,
+         row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn
+  FROM b),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         x.sim AS sim_a, y.sim AS sim_b
+  FROM r x JOIN r y ON x.band = y.band AND x.bucket = y.bucket
+   AND y.rn > x.rn AND y.rn - x.rn <= 64)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+ORDER BY id_a, id_b"""
 
   /** The incremental-ingest split: the first 400 documents stand in for
     * the already-built index, the rest for today's crawl batch. */
@@ -566,10 +662,69 @@ ORDER BY query_id, rank"""
     * corpus size. */
   def annLshTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables(spark, sfDir, "embeddings")
-    Similarity.lshTopK(e.filter(col("vec_id") < 10), e, k = 5,
-        tables = 24, bitsPerTable = 0, probes = 32)
+    val (qp, cb) = lshFramesFor(spark, sfDir)
+    Similarity.lshRerankTopK(e.filter(col("vec_id") < 10), e, qp, cb, k = 5)
       .orderBy("query_id", "rank")
   }
+
+  /** Persisted [[Similarity.lshProbeFrames]] geometry (qProbes +
+    * cBuckets) for the ann_lsh_topk configuration — same replay
+    * rationale as [[minhashDocsFor]]: the RHP signatures and block
+    * addressing are Spark kernels, but everything downstream (the
+    * (table, bucket, blk) candidate join, pair dedup, exact cosine
+    * re-rank, top-k) is plain SQL over the raw embeddings, so the
+    * oracle replays the two frames and re-derives the result
+    * independently ([[annLshTopKOracle]]). cbuckets is written LAST as
+    * the completion marker. */
+  private def lshFramesFor(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) = {
+    val path = artifactPath("lsh-probes", sfDir, "t24b0p32")
+    if (!Artifacts.exists(spark, path + "/cbuckets")) {
+      val e = Tables(spark, sfDir, "embeddings")
+      val f = Similarity.lshProbeFrames(e.filter(col("vec_id") < 10), e,
+        tables = 24, bitsPerTable = 0, maxBucket = 64, probes = 32)
+      f.qProbes.write.mode("overwrite").parquet(path + "/qprobes")
+      f.cBuckets.write.mode("overwrite").parquet(path + "/cbuckets")
+    }
+    (spark.read.parquet(path + "/qprobes"),
+      spark.read.parquet(path + "/cbuckets"))
+  }
+
+  /** SQL twin of [[annLshTopK]] over the replayed probe geometry:
+    * candidates = probes ⋈ corpus blocks on (table, bucket, blk) minus
+    * self-matches, deduped; exact double-precision cosine from the raw
+    * embeddings (same formulation as the hash-green
+    * [[annCosineTopKOracle]]); per-query top-5 with the (sim DESC,
+    * cand_id) tie-break. */
+  val annLshTopKOracle: String = s"""
+WITH qp AS (SELECT * FROM read_parquet(
+  '${oracleArtifact("lsh-probes", "t24b0p32")}/qprobes/*.parquet')),
+cb AS (SELECT * FROM read_parquet(
+  '${oracleArtifact("lsh-probes", "t24b0p32")}/cbuckets/*.parquet')),
+cand AS (
+  SELECT DISTINCT qp.query_id, cb.cand_id
+  FROM qp JOIN cb ON qp."table" = cb."table"
+   AND qp.bucket = cb.bucket AND qp.blk = cb.blk
+  WHERE qp.query_id <> cb.cand_id),
+p AS (
+  SELECT cand.query_id, cand.cand_id,
+         unnest(q.embedding) AS qv, unnest(c.embedding) AS cv
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings c ON c.vec_id = cand.cand_id),
+s AS (
+  SELECT query_id, cand_id,
+         SUM(CAST(qv AS DOUBLE) * CAST(cv AS DOUBLE)) /
+           (sqrt(SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE))) *
+            sqrt(SUM(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE)))) AS sim
+  FROM p GROUP BY query_id, cand_id),
+r AS (
+  SELECT query_id, cand_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, cand_id) AS rank
+  FROM s)
+SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 5
+ORDER BY query_id, rank"""
 
   /** The nprobe both IVF query paths share — like [[IvfNlist]], the
     * recall row and the topk row must describe the SAME configuration.
