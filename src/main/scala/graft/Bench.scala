@@ -148,19 +148,25 @@ object Bench {
           val again = sweep(runs)
           // keep the re-measured median unconditionally — min() of the two
           // could only ever lower the number, a one-sided bias
-          if (error.isDefined) (raw, firstMed, None)
+          if (error.isDefined) {
+            // the PRIMARY sweep succeeded; a failure during the
+            // re-measure must not discard its valid timings (that would
+            // exit 2 for a query that benched cleanly once). Keep the
+            // primary median and surface the re-measure failure in the
+            // remeasured annotation for the audit trail.
+            val msg = error.get
+            error = None
+            System.err.println(
+              s"[bench] $name re-measure failed ($msg); keeping primary sweep")
+            (raw, firstMed, Some((firstMed, s"$reason;remeasure_failed:$msg")))
+          }
           else (raw ++ again, median(again), Some((firstMed, reason)))
         case None => (raw, firstMed, None)
       }
-      if (error.isDefined) {
-        System.err.println(s"[bench] $name FAILED (re-measure): ${error.get}")
-        QResult(name, Double.NaN, Nil, Nil, loadSamples.toSeq, None, error)
-      } else {
-        if (verbose) System.err.println(
-          s"[bench] $name: ${timed.map(fmt).mkString(" ")}" +
-            (if (cold.nonEmpty) cold.map(fmt).mkString(" (warmup ", " ", ")") else ""))
-        QResult(name, med, timed, cold, loadSamples.toSeq, re, None)
-      }
+      if (verbose) System.err.println(
+        s"[bench] $name: ${timed.map(fmt).mkString(" ")}" +
+          (if (cold.nonEmpty) cold.map(fmt).mkString(" (warmup ", " ", ")") else ""))
+      QResult(name, med, timed, cold, loadSamples.toSeq, re, None)
       }
     }
     val (failed, ok) = results.partition(_.error.isDefined)

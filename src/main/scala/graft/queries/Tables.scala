@@ -44,12 +44,26 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // make ts-range predicates written against a rebuilt column reach
       // the parquet scan (see the rule's scaladoc)
       graft.plans.PushTimestampMicrosPredicates.install(spark)
-    }
-    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+      // Both confs are schema-resolution switches with no per-read
+      // DataFrameReader option in Spark 4.1 (ParquetOptions carries only
+      // rebase/compression/mergeSchema), so they are scoped by
+      // save-set-restore around the EAGER schema resolution below —
+      // leaving them set session-wide would silently strip
+      // TIMESTAMP_NTZ inference from every later non-Tables parquet
+      // read in the same session (order-dependent state leak).
+      val ntzKey = "spark.sql.parquet.inferTimestampNTZ.enabled"
+      val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+      val prior = Seq(ntzKey, nanosKey).map(k => k -> spark.conf.getOption(k))
+      spark.conf.set(nanosKey, "true")
+      spark.conf.set(ntzKey, "false")
+      try normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+      finally prior.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    } else normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 }

@@ -258,8 +258,16 @@ object StreamingAnalytics {
     * `minScore` (the CCNet-style model filter applied at ingest, before
     * documents ever land in the corpus).
     *
-    * The model is loaded once, on the first batch, and reused for the
-    * stream's lifetime. Scoring is STATELESS — transitions explode +
+    * The model generation is PINNED at first batch ([[pinFrame]]):
+    * `load` alone returns lazy scans of the artifact path, so an
+    * in-place artifact overwrite mid-stream would otherwise make later
+    * batches read half-replaced files (FileNotFound at best, silently
+    * mixed generations at worst). Pinning materializes the model-sized
+    * tables into executor storage once; replacing the artifact on disk
+    * then does NOT change routing for this closure's lifetime — to roll
+    * a new model, restart the query (or build a new intake closure),
+    * which is the auditable generation boundary a training pipeline
+    * wants anyway. Scoring is STATELESS — transitions explode +
     * two many-to-one joins against the static model + an exact per-doc
     * long-SUM re-agg, all within the micro-batch — so no streaming
     * state, watermark, or replay guard exists: a replayed batch
@@ -277,8 +285,11 @@ object StreamingAnalytics {
       : (DataFrame, Long) => Unit = {
     var model: graft.operators.LanguageModel.NgramLm = null
     (batch, batchId) => {
-      if (model == null)
-        model = graft.operators.LanguageModel.load(batch.sparkSession, modelPath)
+      if (model == null) {
+        val m = graft.operators.LanguageModel.load(batch.sparkSession, modelPath)
+        model = m.copy(bigrams = pinFrame(m.bigrams),
+          contexts = pinFrame(m.contexts))
+      }
       val scored = graft.operators.LanguageModel
         .scoreMeanLikelihood(batch, idCol, textCol, model, k, n)
         .filter(col("lm_score") >= minScore)
@@ -287,24 +298,47 @@ object StreamingAnalytics {
     }
   }
 
+  /** Pin a model-sized artifact table into executor storage, eagerly:
+    * `spark.read.parquet` plans are LAZY, so a "loaded once" model
+    * would otherwise re-resolve the artifact FILES on every micro-batch
+    * — replacing the artifact in place mid-stream then fails tasks on
+    * the vanished old files (or, with ignoreMissingFiles, silently
+    * scores under a half-replaced mixed generation). An eager
+    * `localCheckpoint` materializes the rows once and severs the file
+    * lineage: the serving closure keeps its loaded generation no matter
+    * what happens to the path. Model tables are data-bounded (weights /
+    * transitions), never corpus-bounded, so the pinned footprint is the
+    * same class as a broadcast model. Executor loss drops pinned blocks
+    * unrecoverably (localCheckpoint has no lineage to rebuild from) —
+    * the query fails and restarts onto the CURRENT artifact, which is
+    * the refresh semantics documented on the intakes anyway. */
+  private def pinFrame(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
   /** Streaming classifier routing — the serving half of the NB
     * classifier ([[graft.operators.TextClassifier]]): label each
     * arriving micro-batch under a PERSISTED weight artifact (the
     * fastText-style language/quality router applied at ingest). Same
-    * discipline as [[lmScoreIntake]]: model loaded once, scoring is
-    * STATELESS exact-integer arithmetic within the micro-batch — no
-    * streaming state or replay guard needed, a replayed batch
-    * recomputes identical labels from the static weights. Output rows
-    * are the batch's rows plus `predicted` / `score_fx`; route on
-    * `predicted` downstream (per-class sinks, drop-lists, quotas). */
+    * discipline as [[lmScoreIntake]]: the model GENERATION is pinned at
+    * first batch ([[pinFrame]] — replacing the artifact on disk does
+    * not change routing for this closure's lifetime; roll models by
+    * restarting the query or building a new closure, asserted in
+    * StreamingAnalyticsSpec). Scoring is STATELESS exact-integer
+    * arithmetic within the micro-batch — no streaming state or replay
+    * guard needed, a replayed batch recomputes identical labels from
+    * the pinned weights. Output rows are the batch's rows plus
+    * `predicted` / `score_fx`; route on `predicted` downstream
+    * (per-class sinks, drop-lists, quotas). */
   def nbRouteIntake(modelPath: String, idCol: String = "doc_id",
                     textCol: String = "text",
                     sink: (DataFrame, Long) => Unit = (_, _) => ())
       : (DataFrame, Long) => Unit = {
     var model: graft.operators.TextClassifier.NbModel = null
     (batch, batchId) => {
-      if (model == null)
-        model = graft.operators.TextClassifier.load(batch.sparkSession, modelPath)
+      if (model == null) {
+        val m = graft.operators.TextClassifier.load(batch.sparkSession, modelPath)
+        model = m.copy(weights = pinFrame(m.weights),
+          classes = pinFrame(m.classes))
+      }
       sink(batch.join(
         graft.operators.TextClassifier.classify(batch, idCol, textCol, model),
         Seq(idCol)), batchId)

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, lit}
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 import java.sql.Timestamp
@@ -300,6 +300,49 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
     assert(got.toMap === want, "streamed labels/scores differ from batch")
     assert(got(10L)._1 === "fr" && got(11L)._1 === "en")
+  }
+
+  test("nb route intake: model generation is PINNED — an in-place artifact " +
+      "overwrite mid-stream does not change routing; a new closure loads it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextClassifier
+    val docs = Seq(
+      (1L, "en", "the cat sat on the mat"), (2L, "en", "a dog and a cat"),
+      (3L, "fr", "le chat et le chien"), (4L, "fr", "un chien sur le tapis"))
+      .toDF("doc_id", "lang", "text")
+    val modelPath = java.nio.file.Files.createTempDirectory("nb_pin").toString + "/m"
+    TextClassifier.save(spark, modelPath, TextClassifier.train(docs, "lang", "text"))
+    val got = scala.collection.mutable.Map.empty[Long, String]
+    def route(): (Long, String) => Unit = {
+      val intake = StreamingAnalytics.nbRouteIntake(modelPath,
+        sink = (df, _) => df.select("doc_id", "predicted").collect()
+          .foreach(r => got.synchronized { got(r.getLong(0)) = r.getString(1) }))
+      (id, text) => {
+        val ckpt = java.nio.file.Files.createTempDirectory("nb_pin_ckpt").toString
+        val mem = MemoryStream[(Long, String)]
+        val q = mem.toDF().toDF("doc_id", "text").writeStream
+          .option("checkpointLocation", ckpt).foreachBatch(intake).start()
+        try { mem.addData(id -> text); q.processAllAvailable() } finally q.stop()
+      }
+    }
+    // generation A: first batch loads + pins the fr/en model
+    val gen1 = route()
+    gen1(10L, "le chat dort")
+    assert(got(10L) === "fr")
+    // replace the artifact IN PLACE with a relabeled model (same texts,
+    // disjoint label alphabet, so any reload would be visible)
+    TextClassifier.save(spark, modelPath, TextClassifier.train(
+      docs.withColumn("lang", concat(lit("x_"), col("lang"))), "lang", "text"))
+    // the SAME closure keeps its pinned generation: old labels, no
+    // FileNotFound from the overwritten files
+    gen1(11L, "le chat dort")
+    assert(got(11L) === "fr",
+      "mid-stream artifact replacement must not change a pinned closure's routing")
+    // a NEW closure (= query restart) picks up the new generation
+    val gen2 = route()
+    gen2(12L, "le chat dort")
+    assert(got(12L) === "x_fr", "a fresh closure must load the current artifact")
   }
 
   test("ann search intake: streamed query batches match the batch prepared-index search") {
