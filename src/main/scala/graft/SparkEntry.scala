@@ -257,18 +257,33 @@ object SparkEntry {
     "dedup_semantic_violations" -> ExtensionQueries.violationOracle,
     "dedup_minhash_lsh" -> ExtensionQueries.dedupMinhashLshOracle,
     "dedup_simhash" -> ExtensionQueries.dedupSimhashOracle,
-    "ann_lsh_topk" -> ExtensionQueries.annLshTopKOracle
-    // dedup_minhash_lsh / dedup_simhash / ann_lsh_topk graduated to
-    // artifact-replay oracles in r12 (persisted signature / probe
-    // frames + full SQL re-derivation of banding, span guard, verify,
-    // rerank). Still rows-only: dedup_embedding_cosine / dedup_semantic
-    // / dedup_incremental / ann_ivf_topk / ann_ivfq_topk — their
-    // geometry (float k-means cells, bipartite block addressing) has no
-    // similarly clean relational replay; each is PAIRED with a
-    // hash-green *_violations row proving its exact-verify contract,
-    // plus an oracle-checked exact twin (ngram_jaccard,
-    // embedding_exact, cosine_topk) and ScalaTest recall assertions,
-    // and the three sketch rows (hll/theta/kll) are randomized
-    // multisets gated by bounded-error violation rows.
+    "ann_lsh_topk" -> ExtensionQueries.annLshTopKOracle,
+    "ann_ivf_topk" -> ExtensionQueries.annIvfTopKOracle,
+    "ann_ivfq_topk" -> ExtensionQueries.annIvfqTopKOracle,
+    "dedup_embedding_cosine" -> ExtensionQueries.dedupEmbeddingCosineOracle,
+    "dedup_semantic" -> ExtensionQueries.dedupSemanticOracle,
+    "dedup_incremental" -> ExtensionQueries.dedupIncrementalOracle
+    // The whole LSH/IVF/cell geometry family is hash-gated via
+    // artifact replay (r12): each operator is split into a
+    // Spark-kernel geometry stage (signatures, fingerprints, probe
+    // frames, cell assignments — persisted per corpus) and a
+    // relational stage (banding, span-guarded pairing, candidate
+    // joins, exact verify, rerank) that BOTH engines re-derive
+    // independently from the persisted frames.
+    //
+    // The only rows-only entries left are the three DataSketches rows
+    // (events_distinct_hll / events_audience_theta / events_value_kll).
+    // Their sketch state is an opaque DataSketches binary blob whose
+    // estimators are deliberately NOT relational: HLL's HIP estimator
+    // is update-history-dependent (merge topology changes the point
+    // estimate within the error bound — Sketches.scala accuracy
+    // contract), theta intersections estimate through retained-set
+    // resampling, and KLL compaction is a randomized multiset. No SQL
+    // replay can re-derive the estimate without reimplementing
+    // DataSketches inside the oracle, which would test the
+    // reimplementation, not the engine. Each row is instead gated by a
+    // hash-green exact twin (events_distinct_exact /
+    // events_audience_exact) plus a bounded-error *_violations row
+    // that prices the published sketch error against the exact answer.
   )
 }

@@ -174,44 +174,81 @@ object Dedup {
                                 bands: Int = 16, rowsPerBand: Int = 4,
                                 threshold: Double = 0.7,
                                 maxBucket: Int = 64): DataFrame = {
-    def prep(df: DataFrame, out: String): DataFrame = {
-      val d = df.select(col("id").as(out), col("sh").as(s"sh_$out"),
-          col("sig").as(s"sig_$out"))
-        .persist()
+    def prep(df: DataFrame): DataFrame = {
+      val d = df.select(col("id"), col("sh"), col("sig")).persist()
       CacheRegistry.track(d)
       d
     }
-    def bucketRows(d: DataFrame, id: String): DataFrame =
-      d.select(col(id),
+    val idx = prep(indexPrep)
+    val inc = prep(incomingPrep)
+    val f = minhashBipartiteFrames(idx, inc, bands, rowsPerBand, maxBucket)
+    minhashVerifyFrom(f.idxBlocks, f.probes, idx, inc, threshold)
+  }
+
+  /** The bipartite block geometry of [[minhashLshAgainstPrepared]] —
+    * (idxBlocks, probes). */
+  final case class BipartiteFrames(idxBlocks: DataFrame, probes: DataFrame)
+
+  /** The banding/addressing stage of [[minhashLshAgainstPrepared]],
+    * exposed so callers can PERSIST both frames and replay the exact
+    * probe geometry later — same rationale as
+    * [[Similarity.lshProbeFrames]]: the per-band xxhash64 bucket keys
+    * and the band-mixed block-address hashes are Spark kernels and live
+    * only here, while everything DOWNSTREAM — the (band, bucket, blk)
+    * candidate join, pair dedup, exact shingle Jaccard — is plain
+    * relational algebra over the persisted signature frames
+    * ([[minhashPrepare]] / [[minhashDocs]]), expressible in any SQL
+    * engine.
+    *
+    *  - `idxBlocks`: (band, bucket, index_id, blk) — one row per index
+    *    doc per band; `blk` is the rank-block within the bucket (skew
+    *    guard, see [[minhashLshAgainst]]).
+    *  - `probes`: (band, bucket, incoming_id, blk) — 2 block probes per
+    *    (incoming doc, band) whose bucket exists in the index. The
+    *    probe hash mixes the BAND in: with id-only addressing a doc
+    *    caught in a degenerate flood bucket would probe the same block
+    *    number in every band, correlating candidate sets across bands
+    *    and losing the recall diversity banding exists to buy. */
+  def minhashBipartiteFrames(indexPrep: DataFrame, incomingPrep: DataFrame,
+                             bands: Int = 16, rowsPerBand: Int = 4,
+                             maxBucket: Int = 64): BipartiteFrames = {
+    def bucketRows(d: DataFrame, out: String): DataFrame =
+      d.select(col("id").as(out),
           posexplode(transform(sequence(lit(0), lit(bands - 1)),
             b => xxhash64(concat_ws(",",
-              slice(col(s"sig_$id"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
+              slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
         .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "band")
-
-    val idx = prep(indexPrep, "index_id")
-    val inc = prep(incomingPrep, "incoming_id")
     val wBucket = org.apache.spark.sql.expressions.Window
       .partitionBy("band", "bucket").orderBy("index_id")
-    val idxB = bucketRows(idx, "index_id")
+    val idxB = bucketRows(indexPrep, "index_id")
       .withColumn("blk", floor((row_number().over(wBucket) - 1) / lit(maxBucket)))
       .persist()
     CacheRegistry.track(idxB)
     val nBlk = idxB.groupBy("band", "bucket").agg((max(col("blk")) + 1).as("nblk"))
-    // The probe hash mixes the BAND in: with id-only addressing a doc
-    // caught in a degenerate flood bucket would probe the same block
-    // number in every band, correlating candidate sets across bands and
-    // losing the recall diversity banding exists to buy.
-    val probes = bucketRows(inc, "incoming_id")
+    val probes = bucketRows(incomingPrep, "incoming_id")
       .join(nBlk, Seq("band", "bucket")) // bucket absent from index → no candidates
       .select(col("band"), col("bucket"), col("incoming_id"),
         explode(array(
           pmod(xxhash64(col("incoming_id"), col("band")), col("nblk")),
           pmod(xxhash64(col("incoming_id"), col("band")) + 1, col("nblk")))).as("blk"))
-    val cands = probes.join(idxB, Seq("band", "bucket", "blk"))
+    BipartiteFrames(idxB, probes)
+  }
+
+  /** The candidate-join + exact-Jaccard stage of
+    * [[minhashLshAgainstPrepared]] over [[minhashBipartiteFrames]]-shaped
+    * frames (fresh or replayed from storage) plus the signature frames
+    * the shingles re-attach from. Bit-identical to the monolithic path
+    * with the same geometry. */
+  def minhashVerifyFrom(idxBlocks: DataFrame, probes: DataFrame,
+                        indexPrep: DataFrame, incomingPrep: DataFrame,
+                        threshold: Double): DataFrame = {
+    val cands = probes.join(idxBlocks, Seq("band", "bucket", "blk"))
       .select("index_id", "incoming_id")
       .dropDuplicates("index_id", "incoming_id")
-      .join(idx.select(col("index_id"), col("sh_index_id")), "index_id")
-      .join(inc.select(col("incoming_id"), col("sh_incoming_id")), "incoming_id")
+      .join(indexPrep.select(col("id").as("index_id"),
+        col("sh").as("sh_index_id")), "index_id")
+      .join(incomingPrep.select(col("id").as("incoming_id"),
+        col("sh").as("sh_incoming_id")), "incoming_id")
     val inter = size(array_intersect(col("sh_index_id"), col("sh_incoming_id"))).cast("double")
     val union = (size(col("sh_index_id")) + size(col("sh_incoming_id"))).cast("double") - inter
     cands.withColumn("jaccard", inter / union)

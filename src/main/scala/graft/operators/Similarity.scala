@@ -671,6 +671,141 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
   }
 
+  /** The assignment/probe geometry frames of [[ivfTopK]] — (lists,
+    * probes). */
+  final case class IvfFrames(lists: DataFrame, probes: DataFrame)
+
+  /** The cell-geometry stage of [[ivfTopK]], exposed so callers can
+    * PERSIST both frames and replay the exact probe geometry later —
+    * same rationale as [[lshProbeFrames]]: the k-means assignment
+    * kernels ([[cellAssign]]/[[cellsAssign]], float argmax over the
+    * trained centroids) live only here, while everything DOWNSTREAM —
+    * the cell-wise candidate join, exact cosine, top-k — is plain
+    * relational algebra over the raw embeddings, expressible in any
+    * SQL engine.
+    *
+    *  - `lists`: (cent_id, cand_id) — each corpus vector in its ONE
+    *    nearest cell ([[ivfPrepare]] minus the float payloads; zero-norm
+    *    and dim-mismatched vectors excluded, the cosine-family /
+    *    null-cell contract).
+    *  - `probes`: (query_id, cent_id) — `nprobe` nearest cells per
+    *    query, zero-norm queries excluded. */
+  def ivfGeomFrames(queries: DataFrame, corpus: DataFrame,
+                    quantizer: (Array[Long], Array[Array[Float]]),
+                    nprobe: Int): IvfFrames = {
+    val (centIds, cents) = quantizer
+    val lists = ivfPrepare(corpus, quantizer)
+      .filter(col("cent_id").isNotNull)
+      .select("cent_id", "cand_id")
+    val probes = queries
+      .select(col("vec_id").as("query_id"),
+        vecNorm(col("embedding")).as("queryn"),
+        explode(cellsAssign(col("embedding"), centIds, cents, nprobe)).as("cent_id"))
+      .filter(col("queryn") > 0)
+      .select("query_id", "cent_id")
+    IvfFrames(lists, probes)
+  }
+
+  /** The candidate-join + exact-rerank stage of [[ivfTopK]] over
+    * [[ivfGeomFrames]]-shaped frames (fresh or replayed from storage).
+    * Bit-identical to [[ivfTopKPrepared]] with the geometry the frames
+    * were built from: same candidates, same float vectors joined back
+    * by id, same (sim DESC, cand_id) tie-break. */
+  def ivfTopKFromGeom(lists: DataFrame, probes: DataFrame,
+                      queries: DataFrame, corpus: DataFrame,
+                      k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("queryv"), vecNorm(col("embedding")).as("queryn"))
+    val c = corpus.select(col("vec_id").as("cand_id"),
+      col("embedding").as("candv"), vecNorm(col("embedding")).as("candn"))
+    val cands = lists.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(broadcast(q), "query_id")
+      .join(c, "cand_id")
+      .withColumn("sim",
+        vecDot(col("queryv"), col("candv")) / (col("queryn") * col("candn")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
+    cands.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
+  }
+
+  /** The geometry frames of [[ivfTopKQuantized]] — (lists, probes),
+    * each carrying the int8 code twice: `cq`/`qq` as the BINARY column
+    * the Spark scoring kernel ([[graft.functions.VectorExpressions
+    * .Int8VecDot]]) consumes, and `cq_i`/`qq_i` as a plain int array
+    * for engine-independent replay (an external SQL engine re-derives
+    * the integer dot scores from the array twin — both columns come
+    * from the same max-abs formula, [[quantizeInt8]]'s
+    * floor(x·127/maxabs + 0.5) pure-IEEE math). */
+  final case class IvfqFrames(lists: DataFrame, probes: DataFrame)
+
+  /** The cell + int8-code geometry stage of [[ivfTopKQuantized]] —
+    * persistable/replayable like [[ivfGeomFrames]]; the quantized
+    * first-stage scoring and exact rerank downstream are pure integer /
+    * double arithmetic over these frames and the raw embeddings. */
+  def ivfqGeomFrames(queries: DataFrame, corpus: DataFrame,
+                     quantizer: (Array[Long], Array[Array[Float]]),
+                     nprobe: Int): IvfqFrames = {
+    import graft.functions.VectorExpressions.int8Quantize
+    val (centIds, cents) = quantizer
+    val lists = Par.widen(corpus)
+      .select(col("vec_id").as("cand_id"),
+        cellAssign(col("embedding"), centIds, cents).as("cent_id"),
+        int8Quantize(col("embedding")).as("cq"),
+        quantizeInt8(col("embedding"))._2.as("cq_i"))
+      .filter(col("cent_id").isNotNull &&
+        vecNorm(col("embedding")) > 0)
+      .select("cent_id", "cand_id", "cq", "cq_i")
+    val probes = queries
+      .select(col("vec_id").as("query_id"),
+        int8Quantize(col("embedding")).as("qq"),
+        quantizeInt8(col("embedding"))._2.as("qq_i"),
+        explode(cellsAssign(col("embedding"), centIds, cents, nprobe)).as("cent_id"),
+        vecNorm(col("embedding")).as("queryn"))
+      .filter(col("queryn") > 0)
+      .select("query_id", "cent_id", "qq", "qq_i")
+    IvfqFrames(lists, probes)
+  }
+
+  /** The quantized-frontier + exact-rerank stage of [[ivfTopKQuantized]]
+    * over [[ivfqGeomFrames]]-shaped frames. Bit-identical to the
+    * monolithic path with the same geometry: int8 norms recomputed from
+    * the codes (exact integer sums), same keepR frontier cut on
+    * (asim DESC, cand_id), same exact float rerank. */
+  def ivfqTopKFromGeom(lists: DataFrame, probes: DataFrame,
+                       queries: DataFrame, corpus: DataFrame,
+                       k: Int, rerank: Int = 0): DataFrame = {
+    import graft.functions.VectorExpressions.int8VecDot
+    val keepR = if (rerank > 0) rerank else 4 * k
+    val listsN = lists
+      .withColumn("cqn", sqrt(int8VecDot(col("cq"), col("cq")).cast("double")))
+    val probesN = probes
+      .withColumn("qqn", sqrt(int8VecDot(col("qq"), col("qq")).cast("double")))
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("asim").desc, col("cand_id"))
+    val frontier = listsN.join(broadcast(probesN), Seq("cent_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("asim",
+        int8VecDot(col("qq"), col("cq")).cast("double") / (col("qqn") * col("cqn")))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= keepR)
+      .select("query_id", "cand_id")
+    val qFull = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("queryv"), vecNorm(col("embedding")).as("queryn"))
+    val cFull = corpus.select(col("vec_id").as("cand_id"),
+      col("embedding").as("candv"), vecNorm(col("embedding")).as("candn"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
+    frontier
+      .join(broadcast(qFull), "query_id")
+      .join(cFull, "cand_id")
+      .withColumn("sim",
+        vecDot(col("queryv"), col("candv")) / (col("queryn") * col("candn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
+  }
+
   /** Symmetric per-vector int8 quantization (max-abs scaling) — the
     * standard 4× storage/bandwidth reduction for corpus-scale embedding
     * stores; dequantized values sit within scale/2 of the original.
@@ -781,6 +916,45 @@ object Similarity {
     // SpanGuard's final (id_a, id_b) dedup runs after the keys drop
     SpanGuard.pairs(slim, keys = Seq("cell"), idCol = "vec_id",
         order = Seq("vec_id"), maxSpan = maxCell * probeCells)
+      .join(base.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(base.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        col("nrm").as("nb")), "id_b")
+      .withColumn("sim", vecDot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
+  /** The multi-probe cell-assignment stage of [[cosineDedupCells]] as a
+    * slim (cell, vec_id) frame — one row per (vector, probed cell),
+    * zero-norm and dim-mismatched vectors excluded. Exposed for
+    * persistence/replay, same rationale as [[lshProbeFrames]]: the
+    * k-means assignment kernel lives only here; downstream pairing +
+    * exact-cosine verify ([[cosineDedupCellsFrom]]) is plain relational
+    * algebra over the raw embeddings. */
+  def cellProbesFrame(df: DataFrame,
+                      quantizer: (Array[Long], Array[Array[Float]]),
+                      probeCells: Int): DataFrame = {
+    val (centIds, cents) = quantizer
+    Par.widen(df)
+      .select(col("vec_id"), vecNorm(col("embedding")).as("nrm"),
+        cellsAssign(col("embedding"), centIds, cents, probeCells).as("cells"))
+      .filter(col("nrm") > 0 && col("cells").isNotNull)
+      .select(explode(col("cells")).as("cell"), col("vec_id"))
+  }
+
+  /** The pairing + exact-verify stage of [[cosineDedupCells]] over a
+    * [[cellProbesFrame]]-shaped frame (fresh or replayed from storage).
+    * Bit-identical to the monolithic path with the same geometry:
+    * [[SpanGuard]] pairing within cells (rank = vec_id order, span
+    * `maxSpan`), pair dedup across shared cells, exact double cosine ≥
+    * `threshold` from the raw embeddings. */
+  def cosineDedupCellsFrom(slim: DataFrame, corpus: DataFrame,
+                           threshold: Double, maxSpan: Int): DataFrame = {
+    val base = corpus.select(col("vec_id"), col("embedding"),
+      vecNorm(col("embedding")).as("nrm"))
+    SpanGuard.pairs(slim, keys = Seq("cell"), idCol = "vec_id",
+        order = Seq("vec_id"), maxSpan = maxSpan)
       .join(base.select(col("vec_id").as("id_a"), col("embedding").as("va"),
         col("nrm").as("na")), "id_a")
       .join(base.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
@@ -920,6 +1094,50 @@ object Similarity {
       .agg(min(col("id_a")).as("dup_of"))
 
     base.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"),
+        col("dup_of").isNull.cast("int").as("is_kept"), col("dup_of"))
+  }
+
+  /** The cell-assignment stage of [[semanticDedup]] as a persistable
+    * (vec_id, cell, pairable) frame — one row per corpus vector:
+    * `cell` is the single nearest k-means cell (null on dim mismatch),
+    * `pairable` = 1 iff the vector participates in in-cell pairing
+    * (non-null cell AND non-zero norm — the manifest keeps unpairable
+    * rows verbatim). Same replay rationale as [[cellProbesFrame]]. */
+  def semanticAssignFrame(df: DataFrame,
+      quantizer: (Array[Long], Array[Array[Float]])): DataFrame = {
+    val (centIds, cents) = quantizer
+    Par.widen(df)
+      .select(col("vec_id"),
+        cellAssign(col("embedding"), centIds, cents).as("cell"),
+        vecNorm(col("embedding")).as("nrm"))
+      .select(col("vec_id"), col("cell"),
+        (col("cell").isNotNull && col("nrm") > 0).cast("int").as("pairable"))
+  }
+
+  /** The pairing + manifest stage of [[semanticDedup]] over a
+    * [[semanticAssignFrame]]-shaped frame. Bit-identical to the
+    * monolithic path with the same assignment: SpanGuard pairing of
+    * pairable rows within cells (vec_id order, span `maxCell`), exact
+    * double cosine ≥ `threshold`, witness = min in-cell duplicate id,
+    * full-corpus manifest via left join. */
+  def semanticDedupFrom(assigned: DataFrame, corpus: DataFrame,
+                        threshold: Double, maxCell: Int = 256): DataFrame = {
+    val base = corpus.select(col("vec_id"), col("embedding"),
+      vecNorm(col("embedding")).as("nrm"))
+    val dups = SpanGuard.pairs(
+        assigned.filter(col("pairable") === 1).select("cell", "vec_id"),
+        keys = Seq("cell"), idCol = "vec_id",
+        order = Seq("vec_id"), maxSpan = maxCell)
+      .join(base.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(base.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        col("nrm").as("nb")), "id_b")
+      .filter(vecDot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(min(col("id_a")).as("dup_of"))
+    assigned.select(col("vec_id"), col("cell"))
       .join(dups, Seq("vec_id"), "left_outer")
       .select(col("vec_id"), col("cell"),
         col("dup_of").isNull.cast("int").as("is_kept"), col("dup_of"))

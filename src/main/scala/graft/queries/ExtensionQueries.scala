@@ -301,33 +301,99 @@ ORDER BY id_a, id_b"""
   /** The incremental-ingest split: the first 400 documents stand in for
     * the already-built index, the rest for today's crawl batch. */
   private val IncrementalSplit = 400L
-  private def incrementalSides(spark: SparkSession, sfDir: String)
+
+  /** The incremental split's (index, incoming) SIGNATURE frames,
+    * replayed from the shared [[minhashDocsFor]] artifact — the same
+    * scheme (k = 64, shingleWidth = 3) [[Dedup.minhashPrepare]] would
+    * compute from raw text, so at 100 TB the standing index's
+    * signatures are computed once and every batch reuses them (and the
+    * gate pays ONE signature job for the whole minhash family instead
+    * of re-hashing per query). */
+  private def incPrepsFor(spark: SparkSession, sfDir: String)
       : (DataFrame, DataFrame) = {
-    val docs = Tables(spark, sfDir, "documents")
-    (docs.filter(col("doc_id") < IncrementalSplit),
-      docs.filter(col("doc_id") >= IncrementalSplit))
+    val art = minhashDocsFor(spark, sfDir)
+      .select(col("doc_id").as("id"), col("shingles").as("sh"), col("sig"))
+    (art.filter(col("id") < IncrementalSplit),
+      art.filter(col("id") >= IncrementalSplit))
   }
 
-  /** Incremental near-dedup ([[Dedup.minhashLshAgainst]]): incoming batch
-    * vs the standing index, bipartite MinHash-LSH + exact verify.
-    * LSH-recall-dependent → rows-only; precision proved by
-    * [[dedupIncrementalViolations]], recall by the oracle-green exact
-    * twin [[dedupIncrementalExact]] + a planted ScalaTest. */
-  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
-    val (index, incoming) = incrementalSides(spark, sfDir)
-    Dedup.minhashLshAgainst(index, incoming, "doc_id", "text",
-        bands = 16, rowsPerBand = 4, shingleWidth = 3, threshold = 0.5)
-      .orderBy("incoming_id", "index_id")
+  /** Persisted [[Dedup.minhashBipartiteFrames]] block geometry for the
+    * incremental path — the banding/addressing xxhash64 kernels run
+    * only here; the candidate join + exact Jaccard replay from these
+    * frames in both engines. `probes` is written LAST as the
+    * completion marker (it is derived from idxBlocks' block counts). */
+  private def incFramesFor(spark: SparkSession, sfDir: String)
+      : Dedup.BipartiteFrames = {
+    val path = artifactPath("inc-geom", sfDir, "k64w3x64")
+    if (!Artifacts.exists(spark, path + "/probes")) {
+      val (idx, inc) = incPrepsFor(spark, sfDir)
+      val f = Dedup.minhashBipartiteFrames(idx, inc,
+        bands = 16, rowsPerBand = 4, maxBucket = 64)
+      f.idxBlocks.write.mode("overwrite").parquet(path + "/idxblocks")
+      f.probes.write.mode("overwrite").parquet(path + "/probes")
+    }
+    Dedup.BipartiteFrames(spark.read.parquet(path + "/idxblocks"),
+      spark.read.parquet(path + "/probes"))
   }
+
+  /** Incremental near-dedup ([[Dedup.minhashLshAgainst]] semantics):
+    * incoming batch vs the standing index, bipartite MinHash-LSH +
+    * exact verify. HASH-GATED since r12 via artifact replay: signatures
+    * come from the shared minhash-sig artifact ([[incPrepsFor]]) and
+    * the block geometry is persisted ([[incFramesFor]]); the DuckDB
+    * oracle replays both and re-derives the candidate join + exact
+    * Jaccard in SQL ([[dedupIncrementalOracle]]). Precision is further
+    * proved by [[dedupIncrementalViolations]] (string-shingle
+    * recomputation), recall by the oracle-green exact twin
+    * [[dedupIncrementalExact]] + a planted ScalaTest. */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    incrementalPairs(spark, sfDir).orderBy("incoming_id", "index_id")
+
+  private def incrementalPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val (idx, inc) = incPrepsFor(spark, sfDir)
+    val f = incFramesFor(spark, sfDir)
+    Dedup.minhashVerifyFrom(f.idxBlocks, f.probes, idx, inc, threshold = 0.5)
+  }
+
+  /** Full SQL twin of [[dedupIncremental]] over the replayed signature
+    * + block-geometry artifacts: candidates = probes ⋈ index blocks on
+    * (band, bucket, blk) deduped, exact shingle Jaccard via the same
+    * unnest self-join the hash-green [[dedupMinhashLshOracle]] uses. */
+  val dedupIncrementalOracle: String = s"""
+WITH art AS (SELECT * FROM read_parquet(
+  '${oracleArtifact("minhash-sig", "k64w3")}/*.parquet')),
+ib AS (SELECT * FROM read_parquet(
+  '${oracleArtifact("inc-geom", "k64w3x64")}/idxblocks/*.parquet')),
+pr AS (SELECT * FROM read_parquet(
+  '${oracleArtifact("inc-geom", "k64w3x64")}/probes/*.parquet')),
+cand AS (
+  SELECT DISTINCT ib.index_id, pr.incoming_id
+  FROM pr JOIN ib ON pr.band = ib.band
+   AND pr.bucket = ib.bucket AND pr.blk = ib.blk),
+ex AS (SELECT doc_id, unnest(shingles) AS h FROM art),
+sz AS (SELECT doc_id, len(shingles) AS n FROM art),
+inter AS (
+  SELECT c.index_id, c.incoming_id, count(*) AS i
+  FROM cand c
+  JOIN ex ea ON ea.doc_id = c.index_id
+  JOIN ex eb ON eb.doc_id = c.incoming_id AND eb.h = ea.h
+  GROUP BY 1, 2),
+j AS (
+  SELECT i.index_id, i.incoming_id,
+         CAST(i.i AS DOUBLE) /
+           (CAST(sa.n + sb.n AS DOUBLE) - CAST(i.i AS DOUBLE)) AS jaccard
+  FROM inter i
+  JOIN sz sa ON sa.doc_id = i.index_id
+  JOIN sz sb ON sb.doc_id = i.incoming_id)
+SELECT index_id, incoming_id, jaccard FROM j WHERE jaccard >= 0.5
+ORDER BY incoming_id, index_id"""
 
   /** Precision contract for the incremental path: every emitted pair's
     * exact 3-shingle Jaccard, recomputed over STRING shingles (an
     * independent path from the operator's hashed shingles), is ≥ the
     * threshold. */
   def dedupIncrementalViolations(spark: SparkSession, sfDir: String): DataFrame = {
-    val (index, incoming) = incrementalSides(spark, sfDir)
-    val pairs = Dedup.minhashLshAgainst(index, incoming, "doc_id", "text",
-      bands = 16, rowsPerBand = 4, shingleWidth = 3, threshold = 0.5)
+    val pairs = incrementalPairs(spark, sfDir)
     val docs = Tables(spark, sfDir, "documents")
     val sh = docs.select(col("doc_id"), stringShingles(col("text"), 3).as("sh"))
     val joined = pairs
@@ -395,13 +461,66 @@ ORDER BY incoming_id, index_id"""
     * 0.381 at sf1). The corpus-scale contract for this operator is the
     * SPARSE near-duplicate regime — thresholds above the corpus's
     * random-pair tail — where cell locality is real: gated hash-green
-    * by [[dedupEmbeddingTwins]] and by the sf1 planted-twin probe. */
+    * by [[dedupEmbeddingTwins]] and by the sf1 planted-twin probe.
+    *
+    * HASH-GATED since r12 via artifact replay: the multi-probe cell
+    * assignment is persisted ([[cellFrameFor]]) and consumed by both
+    * this query ([[Similarity.cosineDedupCellsFrom]] — bit-identical to
+    * the monolithic path) and the DuckDB oracle, which re-derives the
+    * SpanGuard pairing + exact double cosine entirely in SQL
+    * ([[dedupEmbeddingCosineOracle]]). */
   def dedupEmbeddingCosine(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables(spark, sfDir, "embeddings")
-    Similarity.cosineDedupCells(e, threshold = 0.4, probeCells = 4,
-        pretrained = Some(autoCentroidsFor(e, sfDir)))
+    Similarity.cosineDedupCellsFrom(cellFrameFor(spark, sfDir), e,
+        threshold = 0.4, maxSpan = 256 * 4)
       .orderBy("id_a", "id_b")
   }
+
+  /** Persisted [[Similarity.cellProbesFrame]] (cell, vec_id) for the
+    * dedup_embedding_cosine geometry (auto-trained centroids,
+    * probeCells = 4) — the k-means assignment kernel runs only here;
+    * pairing + exact verify replay from this frame in both engines. */
+  private def cellFrameFor(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = artifactPath("cell-probes", sfDir, "auto-p4")
+    if (!Artifacts.exists(spark, path)) {
+      val e = Tables(spark, sfDir, "embeddings")
+      Similarity.cellProbesFrame(e, autoCentroidsFor(e, sfDir), probeCells = 4)
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** Full SQL twin of [[dedupEmbeddingCosine]] over the replayed cell
+    * frame: SpanGuard pairing within cells (rank = vec_id order, span ≤
+    * maxCell × probeCells = 1024, DISTINCT across shared cells), exact
+    * double cosine ≥ 0.4 — the same sum-of-products formulation the
+    * hash-green [[annCosineTopKOracle]] proves against Spark's vecDot
+    * kernel. */
+  val dedupEmbeddingCosineOracle: String = s"""
+WITH art AS (SELECT * FROM read_parquet(
+  '${oracleArtifact("cell-probes", "auto-p4")}/*.parquet')),
+r AS (
+  SELECT cell, vec_id,
+         row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+  FROM art),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM r x JOIN r y ON x.cell = y.cell
+   AND y.rn > x.rn AND y.rn - x.rn <= 1024),
+p AS (
+  SELECT cand.id_a, cand.id_b,
+         unnest(a.embedding) AS av, unnest(b.embedding) AS bv
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.id_a
+  JOIN embeddings b ON b.vec_id = cand.id_b),
+s AS (
+  SELECT id_a, id_b,
+         SUM(CAST(av AS DOUBLE) * CAST(bv AS DOUBLE)) /
+           (sqrt(SUM(CAST(av AS DOUBLE) * CAST(av AS DOUBLE))) *
+            sqrt(SUM(CAST(bv AS DOUBLE) * CAST(bv AS DOUBLE)))) AS sim
+  FROM p GROUP BY id_a, id_b)
+SELECT id_a, id_b, sim FROM s WHERE sim >= 0.4
+ORDER BY id_a, id_b"""
 
   /** Sparse-regime dedup gate, HASH-GREEN: plant a deterministic
     * near-identical twin (`v*1.01f + 0.003f`, float arithmetic — the
@@ -482,16 +601,71 @@ FROM s WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
 ORDER BY id_a, id_b"""
 
   /** SemDeDup-style semantic dedup manifest ([[Similarity.semanticDedup]]):
-    * k-means cells + in-cell exact-cosine keep/drop verdicts. Cell
-    * assignment is k-means-dependent → rows-only driver check; the drop
+    * k-means cells + in-cell exact-cosine keep/drop verdicts. The drop
     * verdicts are precision-proved by [[dedupSemanticViolations]] and
-    * planted-cluster recall by ExtensionSpec. */
+    * planted-cluster recall by ExtensionSpec.
+    *
+    * HASH-GATED since r12 via artifact replay: the single-cell
+    * assignment is persisted ([[semanticAssignFor]]) and consumed by
+    * both this query ([[Similarity.semanticDedupFrom]] — bit-identical
+    * to the monolithic path) and the DuckDB oracle, which re-derives
+    * the in-cell pairing, exact cosine, min-witness aggregation and
+    * manifest join entirely in SQL ([[dedupSemanticOracle]]). */
   def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables(spark, sfDir, "embeddings")
-    Similarity.semanticDedup(e, threshold = 0.4,
-        pretrained = Some(autoCentroidsFor(e, sfDir)))
+    Similarity.semanticDedupFrom(semanticAssignFor(spark, sfDir), e,
+        threshold = 0.4, maxCell = 256)
       .orderBy("vec_id")
   }
+
+  /** Persisted [[Similarity.semanticAssignFrame]] (vec_id, cell,
+    * pairable) for the dedup_semantic geometry (auto-trained
+    * centroids). */
+  private def semanticAssignFor(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = artifactPath("sem-assign", sfDir, "auto")
+    if (!Artifacts.exists(spark, path)) {
+      val e = Tables(spark, sfDir, "embeddings")
+      Similarity.semanticAssignFrame(e, autoCentroidsFor(e, sfDir))
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** Full SQL twin of [[dedupSemantic]] over the replayed assignment:
+    * SpanGuard pairing of pairable rows within cells (vec_id order,
+    * span ≤ 256), exact double cosine ≥ 0.4, witness = min in-cell
+    * duplicate id, manifest via left join over ALL corpus rows
+    * (unpairable rows kept verbatim). */
+  val dedupSemanticOracle: String = s"""
+WITH art AS (SELECT * FROM read_parquet(
+  '${oracleArtifact("sem-assign", "auto")}/*.parquet')),
+r AS (
+  SELECT cell, vec_id,
+         row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+  FROM art WHERE pairable = 1),
+cand AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM r x JOIN r y ON x.cell = y.cell
+   AND y.rn > x.rn AND y.rn - x.rn <= 256),
+p AS (
+  SELECT cand.id_a, cand.id_b,
+         unnest(a.embedding) AS av, unnest(b.embedding) AS bv
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.id_a
+  JOIN embeddings b ON b.vec_id = cand.id_b),
+s AS (
+  SELECT id_a, id_b,
+         SUM(CAST(av AS DOUBLE) * CAST(bv AS DOUBLE)) /
+           (sqrt(SUM(CAST(av AS DOUBLE) * CAST(av AS DOUBLE))) *
+            sqrt(SUM(CAST(bv AS DOUBLE) * CAST(bv AS DOUBLE)))) AS sim
+  FROM p GROUP BY id_a, id_b),
+dups AS (
+  SELECT id_b AS vec_id, min(id_a) AS dup_of
+  FROM s WHERE sim >= 0.4 GROUP BY id_b)
+SELECT a.vec_id, a.cell,
+       CAST(d.dup_of IS NULL AS INTEGER) AS is_kept, d.dup_of
+FROM art a LEFT JOIN dups d ON a.vec_id = d.vec_id
+ORDER BY a.vec_id"""
 
   /** Semantic-dedup precision contract: every DROPPED vector's recorded
     * witness must be real — `dup_of < vec_id` and exact corpus-wide
@@ -502,8 +676,8 @@ ORDER BY id_a, id_b"""
   def dedupSemanticViolations(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.VectorExpressions.vecDot
     val e = Tables(spark, sfDir, "embeddings")
-    val manifest = Similarity.semanticDedup(e, threshold = 0.4,
-      pretrained = Some(autoCentroidsFor(e, sfDir)))
+    val manifest = Similarity.semanticDedupFrom(semanticAssignFor(spark, sfDir), e,
+      threshold = 0.4, maxCell = 256)
     val v = e.select(col("vec_id"), col("embedding"),
       Similarity.vecNorm(col("embedding")).as("nrm"))
     val joined = manifest
@@ -734,27 +908,161 @@ ORDER BY query_id, rank"""
     * embeddings are the low-nprobe case. */
   private val IvfNprobe = 12
 
-  /** IVF ANN — centroid-cell candidates, rows-only check; retrieval
-    * quality gated by [[annIvfRecall]]. */
+  /** IVF ANN — retrieval quality gated by [[annIvfRecall]].
+    * HASH-GATED since r12 via artifact replay: the cell geometry
+    * (inverted lists + query probes) is persisted ([[ivfFramesFor]])
+    * and consumed by both this query ([[Similarity.ivfTopKFromGeom]] —
+    * bit-identical to the monolithic [[Similarity.ivfTopK]]) and the
+    * DuckDB oracle, which re-derives the cell-wise candidate join +
+    * exact cosine top-k in SQL ([[annIvfTopKOracle]]). */
   def annIvfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables(spark, sfDir, "embeddings")
-    Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, k = 5,
-        nlist = IvfNlist, nprobe = IvfNprobe,
-        pretrained = Some(centroidsFor(e, sfDir, IvfNlist)))
+    val f = ivfFramesFor(spark, sfDir)
+    Similarity.ivfTopKFromGeom(f.lists, f.probes,
+        e.filter(col("vec_id") < 10), e, k = 5)
       .orderBy("query_id", "rank")
   }
 
-  /** Quantized-first-stage IVF ANN ([[Similarity.ivfTopKQuantized]]):
-    * int8 binary inverted lists + exact float rerank. Emitted sims are
-    * exact, so the shared ANN violations harness applies; recall vs the
-    * unquantized path asserted in ExtensionSpec. */
+  /** Persisted [[Similarity.ivfGeomFrames]] for the ann_ivf_topk
+    * configuration (nlist = [[IvfNlist]], nprobe = [[IvfNprobe]],
+    * shared pretrained quantizer). `probes` is written LAST as the
+    * completion marker. */
+  private def ivfFramesFor(spark: SparkSession, sfDir: String)
+      : Similarity.IvfFrames = {
+    val path = artifactPath("ivf-geom", sfDir, s"n${IvfNlist}p$IvfNprobe")
+    if (!Artifacts.exists(spark, path + "/probes")) {
+      val e = Tables(spark, sfDir, "embeddings")
+      val f = Similarity.ivfGeomFrames(e.filter(col("vec_id") < 10), e,
+        centroidsFor(e, sfDir, IvfNlist), nprobe = IvfNprobe)
+      f.lists.write.mode("overwrite").parquet(path + "/lists")
+      f.probes.write.mode("overwrite").parquet(path + "/probes")
+    }
+    Similarity.IvfFrames(spark.read.parquet(path + "/lists"),
+      spark.read.parquet(path + "/probes"))
+  }
+
+  /** SQL twin of [[annIvfTopK]] over the replayed cell geometry:
+    * candidates = probes ⋈ inverted lists on cent_id minus
+    * self-matches (each corpus vector lives in exactly one cell and
+    * probe cells are distinct per query, so pairs are already unique);
+    * exact double cosine; per-query top-5 with the (sim DESC, cand_id)
+    * tie-break — the same tail as the hash-green
+    * [[annLshTopKOracle]]. */
+  val annIvfTopKOracle: String = s"""
+WITH il AS (SELECT * FROM read_parquet(
+  '${oracleArtifact("ivf-geom", s"n${IvfNlist}p$IvfNprobe")}/lists/*.parquet')),
+qp AS (SELECT * FROM read_parquet(
+  '${oracleArtifact("ivf-geom", s"n${IvfNlist}p$IvfNprobe")}/probes/*.parquet')),
+cand AS (
+  SELECT qp.query_id, il.cand_id
+  FROM qp JOIN il ON qp.cent_id = il.cent_id
+  WHERE qp.query_id <> il.cand_id),
+p AS (
+  SELECT cand.query_id, cand.cand_id,
+         unnest(q.embedding) AS qv, unnest(c.embedding) AS cv
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings c ON c.vec_id = cand.cand_id),
+s AS (
+  SELECT query_id, cand_id,
+         SUM(CAST(qv AS DOUBLE) * CAST(cv AS DOUBLE)) /
+           (sqrt(SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE))) *
+            sqrt(SUM(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE)))) AS sim
+  FROM p GROUP BY query_id, cand_id),
+r AS (
+  SELECT query_id, cand_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, cand_id) AS rank
+  FROM s)
+SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 5
+ORDER BY query_id, rank"""
+
+  /** Quantized-first-stage IVF ANN ([[Similarity.ivfTopKQuantized]]
+    * semantics): int8 inverted lists + exact float rerank. Emitted sims
+    * are exact, so the shared ANN violations harness applies; recall vs
+    * the unquantized path asserted in ExtensionSpec.
+    *
+    * HASH-GATED since r12 via artifact replay: the cell + int8-code
+    * geometry is persisted ([[ivfqFramesFor]]) and consumed by both
+    * this query ([[Similarity.ivfqTopKFromGeom]] — bit-identical to the
+    * monolithic path) and the DuckDB oracle, which re-derives the
+    * integer first-stage scores from the int-array code twin, the keepR
+    * frontier cut, and the exact float rerank entirely in SQL
+    * ([[annIvfqTopKOracle]]). */
   def annIvfqTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables(spark, sfDir, "embeddings")
-    Similarity.ivfTopKQuantized(e.filter(col("vec_id") < 10), e, k = 5,
-        nlist = IvfNlist, nprobe = IvfNprobe,
-        pretrained = Some(centroidsFor(e, sfDir, IvfNlist)))
+    val f = ivfqFramesFor(spark, sfDir)
+    Similarity.ivfqTopKFromGeom(f.lists, f.probes,
+        e.filter(col("vec_id") < 10), e, k = 5)
       .orderBy("query_id", "rank")
   }
+
+  /** Persisted [[Similarity.ivfqGeomFrames]] for the ann_ivfq_topk
+    * configuration. */
+  private def ivfqFramesFor(spark: SparkSession, sfDir: String)
+      : Similarity.IvfqFrames = {
+    val path = artifactPath("ivfq-geom", sfDir, s"n${IvfNlist}p$IvfNprobe")
+    if (!Artifacts.exists(spark, path + "/probes")) {
+      val e = Tables(spark, sfDir, "embeddings")
+      val f = Similarity.ivfqGeomFrames(e.filter(col("vec_id") < 10), e,
+        centroidsFor(e, sfDir, IvfNlist), nprobe = IvfNprobe)
+      f.lists.write.mode("overwrite").parquet(path + "/lists")
+      f.probes.write.mode("overwrite").parquet(path + "/probes")
+    }
+    Similarity.IvfqFrames(spark.read.parquet(path + "/lists"),
+      spark.read.parquet(path + "/probes"))
+  }
+
+  /** SQL twin of [[annIvfqTopK]] over the replayed geometry: integer
+    * dot scores from the int-array code twin (exact — int8 products
+    * summed), asim = dot / (‖q‖·‖c‖) in double with the same operand
+    * order as the Spark kernel, keepR = 4·k frontier per query on
+    * (asim DESC, cand_id), then the exact-cosine rerank tail shared
+    * with [[annIvfTopKOracle]]. */
+  val annIvfqTopKOracle: String = s"""
+WITH il AS (SELECT * FROM read_parquet(
+  '${oracleArtifact("ivfq-geom", s"n${IvfNlist}p$IvfNprobe")}/lists/*.parquet')),
+qp AS (SELECT * FROM read_parquet(
+  '${oracleArtifact("ivfq-geom", s"n${IvfNlist}p$IvfNprobe")}/probes/*.parquet')),
+iln AS (
+  SELECT cent_id, cand_id, cq_i,
+         sqrt(CAST(list_sum(list_transform(cq_i, x -> x * x)) AS DOUBLE)) AS cqn
+  FROM il),
+qpn AS (
+  SELECT cent_id, query_id, qq_i,
+         sqrt(CAST(list_sum(list_transform(qq_i, x -> x * x)) AS DOUBLE)) AS qqn
+  FROM qp),
+front0 AS (
+  SELECT q.query_id, c.cand_id,
+         CAST(list_sum(list_transform(range(1, len(q.qq_i) + 1),
+           i -> q.qq_i[i] * c.cq_i[i])) AS DOUBLE) / (q.qqn * c.cqn) AS asim
+  FROM qpn q JOIN iln c ON q.cent_id = c.cent_id
+  WHERE q.query_id <> c.cand_id),
+front AS (
+  SELECT query_id, cand_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY asim DESC, cand_id) AS arank
+  FROM front0),
+cand AS (SELECT query_id, cand_id FROM front WHERE arank <= 20),
+p AS (
+  SELECT cand.query_id, cand.cand_id,
+         unnest(q.embedding) AS qv, unnest(c.embedding) AS cv
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings c ON c.vec_id = cand.cand_id),
+s AS (
+  SELECT query_id, cand_id,
+         SUM(CAST(qv AS DOUBLE) * CAST(cv AS DOUBLE)) /
+           (sqrt(SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE))) *
+            sqrt(SUM(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE)))) AS sim
+  FROM p GROUP BY query_id, cand_id),
+r AS (
+  SELECT query_id, cand_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, cand_id) AS rank
+  FROM s)
+SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 5
+ORDER BY query_id, rank"""
 
   def annIvfqViolations(spark: SparkSession, sfDir: String): DataFrame =
     annViolations(spark, sfDir, annIvfqTopK(spark, sfDir))

@@ -609,6 +609,74 @@ class ExtensionSpec extends AnyFunSuite {
     assert(canon(Similarity.ivfTopKPrepared(reloaded, q, k = 3, quant)) == mono)
   }
 
+  /** The r12 artifact-replay contract: each geometry-split path
+    * (FromGeom/From) must equal its monolithic operator BIT-FOR-BIT —
+    * the driver's DuckDB oracles replay the persisted geometry frames,
+    * so any drift between the split and monolithic paths would
+    * hash-fail the gate. Frames are round-tripped through parquet (the
+    * production artifact path), exactly as the oracle reads them. */
+  test("geometry-replay splits equal their monolithic operators via parquet") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 10)
+    val quant = Similarity.trainCentroids(e, nlist = 16, trainIters = 2)
+    val root = java.nio.file.Files.createTempDirectory("geom-replay").toString
+    def rt(df: org.apache.spark.sql.DataFrame, name: String) = {
+      df.write.parquet(s"$root/$name"); spark.read.parquet(s"$root/$name")
+    }
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+
+    // IVF
+    val ivfMono = canon(Similarity.ivfTopK(q, e, k = 5, nlist = 16,
+      nprobe = 12, pretrained = Some(quant)))
+    val ivfF = Similarity.ivfGeomFrames(q, e, quant, nprobe = 12)
+    assert(canon(Similarity.ivfTopKFromGeom(rt(ivfF.lists, "il"),
+      rt(ivfF.probes, "ip"), q, e, k = 5)) == ivfMono)
+
+    // IVFQ (int-array code twin must match the binary codes' scores)
+    val ivfqMono = canon(Similarity.ivfTopKQuantized(q, e, k = 5, nlist = 16,
+      nprobe = 12, pretrained = Some(quant)))
+    val ivfqF = Similarity.ivfqGeomFrames(q, e, quant, nprobe = 12)
+    assert(canon(Similarity.ivfqTopKFromGeom(rt(ivfqF.lists, "ql"),
+      rt(ivfqF.probes, "qp"), q, e, k = 5)) == ivfqMono)
+
+    // cells dedup (multi-probe)
+    val cellsMono = canon(Similarity.cosineDedupCells(e, threshold = 0.4,
+      probeCells = 4, pretrained = Some(quant)))
+    val slim = Similarity.cellProbesFrame(e, quant, probeCells = 4)
+    assert(canon(Similarity.cosineDedupCellsFrom(rt(slim, "cells"), e,
+      threshold = 0.4, maxSpan = 256 * 4)) == cellsMono)
+
+    // semantic dedup manifest
+    val semMono = canon(Similarity.semanticDedup(e, threshold = 0.4,
+      pretrained = Some(quant)))
+    val assigned = Similarity.semanticAssignFrame(e, quant)
+    assert(canon(Similarity.semanticDedupFrom(rt(assigned, "assign"), e,
+      threshold = 0.4, maxCell = 256)) == semMono)
+    CacheRegistry.releaseAll()
+  }
+
+  test("bipartite minhash geometry replay equals minhashLshAgainst via parquet") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val index = docs.filter(col("doc_id") < 400)
+    val incoming = docs.filter(col("doc_id") >= 400)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+    val mono = canon(Dedup.minhashLshAgainst(index, incoming, "doc_id", "text",
+      bands = 16, rowsPerBand = 4, shingleWidth = 3, threshold = 0.5))
+    val idx = Dedup.minhashPrepare(index, "doc_id", "text")
+    val inc = Dedup.minhashPrepare(incoming, "doc_id", "text")
+    val f = Dedup.minhashBipartiteFrames(idx, inc,
+      bands = 16, rowsPerBand = 4, maxBucket = 64)
+    val root = java.nio.file.Files.createTempDirectory("bip-replay").toString
+    def rt(df: org.apache.spark.sql.DataFrame, name: String) = {
+      df.write.parquet(s"$root/$name"); spark.read.parquet(s"$root/$name")
+    }
+    assert(canon(Dedup.minhashVerifyFrom(rt(f.idxBlocks, "ib"), rt(f.probes, "pr"),
+      idx, inc, threshold = 0.5)) == mono)
+    CacheRegistry.releaseAll()
+  }
+
   test("ivfAppend extends a round-tripped index; recall holds without retrain") {
     import spark.implicits._
     val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
