@@ -101,6 +101,7 @@ object SparkEntry {
     "text_bpe_violations" -> (ExtensionQueries.textBpeViolations _),
     "corpus_split" -> (ExtensionQueries.corpusSplit _),
     "corpus_pack_sequences" -> (ExtensionQueries.corpusPackSequences _),
+    "corpus_chunk_overlap" -> (ExtensionQueries.corpusChunkOverlap _),
     "corpus_pack_bins" -> (ExtensionQueries.corpusPackBins _),
     "corpus_pack_bins_violations" -> (ExtensionQueries.corpusPackBinsViolations _),
     "corpus_decontaminate" -> (ExtensionQueries.corpusDecontaminate _),
@@ -238,6 +239,7 @@ object SparkEntry {
     "text_nb_confusion" -> ExtensionQueries.textNbConfusionOracle,
     "corpus_split" -> ExtensionQueries.corpusSplitOracle,
     "corpus_pack_sequences" -> ExtensionQueries.corpusPackSequencesOracle,
+    "corpus_chunk_overlap" -> ExtensionQueries.corpusChunkOverlapOracle,
     "corpus_pack_bins" -> ExtensionQueries.corpusPackBinsOracle,
     "corpus_pack_bins_violations" -> ExtensionQueries.violationOracle,
     "text_bpe_tokens" -> ExtensionQueries.textBpeTokensOracle,

@@ -124,4 +124,51 @@ object Packing {
       }
       .toDF("shard", "bin_id", "doc_id", "n_tok", "bin_off")
   }
+
+  /** Overlapping token-window chunking — the retrieval/RAG sibling of
+    * [[packManifest]]: where packing concatenates documents into
+    * fixed-length TRAINING sequences, chunking splits each document
+    * into overlapping RETRIEVAL windows (embed-and-index units). Chunk
+    * `i` covers whitespace tokens [i·stride, i·stride + window) of its
+    * document; `stride < window` gives the standard overlap so no
+    * semantic span is cut at a hard boundary without also appearing
+    * whole in a neighbor.
+    *
+    * TAIL CONTRACT: a start is emitted iff it is 0 or the PREVIOUS
+    * chunk did not already reach the document's end (start + window −
+    * stride < n_tokens) — so the final chunk may be short, but no
+    * chunk is ever a pure suffix of its predecessor (a redundant tail
+    * would embed/index duplicate content and skew retrieval scores).
+    * Every token lands in ≥ 1 chunk; tokens in overlap regions land in
+    * exactly 2 (window/stride = 2).
+    *
+    * Scale shape: one corpus scan, pure map-side explode — no shuffle,
+    * no window, no join; output rows ≈ n_tokens/stride per doc. At
+    * 100 TB this is the ideal operator shape: embarrassingly parallel,
+    * partition-count-preserving ([[Par.widen]] guards the degenerate
+    * few-row-group layout like every CPU-heavy explode in the repo).
+    * Integer arithmetic + order-preserving slices only — bit-identical
+    * in any engine.
+    *
+    * @return (doc_id, chunk_idx, start_tok, n_tokens, chunk_text). */
+  def chunkOverlap(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int, stride: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window]: $stride")
+    Par.widen(docs)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+          lit(stride))).as("start"))
+      .filter(col("start") === 0 ||
+        col("start") + lit(window - stride) < size(col("toks")))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_idx"),
+        col("start").cast("long").as("start_tok"),
+        slice(col("toks"), col("start") + 1, lit(window)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+  }
 }

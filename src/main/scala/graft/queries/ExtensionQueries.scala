@@ -1998,6 +1998,33 @@ SELECT shard, seq_id, doc_id,
        least(bef + n, (seq_id + 1) * 1024) - greatest(bef, seq_id * 1024) AS tok_len
 FROM x ORDER BY shard, seq_id, doc_id"""
 
+  /** Overlapping retrieval-window chunking ([[Packing.chunkOverlap]]):
+    * 64-token windows at stride 32 (50% overlap) over every document —
+    * the embed-and-index unit a RAG pipeline builds from a corpus.
+    * Pure map-side explode; integer starts + order-preserving slices,
+    * so DuckDB re-derives the full output including chunk text. */
+  def corpusChunkOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    Packing.chunkOverlap(Tables(spark, sfDir, "documents"), "doc_id", "text",
+        window = 64, stride = 32)
+      .orderBy("doc_id", "chunk_idx")
+
+  val corpusChunkOverlapOracle: String = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(len(toks), 1), 32)) AS start
+  FROM t),
+c AS (
+  SELECT doc_id, start, toks[start + 1 : start + 64] AS chunk
+  FROM s WHERE start = 0 OR start + 32 < len(toks))
+SELECT doc_id,
+       CAST(start // 32 AS BIGINT) AS chunk_idx,
+       CAST(start AS BIGINT) AS start_tok,
+       CAST(len(chunk) AS BIGINT) AS n_tokens,
+       array_to_string(chunk, ' ') AS chunk_text
+FROM c ORDER BY doc_id, chunk_idx"""
+
   /** Benchmark decontamination sweep ([[Dedup.crossNgramOverlap]]):
     * corpus docs sharing ≥ 3 distinct 5-grams with a benchmark set
     * (here: docs 0-99 standing in as the eval set). */

@@ -372,6 +372,41 @@ class CorpusOpsSpec extends AnyFunSuite {
       (1L, 3L, 2L, 0L, 2L)))
   }
 
+  test("chunk overlap: hand-checked windows, coverage, no redundant tails") {
+    import spark.implicits._
+    // 7 tokens, window 4, stride 2 → starts 0, 2, 4 (start 6 is a pure
+    // suffix of the start-4 chunk: 6 + 4 - 2 = 8 ≥ 7 → suppressed)
+    val df = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val got = Packing.chunkOverlap(df, "doc_id", "text", window = 4, stride = 2)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 4L, "a b c d"),
+      (1L, 2L, 4L, "c d e f"),
+      (2L, 4L, 3L, "e f g")))
+
+    // invariants on a ragged corpus: every token index covered; first
+    // `stride` tokens of each chunk reconstruct the document; no chunk
+    // is a suffix of its predecessor; short docs yield exactly 1 chunk
+    val docs = Seq(
+      (10L, (1 to 100).map(i => s"t$i").mkString(" ")),
+      (11L, "only three tokens"),
+      (12L, "x")).toDF("doc_id", "text")
+    val chunks = Packing.chunkOverlap(docs, "doc_id", "text", window = 8, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+    for ((id, text) <- Seq((10L, (1 to 100).map(i => s"t$i").mkString(" ")),
+        (11L, "only three tokens"), (12L, "x"))) {
+      val toks = text.split(" ").toSeq
+      val mine = chunks.filter(_._1 == id).sortBy(_._2)
+      // coverage: concat of first-stride slices + tail of last = doc
+      val rebuilt = (mine.init.flatMap(_._4.split(" ").take(4)) ++
+        mine.last._4.split(" ")).toSeq
+      assert(rebuilt == toks, s"doc $id must reconstruct from chunks")
+      assert(mine.head._3 == 0L)
+      if (toks.size <= 8) assert(mine.size == 1, s"short doc $id gets 1 chunk")
+    }
+  }
+
   test("pack manifest invariants: conservation, capacity, shard isolation") {
     import spark.implicits._
     val docs = (0L until 500L).map(i => (i, s"shard${i % 3}", (i % 37 + 1).toInt))
