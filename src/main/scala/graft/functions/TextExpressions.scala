@@ -187,8 +187,68 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** Order-`n` LM transitions of a token array as
+    * array<struct<prev,cur>> — one tight per-row loop over the token
+    * ArrayData. Semantically identical to the declarative
+    * `transform(sequence(1, m−(n−1)), i → struct(array_join(slice(toks,
+    * i, n−1), sep), element_at(toks, i+n−1)))`, but that HOF chain
+    * evaluates an INTERPRETED lambda (plus a slice + array_join
+    * allocation) per transition — measured 1.6 s of the 1.9 s LM
+    * scoring wall at the 2.7M-transition sf1 probe (tools.LmProbe),
+    * with the model joins near-free. The expression emits UTF8String
+    * refs into the input buffer (no copies; Generate projects them out
+    * before the next row, the same contract Spark's own array functions
+    * rely on) and joins multi-token contexts with one concatWs. */
+  case class NgramTransitions(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 2, "n-gram order must be >= 2")
+    override def dataType: DataType = ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("prev", StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("cur", StringType, nullable = false))),
+      containsNull = false)
+    override def prettyName: String = "ngram_transitions"
+
+    @transient private lazy val sep =
+      UTF8String.fromString(graft.operators.TextAnalysis.TokenSep)
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val m = toks.numElements()
+      if (m < n) return new GenericArrayData(Array.empty[Any])
+      val out = new Array[Any](m - n + 1)
+      var i = 0
+      while (i <= m - n) {
+        val prev =
+          if (n == 2) toks.getUTF8String(i)
+          else {
+            val parts = new Array[UTF8String](n - 1)
+            var j = 0
+            while (j < n - 1) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+            UTF8String.concatWs(sep, parts: _*)
+          }
+        out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](prev, toks.getUTF8String(i + n - 1)))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("ngramTr", this, classOf[NgramTransitions].getName)
+      nullSafeCodeGen(ctx, ev, a => {
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($a);"
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def decodeMimeHeader(c: Column): Column =
     GraftBridge.column(DecodeMimeHeader(GraftBridge.expr(c)))
+  def ngramTransitions(toks: Column, n: Int): Column =
+    GraftBridge.column(NgramTransitions(GraftBridge.expr(toks), n))
   def bpeEncode(c: Column, merges: Seq[(String, String)]): Column =
     GraftBridge.column(BpeEncodeText(GraftBridge.expr(c), merges))
   def winnowFingerprint(c: Column, k: Int = 8, w: Int = 4): Column =

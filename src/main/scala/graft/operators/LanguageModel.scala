@@ -45,18 +45,18 @@ object LanguageModel {
 
   /** Token transitions (context → next token) of a single-space-
     * tokenized text column as an array of (prev, cur) structs — built
-    * inside the row with array HOFs, so extraction adds no shuffle. The
-    * context is the n−1 preceding tokens re-joined on the tokenizer's
-    * separator: tokens cannot contain a space, so the joined string is
-    * an unambiguous composite key (no struct/array join keys needed). */
+    * inside the row, so extraction adds no shuffle. The context is the
+    * n−1 preceding tokens re-joined on the tokenizer's separator:
+    * tokens cannot contain a space, so the joined string is an
+    * unambiguous composite key (no struct/array join keys needed).
+    * Extraction is the codegen'd [[graft.functions.TextExpressions
+    * .NgramTransitions]] kernel — the declarative
+    * transform(sequence)+struct chain it replaced ran an interpreted
+    * lambda per transition and was 85% of LM scoring wall at the sf1
+    * probe (tools.LmProbe: 1.6 s of 1.9 s; model joins near-free). */
   private def transitions(toks: Column, n: Int): Column = {
     require(n >= 2, "n-gram order must be >= 2")
-    when(size(toks) < n, array().cast("array<struct<prev:string,cur:string>>"))
-      .otherwise(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => struct(
-          array_join(slice(toks, i, lit(n - 1)), TextAnalysis.TokenSep).as("prev"),
-          element_at(toks, i + (n - 1)).as("cur"))))
+    graft.functions.TextExpressions.ngramTransitions(toks, n)
   }
 
   /** Train an order-`n` LM over `textCol`: c(context, next), c(context),

@@ -18,6 +18,27 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(r.isNullAt(2))   // SQL contract: NULL on malformed
   }
 
+  test("ngram transitions kernel equals the declarative HOF formulation") {
+    import spark.implicits._
+    val docs = Seq("a b c d e", "x y", "solo", "", "p q r").toDF("text")
+    val toks = split(col("text"), " ")
+    for (n <- Seq(2, 3)) {
+      val declarative = when(size(toks) < n,
+          array().cast("array<struct<prev:string,cur:string>>"))
+        .otherwise(transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => struct(
+            array_join(slice(toks, i, lit(n - 1)), " ").as("prev"),
+            element_at(toks, i + (n - 1)).as("cur"))))
+      val got = docs.select(col("text"),
+          TextExpressions.ngramTransitions(toks, n).as("k"),
+          declarative.as("d"))
+        .collect()
+      for (r <- got)
+        assert(r.get(1) == r.get(2), s"n=$n text='${r.getString(0)}'")
+    }
+  }
+
   test("winnow fingerprint: identity, near-dup overlap, unrelated docs") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again " * 4
