@@ -345,6 +345,22 @@ object StreamingAnalytics {
     }
   }
 
+  /** Streaming retrieval chunking — split documents into overlapping
+    * token windows ([[graft.operators.Packing.chunkOverlap]]) as they
+    * arrive, the ingest half of a live embed-and-index pipeline.
+    * Chunking is a pure per-row map (no state, no model, no
+    * cross-batch keys), so streamed chunks are bit-identical to the
+    * batch operator on the same rows and a replayed micro-batch
+    * recomputes identical output — no watermark or replay guard
+    * needed. */
+  def chunkIntake(window: Int, stride: Int, idCol: String = "doc_id",
+                  textCol: String = "text",
+                  sink: (DataFrame, Long) => Unit = (_, _) => ())
+      : (DataFrame, Long) => Unit =
+    (batch, batchId) => sink(
+      graft.operators.Packing.chunkOverlap(batch, idCol, textCol,
+        window, stride), batchId)
+
   /** Streaming similarity search — serve ANN queries as they arrive
     * against a PREPARED IVF index ([[graft.operators.Similarity
     * .ivfPrepare]], persisted or cached) and a persisted quantizer

@@ -383,6 +383,37 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       "streamed ANN results differ from the batch prepared-index search")
   }
 
+  test("chunk intake: streamed chunks equal the batch operator bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val ckpt = java.nio.file.Files.createTempDirectory("chunk_ckpt").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(StreamingAnalytics.chunkIntake(
+        window = 16, stride = 8,
+        sink = (df, _) => df.collect()
+          .foreach(r => got.synchronized { got += r.toSeq })))
+      .start()
+    try {
+      mem.addData(docs.take(20).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(20).take(20).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val want = graft.operators.Packing.chunkOverlap(
+        spark.createDataset(docs.take(40).toSeq).toDF("doc_id", "text"),
+        "doc_id", "text", window = 16, stride = 8)
+      .collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+    assert(got.sortBy(_.mkString(",")).toSeq == want,
+      "streamed chunks differ from the batch operator")
+  }
+
   test("uniform sample updates: standing sample equals batch capPerGroup exactly; replay is identity") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
