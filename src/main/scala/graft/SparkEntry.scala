@@ -73,6 +73,7 @@ object SparkEntry {
     "dedup_exact" -> (ExtensionQueries.dedupExact _),
     "dedup_ngram_jaccard" -> (ExtensionQueries.dedupNgramJaccard _),
     "dedup_components" -> (ExtensionQueries.dedupComponents _),
+    "dedup_keep_best" -> (ExtensionQueries.dedupKeepBest _),
     "dedup_minhash_lsh" -> (ExtensionQueries.dedupMinhashLsh _),
     "dedup_simhash" -> (ExtensionQueries.dedupSimhash _),
     "dedup_embedding_cosine" -> (ExtensionQueries.dedupEmbeddingCosine _),
@@ -200,6 +201,7 @@ object SparkEntry {
     "dedup_exact" -> ExtensionQueries.dedupExactOracle,
     "dedup_ngram_jaccard" -> ExtensionQueries.dedupNgramJaccardOracle,
     "dedup_components" -> ExtensionQueries.dedupComponentsOracle,
+    "dedup_keep_best" -> ExtensionQueries.dedupKeepBestOracle,
     "dedup_embedding_exact" -> ExtensionQueries.dedupEmbeddingExactOracle,
     "dedup_embedding_twins" -> ExtensionQueries.dedupEmbeddingTwinsOracle,
     "ann_cosine_topk" -> ExtensionQueries.annCosineTopKOracle,

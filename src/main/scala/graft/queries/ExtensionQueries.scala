@@ -79,9 +79,11 @@ ORDER BY id_a, id_b"""
       .orderBy("doc_id")
   }
 
-  /** Oracle: the ngram pair CTE + a recursive reachability closure
-    * (min reachable id per node = component). */
-  val dedupComponentsOracle: String = """
+  /** The ngram pair CTE + recursive reachability closure (min reachable
+    * id per node = component) — one definition shared by the components
+    * and keep-best oracles so they can never drift on shingle width /
+    * threshold / df cap / closure semantics. */
+  private val componentClosureCte: String = """
 WITH RECURSIVE words AS (
   SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS i,
          unnest(string_split(text,' ')) AS w
@@ -113,13 +115,68 @@ reach(node, other) AS (
   SELECT a, a FROM edges
   UNION
   SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.other),
-comp AS (SELECT node, min(other) AS component FROM reach GROUP BY node)
+comp AS (SELECT node, min(other) AS component FROM reach GROUP BY node)"""
+
+  /** Oracle: closure CTE + canonical = cluster-minimum verdict. */
+  val dedupComponentsOracle: String = s"""$componentClosureCte
 SELECT d.doc_id,
        COALESCE(c.component, d.doc_id) AS component,
        CAST(CASE WHEN COALESCE(c.component, d.doc_id) = d.doc_id
             THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 ORDER BY d.doc_id"""
+
+  /** Curation verdict: each near-dup cluster keeps its HIGHEST-QUALITY
+    * member (ties broken by doc_id) instead of the minimum id — the
+    * selection a production pipeline actually ships, collapsing a
+    * duplicate group onto its best-written copy. Reuses the hash-green
+    * pair kernel + closure from [[dedupComponents]] and the SQL-twinned
+    * quality score from [[textStats]]; the only new machinery is one
+    * per-component argmax window over a (doc_id, component, score)-slim
+    * frame, so the 100 TB cost profile is identical to components. */
+  def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, sfDir, "documents")
+    val labels = Dedup.connectedComponents(ngramPairs(docs))
+    val qscore = TextAnalysis.qualityColumns(col("text"))
+      .collectFirst { case ("quality_score", c) => c }.get
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    docs.select(col("doc_id"), qscore.as("quality_score"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_outer")
+      .withColumn("component", coalesce(col("label"), col("doc_id")))
+      .select(col("doc_id"), col("component"), col("quality_score"),
+        (row_number().over(w) === 1).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: closure CTE + the [[textStatsOracle]] quality expression +
+    * one argmax window — same verdict, derived relationally. */
+  val dedupKeepBestOracle: String = s"""$componentClosureCte,
+q AS (
+  SELECT doc_id,
+  (CASE WHEN len(string_split(text,' ')) >= 20 AND len(string_split(text,' ')) <= 2000
+        THEN 0.4 ELSE 0.1 END)
+  + 0.4 * (CAST(len(list_filter(string_split(text,' '),
+      w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+      / len(string_split(text,' ')))
+  + (CASE WHEN (CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+                / len(string_split(text,' '))) >= 3.0
+           AND (CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+                / len(string_split(text,' '))) <= 9.0
+          THEN 0.2 ELSE 0.0 END) AS quality_score
+  FROM documents)
+SELECT doc_id, component, quality_score,
+       CAST(CASE WHEN row_number() OVER (
+              PARTITION BY component
+              ORDER BY quality_score DESC, doc_id ASC) = 1
+            THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, q.quality_score
+  FROM documents d
+  LEFT JOIN comp c ON c.node = d.doc_id
+  JOIN q ON q.doc_id = d.doc_id)
+ORDER BY doc_id"""
 
   /** Trained k-means centroids per (scale dir, cell count), learned once
     * per JVM — same discipline as [[bpeMerges]]: a centroid set is

@@ -476,6 +476,22 @@ class ExtensionSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("dedup_keep_best keeps exactly the highest-quality member per cluster") {
+    val out = graft.queries.ExtensionQueries.dedupKeepBest(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byComp = out.groupBy(_.getLong(1))
+    byComp.foreach { case (compId, rows) =>
+      val kept = rows.filter(_.getInt(3) == 1)
+      assert(kept.length == 1, s"component $compId keeps ${kept.length} members")
+      val best = rows.minBy(r => (-r.getDouble(2), r.getLong(0)))
+      assert(kept.head.getLong(0) == best.getLong(0),
+        s"component $compId kept ${kept.head.getLong(0)}, best is ${best.getLong(0)}")
+    }
+    assert(byComp.exists(_._2.length > 1),
+      "corpus must contain at least one multi-doc cluster to exercise the argmax")
+    CacheRegistry.releaseAll()
+  }
+
   test("connected components label a 300-node chain exactly (pointer jumping)") {
     import spark.implicits._
     // a path graph of diameter 299: plain min-label propagation moves the
