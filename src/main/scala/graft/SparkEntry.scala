@@ -84,6 +84,7 @@ object SparkEntry {
     "ann_lsh_topk" -> (ExtensionQueries.annLshTopK _),
     "ann_ivf_topk" -> (ExtensionQueries.annIvfTopK _),
     "ann_ivfq_topk" -> (ExtensionQueries.annIvfqTopK _),
+    "ann_pq_topk" -> (ExtensionQueries.annPqTopK _),
     "text_stats" -> (ExtensionQueries.textStats _),
     "text_langid" -> (ExtensionQueries.textLangId _),
     "text_token_count" -> (ExtensionQueries.textTokenCount _),
@@ -131,12 +132,14 @@ object SparkEntry {
     "ann_lsh_violations" -> (ExtensionQueries.annLshViolations _),
     "ann_ivf_violations" -> (ExtensionQueries.annIvfViolations _),
     "ann_ivfq_violations" -> (ExtensionQueries.annIvfqViolations _),
+    "ann_pq_violations" -> (ExtensionQueries.annPqViolations _),
     // -- recall gates: the violations rows prove precision; these prove
     //    the approximate indexes RETRIEVE (mean recall@k >= 0.9 vs the
     //    oracle-green exact frame), reduced to a constant provable row --
     "ann_lsh_recall" -> (ExtensionQueries.annLshRecall _),
     "ann_ivf_recall" -> (ExtensionQueries.annIvfRecall _),
     "ann_ivfq_recall" -> (ExtensionQueries.annIvfqRecall _),
+    "ann_pq_recall" -> (ExtensionQueries.annPqRecall _),
     "dedup_minhash_recall" -> (ExtensionQueries.dedupMinhashRecall _),
     "dedup_embedding_recall" -> (ExtensionQueries.dedupEmbeddingRecall _),
     "text_winnow_violations" -> (ExtensionQueries.textWinnowViolations _),
@@ -224,9 +227,11 @@ object SparkEntry {
     "ann_lsh_violations" -> ExtensionQueries.violationOracle,
     "ann_ivf_violations" -> ExtensionQueries.violationOracle,
     "ann_ivfq_violations" -> ExtensionQueries.violationOracle,
+    "ann_pq_violations" -> ExtensionQueries.violationOracle,
     "ann_lsh_recall" -> ExtensionQueries.annRecallOracle,
     "ann_ivf_recall" -> ExtensionQueries.annRecallOracle,
     "ann_ivfq_recall" -> ExtensionQueries.annRecallOracle,
+    "ann_pq_recall" -> ExtensionQueries.annRecallOracle,
     "dedup_minhash_recall" -> ExtensionQueries.dedupMinhashRecallOracle,
     "dedup_embedding_recall" -> ExtensionQueries.dedupEmbeddingRecallOracle,
     "text_winnow_fingerprint" -> ExtensionQueries.textWinnowOracle,
@@ -264,6 +269,7 @@ object SparkEntry {
     "ann_lsh_topk" -> ExtensionQueries.annLshTopKOracle,
     "ann_ivf_topk" -> ExtensionQueries.annIvfTopKOracle,
     "ann_ivfq_topk" -> ExtensionQueries.annIvfqTopKOracle,
+    "ann_pq_topk" -> ExtensionQueries.annPqTopKOracle,
     "dedup_embedding_cosine" -> ExtensionQueries.dedupEmbeddingCosineOracle,
     "dedup_semantic" -> ExtensionQueries.dedupSemanticOracle,
     "dedup_incremental" -> ExtensionQueries.dedupIncrementalOracle

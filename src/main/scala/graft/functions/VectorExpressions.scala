@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Custom Catalyst expressions for the hot numeric kernels.
   *
@@ -722,6 +722,204 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Product-quantization encoder: split the float vector into
+    * `codebooks.length` contiguous subspaces and emit, per subspace, the
+    * index of the L2-NEAREST sub-centroid (argmin ‖x_j − c‖², ties to the
+    * smaller code since the scan keeps the first minimum — deterministic).
+    * Null when the vector length is not m × dsub (the
+    * [[NearestCentroids]] mismatch contract). L2, not cosine: the code
+    * minimizes RECONSTRUCTION error, which bounds the ADC inner-product
+    * error by ‖q‖·‖x−x̂‖ — a direction-only assignment would discard
+    * sub-vector magnitude, which the inner product needs. */
+  case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "pq_encode"
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val m = codebooks.length
+      val dsub = codebooks(0)(0).length
+      if (v.numElements() != m * dsub) return null
+      val out = new Array[Int](m)
+      var j = 0
+      while (j < m) {
+        val cb = codebooks(j)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb.length) {
+          val cent = cb(c)
+          var d = 0.0
+          var i = 0
+          while (i < dsub) {
+            val diff = v.getFloat(j * dsub + i).toDouble - cent(i).toDouble
+            d += diff * diff
+            i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        out(j) = best
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqEncode", this, classOf[PqEncode].getName)
+      val tmp = ctx.freshName("codes")
+      nullSafeCodeGen(ctx, ev, a => {
+        s"""
+        Object $tmp = $ref.nullSafeEval($a);
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $tmp; }
+        """
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Per-query ADC lookup table: lut[j·ksub + c] = Σ_i q[j·dsub+i]·cb[j][c][i],
+    * accumulated sequentially in double (element order — the oracle's
+    * list arithmetic folds identically). Computed ONCE per query row;
+    * every candidate then scores in O(m) array lookups ([[PqAdc]])
+    * instead of O(dim) multiplies — the classic PQ bandwidth win. Null
+    * on dimension mismatch. */
+  case class PqLut(child: Expression, codebooks: Array[Array[Array[Float]]])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "pq_lut"
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val m = codebooks.length
+      val ksub = codebooks(0).length
+      val dsub = codebooks(0)(0).length
+      if (v.numElements() != m * dsub) return null
+      val out = new Array[Double](m * ksub)
+      var j = 0
+      while (j < m) {
+        val cb = codebooks(j)
+        var c = 0
+        while (c < ksub) {
+          val cent = cb(c)
+          var dot = 0.0
+          var i = 0
+          while (i < dsub) {
+            dot += v.getFloat(j * dsub + i).toDouble * cent(i).toDouble
+            i += 1
+          }
+          out(j * ksub + c) = dot
+          c += 1
+        }
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqLut", this, classOf[PqLut].getName)
+      val tmp = ctx.freshName("lut")
+      nullSafeCodeGen(ctx, ev, a => {
+        s"""
+        Object $tmp = $ref.nullSafeEval($a);
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $tmp; }
+        """
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Asymmetric-distance score: Σ_j lut[j·ksub + codes[j]] — the
+    * approximate inner product ⟨q, x̂⟩ from a [[PqLut]] table and a
+    * [[PqEncode]] code word, summed in subspace order in double. ksub is
+    * recovered from the operand shapes (lut length = m·ksub, codes
+    * length = m). */
+  case class PqAdc(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "pq_adc"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val lut = a.asInstanceOf[ArrayData]
+      val codes = b.asInstanceOf[ArrayData]
+      val m = codes.numElements()
+      val ksub = lut.numElements() / m
+      var acc = 0.0
+      var j = 0
+      while (j < m) {
+        acc += lut.getDouble(j * ksub + codes.getInt(j))
+        j += 1
+      }
+      java.lang.Double.valueOf(acc)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val j = ctx.freshName("j")
+        val m = ctx.freshName("m")
+        val ksub = ctx.freshName("ksub")
+        val acc = ctx.freshName("acc")
+        s"""
+        int $m = $b.numElements();
+        int $ksub = $a.numElements() / $m;
+        double $acc = 0.0;
+        for (int $j = 0; $j < $m; $j++) {
+          $acc += $a.getDouble($j * $ksub + $b.getInt($j));
+        }
+        ${ev.value} = $acc;
+        """
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Norm of the PQ RECONSTRUCTION: √(Σ_j ‖cb[j][codes[j]]‖²) — the
+    * denominator that turns [[PqAdc]]'s inner product into an
+    * approximate cosine. Per-(subspace, code) squared norms are cached
+    * once per operator instance; evaluation is m lookups + one sqrt. */
+  case class PqReconNorm(child: Expression, codebooks: Array[Array[Array[Float]]])
+      extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "pq_recon_norm"
+
+    @transient private lazy val sqNorms: Array[Array[Double]] =
+      codebooks.map(_.map { c =>
+        var s = 0.0
+        var i = 0
+        while (i < c.length) { s += c(i).toDouble * c(i).toDouble; i += 1 }
+        s
+      })
+
+    override def nullSafeEval(input: Any): Any = {
+      val codes = input.asInstanceOf[ArrayData]
+      val m = codes.numElements()
+      var s = 0.0
+      var j = 0
+      while (j < m) { s += sqNorms(j)(codes.getInt(j)); j += 1 }
+      java.lang.Double.valueOf(math.sqrt(s))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqReconNorm", this, classOf[PqReconNorm].getName)
+      nullSafeCodeGen(ctx, ev, a => {
+        s"${ev.value} = ((java.lang.Double) $ref.nullSafeEval($a)).doubleValue();"
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // Column-facing wrappers.
   def vecDot(a: Column, b: Column): Column =
     GraftBridge.column(FloatVecDot(GraftBridge.expr(a), GraftBridge.expr(b)))
@@ -744,6 +942,14 @@ object VectorExpressions {
       bitsPerTable))
   def hashShingles(wordHashes: Column, w: Int): Column =
     GraftBridge.column(HashShingles(GraftBridge.expr(wordHashes), w))
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    GraftBridge.column(PqEncode(GraftBridge.expr(vec), codebooks))
+  def pqLut(vec: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    GraftBridge.column(PqLut(GraftBridge.expr(vec), codebooks))
+  def pqAdc(lut: Column, codes: Column): Column =
+    GraftBridge.column(PqAdc(GraftBridge.expr(lut), GraftBridge.expr(codes)))
+  def pqReconNorm(codes: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    GraftBridge.column(PqReconNorm(GraftBridge.expr(codes), codebooks))
   def nearestCentroids(vec: Column, centIds: Array[Long],
                        centroids: Array[Array[Float]], keep: Int): Column =
     GraftBridge.column(NearestCentroids(GraftBridge.expr(vec), centIds, centroids, keep))

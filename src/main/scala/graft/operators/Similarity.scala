@@ -806,6 +806,150 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
   }
 
+  // ------------------------------------------------------------- IVF-PQ ----
+
+  /** Train per-subspace product-quantization codebooks with the same
+    * distributed-Lloyd discipline as [[trainCentroids]]: deterministic
+    * hash-stratum training sample (≤ [[TrainSampleCap]] rows),
+    * hash-ordered seed selection, decimal fixed-point mean updates so
+    * the result is bit-deterministic regardless of partitioning, and
+    * driver traffic bounded by the MODEL size (m·ksub·dsub floats per
+    * Lloyd round — never corpus-sized). Assignment inside training is
+    * L2 ([[graft.functions.VectorExpressions.PqEncode]]) — the metric
+    * the encoder itself uses, so training and serving can't disagree.
+    *
+    * The model is tiny (m·ksub·dsub floats) but the compression is the
+    * point: a 64-dim float vector (256 B) becomes m sub-byte codes
+    * (16 B packed at m=16, ksub=64) in the inverted lists — at 100 TB
+    * the PQ lists hold ~16× more vectors per executor-memory byte than
+    * float lists, and candidate scoring is O(m) table lookups per pair
+    * ([[graft.functions.VectorExpressions.PqAdc]]) instead of O(dim)
+    * multiplies. */
+  def trainPqCodebooks(corpus: DataFrame, m: Int, ksub: Int,
+                       trainIters: Int = 2): Array[Array[Array[Float]]] = {
+    val dim = corpus.select(size(col("embedding")).as("d")).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
+    val dsub = dim / m
+    val n = corpus.count()
+    val train0 = if (n <= TrainSampleCap) corpus
+      else {
+        val k = math.max(1L, n / TrainSampleCap)
+        corpus.filter(pmod(xxhash64(col("vec_id")), lit(k)) === 0)
+      }
+    (0 until m).toArray.map { j =>
+      val sub = train0.select(col("vec_id"),
+        slice(col("embedding"), j * dsub + 1, dsub).as("embedding"))
+      var cb = sub.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .limit(ksub).collect().map(_.getSeq[Float](1).toArray)
+      for (_ <- 1 to trainIters) cb = pqLloydStep(sub, cb)
+      cb
+    }
+  }
+
+  /** One L2 Lloyd update over ONE subspace — [[lloydStep]]'s fixed-point
+    * mean discipline with [[graft.functions.VectorExpressions.PqEncode]]
+    * (m=1) as the assignment kernel. Empty cells keep their centroid. */
+  private def pqLloydStep(sub: DataFrame,
+                          cb: Array[Array[Float]]): Array[Array[Float]] = {
+    import graft.functions.VectorExpressions.pqEncode
+    val assigned = sub
+      .select(element_at(pqEncode(col("embedding"), Array(cb)), 1).as("cell"),
+        col("embedding"))
+      .where(col("cell").isNotNull)
+      .select(col("cell"), posexplode(col("embedding")))
+    val meanRows = assigned
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(floor(col("col").cast("double") * (1L << 24))
+        .cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n"))
+      .collect()
+    val next = cb.map(_.clone())
+    meanRows.foreach { r =>
+      next(r.getInt(0))(r.getInt(1)) =
+        (r.getDecimal(2).doubleValue() / (1L << 24) / r.getLong(3)).toFloat
+    }
+    next
+  }
+
+  /** The geometry frames of IVF-PQ — (lists, probes), both SLIM:
+    *
+    *  - `lists`: (cent_id, cand_id, codes, rn) — each corpus vector in
+    *    its one nearest coarse cell (cosine, the IVF quantizer), its
+    *    m-byte PQ code word, and its reconstruction norm. No floats
+    *    ride the index: at scale this is the frame that stays resident
+    *    while the raw embeddings stay behind in the corpus scan.
+    *  - `probes`: (query_id, cent_id, lut, qn) — nprobe coarse cells
+    *    per query plus the per-query ADC lookup table (m·ksub doubles,
+    *    built once per query, reused across every candidate).
+    *
+    * Zero-norm vectors, dim-mismatched vectors, and the (degenerate)
+    * zero-reconstruction case are excluded, extending the cosine-family
+    * contract ([[bruteForceTopK]]): a vector whose reconstruction is
+    * the zero vector has no defined approximate cosine. */
+  def pqGeomFrames(queries: DataFrame, corpus: DataFrame,
+                   quantizer: (Array[Long], Array[Array[Float]]),
+                   codebooks: Array[Array[Array[Float]]],
+                   nprobe: Int): PqFrames = {
+    import graft.functions.VectorExpressions.{pqEncode, pqLut, pqReconNorm}
+    val (centIds, cents) = quantizer
+    val lists = Par.widen(corpus)
+      .select(col("vec_id").as("cand_id"),
+        cellAssign(col("embedding"), centIds, cents).as("cent_id"),
+        pqEncode(col("embedding"), codebooks).as("codes"),
+        vecNorm(col("embedding")).as("cn"))
+      .filter(col("cent_id").isNotNull && col("codes").isNotNull &&
+        col("cn") > 0)
+      .withColumn("rn", pqReconNorm(col("codes"), codebooks))
+      .filter(col("rn") > 0)
+      .select("cent_id", "cand_id", "codes", "rn")
+    val probes = queries
+      .select(col("vec_id").as("query_id"),
+        pqLut(col("embedding"), codebooks).as("lut"),
+        explode(cellsAssign(col("embedding"), centIds, cents, nprobe)).as("cent_id"),
+        vecNorm(col("embedding")).as("qn"))
+      .filter(col("qn") > 0 && col("lut").isNotNull)
+      .select("query_id", "cent_id", "lut", "qn")
+    PqFrames(lists, probes)
+  }
+
+  /** The ADC-frontier + exact-rerank stage of IVF-PQ over
+    * [[pqGeomFrames]]-shaped frames: approximate cosine =
+    * ADC(lut, codes) / (‖q‖·‖x̂‖) ranks a keepR frontier per query on
+    * (asim DESC, cand_id); raw float vectors attach only to the
+    * ≤ keepR·|queries| frontier for the exact rerank — the same tail
+    * contract as [[ivfqTopKFromGeom]]. */
+  def pqTopKFromGeom(lists: DataFrame, probes: DataFrame,
+                     queries: DataFrame, corpus: DataFrame,
+                     k: Int, rerank: Int = 0): DataFrame = {
+    import graft.functions.VectorExpressions.pqAdc
+    val keepR = if (rerank > 0) rerank else 4 * k
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("asim").desc, col("cand_id"))
+    val frontier = lists.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("asim",
+        pqAdc(col("lut"), col("codes")) / (col("qn") * col("rn")))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= keepR)
+      .select("query_id", "cand_id")
+    val qFull = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("queryv"), vecNorm(col("embedding")).as("queryn"))
+    val cFull = corpus.select(col("vec_id").as("cand_id"),
+      col("embedding").as("candv"), vecNorm(col("embedding")).as("candn"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
+    frontier
+      .join(broadcast(qFull), "query_id")
+      .join(cFull, "cand_id")
+      .withColumn("sim",
+        vecDot(col("queryv"), col("candv")) / (col("queryn") * col("candn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
+  }
+
+  /** The geometry frames of IVF-PQ — (lists, probes). */
+  final case class PqFrames(lists: DataFrame, probes: DataFrame)
+
   /** Symmetric per-vector int8 quantization (max-abs scaling) — the
     * standard 4× storage/bandwidth reduction for corpus-scale embedding
     * stores; dequantized values sit within scale/2 of the original.

@@ -1124,6 +1124,123 @@ ORDER BY query_id, rank"""
   def annIvfqViolations(spark: SparkSession, sfDir: String): DataFrame =
     annViolations(spark, sfDir, annIvfqTopK(spark, sfDir))
 
+  // ------------------------------------------------------------ IVF-PQ ----
+
+  // The classic byte-code grid (16 subspaces × 256 codes = 16 B per
+  // 64-dim vector). Measured on the synthetic corpora (near-random
+  // vectors — PQ's worst case): with keepR = 8k the ADC frontier
+  // reaches the IVF cell-recall CEILING at both gate scales (45/50 at
+  // sf0.01 = exactly the probed-cell ceiling; 48/50 at sf0.001) —
+  // i.e. the quantized frontier loses nothing vs the float IVF path.
+  // Coarser grids (8×16) need keepR ≈ 32k for the same recall.
+  private val PqM = 16
+  private val PqKsub = 256
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[String, Array[Array[Array[Float]]]]
+
+  /** Trained PQ codebooks per scale dir — the [[centroidsFor]]
+    * train-once-serve-across-JOBS discipline: persisted as a
+    * (subspace, code, subvec) parquet artifact, served LOADED so the
+    * gate exercises the round-trip. */
+  private def pqCodebooksFor(e: DataFrame, sfDir: String): Array[Array[Array[Float]]] =
+    pqCache.getOrElseUpdate(sfDir, {
+      val spark = e.sparkSession
+      val path = artifactPath("pq-codebooks", sfDir, s"m${PqM}k$PqKsub")
+      if (!Artifacts.exists(spark, path)) {
+        val cb = Similarity.trainPqCodebooks(e, PqM, PqKsub, trainIters = 2)
+        import spark.implicits._
+        cb.indices.flatMap(j => cb(j).indices.map(c => (j, c, cb(j)(c).toSeq)))
+          .toDF("subspace", "code", "subvec")
+          .coalesce(1).write.mode("overwrite").parquet(path)
+      }
+      val rows = spark.read.parquet(path).orderBy("subspace", "code").collect()
+      val m = rows.iterator.map(_.getInt(0)).max + 1
+      val out = Array.fill(m)(Array.empty[Array[Float]])
+      rows.groupBy(_.getInt(0)).foreach { case (j, rs) =>
+        out(j) = rs.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray)
+      }
+      out
+    })
+
+  /** Persisted [[Similarity.pqGeomFrames]] for the ann_pq_topk
+    * configuration — coarse quantizer SHARED with the IVF family (one
+    * cell model serves ivf, ivfq, and pq, as it would in production). */
+  private[graft] def pqFramesFor(spark: SparkSession, sfDir: String)
+      : Similarity.PqFrames = {
+    val path = artifactPath("pq-geom", sfDir,
+      s"m${PqM}k${PqKsub}n${IvfNlist}p$IvfNprobe")
+    if (!Artifacts.exists(spark, path + "/probes")) {
+      val e = Tables(spark, sfDir, "embeddings")
+      val f = Similarity.pqGeomFrames(e.filter(col("vec_id") < 10), e,
+        centroidsFor(e, sfDir, IvfNlist), pqCodebooksFor(e, sfDir),
+        nprobe = IvfNprobe)
+      f.lists.write.mode("overwrite").parquet(path + "/lists")
+      f.probes.write.mode("overwrite").parquet(path + "/probes")
+    }
+    Similarity.PqFrames(spark.read.parquet(path + "/lists"),
+      spark.read.parquet(path + "/probes"))
+  }
+
+  /** IVF-PQ top-k: coarse-cell candidate pruning + product-quantized
+    * ADC frontier + exact float rerank — the memory-bound scale path
+    * (m one-byte codes per list vector = 32× denser than float lists;
+    * O(m)-lookup candidate scoring). Geometry persisted and replayed
+    * by [[annPqTopKOracle]]. */
+  def annPqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+    val f = pqFramesFor(spark, sfDir)
+    Similarity.pqTopKFromGeom(f.lists, f.probes,
+        e.filter(col("vec_id") < 10), e, k = 5, rerank = 40)
+      .orderBy("query_id", "rank")
+  }
+
+  /** SQL twin of [[annPqTopK]] over the replayed geometry: ADC
+    * re-derived relationally — lut[(j−1)·ksub + codes[j] + 1] summed in
+    * subspace order (exact lookups, one double fold matching the Spark
+    * kernel's accumulation order), asim = adc / (qn·rn) with the same
+    * operand order, keepR = 8·k frontier on (asim DESC, cand_id), then
+    * the exact-cosine rerank tail shared with [[annIvfqTopKOracle]]. */
+  val annPqTopKOracle: String = s"""
+WITH il AS (SELECT * FROM read_parquet(
+  '${oracleArtifact("pq-geom", s"m${PqM}k${PqKsub}n${IvfNlist}p$IvfNprobe")}/lists/*.parquet')),
+qp AS (SELECT * FROM read_parquet(
+  '${oracleArtifact("pq-geom", s"m${PqM}k${PqKsub}n${IvfNlist}p$IvfNprobe")}/probes/*.parquet')),
+front0 AS (
+  SELECT q.query_id, c.cand_id,
+         CAST(list_sum(list_transform(range(1, $PqM + 1),
+           j -> q.lut[(j-1)*$PqKsub + c.codes[j] + 1])) AS DOUBLE)
+           / (q.qn * c.rn) AS asim
+  FROM qp q JOIN il c ON q.cent_id = c.cent_id
+  WHERE q.query_id <> c.cand_id),
+front AS (
+  SELECT query_id, cand_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY asim DESC, cand_id) AS arank
+  FROM front0),
+cand AS (SELECT query_id, cand_id FROM front WHERE arank <= 40),
+p AS (
+  SELECT cand.query_id, cand.cand_id,
+         unnest(q.embedding) AS qv, unnest(c.embedding) AS cv
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings c ON c.vec_id = cand.cand_id),
+s AS (
+  SELECT query_id, cand_id,
+         SUM(CAST(qv AS DOUBLE) * CAST(cv AS DOUBLE)) /
+           (sqrt(SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE))) *
+            sqrt(SUM(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE)))) AS sim
+  FROM p GROUP BY query_id, cand_id),
+r AS (
+  SELECT query_id, cand_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, cand_id) AS rank
+  FROM s)
+SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 5
+ORDER BY query_id, rank"""
+
+  def annPqViolations(spark: SparkSession, sfDir: String): DataFrame =
+    annViolations(spark, sfDir, annPqTopK(spark, sfDir))
+
   /** Driver-gated RECALL: the violations rows prove precision (emitted
     * sims exact, ranks sane) but say nothing about what the approximate
     * index MISSES — that lived only in ScalaTest. This reduces recall@k
@@ -1151,6 +1268,9 @@ ORDER BY query_id, rank"""
 
   def annIvfqRecall(spark: SparkSession, sfDir: String): DataFrame =
     annRecall(annCosineTopK(spark, sfDir), annIvfqTopK(spark, sfDir), 0.9)
+
+  def annPqRecall(spark: SparkSession, sfDir: String): DataFrame =
+    annRecall(annCosineTopK(spark, sfDir), annPqTopK(spark, sfDir), 0.9)
 
   val annRecallOracle: String =
     "SELECT CAST(10 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS recall_ok"

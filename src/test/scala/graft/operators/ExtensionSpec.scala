@@ -463,6 +463,44 @@ class ExtensionSpec extends AnyFunSuite {
     assert(trained >= 15, s"trained IVF recall too low: $trained/20")
   }
 
+  test("pq ADC score equals the reconstruction inner product") {
+    import spark.implicits._
+    import graft.functions.VectorExpressions.{pqAdc, pqEncode, pqLut}
+    // 2 subspaces × 2 codes × dsub=2 — small enough to verify by hand
+    val cb: Array[Array[Array[Float]]] = Array(
+      Array(Array(1f, 0f), Array(0f, 1f)),
+      Array(Array(0.5f, 0.5f), Array(-1f, 2f)))
+    val df = Seq(
+      (1L, Seq(0.9f, 0.1f, 0.4f, 0.6f)),
+      (2L, Seq(0.0f, 1.1f, -0.9f, 1.8f))).toDF("vec_id", "embedding")
+    val q = df.select(col("vec_id").as("qid"),
+      pqLut(col("embedding"), cb).as("lut"))
+    val c = df.select(col("vec_id").as("cid"),
+      pqEncode(col("embedding"), cb).as("codes"))
+    val adc = q.crossJoin(c)
+      .select(col("qid"), col("cid"), pqAdc(col("lut"), col("codes")).as("adc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // vec 1 encodes to (0, 0): recon = (1, 0, 0.5, 0.5)
+    val recon1 = Array(1f, 0f, 0.5f, 0.5f)
+    val q2 = Array(0.0f, 1.1f, -0.9f, 1.8f)
+    val expected = q2.indices.foldLeft(0.0)((s, i) =>
+      s + q2(i).toDouble * recon1(i).toDouble)
+    assert(math.abs(adc((2L, 1L)) - expected) < 1e-12,
+      s"ADC ${adc((2L, 1L))} != recon dot $expected")
+    CacheRegistry.releaseAll()
+  }
+
+  test("ann_pq_topk holds the recall gate with zero violations at sf0.001") {
+    val rec = graft.queries.ExtensionQueries.annPqRecall(spark, sf).collect().head
+    assert(rec.getAs[Long]("recall_ok") == 1L, s"pq recall below gate: $rec")
+    assert(rec.getAs[Long]("n_queries") == 10L)
+    val vio = graft.queries.ExtensionQueries.annPqViolations(spark, sf)
+      .collect().head
+    assert(vio.getAs[Long]("n_violations") == 0L, s"pq violations: $vio")
+    assert(vio.getAs[Long]("has_pairs") == 1L)
+    CacheRegistry.releaseAll()
+  }
+
   test("connected components collapse transitive duplicate chains") {
     import spark.implicits._
     // chain 1-2-3-4 (consecutive pairs only), separate pair 10-11, isolated 99
