@@ -64,6 +64,33 @@ object Artifacts {
     (rows.map(_.getLong(1)), rows.map(_.getSeq[Float](2).toArray))
   }
 
+  /** Persist PQ codebooks as (subspace, code, subvec) parquet — the
+    * table the DuckDB oracles can also replay. Model-sized
+    * (m·ksub·dsub floats); one file for the same reason as
+    * [[saveCentroids]]. */
+  def savePqCodebooks(spark: SparkSession, path: String,
+                      cb: Array[Array[Array[Float]]]): Unit = {
+    import spark.implicits._
+    cb.indices.flatMap(j => cb(j).indices.map(c => (j, c, cb(j)(c).toSeq)))
+      .toDF("subspace", "code", "subvec")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[savePqCodebooks]] artifact, (subspace, code) order
+    * restored — code VALUE is the array index the ADC lookup uses, so
+    * order is load-bearing like centroid ordinals. */
+  def loadPqCodebooks(spark: SparkSession, path: String)
+      : Array[Array[Array[Float]]] = {
+    val rows = spark.read.parquet(path).orderBy("subspace", "code").collect()
+    require(rows.nonEmpty, s"empty PQ codebook artifact at $path")
+    val m = rows.iterator.map(_.getInt(0)).max + 1
+    val out = Array.fill(m)(Array.empty[Array[Float]])
+    rows.groupBy(_.getInt(0)).foreach { case (j, rs) =>
+      out(j) = rs.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray)
+    }
+    out
+  }
+
   /** Persist a BPE merge table as (rank, a, b) parquet. */
   def saveMerges(spark: SparkSession, path: String,
                  merges: Seq[(String, String)]): Unit = {

@@ -890,7 +890,7 @@ object Similarity {
                    quantizer: (Array[Long], Array[Array[Float]]),
                    codebooks: Array[Array[Array[Float]]],
                    nprobe: Int): PqFrames = {
-    import graft.functions.VectorExpressions.{pqEncode, pqLut, pqReconNorm}
+    import graft.functions.VectorExpressions.{pqEncode, pqReconNorm}
     val (centIds, cents) = quantizer
     val lists = Par.widen(corpus)
       .select(col("vec_id").as("cand_id"),
@@ -902,14 +902,26 @@ object Similarity {
       .withColumn("rn", pqReconNorm(col("codes"), codebooks))
       .filter(col("rn") > 0)
       .select("cent_id", "cand_id", "codes", "rn")
-    val probes = queries
+    PqFrames(lists, pqProbes(queries, quantizer, codebooks, nprobe))
+  }
+
+  /** The query side of [[pqGeomFrames]] alone — (query_id, cent_id,
+    * lut, qn) — so a SERVING path (streaming micro-batches against a
+    * persisted PQ index) can build fresh probes per batch without
+    * re-deriving the corpus lists. */
+  def pqProbes(queries: DataFrame,
+               quantizer: (Array[Long], Array[Array[Float]]),
+               codebooks: Array[Array[Array[Float]]],
+               nprobe: Int): DataFrame = {
+    import graft.functions.VectorExpressions.pqLut
+    val (centIds, cents) = quantizer
+    queries
       .select(col("vec_id").as("query_id"),
         pqLut(col("embedding"), codebooks).as("lut"),
         explode(cellsAssign(col("embedding"), centIds, cents, nprobe)).as("cent_id"),
         vecNorm(col("embedding")).as("qn"))
       .filter(col("qn") > 0 && col("lut").isNotNull)
       .select("query_id", "cent_id", "lut", "qn")
-    PqFrames(lists, probes)
   }
 
   /** The ADC-frontier + exact-rerank stage of IVF-PQ over

@@ -1146,20 +1146,10 @@ ORDER BY query_id, rank"""
     pqCache.getOrElseUpdate(sfDir, {
       val spark = e.sparkSession
       val path = artifactPath("pq-codebooks", sfDir, s"m${PqM}k$PqKsub")
-      if (!Artifacts.exists(spark, path)) {
-        val cb = Similarity.trainPqCodebooks(e, PqM, PqKsub, trainIters = 2)
-        import spark.implicits._
-        cb.indices.flatMap(j => cb(j).indices.map(c => (j, c, cb(j)(c).toSeq)))
-          .toDF("subspace", "code", "subvec")
-          .coalesce(1).write.mode("overwrite").parquet(path)
-      }
-      val rows = spark.read.parquet(path).orderBy("subspace", "code").collect()
-      val m = rows.iterator.map(_.getInt(0)).max + 1
-      val out = Array.fill(m)(Array.empty[Array[Float]])
-      rows.groupBy(_.getInt(0)).foreach { case (j, rs) =>
-        out(j) = rs.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray)
-      }
-      out
+      if (!Artifacts.exists(spark, path))
+        Artifacts.savePqCodebooks(spark, path,
+          Similarity.trainPqCodebooks(e, PqM, PqKsub, trainIters = 2))
+      Artifacts.loadPqCodebooks(spark, path)
     })
 
   /** Persisted [[Similarity.pqGeomFrames]] for the ann_pq_topk

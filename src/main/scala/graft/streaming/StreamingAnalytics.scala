@@ -385,6 +385,37 @@ object StreamingAnalytics {
     }
   }
 
+  /** Streaming IVF-PQ serve — the product-quantized sibling of
+    * [[annSearchIntake]]: query micro-batches against a PERSISTED PQ
+    * index ([[graft.operators.Similarity.pqGeomFrames]] lists; the raw
+    * corpus frame attaches floats only for the exact rerank tail).
+    * Coarse quantizer and codebooks load once per query lifetime — the
+    * pinned-generation contract shared with [[annSearchIntake]] and the
+    * NB route gate: a mid-stream artifact swap does not change scoring
+    * until the query restarts. Stateless per micro-batch, so replayed
+    * batches re-emit identical rows (at-least-once sink semantics, like
+    * the other serve paths). */
+  def pqSearchIntake(lists: DataFrame, corpus: DataFrame,
+                     centroidsPath: String, codebooksPath: String,
+                     k: Int, nprobe: Int = 4, rerank: Int = 0,
+                     sink: (DataFrame, Long) => Unit = (_, _) => ())
+      : (DataFrame, Long) => Unit = {
+    var quantizer: (Array[Long], Array[Array[Float]]) = null
+    var codebooks: Array[Array[Array[Float]]] = null
+    (batch, batchId) => {
+      if (quantizer == null) {
+        quantizer = graft.operators.Artifacts
+          .loadCentroids(batch.sparkSession, centroidsPath)
+        codebooks = graft.operators.Artifacts
+          .loadPqCodebooks(batch.sparkSession, codebooksPath)
+      }
+      val probes = graft.operators.Similarity
+        .pqProbes(batch, quantizer, codebooks, nprobe)
+      sink(graft.operators.Similarity
+        .pqTopKFromGeom(lists, probes, batch, corpus, k, rerank), batchId)
+    }
+  }
+
   /** Keyed state for [[uniformSampleUpdates]]: the group's current
     * top-k (priority, id) pairs — k rows, not the group's row count —
     * plus an observation counter. */

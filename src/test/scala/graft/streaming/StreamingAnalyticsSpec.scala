@@ -383,6 +383,49 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       "streamed ANN results differ from the batch prepared-index search")
   }
 
+  test("pq search intake: streamed query batches match the batch PQ search") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Artifacts, Similarity}
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val quant = Similarity.trainCentroids(e, nlist = 8, trainIters = 2)
+    val cb = Similarity.trainPqCodebooks(e, m = 8, ksub = 16, trainIters = 1)
+    val tmp = java.nio.file.Files.createTempDirectory("pq_serve").toString
+    Artifacts.saveCentroids(spark, tmp + "/cent", quant._1, quant._2)
+    Artifacts.savePqCodebooks(spark, tmp + "/cb", cb)
+    val lists = Similarity.pqGeomFrames(
+      e.filter(col("vec_id") < 0), e, quant, cb, nprobe = 2).lists.persist()
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val queries = e.filter(col("vec_id") < 6)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("pq_ckpt").toString)
+      .foreachBatch(StreamingAnalytics.pqSearchIntake(
+        lists, e, tmp + "/cent", tmp + "/cb", k = 3, nprobe = 2,
+        sink = (df, _) => df.select("query_id", "cand_id", "rank", "sim")
+          .collect().foreach(r => got.synchronized { got += r.toSeq })))
+      .start()
+    try {
+      mem.addData(queries.take(3).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(queries.drop(3).toSeq: _*)
+      q.processAllAvailable()
+    } finally { q.stop(); lists.unpersist() }
+    val probes = Similarity.pqProbes(
+      e.filter(col("vec_id") < 6), quant, cb, nprobe = 2)
+    val want = Similarity.pqTopKFromGeom(
+        lists, probes, e.filter(col("vec_id") < 6), e, k = 3)
+      .select("query_id", "cand_id", "rank", "sim")
+      .collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+    assert(got.sortBy(_.mkString(",")).toSeq == want,
+      "streamed PQ results differ from the batch prepared-index search")
+  }
+
   test("chunk intake: streamed chunks equal the batch operator bit-for-bit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
