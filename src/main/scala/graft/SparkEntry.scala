@@ -144,6 +144,7 @@ object SparkEntry {
     "dedup_embedding_recall" -> (ExtensionQueries.dedupEmbeddingRecall _),
     "text_winnow_violations" -> (ExtensionQueries.textWinnowViolations _),
     "corpus_clean" -> (ExtensionQueries.corpusClean _),
+    "corpus_curate" -> (ExtensionQueries.corpusCurate _),
     "multimodal_features" -> (ExtensionQueries.multimodalFeatures _),
     "multimodal_resize" -> (ExtensionQueries.multimodalResize _),
     "multimodal_frames" -> (ExtensionQueries.multimodalFrames _),
@@ -201,6 +202,7 @@ object SparkEntry {
     "text_repetition" -> ExtensionQueries.textRepetitionOracle,
     "text_pii_redact" -> ExtensionQueries.textPiiRedactOracle,
     "corpus_clean" -> ExtensionQueries.corpusCleanOracle,
+    "corpus_curate" -> ExtensionQueries.corpusCurateOracle,
     "dedup_exact" -> ExtensionQueries.dedupExactOracle,
     "dedup_ngram_jaccard" -> ExtensionQueries.dedupNgramJaccardOracle,
     "dedup_components" -> ExtensionQueries.dedupComponentsOracle,

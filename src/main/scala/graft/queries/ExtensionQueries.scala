@@ -150,11 +150,10 @@ ORDER BY d.doc_id"""
       .orderBy("doc_id")
   }
 
-  /** Oracle: closure CTE + the [[textStatsOracle]] quality expression +
-    * one argmax window — same verdict, derived relationally. */
-  val dedupKeepBestOracle: String = s"""$componentClosureCte,
-q AS (
-  SELECT doc_id,
+  /** The [[textStatsOracle]] quality expression as a reusable fragment —
+    * one definition for every oracle that scores quality, so they
+    * cannot drift from the Spark-side [[TextAnalysis.qualityColumns]]. */
+  private val qualityScoreSql: String = """
   (CASE WHEN len(string_split(text,' ')) >= 20 AND len(string_split(text,' ')) <= 2000
         THEN 0.4 ELSE 0.1 END)
   + 0.4 * (CAST(len(list_filter(string_split(text,' '),
@@ -164,7 +163,190 @@ q AS (
                 / len(string_split(text,' '))) >= 3.0
            AND (CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
                 / len(string_split(text,' '))) <= 9.0
-          THEN 0.2 ELSE 0.0 END) AS quality_score
+          THEN 0.2 ELSE 0.0 END)"""
+
+  /** End-to-end curation manifest — the composed pipeline a corpus team
+    * actually ships, with EVERY input document labeled with its fate:
+    *
+    *   1. `exact_dup`     — not the first doc (by id) with its
+    *                        whitespace-normalized md5 fingerprint;
+    *   2. `low_quality`   — survivor with quality_score < 0.5;
+    *   3. `contaminated`  — survivor sharing ≥ 3 df-capped 5-grams with
+    *                        any eval-set probe (doc_id < 100, ≠ self);
+    *   4. `near_dup`      — survivor losing its 3-gram-Jaccard cluster's
+    *                        keep-best argmax ([[dedupKeepBest]] verdict);
+    *   5. `kept`          — everything that ran the gauntlet.
+    *
+    * Stage semantics are exactly the standalone operators'
+    * ([[corpusClean]], [[corpusDecontaminate]], [[dedupKeepBest]]);
+    * composition means each stage sees only its predecessor's
+    * survivors (so e.g. the n-gram df caps are computed over the
+    * surviving corpus, as they would be in a staged production run).
+    * The manifest is the audit artifact: `GROUP BY fate` prices what
+    * each stage cost.
+    *
+    * Scale shape: document text crosses the wire once — the exact-dedup
+    * verdict is computed on a SLIM (doc_id, fingerprint) frame and
+    * joined back by id; every later stage's heavy lifting (shingle
+    * hashes, inverted indexes, closure) inherits the standalone
+    * operators' slim-shuffle designs. */
+  def corpusCurate(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val qscore = TextAnalysis.qualityColumns(col("text"))
+      .collectFirst { case ("quality_score", c) => c }.get
+    val base = docs.select(col("doc_id"), col("text"),
+      qscore.as("quality_score"),
+      TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
+    // slim exact-dup verdict: only (doc_id, fingerprint) rides the window
+    val rnSlim = base.select(col("doc_id"), col("fingerprint"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("fingerprint").orderBy("doc_id")))
+      .select("doc_id", "rn")
+    val labeled = base.join(rnSlim, "doc_id")
+    val s2 = labeled.filter(col("rn") === 1 && col("quality_score") >= 0.5)
+    val contaminated = Dedup.crossNgramOverlap(
+        s2, docs.filter(col("doc_id") < 100), "doc_id", "text",
+        n = 5, minShared = 3, maxDocFreq = 100)
+      .select("doc_id").distinct()
+      .withColumn("is_cont", lit(1))
+    val s3 = s2.join(contaminated, Seq("doc_id"), "left_anti")
+    val clusters = Dedup.connectedComponents(
+      Dedup.ngramJaccard(s3, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = 100))
+    val wBest = Window.partitionBy("component")
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    val kept = s3.select(col("doc_id"), col("quality_score"))
+      .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_outer")
+      .withColumn("component", coalesce(col("label"), col("doc_id")))
+      .select(col("doc_id"),
+        (row_number().over(wBest) === 1).cast("int").as("keep"))
+    labeled
+      .join(contaminated, Seq("doc_id"), "left_outer")
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("rn") > 1, "exact_dup")
+          .when(col("quality_score") < 0.5, "low_quality")
+          .when(col("is_cont") === 1, "contaminated")
+          .when(col("keep") === 0, "near_dup")
+          .otherwise("kept").as("fate"),
+        col("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the four stage CTE chains composed in one statement — the
+    * [[corpusCleanOracle]] fingerprint/quality stage, the
+    * [[corpusDecontaminateOracle]] 5-gram sweep over stage-2 survivors,
+    * and the keep-best closure + argmax over stage-3 survivors. */
+  val corpusCurateOracle: String = s"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, text,
+    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+    $qualityScoreSql AS quality_score,
+    row_number() OVER (PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+                       ORDER BY doc_id) AS rn
+  FROM documents),
+s2 AS (SELECT doc_id, text, quality_score FROM base
+       WHERE rn = 1 AND quality_score >= 0.5),
+w5 AS (
+  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS i,
+         unnest(string_split(text,' ')) AS w
+  FROM s2),
+g50 AS (
+  SELECT doc_id,
+         w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i) || ' ' ||
+                     lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) || ' ' ||
+                     lead(w,3) OVER (PARTITION BY doc_id ORDER BY i) || ' ' ||
+                     lead(w,4) OVER (PARTITION BY doc_id ORDER BY i) AS gram,
+         lead(w,4) OVER (PARTITION BY doc_id ORDER BY i) AS l4
+  FROM w5),
+g5 AS (SELECT DISTINCT doc_id, gram FROM g50 WHERE l4 IS NOT NULL),
+capped5 AS (
+  SELECT doc_id, gram FROM
+    (SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM g5)
+  WHERE df <= 100),
+pw AS (
+  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS i,
+         unnest(string_split(text,' ')) AS w
+  FROM documents WHERE doc_id < 100),
+pg0 AS (
+  SELECT doc_id,
+         w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i) || ' ' ||
+                     lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) || ' ' ||
+                     lead(w,3) OVER (PARTITION BY doc_id ORDER BY i) || ' ' ||
+                     lead(w,4) OVER (PARTITION BY doc_id ORDER BY i) AS gram,
+         lead(w,4) OVER (PARTITION BY doc_id ORDER BY i) AS l4
+  FROM pw),
+p5 AS (SELECT DISTINCT doc_id AS probe_id, gram FROM pg0 WHERE l4 IS NOT NULL),
+contam AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT c.doc_id, p5.probe_id
+    FROM capped5 c JOIN p5 USING (gram)
+    WHERE c.doc_id <> p5.probe_id
+    GROUP BY c.doc_id, p5.probe_id
+    HAVING count(*) >= 3)),
+s3 AS (SELECT doc_id, text, quality_score FROM s2
+       WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+words AS (
+  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS i,
+         unnest(string_split(text,' ')) AS w
+  FROM s3),
+g0 AS (
+  SELECT doc_id,
+         w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i) || ' ' ||
+                     lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS gram,
+         lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS l2
+  FROM words),
+g AS (SELECT DISTINCT doc_id, gram FROM g0 WHERE l2 IS NOT NULL),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+capped AS (
+  SELECT doc_id, gram FROM
+    (SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM g)
+  WHERE df <= 100),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM capped a JOIN capped b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM p
+  JOIN sz x ON p.id_a = x.doc_id JOIN sz y ON p.id_b = y.doc_id
+  WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.5),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(node, other) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.other),
+comp AS (SELECT node, min(other) AS component FROM reach GROUP BY node),
+kept AS (
+  SELECT doc_id,
+         CASE WHEN row_number() OVER (
+                PARTITION BY component
+                ORDER BY quality_score DESC, doc_id ASC) = 1
+              THEN 1 ELSE 0 END AS keep
+  FROM (
+    SELECT s3.doc_id, COALESCE(c.component, s3.doc_id) AS component,
+           s3.quality_score
+    FROM s3 LEFT JOIN comp c ON c.node = s3.doc_id))
+SELECT b.doc_id,
+       CASE WHEN b.rn > 1 THEN 'exact_dup'
+            WHEN b.quality_score < 0.5 THEN 'low_quality'
+            WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+            WHEN k.keep = 0 THEN 'near_dup'
+            ELSE 'kept' END AS fate,
+       b.quality_score
+FROM base b
+LEFT JOIN contam ct ON ct.doc_id = b.doc_id
+LEFT JOIN kept k ON k.doc_id = b.doc_id
+ORDER BY b.doc_id"""
+
+  /** Oracle: closure CTE + the [[textStatsOracle]] quality expression +
+    * one argmax window — same verdict, derived relationally. */
+  val dedupKeepBestOracle: String = s"""$componentClosureCte,
+q AS (
+  SELECT doc_id,
+  $qualityScoreSql AS quality_score
   FROM documents)
 SELECT doc_id, component, quality_score,
        CAST(CASE WHEN row_number() OVER (

@@ -463,6 +463,23 @@ class ExtensionSpec extends AnyFunSuite {
     assert(trained >= 15, s"trained IVF recall too low: $trained/20")
   }
 
+  test("corpus_curate labels every document with a consistent fate") {
+    val out = graft.queries.ExtensionQueries.corpusCurate(spark, sf).collect()
+    val nDocs = spark.read.parquet(sf + "/documents.parquet").count()
+    assert(out.length == nDocs, "one manifest row per input document")
+    val fates = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(fates.keySet.subsetOf(
+      Set("exact_dup", "low_quality", "contaminated", "near_dup", "kept")))
+    assert(fates.getOrElse("kept", 0) > 0, "some documents must survive")
+    // stages 1+2 must agree with the standalone clean gate: its
+    // survivors are exactly the docs not dropped as exact_dup/low_quality
+    val cleanN = graft.queries.ExtensionQueries.corpusClean(spark, sf).count()
+    assert(fates.getOrElse("exact_dup", 0) + fates.getOrElse("low_quality", 0)
+      == nDocs - cleanN,
+      s"stage-1/2 fates disagree with corpus_clean: $fates vs $cleanN/$nDocs")
+    CacheRegistry.releaseAll()
+  }
+
   test("pq ADC score equals the reconstruction inner product") {
     import spark.implicits._
     import graft.functions.VectorExpressions.{pqAdc, pqEncode, pqLut}
