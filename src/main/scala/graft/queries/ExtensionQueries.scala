@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Artifacts, Bpe, Dedup, LanguageModel, Multimodal, Packing, Relevance, Sampling, Similarity, TextAnalysis, TextClassifier}
+import graft.operators.{Artifacts, Bpe, CacheRegistry, Dedup, LanguageModel, Multimodal, Packing, Relevance, Sampling, Similarity, TextAnalysis, TextClassifier}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -203,14 +203,21 @@ ORDER BY d.doc_id"""
       .withColumn("rn", row_number().over(
         Window.partitionBy("fingerprint").orderBy("doc_id")))
       .select("doc_id", "rn")
-    val labeled = base.join(rnSlim, "doc_id")
+    // multi-consumer frames persist once: `labeled` feeds stage 2, the
+    // contamination sweep, the pair kernel, and the final manifest —
+    // without the cache each consumer re-runs the fingerprint window
+    // and text join (the staged-pipeline analogue of materializing each
+    // stage's survivor set before fanning out)
+    val labeled = base.join(rnSlim, "doc_id").persist()
+    CacheRegistry.track(labeled)
     val s2 = labeled.filter(col("rn") === 1 && col("quality_score") >= 0.5)
     val contaminated = Dedup.crossNgramOverlap(
         s2, docs.filter(col("doc_id") < 100), "doc_id", "text",
         n = 5, minShared = 3, maxDocFreq = 100)
       .select("doc_id").distinct()
       .withColumn("is_cont", lit(1))
-    val s3 = s2.join(contaminated, Seq("doc_id"), "left_anti")
+    val s3 = s2.join(contaminated, Seq("doc_id"), "left_anti").persist()
+    CacheRegistry.track(s3)
     val clusters = Dedup.connectedComponents(
       Dedup.ngramJaccard(s3, "doc_id", "text",
         n = 3, threshold = 0.5, maxDocFreq = 100))
