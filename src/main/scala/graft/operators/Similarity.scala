@@ -889,10 +889,21 @@ object Similarity {
   def pqGeomFrames(queries: DataFrame, corpus: DataFrame,
                    quantizer: (Array[Long], Array[Array[Float]]),
                    codebooks: Array[Array[Array[Float]]],
-                   nprobe: Int): PqFrames = {
+                   nprobe: Int): PqFrames =
+    PqFrames(pqPrepare(corpus, quantizer, codebooks),
+      pqProbes(queries, quantizer, codebooks, nprobe))
+
+  /** The corpus side of the PQ index alone — one assignment+encode scan
+    * producing the slim (cent_id, cand_id, codes, rn) list rows. At
+    * index-build time each corpus vector is encoded exactly ONCE;
+    * persist the result and serve query batches against it
+    * ([[pqTopKFromGeom]] / streaming pqSearchIntake). */
+  def pqPrepare(corpus: DataFrame,
+                quantizer: (Array[Long], Array[Array[Float]]),
+                codebooks: Array[Array[Array[Float]]]): DataFrame = {
     import graft.functions.VectorExpressions.{pqEncode, pqReconNorm}
     val (centIds, cents) = quantizer
-    val lists = Par.widen(corpus)
+    Par.widen(corpus)
       .select(col("vec_id").as("cand_id"),
         cellAssign(col("embedding"), centIds, cents).as("cent_id"),
         pqEncode(col("embedding"), codebooks).as("codes"),
@@ -902,7 +913,22 @@ object Similarity {
       .withColumn("rn", pqReconNorm(col("codes"), codebooks))
       .filter(col("rn") > 0)
       .select("cent_id", "cand_id", "codes", "rn")
-    PqFrames(lists, pqProbes(queries, quantizer, codebooks, nprobe))
+  }
+
+  /** Append a new vector batch to a PERSISTED PQ list store
+    * ([[pqPrepare]] output written as parquet) under the SAME frozen
+    * coarse quantizer and codebooks — the PQ sibling of [[ivfAppend]]:
+    * a growing corpus pays one assignment+encode scan per batch, never
+    * an index rebuild, and [[ivfDriftProbe]] over the shared coarse
+    * cells still signals when a retrain is worth the rebuild. Same
+    * consistency contract as [[ivfAppend]] (file-granular atomic
+    * append, caller owns id-uniqueness). */
+  def pqAppend(listsPath: String, batch: DataFrame,
+               quantizer: (Array[Long], Array[Array[Float]]),
+               codebooks: Array[Array[Array[Float]]]): Unit = {
+    pqPrepare(batch, quantizer, codebooks)
+      .write.mode("append").parquet(listsPath)
+    batch.sparkSession.catalog.refreshByPath(listsPath)
   }
 
   /** The query side of [[pqGeomFrames]] alone — (query_id, cent_id,

@@ -748,6 +748,35 @@ class ExtensionSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("pqAppend extends a persisted PQ store identically to a one-shot build") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val base = e.filter(col("vec_id") >= 20)
+    val quant = Similarity.trainCentroids(base, nlist = 8, trainIters = 2)
+    val cb = Similarity.trainPqCodebooks(base, m = 8, ksub = 16, trainIters = 1)
+    val root = java.nio.file.Files.createTempDirectory("pq-append").toString
+    val listsPath = s"$root/lists"
+    Similarity.pqPrepare(base, quant, cb).write.parquet(listsPath)
+    Artifacts.saveCentroids(spark, s"$root/cent", quant._1, quant._2)
+    Artifacts.savePqCodebooks(spark, s"$root/cb", cb)
+    val loadedQuant = Artifacts.loadCentroids(spark, s"$root/cent")
+    val loadedCb = Artifacts.loadPqCodebooks(spark, s"$root/cb")
+    Similarity.pqAppend(listsPath, e.filter(col("vec_id") < 20),
+      loadedQuant, loadedCb)
+    val appended = spark.read.parquet(listsPath)
+    // the appended store is row-identical to encoding everything at once:
+    // frozen quantizer + frozen codebooks => encoding is a pure function
+    val oneShot = Similarity.pqPrepare(e, quant, cb)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(1), r.getLong(0), r.getSeq[Int](2).mkString(","), r.getDouble(3))
+    assert(appended.select("cent_id", "cand_id", "codes", "rn")
+        .collect().map(key).sorted.toSeq
+      == oneShot.select("cent_id", "cand_id", "codes", "rn")
+        .collect().map(key).sorted.toSeq,
+      "append under frozen models must equal the one-shot build")
+    CacheRegistry.releaseAll()
+  }
+
   test("ivfAppend extends a round-tripped index; recall holds without retrain") {
     import spark.implicits._
     val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
