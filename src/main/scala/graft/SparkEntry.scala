@@ -93,6 +93,7 @@ object SparkEntry {
     "text_pii_redact" -> (ExtensionQueries.textPiiRedact _),
     "text_winnow_fingerprint" -> (ExtensionQueries.textWinnow _),
     "text_bm25_search" -> (ExtensionQueries.textBm25 _),
+    "text_keywords" -> (ExtensionQueries.textKeywords _),
     "text_lm_likelihood" -> (ExtensionQueries.textLmLikelihood _),
     "text_lm_heldout" -> (ExtensionQueries.textLmHeldout _),
     "text_nb_classify" -> (ExtensionQueries.textNbClassify _),
@@ -242,6 +243,7 @@ object SparkEntry {
     "text_heavy_hitters" -> ExtensionQueries.textHeavyHittersOracle,
     "corpus_heavy_sources" -> ExtensionQueries.corpusHeavySourcesOracle,
     "text_bm25_search" -> ExtensionQueries.textBm25Oracle,
+    "text_keywords" -> ExtensionQueries.textKeywordsOracle,
     "text_lm_likelihood" -> ExtensionQueries.textLmLikelihoodOracle,
     "text_lm_heldout" -> ExtensionQueries.textLmHeldoutOracle,
     "text_nb_classify" -> ExtensionQueries.textNbClassifyOracle,

@@ -73,4 +73,40 @@ object Relevance {
     withTf.filter(terms.map(t => col(tfCol(t))).reduce(_ + _) > 0)
       .select(col(idCol), termScores.reduce(_ + _).as("score"))
   }
+
+  /** Per-document top-k TF-IDF keywords — the data-card / corpus-report
+    * feature: which terms characterize each document against the whole
+    * corpus. Rational idf (the [[bm25]] determinism contract: the score
+    * stays inside IEEE +,-,*,/ over integer-valued operands, so it
+    * hash-matches any engine), score = tf · (N − df + 0.5)/(df + 0.5),
+    * ties broken by term.
+    *
+    * Scale shape: one token explode map-side-combines into the
+    * (doc, term) count aggregate; df is a second vocab-sized aggregate
+    * of THAT frame (never re-reads the corpus); the tf⋈df join and the
+    * per-doc top-k window exchange only slim (id, term, number) rows.
+    * N is one driver scalar (the [[bm25]] stats-pass pattern).
+    *
+    * @return (doc_id, rank, term, score), k rows per non-empty doc. */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "keyword count k must be >= 1")
+    val n = docs.count().toDouble
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df, "term")
+      .withColumn("score",
+        col("tf") * ((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("score"))
+  }
 }

@@ -1537,6 +1537,32 @@ SELECT doc_id,
           THEN 0.2 ELSE 0.0 END) AS quality_score
 FROM documents ORDER BY doc_id"""
 
+  /** Per-document top-3 TF-IDF keywords ([[Relevance.tfidfKeywords]]) —
+    * rational idf keeps the score hash-checkable. */
+  def textKeywords(spark: SparkSession, sfDir: String): DataFrame =
+    Relevance.tfidfKeywords(Tables(spark, sfDir, "documents"),
+        "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
+
+  val textKeywordsOracle: String = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM t GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+s AS (
+  SELECT doc_id, term,
+         tf * ((n.n - df.df + 0.5) / (df.df + 0.5)) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n),
+r AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM s)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
+FROM r WHERE rank <= 3 ORDER BY doc_id, rank"""
+
   def textLangId(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "documents")
       .select(col("doc_id"), TextAnalysis.langId(col("text")).as("predicted_lang"), col("lang"))

@@ -63,6 +63,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(scores(4L) < 4.0 * scores(1L) / 2.0)
   }
 
+  test("tfidf keywords surface the distinctive term, not the common one") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat the cat quantum"),
+      (2L, "the dog the dog banana"),
+      (3L, "the fish the fish guitar")).toDF("doc_id", "text")
+    val kw = Relevance.tfidfKeywords(df, "doc_id", "text", k = 2)
+      .collect().groupBy(_.getLong(0))
+    // rank 1 must be the doc's repeated distinctive term (tf=2, df=1),
+    // never "the" (df=3 → idf 0.5/3.5 tiny despite tf=2)
+    assert(kw(1L).find(_.getLong(1) == 1L).get.getString(2) == "cat")
+    assert(kw(2L).find(_.getLong(1) == 1L).get.getString(2) == "dog")
+    assert(kw(3L).find(_.getLong(1) == 1L).get.getString(2) == "fish")
+    // singleton distinctive term outranks the corpus-wide stopword too
+    assert(kw(1L).find(_.getLong(1) == 2L).get.getString(2) == "quantum")
+    assert(kw.values.forall(_.length == 2))
+  }
+
   test("bm25 on an empty corpus returns an empty frame, not NaN/NPE") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
