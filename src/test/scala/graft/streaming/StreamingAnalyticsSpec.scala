@@ -426,6 +426,39 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       "streamed PQ results differ from the batch prepared-index search")
   }
 
+  test("pq search intake pins its model generation for the query lifetime") {
+    import graft.operators.{Artifacts, Similarity}
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val quant = Similarity.trainCentroids(e, nlist = 8, trainIters = 1)
+    val cb = Similarity.trainPqCodebooks(e, m = 8, ksub = 16, trainIters = 1)
+    val tmp = java.nio.file.Files.createTempDirectory("pq_pin").toString
+    Artifacts.saveCentroids(spark, tmp + "/cent", quant._1, quant._2)
+    Artifacts.savePqCodebooks(spark, tmp + "/cb", cb)
+    val lists = Similarity.pqPrepare(e, quant, cb).persist()
+    var lastN = -1L
+    def intake() = StreamingAnalytics.pqSearchIntake(
+      lists, e, tmp + "/cent", tmp + "/cb", k = 3, nprobe = 2,
+      sink = (df, _) => lastN = df.count())
+    val batch = e.filter(col("vec_id") < 4)
+    val gen1 = intake()
+    gen1(batch, 0L)
+    assert(lastN > 0, "first batch must return results")
+    // swap the centroid artifact IN PLACE for a generation whose cell
+    // ids don't exist in the store — the operational hazard (quantizer
+    // replaced without rebuilding lists) the pin exists to contain
+    Artifacts.saveCentroids(spark, tmp + "/cent",
+      quant._1.map(_ + 1000000L), quant._2)
+    gen1(batch, 1L)
+    assert(lastN > 0,
+      "pinned closure must keep serving from its loaded generation")
+    val gen2 = intake()
+    gen2(batch, 0L)
+    assert(lastN == 0,
+      "a fresh closure must load the current (mismatched) artifact")
+    lists.unpersist()
+  }
+
   test("chunk intake: streamed chunks equal the batch operator bit-for-bit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
