@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The composed curation pipeline as ONE reusable operator — exact
+  * dedup → quality gate → eval-set decontamination → near-dup cluster
+  * keep-best — emitting a manifest row per input document with its
+  * fate. Shared by the oracle-gated `corpus_curate` query and the
+  * [[graft.tools.CleanCorpus]] CLI so the two surfaces cannot drift.
+  *
+  * Stage semantics are exactly the standalone operators'
+  * ([[TextAnalysis.fingerprintMd5]]/quality, [[Dedup.crossNgramOverlap]],
+  * [[Dedup.ngramJaccard]] + [[Dedup.connectedComponents]] + quality
+  * argmax); each stage sees only its predecessor's survivors, so the
+  * n-gram df caps re-derive over the surviving corpus as a staged
+  * production run would.
+  *
+  * Scale shape: document text crosses the wire once — the exact-dedup
+  * verdict is computed on a SLIM (doc_id, fingerprint) frame and joined
+  * back by id; every later stage inherits the standalone operators'
+  * slim-shuffle designs. Multi-consumer survivor frames persist once
+  * (tracked via [[CacheRegistry]]).
+  */
+object Curate {
+
+  /** Fate manifest over a (doc_id, text) frame.
+    *
+    * @param docs   corpus; must carry `doc_id` (long) and `text`
+    * @param probes eval-set documents (same two columns) for the
+    *               contamination stage; pass an EMPTY frame to disable
+    *               decontamination (no doc gains the `contaminated`
+    *               fate)
+    * @return (doc_id, fate ∈ {exact_dup, low_quality, contaminated,
+    *         near_dup, kept}, quality_score), one row per input doc */
+  def manifest(docs: DataFrame, probes: DataFrame,
+               minQuality: Double = 0.5): DataFrame = {
+    val qscore = TextAnalysis.qualityColumns(col("text"))
+      .collectFirst { case ("quality_score", c) => c }.get
+    val base = docs.select(col("doc_id"), col("text"),
+      qscore.as("quality_score"),
+      TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
+    // slim exact-dup verdict: only (doc_id, fingerprint) rides the window
+    val rnSlim = base.select(col("doc_id"), col("fingerprint"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("fingerprint").orderBy("doc_id")))
+      .select("doc_id", "rn")
+    val labeled = base.join(rnSlim, "doc_id").persist()
+    CacheRegistry.track(labeled)
+    val s2 = labeled.filter(col("rn") === 1 &&
+      col("quality_score") >= minQuality)
+    val contaminated = Dedup.crossNgramOverlap(
+        s2, probes, "doc_id", "text",
+        n = 5, minShared = 3, maxDocFreq = 100)
+      .select("doc_id").distinct()
+      .withColumn("is_cont", lit(1))
+    val s3 = s2.join(contaminated, Seq("doc_id"), "left_anti").persist()
+    CacheRegistry.track(s3)
+    val clusters = Dedup.connectedComponents(
+      Dedup.ngramJaccard(s3, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = 100))
+    val wBest = Window.partitionBy("component")
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    val kept = s3.select(col("doc_id"), col("quality_score"))
+      .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_outer")
+      .withColumn("component", coalesce(col("label"), col("doc_id")))
+      .select(col("doc_id"),
+        (row_number().over(wBest) === 1).cast("int").as("keep"))
+    labeled
+      .join(contaminated, Seq("doc_id"), "left_outer")
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("rn") > 1, "exact_dup")
+          .when(col("quality_score") < minQuality, "low_quality")
+          .when(col("is_cont") === 1, "contaminated")
+          .when(col("keep") === 0, "near_dup")
+          .otherwise("kept").as("fate"),
+        col("quality_score"))
+  }
+}

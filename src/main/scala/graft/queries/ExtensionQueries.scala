@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Artifacts, Bpe, CacheRegistry, Dedup, LanguageModel, Multimodal, Packing, Relevance, Sampling, Similarity, TextAnalysis, TextClassifier}
+import graft.operators.{Artifacts, Bpe, Dedup, LanguageModel, Multimodal, Packing, Relevance, Sampling, Similarity, TextAnalysis, TextClassifier}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -191,53 +191,9 @@ ORDER BY d.doc_id"""
     * hashes, inverted indexes, closure) inherits the standalone
     * operators' slim-shuffle designs. */
   def corpusCurate(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
-    val qscore = TextAnalysis.qualityColumns(col("text"))
-      .collectFirst { case ("quality_score", c) => c }.get
-    val base = docs.select(col("doc_id"), col("text"),
-      qscore.as("quality_score"),
-      TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
-    // slim exact-dup verdict: only (doc_id, fingerprint) rides the window
-    val rnSlim = base.select(col("doc_id"), col("fingerprint"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("fingerprint").orderBy("doc_id")))
-      .select("doc_id", "rn")
-    // multi-consumer frames persist once: `labeled` feeds stage 2, the
-    // contamination sweep, the pair kernel, and the final manifest —
-    // without the cache each consumer re-runs the fingerprint window
-    // and text join (the staged-pipeline analogue of materializing each
-    // stage's survivor set before fanning out)
-    val labeled = base.join(rnSlim, "doc_id").persist()
-    CacheRegistry.track(labeled)
-    val s2 = labeled.filter(col("rn") === 1 && col("quality_score") >= 0.5)
-    val contaminated = Dedup.crossNgramOverlap(
-        s2, docs.filter(col("doc_id") < 100), "doc_id", "text",
-        n = 5, minShared = 3, maxDocFreq = 100)
-      .select("doc_id").distinct()
-      .withColumn("is_cont", lit(1))
-    val s3 = s2.join(contaminated, Seq("doc_id"), "left_anti").persist()
-    CacheRegistry.track(s3)
-    val clusters = Dedup.connectedComponents(
-      Dedup.ngramJaccard(s3, "doc_id", "text",
-        n = 3, threshold = 0.5, maxDocFreq = 100))
-    val wBest = Window.partitionBy("component")
-      .orderBy(col("quality_score").desc, col("doc_id").asc)
-    val kept = s3.select(col("doc_id"), col("quality_score"))
-      .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_outer")
-      .withColumn("component", coalesce(col("label"), col("doc_id")))
-      .select(col("doc_id"),
-        (row_number().over(wBest) === 1).cast("int").as("keep"))
-    labeled
-      .join(contaminated, Seq("doc_id"), "left_outer")
-      .join(kept, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"),
-        when(col("rn") > 1, "exact_dup")
-          .when(col("quality_score") < 0.5, "low_quality")
-          .when(col("is_cont") === 1, "contaminated")
-          .when(col("keep") === 0, "near_dup")
-          .otherwise("kept").as("fate"),
-        col("quality_score"))
+    graft.operators.Curate.manifest(docs,
+        probes = docs.filter(col("doc_id") < 100), minQuality = 0.5)
       .orderBy("doc_id")
   }
 

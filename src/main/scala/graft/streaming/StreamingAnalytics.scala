@@ -392,9 +392,12 @@ object StreamingAnalytics {
     * Coarse quantizer and codebooks load once per query lifetime — the
     * pinned-generation contract shared with [[annSearchIntake]] and the
     * NB route gate: a mid-stream artifact swap does not change scoring
-    * until the query restarts. Stateless per micro-batch, so replayed
-    * batches re-emit identical rows (at-least-once sink semantics, like
-    * the other serve paths). */
+    * until the query restarts. The `lists` frame is likewise the index
+    * SNAPSHOT the caller passed — rows pqAppend'ed to the backing store
+    * become visible when a restarted query re-reads it, the same
+    * generation shape as the models. Stateless per micro-batch, so
+    * replayed batches re-emit identical rows (at-least-once sink
+    * semantics, like the other serve paths). */
   def pqSearchIntake(lists: DataFrame, corpus: DataFrame,
                      centroidsPath: String, codebooksPath: String,
                      k: Int, nprobe: Int = 4, rerank: Int = 0,

@@ -14,6 +14,10 @@ import org.apache.spark.sql.functions._
   *   <out>/span_dedup/ sub-document span-dedup manifest over the cleaned
   *                     corpus (C4-style keep-first, SPARK_GRAFT_SPAN
   *                     tokens per span; 0 disables)
+  *   <out>/curate_manifest/ per-document fate audit (exact_dup /
+  *                     low_quality / contaminated / near_dup / kept) —
+  *                     [[graft.operators.Curate.manifest]]; probes from
+  *                     SPARK_GRAFT_EVAL parquet when set
   *   <out>/splits/     deterministic train/val/test assignment
   *   <out>/packed/     GPT-style sequence-pack manifest (seqLen tokens)
   *   <out>/bpe_merges/ learned BPE merge table (rank-ordered)
@@ -70,6 +74,22 @@ object CleanCorpus {
     if (spanTokens > 0)
       Dedup.spanDedup(clean.select("doc_id", "text"), "doc_id", "text", spanTokens)
         .write.mode("overwrite").parquet(s"$outDir/span_dedup")
+
+    // 1c. full curation fate manifest (audit artifact): exact dups,
+    //     quality gate, optional eval-set decontamination
+    //     (SPARK_GRAFT_EVAL = parquet of (doc_id, text) probe docs;
+    //     unset = stage disabled), near-dup keep-best — the
+    //     graft.operators.Curate pipeline, unchanged from the
+    //     oracle-gated corpus_curate query
+    if (sys.env.getOrElse("SPARK_GRAFT_CURATE", "1").toInt > 0) {
+      val probes = sys.env.get("SPARK_GRAFT_EVAL") match {
+        case Some(p) => spark.read.parquet(p).select("doc_id", "text")
+        case None => docs.select("doc_id", "text").limit(0)
+      }
+      graft.operators.Curate.manifest(
+          docs.select("doc_id", "text"), probes, minQuality)
+        .write.mode("overwrite").parquet(s"$outDir/curate_manifest")
+    }
 
     // 2. deterministic splits over the CLEANED corpus
     Sampling.hashSplit(clean.select("doc_id", "source"), "doc_id",
