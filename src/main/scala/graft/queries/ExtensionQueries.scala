@@ -343,9 +343,32 @@ ORDER BY doc_id"""
     * bit-deterministic per corpus; delete the store to force retrain. */
   private def artifactRoot: String =
     sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_DIR", "target/artifacts")
+  /** Cheap corpus content stamp: (name, byte-length) of the table files
+    * the trained artifacts derive from, hashed. Ties every artifact to
+    * the corpus SNAPSHOT it was trained on, so a silently regenerated
+    * testdata dir (the round-10 failure class) forces a retrain instead
+    * of serving stale signatures/centroids/weights against new rows —
+    * recall and violation gates would otherwise degrade without any
+    * loud failure. Local-filesystem stat (the layout this harness
+    * uses, single files or many-file dirs); a non-local store yields
+    * the path-keyed behavior as before ("nostamp"). */
+  private def corpusStamp(sfDir: String): String = {
+    val parts = Seq("documents.parquet", "embeddings.parquet",
+        "events.parquet").flatMap { t =>
+      val f = new java.io.File(s"$sfDir/$t")
+      if (f.isFile) Some(s"$t:${f.length}")
+      else if (f.isDirectory)
+        Some(s"$t:${f.listFiles().filter(_.isFile).map(_.length).sum}")
+      else None
+    }
+    if (parts.isEmpty) "nostamp"
+    else java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.mkString(";").getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+  }
   private def artifactPath(kind: String, sfDir: String, param: String): String = {
     val corpus = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"$artifactRoot/$corpus/$kind-$param"
+    s"$artifactRoot/$corpus-${corpusStamp(sfDir)}/$kind-$param"
   }
   /** The one nlist both ann_ivf query paths share — a pretrained
     * quantizer probed with a different cell count than it was trained
@@ -361,8 +384,11 @@ ORDER BY doc_id"""
     * from the repo root — the same cwd the driver launches DuckDB in). */
   private def oracleArtifact(kind: String, param: String): String = {
     val abs = new java.io.File(artifactRoot).getAbsolutePath
-    val corpus = "/root/testdata/sf0.01".replaceAll("[^A-Za-z0-9._-]", "_")
-    s"$abs/$corpus/$kind-$param"
+    val gateDir = "/root/testdata/sf0.01"
+    val corpus = gateDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    // stamp computed at oracle-string build time = the same files the
+    // Spark side stamps when it writes the artifact in the same run
+    s"$abs/$corpus-${corpusStamp(gateDir)}/$kind-$param"
   }
   private def centroidsFor(e: DataFrame, sfDir: String, nlist: Int)
       : (Array[Long], Array[Array[Float]]) =
