@@ -352,7 +352,7 @@ ORDER BY doc_id"""
     * loud failure. Local-filesystem stat (the layout this harness
     * uses, single files or many-file dirs); a non-local store yields
     * the path-keyed behavior as before ("nostamp"). */
-  private def corpusStamp(sfDir: String): String = {
+  private[graft] def corpusStamp(sfDir: String): String = {
     val parts = Seq("documents.parquet", "embeddings.parquet",
         "events.parquet").flatMap { t =>
       val f = new java.io.File(s"$sfDir/$t")
