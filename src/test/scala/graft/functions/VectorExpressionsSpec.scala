@@ -187,4 +187,42 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(fps(1) == fps(7))
   }
+
+  test("property: pq_encode is the L2 argmin and ADC is the reconstruction dot") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    val m = 2; val ksub = 4; val dsub = 8
+    val cbGen = Gen.listOfN(m,
+      Gen.listOfN(ksub, Gen.listOfN(dsub, Gen.chooseNum(-5.0f, 5.0f))))
+    val vGen = Gen.listOfN(m * dsub, Gen.chooseNum(-5.0f, 5.0f))
+    check(Prop.forAll(cbGen, vGen, vGen) { (cbl, x, q) =>
+      val cb: Array[Array[Array[Float]]] =
+        cbl.map(_.map(_.toArray).toArray).toArray
+      def arr(v: List[Float]): ArrayData = new GenericArrayData(v.toArray)
+      val codes = VectorExpressions.PqEncode(Literal(null), cb)
+        .nullSafeEval(arr(x)).asInstanceOf[ArrayData]
+      // reference argmin: brute L2 per subspace, ties to the first code
+      val wantCodes = (0 until m).map { j =>
+        (0 until ksub).minBy { c =>
+          (0 until dsub).foldLeft(0.0) { (s, i) =>
+            val d = x(j * dsub + i).toDouble - cb(j)(c)(i).toDouble
+            s + d * d
+          }
+        }
+      }
+      val encOk = (0 until m).forall(j => codes.getInt(j) == wantCodes(j))
+      // ADC(lut(q), codes(x)) must equal dot(q, reconstruction(x)) exactly
+      val lut = VectorExpressions.PqLut(Literal(null), cb)
+        .nullSafeEval(arr(q)).asInstanceOf[ArrayData]
+      val adc = VectorExpressions.PqAdc(Literal(null), Literal(null))
+        .nullSafeEval(lut, codes).asInstanceOf[Double]
+      val recon = (0 until m).flatMap(j => cb(j)(codes.getInt(j)))
+      val wantDot = (0 until m).map { j =>
+        (0 until dsub).foldLeft(0.0) { (s, i) =>
+          s + q(j * dsub + i).toDouble * recon(j * dsub + i).toDouble
+        }
+      }.sum // per-subspace partials summed in j order = the kernel's fold
+      encOk && adc == wantDot
+    })
+  }
 }
