@@ -46,8 +46,8 @@ object Bench {
         if (q == null) Map.empty
         else {
           val b = Map.newBuilder[String, Double]
-          val it = q.fields()
-          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+          val it = q.fieldNames()
+          while (it.hasNext) { val k = it.next(); b += k -> q.get(k).asDouble() }
           b.result()
         }
       }

@@ -72,7 +72,7 @@ object LanguageModel {
     val bigrams = tr.groupBy("prev", "cur").agg(count(lit(1)).as("c_big"))
     val contexts = tr.groupBy("prev").agg(count(lit(1)).as("c_ctx"))
     val vocab = docs.select(explode(toks).as("tok"))
-      .agg(countDistinct(col("tok"))).head.getLong(0)
+      .agg(countDistinct(col("tok"))).head().getLong(0)
     NgramLm(bigrams, contexts, vocab)
   }
 
@@ -137,7 +137,7 @@ object LanguageModel {
     NgramLm(
       spark.read.parquet(path + "/bigrams"),
       spark.read.parquet(path + "/contexts"),
-      spark.read.parquet(path + "/meta").head.getLong(0))
+      spark.read.parquet(path + "/meta").head().getLong(0))
 
   /** Textbook bigram perplexity exp(−(1/n)·Σ ln p(cur|prev)) per
     * document — lower is more model-like. Same joins and smoothing as

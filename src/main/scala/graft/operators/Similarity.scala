@@ -827,7 +827,7 @@ object Similarity {
     * multiplies. */
   def trainPqCodebooks(corpus: DataFrame, m: Int, ksub: Int,
                        trainIters: Int = 2): Array[Array[Array[Float]]] = {
-    val dim = corpus.select(size(col("embedding")).as("d")).head.getInt(0)
+    val dim = corpus.select(size(col("embedding")).as("d")).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
     val dsub = dim / m
     val n = corpus.count()
