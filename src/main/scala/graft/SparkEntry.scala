@@ -146,6 +146,7 @@ object SparkEntry {
     "text_winnow_violations" -> (ExtensionQueries.textWinnowViolations _),
     "corpus_clean" -> (ExtensionQueries.corpusClean _),
     "corpus_curate" -> (ExtensionQueries.corpusCurate _),
+    "corpus_curate_summary" -> (ExtensionQueries.corpusCurateSummary _),
     "multimodal_features" -> (ExtensionQueries.multimodalFeatures _),
     "multimodal_resize" -> (ExtensionQueries.multimodalResize _),
     "multimodal_frames" -> (ExtensionQueries.multimodalFrames _),
@@ -204,6 +205,7 @@ object SparkEntry {
     "text_pii_redact" -> ExtensionQueries.textPiiRedactOracle,
     "corpus_clean" -> ExtensionQueries.corpusCleanOracle,
     "corpus_curate" -> ExtensionQueries.corpusCurateOracle,
+    "corpus_curate_summary" -> ExtensionQueries.corpusCurateSummaryOracle,
     "dedup_exact" -> ExtensionQueries.dedupExactOracle,
     "dedup_ngram_jaccard" -> ExtensionQueries.dedupNgramJaccardOracle,
     "dedup_components" -> ExtensionQueries.dedupComponentsOracle,

@@ -304,6 +304,39 @@ LEFT JOIN contam ct ON ct.doc_id = b.doc_id
 LEFT JOIN kept k ON k.doc_id = b.doc_id
 ORDER BY b.doc_id"""
 
+  /** Persisted curate manifest per corpus — the production shape for
+    * READOUTS: the four-stage pipeline materializes once (the live
+    * `corpus_curate` row keeps pricing the computation itself),
+    * downstream readouts read the manifest. Stamp-keyed like every
+    * trained artifact, so a regenerated corpus recomputes. */
+  private def curateManifestFor(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = artifactPath("curate-manifest", sfDir, "q0.5")
+    if (!Artifacts.exists(spark, path)) {
+      val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+      graft.operators.Curate.manifest(docs,
+          probes = docs.filter(col("doc_id") < 100), minQuality = 0.5)
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** Per-(source, fate) counts — the pipeline's headline readout (what
+    * did curation cost each source?). Reads the persisted manifest; the
+    * oracle RECOMPUTES the whole pipeline relationally, so the gate
+    * checks the materialization round-trip, not an artifact echo. */
+  def corpusCurateSummary(spark: SparkSession, sfDir: String): DataFrame =
+    curateManifestFor(spark, sfDir)
+      .join(Tables(spark, sfDir, "documents").select("doc_id", "source"), "doc_id")
+      .groupBy("source", "fate")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "fate")
+
+  val corpusCurateSummaryOracle: String = s"""
+SELECT d.source, m.fate, CAST(count(*) AS BIGINT) AS n_docs
+FROM ($corpusCurateOracle) m
+JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** Oracle: closure CTE + the [[textStatsOracle]] quality expression +
     * one argmax window — same verdict, derived relationally. */
   val dedupKeepBestOracle: String = s"""$componentClosureCte,

@@ -480,6 +480,19 @@ class ExtensionSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("corpus_curate_summary totals reconcile with the live manifest") {
+    val manifest = graft.queries.ExtensionQueries.corpusCurate(spark, sf)
+      .collect().groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val summary = graft.queries.ExtensionQueries
+      .corpusCurateSummary(spark, sf).collect()
+    val byFate = summary.groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(byFate.view.mapValues(_.toInt).toMap == manifest,
+      s"summary $byFate disagrees with live manifest $manifest")
+    assert(summary.map(_.getLong(2)).sum == manifest.values.sum)
+    CacheRegistry.releaseAll()
+  }
+
   test("pq ADC score equals the reconstruction inner product") {
     import spark.implicits._
     import graft.functions.VectorExpressions.{pqAdc, pqEncode, pqLut}
