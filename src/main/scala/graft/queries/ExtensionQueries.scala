@@ -1359,7 +1359,7 @@ ORDER BY query_id, rank"""
   /** Persisted [[Similarity.pqGeomFrames]] for the ann_pq_topk
     * configuration — coarse quantizer SHARED with the IVF family (one
     * cell model serves ivf, ivfq, and pq, as it would in production). */
-  private[graft] def pqFramesFor(spark: SparkSession, sfDir: String)
+  private def pqFramesFor(spark: SparkSession, sfDir: String)
       : Similarity.PqFrames = {
     val path = artifactPath("pq-geom", sfDir,
       s"m${PqM}k${PqKsub}n${IvfNlist}p$IvfNprobe")
