@@ -50,11 +50,16 @@ object Curate {
     CacheRegistry.track(labeled)
     val s2 = labeled.filter(col("rn") === 1 &&
       col("quality_score") >= minQuality)
+    // persisted: consumed by BOTH the stage-3 anti-join and the final
+    // manifest join — without the cache the whole 5-gram sweep
+    // (df-cap anti-join, probe join, shared-ngram aggregate) runs twice
     val contaminated = Dedup.crossNgramOverlap(
         s2, probes, "doc_id", "text",
         n = 5, minShared = 3, maxDocFreq = 100)
       .select("doc_id").distinct()
       .withColumn("is_cont", lit(1))
+      .persist()
+    CacheRegistry.track(contaminated)
     val s3 = s2.join(contaminated, Seq("doc_id"), "left_anti").persist()
     CacheRegistry.track(s3)
     val clusters = Dedup.connectedComponents(

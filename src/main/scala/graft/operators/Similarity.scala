@@ -189,8 +189,14 @@ object Similarity {
                     k: Int): DataFrame = {
     val qBase = queries.select(col("vec_id").as("query_id"), col("embedding").as("queryv"),
       vecNorm(col("embedding")).as("queryn")).filter(col("queryn") > 0)
-    val cBase = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("candv"),
-      vecNorm(col("embedding")).as("candn")).filter(col("candn") > 0)
+    // constructed EXACTLY like lshProbeFrames' persisted cBase (incl.
+    // Par.widen) so that when the two run in one job the cache manager
+    // substitutes the cached frame instead of re-scanning the corpus
+    // for the rerank join; standalone (persisted-geometry) callers get
+    // the same widened scan the family uses everywhere
+    val cBase = Par.widen(corpus)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("candv"),
+        vecNorm(col("embedding")).as("candn")).filter(col("candn") > 0)
     val cands = qProbes.join(cBuckets, Seq("table", "bucket", "blk"))
       .filter(col("query_id") =!= col("cand_id"))
       .select("query_id", "cand_id")
@@ -831,19 +837,24 @@ object Similarity {
     require(dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
     val dsub = dim / m
     val n = corpus.count()
-    val train0 = if (n <= TrainSampleCap) corpus
+    // persisted: the m seed collects + m·trainIters Lloyd aggregates
+    // each consume this frame — without the cache that is ~50 corpus
+    // re-scans at the m=16 defaults for one model-sized artifact
+    val train0 = (if (n <= TrainSampleCap) corpus
       else {
         val k = math.max(1L, n / TrainSampleCap)
         corpus.filter(pmod(xxhash64(col("vec_id")), lit(k)) === 0)
+      }).select(col("vec_id"), col("embedding")).persist()
+    try {
+      (0 until m).toArray.map { j =>
+        val sub = train0.select(col("vec_id"),
+          slice(col("embedding"), j * dsub + 1, dsub).as("embedding"))
+        var cb = sub.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+          .limit(ksub).collect().map(_.getSeq[Float](1).toArray)
+        for (_ <- 1 to trainIters) cb = pqLloydStep(sub, cb)
+        cb
       }
-    (0 until m).toArray.map { j =>
-      val sub = train0.select(col("vec_id"),
-        slice(col("embedding"), j * dsub + 1, dsub).as("embedding"))
-      var cb = sub.orderBy(xxhash64(col("vec_id")), col("vec_id"))
-        .limit(ksub).collect().map(_.getSeq[Float](1).toArray)
-      for (_ <- 1 to trainIters) cb = pqLloydStep(sub, cb)
-      cb
-    }
+    } finally train0.unpersist()
   }
 
   /** One L2 Lloyd update over ONE subspace — [[lloydStep]]'s fixed-point

@@ -1528,7 +1528,7 @@ FROM m ORDER BY vec_id"""
         Tables(spark, sfDir, "documents").select("doc_id", "text"), "text")
       .drop("text").orderBy("doc_id")
 
-  val textStatsOracle: String = """
+  val textStatsOracle: String = s"""
 SELECT doc_id,
   CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
   CAST(length(text) AS BIGINT) AS n_chars_calc,
@@ -1540,16 +1540,7 @@ SELECT doc_id,
     / len(string_split(text,' ')) AS stopword_ratio,
   CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
     / len(string_split(text,' ')) AS mean_token_len,
-  (CASE WHEN len(string_split(text,' ')) >= 20 AND len(string_split(text,' ')) <= 2000
-        THEN 0.4 ELSE 0.1 END)
-  + 0.4 * (CAST(len(list_filter(string_split(text,' '),
-      w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
-      / len(string_split(text,' ')))
-  + (CASE WHEN (CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
-                / len(string_split(text,' '))) >= 3.0
-           AND (CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
-                / len(string_split(text,' '))) <= 9.0
-          THEN 0.2 ELSE 0.0 END) AS quality_score
+  $qualityScoreSql AS quality_score
 FROM documents ORDER BY doc_id"""
 
   /** Per-document top-3 TF-IDF keywords ([[Relevance.tfidfKeywords]]) —
@@ -1966,16 +1957,7 @@ WITH s AS (
     md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
   ${graft.functions.LangProfiles.oracleColumnsSql("text")},
     CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
-    (CASE WHEN len(string_split(text,' ')) >= 20 AND len(string_split(text,' ')) <= 2000
-          THEN 0.4 ELSE 0.1 END)
-    + 0.4 * (CAST(len(list_filter(string_split(text,' '),
-        w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
-        / len(string_split(text,' ')))
-    + (CASE WHEN (CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
-                  / len(string_split(text,' '))) >= 3.0
-             AND (CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
-                  / len(string_split(text,' '))) <= 9.0
-            THEN 0.2 ELSE 0.0 END) AS quality_score,
+  $qualityScoreSql AS quality_score,
     row_number() OVER (PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
                        ORDER BY doc_id) AS rn
   FROM documents)

@@ -37,10 +37,14 @@ object LmProbe {
       Par.widen(docs).select(col("doc_id"), explode(toks).as("t")).count())
     // both formulations, so the probe keeps measuring the kernel's win
     // over the interpreted-lambda HOF chain it replaced
+    // size guard matches the replaced production chain: a <2-token doc
+    // yields NO transitions (sequence(1,0) would otherwise step DOWN to
+    // [1,0] and element_at(toks, 0) throws INVALID_INDEX_OF_ZERO)
     val trHof = Par.widen(docs).select(col("doc_id"),
-        explode(transform(sequence(lit(1), greatest(size(toks) - 1, lit(0))),
-          i => struct(element_at(toks, i).as("prev"),
-            element_at(toks, i + 1).as("cur")))).as("bg"))
+        explode(when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => struct(element_at(toks, i).as("prev"),
+              element_at(toks, i + 1).as("cur"))))).as("bg"))
       .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
     time("transitions HOF (old)")(trHof.count())
     val tr = Par.widen(docs).select(col("doc_id"),

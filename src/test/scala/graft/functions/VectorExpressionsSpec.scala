@@ -188,6 +188,25 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(fps(1) == fps(7))
   }
 
+  test("property: int8 kernel quantization equals its declarative HOF twin") {
+    // ivfqGeomFrames emits BOTH encodings (binary for the Spark scorer,
+    // int array for the oracle twin) from two implementations of
+    // floor(x*127/maxabs + 0.5); this pins them value-identical so an
+    // edit to one cannot silently desynchronize oracle from engine.
+    import spark.implicits._
+    check(Prop.forAll(vecGen) { (v: List[Float]) =>
+      val row = Seq(Tuple1(v)).toDF("v")
+        .select(col("v").cast("array<float>").as("v"))
+        .select(VectorExpressions.int8Quantize($"v").as("bytes"),
+          graft.operators.Similarity.quantizeInt8($"v")._2.as("ints"))
+        .collect().head
+      val bytes = row.getAs[Array[Byte]](0)
+      val ints = row.getSeq[Int](1)
+      bytes.length == ints.length &&
+        bytes.indices.forall(i => bytes(i).toInt == ints(i))
+    })
+  }
+
   test("property: pq_encode is the L2 argmin and ADC is the reconstruction dot") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
