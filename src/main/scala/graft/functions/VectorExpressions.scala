@@ -847,16 +847,25 @@ object VectorExpressions {
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "pq_adc"
+    // null on shape mismatch (empty code word, LUT not a multiple of m,
+    // code out of [0, ksub)) — the same null-on-mismatch contract as
+    // PqEncode/PqLut, so a corrupted or cross-generation lists artifact
+    // read against different codebooks surfaces as null scores (dropped
+    // candidates) instead of an index-out-of-bounds deep in codegen
+    override def nullable: Boolean = true
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val lut = a.asInstanceOf[ArrayData]
       val codes = b.asInstanceOf[ArrayData]
       val m = codes.numElements()
+      if (m == 0 || lut.numElements() % m != 0) return null
       val ksub = lut.numElements() / m
       var acc = 0.0
       var j = 0
       while (j < m) {
-        acc += lut.getDouble(j * ksub + codes.getInt(j))
+        val c = codes.getInt(j)
+        if (c < 0 || c >= ksub) return null
+        acc += lut.getDouble(j * ksub + c)
         j += 1
       }
       java.lang.Double.valueOf(acc)
@@ -868,14 +877,21 @@ object VectorExpressions {
         val m = ctx.freshName("m")
         val ksub = ctx.freshName("ksub")
         val acc = ctx.freshName("acc")
+        val c = ctx.freshName("c")
+        val bad = ctx.freshName("bad")
         s"""
         int $m = $b.numElements();
-        int $ksub = $a.numElements() / $m;
+        boolean $bad = ($m == 0 || $a.numElements() % $m != 0);
         double $acc = 0.0;
-        for (int $j = 0; $j < $m; $j++) {
-          $acc += $a.getDouble($j * $ksub + $b.getInt($j));
+        if (!$bad) {
+          int $ksub = $a.numElements() / $m;
+          for (int $j = 0; $j < $m && !$bad; $j++) {
+            int $c = $b.getInt($j);
+            if ($c < 0 || $c >= $ksub) { $bad = true; }
+            else { $acc += $a.getDouble($j * $ksub + $c); }
+          }
         }
-        ${ev.value} = $acc;
+        if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
         """
       })
 

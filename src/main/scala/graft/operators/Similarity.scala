@@ -851,6 +851,11 @@ object Similarity {
           slice(col("embedding"), j * dsub + 1, dsub).as("embedding"))
         var cb = sub.orderBy(xxhash64(col("vec_id")), col("vec_id"))
           .limit(ksub).collect().map(_.getSeq[Float](1).toArray)
+        // an under-filled codebook would desync every consumer that
+        // hard-codes the ksub LUT stride (the SQL oracles, PqLut/PqAdc)
+        // into an opaque hash mismatch — fail loudly at train time
+        require(cb.length == ksub,
+          s"PQ training needs >= ksub=$ksub vectors; corpus sample has ${cb.length}")
         for (_ <- 1 to trainIters) cb = pqLloydStep(sub, cb)
         cb
       }
@@ -969,12 +974,22 @@ object Similarity {
     * contract as [[ivfqTopKFromGeom]]. */
   def pqTopKFromGeom(lists: DataFrame, probes: DataFrame,
                      queries: DataFrame, corpus: DataFrame,
-                     k: Int, rerank: Int = 0): DataFrame = {
+                     k: Int, rerank: Int = 0,
+                     broadcastProbes: Boolean = true): DataFrame = {
     import graft.functions.VectorExpressions.pqAdc
     val keepR = if (rerank > 0) rerank else 4 * k
     val wApprox = Window.partitionBy("query_id")
       .orderBy(col("asim").desc, col("cand_id"))
-    val frontier = lists.join(broadcast(probes), Seq("cent_id"))
+    // PQ probes are the heaviest probe frame in the family — each row
+    // carries an m·ksub-double LUT (32 KB at m=16, ksub=256), so a
+    // large OFFLINE query batch can exceed a sane broadcast; pass
+    // broadcastProbes=false there to let AQE pick the join (same escape
+    // hatch as ivfTopKPrepared/ivfqTopK). Serve-sized batches keep the
+    // broadcast default. The rerank-side qFull broadcast stays
+    // unconditional, matching the ivfq sibling: raw query floats are
+    // ~two orders of magnitude lighter per row than the LUT.
+    val probesSide = if (broadcastProbes) broadcast(probes) else probes
+    val frontier = lists.join(probesSide, Seq("cent_id"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("asim",
         pqAdc(col("lut"), col("codes")) / (col("qn") * col("rn")))

@@ -339,7 +339,7 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** Oracle: closure CTE + the [[textStatsOracle]] quality expression +
     * one argmax window — same verdict, derived relationally. */
-  val dedupKeepBestOracle: String = s"""$componentClosureCte,
+  def dedupKeepBestOracle: String = s"""$componentClosureCte,
 q AS (
   SELECT doc_id,
   $qualityScoreSql AS quality_score
@@ -386,13 +386,22 @@ ORDER BY doc_id"""
     * uses, single files or many-file dirs); a non-local store yields
     * the path-keyed behavior as before ("nostamp"). */
   private[graft] def corpusStamp(sfDir: String): String = {
+    // Per-file (relative-path, length, mtime) triples, recursively for
+    // directory tables: byte-lengths alone can collide for regenerated
+    // corpora from fixed-width deterministic generators, and a
+    // non-recursive directory sum would miss nested shard layouts.
+    // mtime makes the stamp strictly safer (worst case: a byte-identical
+    // regeneration forces one redundant retrain).
+    def walk(f: java.io.File, rel: String): Seq[String] =
+      if (f.isFile) Seq(s"$rel=${f.length}@${f.lastModified}")
+      else if (f.isDirectory)
+        f.listFiles().sortBy(_.getName).toSeq
+          .flatMap(c => walk(c, s"$rel/${c.getName}"))
+      else Nil
     val parts = Seq("documents.parquet", "embeddings.parquet",
         "events.parquet").flatMap { t =>
-      val f = new java.io.File(s"$sfDir/$t")
-      if (f.isFile) Some(s"$t:${f.length}")
-      else if (f.isDirectory)
-        Some(s"$t:${f.listFiles().filter(_.isFile).map(_.length).sum}")
-      else None
+      val fs = walk(new java.io.File(s"$sfDir/$t"), t)
+      if (fs.isEmpty) None else Some(fs.mkString(","))
     }
     if (parts.isEmpty) "nostamp"
     else java.security.MessageDigest.getInstance("MD5")
@@ -419,8 +428,12 @@ ORDER BY doc_id"""
     val abs = new java.io.File(artifactRoot).getAbsolutePath
     val gateDir = "/root/testdata/sf0.01"
     val corpus = gateDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    // stamp computed at oracle-string build time = the same files the
-    // Spark side stamps when it writes the artifact in the same run
+    // Stamp computed when the oracle STRING is built. Every oracle that
+    // interpolates this helper is a `def` (not a val), so the stamp is
+    // taken at oracleSql-call time — the same JVM moment the Spark side
+    // stamps when it writes the artifact — rather than frozen at object
+    // init, where a mid-JVM corpus regeneration would desync the two
+    // sides into an opaque read_parquet failure.
     s"$abs/$corpus-${corpusStamp(gateDir)}/$kind-$param"
   }
   private def centroidsFor(e: DataFrame, sfDir: String, nlist: Int)
@@ -503,7 +516,7 @@ ORDER BY doc_id"""
     * bucket, id_a < id_b), exact shingle Jaccard via an unnest
     * self-join (shingle hashes are distinct per doc, so COUNT(*) of
     * matches = |intersection|). */
-  val dedupMinhashLshOracle: String = s"""
+  def dedupMinhashLshOracle: String = s"""
 WITH art AS (SELECT * FROM read_parquet(
   '${oracleArtifact("minhash-sig", "k64w3")}/*.parquet')),
 b AS (
@@ -539,7 +552,7 @@ ORDER BY id_a, id_b"""
     * artifact: 4 16-bit bands (arithmetic shift + mask, identical to
     * Spark's shiftright/bitwiseAND on signed longs), SpanGuard pairing,
     * hamming = bit_count(xor) ≤ 3. */
-  val dedupSimhashOracle: String = s"""
+  def dedupSimhashOracle: String = s"""
 WITH art AS (SELECT * FROM read_parquet(
   '${oracleArtifact("simhash-sig", "64")}/*.parquet')),
 b AS (
@@ -620,7 +633,7 @@ ORDER BY id_a, id_b"""
     * + block-geometry artifacts: candidates = probes ⋈ index blocks on
     * (band, bucket, blk) deduped, exact shingle Jaccard via the same
     * unnest self-join the hash-green [[dedupMinhashLshOracle]] uses. */
-  val dedupIncrementalOracle: String = s"""
+  def dedupIncrementalOracle: String = s"""
 WITH art AS (SELECT * FROM read_parquet(
   '${oracleArtifact("minhash-sig", "k64w3")}/*.parquet')),
 ib AS (SELECT * FROM read_parquet(
@@ -757,7 +770,7 @@ ORDER BY incoming_id, index_id"""
     * double cosine ≥ 0.4 — the same sum-of-products formulation the
     * hash-green [[annCosineTopKOracle]] proves against Spark's vecDot
     * kernel. */
-  val dedupEmbeddingCosineOracle: String = s"""
+  def dedupEmbeddingCosineOracle: String = s"""
 WITH art AS (SELECT * FROM read_parquet(
   '${oracleArtifact("cell-probes", "auto-p4")}/*.parquet')),
 r AS (
@@ -897,7 +910,7 @@ ORDER BY id_a, id_b"""
     * span ≤ 256), exact double cosine ≥ 0.4, witness = min in-cell
     * duplicate id, manifest via left join over ALL corpus rows
     * (unpairable rows kept verbatim). */
-  val dedupSemanticOracle: String = s"""
+  def dedupSemanticOracle: String = s"""
 WITH art AS (SELECT * FROM read_parquet(
   '${oracleArtifact("sem-assign", "auto")}/*.parquet')),
 r AS (
@@ -1131,7 +1144,7 @@ ORDER BY query_id, rank"""
     * embeddings (same formulation as the hash-green
     * [[annCosineTopKOracle]]); per-query top-5 with the (sim DESC,
     * cand_id) tie-break. */
-  val annLshTopKOracle: String = s"""
+  def annLshTopKOracle: String = s"""
 WITH qp AS (SELECT * FROM read_parquet(
   '${oracleArtifact("lsh-probes", "t24b0p32")}/qprobes/*.parquet')),
 cb AS (SELECT * FROM read_parquet(
@@ -1209,7 +1222,7 @@ ORDER BY query_id, rank"""
     * exact double cosine; per-query top-5 with the (sim DESC, cand_id)
     * tie-break — the same tail as the hash-green
     * [[annLshTopKOracle]]. */
-  val annIvfTopKOracle: String = s"""
+  def annIvfTopKOracle: String = s"""
 WITH il AS (SELECT * FROM read_parquet(
   '${oracleArtifact("ivf-geom", s"n${IvfNlist}p$IvfNprobe")}/lists/*.parquet')),
 qp AS (SELECT * FROM read_parquet(
@@ -1280,7 +1293,7 @@ ORDER BY query_id, rank"""
     * order as the Spark kernel, keepR = 4·k frontier per query on
     * (asim DESC, cand_id), then the exact-cosine rerank tail shared
     * with [[annIvfTopKOracle]]. */
-  val annIvfqTopKOracle: String = s"""
+  def annIvfqTopKOracle: String = s"""
 WITH il AS (SELECT * FROM read_parquet(
   '${oracleArtifact("ivfq-geom", s"n${IvfNlist}p$IvfNprobe")}/lists/*.parquet')),
 qp AS (SELECT * FROM read_parquet(
@@ -1394,7 +1407,7 @@ ORDER BY query_id, rank"""
     * kernel's accumulation order), asim = adc / (qn·rn) with the same
     * operand order, keepR = 8·k frontier on (asim DESC, cand_id), then
     * the exact-cosine rerank tail shared with [[annIvfqTopKOracle]]. */
-  val annPqTopKOracle: String = s"""
+  def annPqTopKOracle: String = s"""
 WITH il AS (SELECT * FROM read_parquet(
   '${oracleArtifact("pq-geom", s"m${PqM}k${PqKsub}n${IvfNlist}p$IvfNprobe")}/lists/*.parquet')),
 qp AS (SELECT * FROM read_parquet(
@@ -1880,7 +1893,7 @@ ORDER BY d.doc_id"""
     * the driver's oracle gate runs at; the Spark query trains/loads the
     * same artifact for that sfDir, so both sides encode with identical
     * ranks. */
-  val textBpeTokensOracle: String = s"""
+  def textBpeTokensOracle: String = s"""
 WITH RECURSIVE merges AS (
   SELECT rank, a, b
   FROM read_parquet('${oracleArtifact("bpe-merges", "24")}/*.parquet')
@@ -2155,7 +2168,7 @@ FROM p GROUP BY doc_id ORDER BY doc_id"""
     * DESC, label DESC ≡ Spark's struct-max. Artifact path is sf0.01 —
     * the only scale the driver gate runs at (same convention as the BPE
     * oracle). */
-  val textNbClassifyOracle: String = s"""
+  def textNbClassifyOracle: String = s"""
 WITH sc AS (
   SELECT doc_id, lang, string_split(text, ' ') AS w
   FROM documents WHERE doc_id % 2 = 1),
@@ -2186,7 +2199,7 @@ SELECT s.doc_id, s.lang, p.predicted, p.score_fx
 FROM sc s JOIN pick p ON s.doc_id = p.doc_id AND p.rn = 1
 ORDER BY s.doc_id"""
 
-  val textNbConfusionOracle: String = s"""
+  def textNbConfusionOracle: String = s"""
 WITH sc AS (
   SELECT doc_id, lang, string_split(text, ' ') AS w
   FROM documents WHERE doc_id % 2 = 1),

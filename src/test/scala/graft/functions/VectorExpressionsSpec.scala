@@ -244,4 +244,32 @@ class VectorExpressionsSpec extends AnyFunSuite {
       encOk && adc == wantDot
     })
   }
+
+  test("pq_adc yields null on shape mismatch instead of throwing") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val adc = VectorExpressions.PqAdc(Literal(null), Literal(null))
+    def lut(n: Int) = new GenericArrayData(Array.fill(n)(1.0))
+    def codes(cs: Int*) = new GenericArrayData(cs.toArray)
+    // empty code word (m = 0): would divide by zero without the guard
+    assert(adc.nullSafeEval(lut(8), codes()) == null)
+    // LUT length not a multiple of m: mismatched artifact generations
+    assert(adc.nullSafeEval(lut(7), codes(0, 1)) == null)
+    // code out of [0, ksub): corrupted lists read against a smaller book
+    assert(adc.nullSafeEval(lut(8), codes(0, 4)) == null)
+    assert(adc.nullSafeEval(lut(8), codes(-1, 0)) == null)
+    // well-formed input still scores
+    assert(adc.nullSafeEval(lut(8), codes(3, 0)) == 2.0)
+    // same contract through the codegen path (DataFrame evaluation)
+    import spark.implicits._
+    val rows = Seq(
+      (Array.fill(8)(1.0), Array(3, 0)),   // ok -> 2.0
+      (Array.fill(8)(1.0), Array[Int]()),  // m = 0 -> null
+      (Array.fill(7)(1.0), Array(0, 1)),   // stride mismatch -> null
+      (Array.fill(8)(1.0), Array(0, 9)))   // code >= ksub -> null
+      .toDF("lut", "codes")
+      .select(VectorExpressions.pqAdc(col("lut"), col("codes")).as("s"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(rows.toSeq == Seq(2.0, null, null, null))
+  }
 }

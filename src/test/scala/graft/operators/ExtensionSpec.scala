@@ -790,6 +790,27 @@ class ExtensionSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("pqTopKFromGeom without the probe broadcast is row-identical") {
+    // the escape hatch for large offline query batches (the LUT makes
+    // PQ probes ~32 KB/row at production m·ksub — too big to broadcast
+    // past ~100k queries): AQE-picked join must change the PLAN only
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val queries = e.filter(col("vec_id") < 8)
+    val quant = Similarity.trainCentroids(e, nlist = 8, trainIters = 2)
+    val cb = Similarity.trainPqCodebooks(e, m = 8, ksub = 16, trainIters = 1)
+    val f = Similarity.pqGeomFrames(queries, e, quant, cb, nprobe = 3)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    val bcast = Similarity.pqTopKFromGeom(f.lists, f.probes, queries, e, k = 5)
+      .collect().map(key).sorted.toSeq
+    val shuffled = Similarity.pqTopKFromGeom(f.lists, f.probes, queries, e,
+        k = 5, broadcastProbes = false)
+      .collect().map(key).sorted.toSeq
+    assert(bcast.nonEmpty && bcast == shuffled,
+      "broadcast flag must not change emitted rows")
+    CacheRegistry.releaseAll()
+  }
+
   test("ivfAppend extends a round-tripped index; recall holds without retrain") {
     import spark.implicits._
     val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
