@@ -152,6 +152,7 @@ object SparkEntry {
     "multimodal_frames" -> (ExtensionQueries.multimodalFrames _),
     "multimodal_media_meta" -> (ExtensionQueries.multimodalMediaMeta _),
     "multimodal_audio_stats" -> (ExtensionQueries.multimodalAudioStats _),
+    "multimodal_ulaw_stats" -> (ExtensionQueries.multimodalUlawStats _),
     "events_session_window" -> (AnalyticsQueries.eventsSessionWindow _),
     // -- spark.sql surface over registered views + custom SQL functions --
     "sql_events_arrayjoin" -> (PipelineQueries.sqlArrayJoin _),
@@ -223,6 +224,7 @@ object SparkEntry {
     "multimodal_frames" -> ExtensionQueries.multimodalFramesOracle,
     "multimodal_media_meta" -> ExtensionQueries.multimodalMediaMetaOracle,
     "multimodal_audio_stats" -> ExtensionQueries.multimodalAudioStatsOracle,
+    "multimodal_ulaw_stats" -> ExtensionQueries.multimodalUlawStatsOracle,
     "events_session_window" -> AnalyticsQueries.eventsSessionWindowOracle,
     "sql_events_arrayjoin" -> PipelineQueries.sqlArrayJoinOracle,
     "sql_mime_decode" -> ExtensionQueries.sqlMimeDecodeOracle,

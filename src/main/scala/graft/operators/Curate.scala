@@ -34,13 +34,21 @@ object Curate {
     *               fate)
     * @return (doc_id, fate ∈ {exact_dup, low_quality, contaminated,
     *         near_dup, kept}, quality_score), one row per input doc */
-  def manifest(docs: DataFrame, probes: DataFrame,
-               minQuality: Double = 0.5): DataFrame = {
+  /** Stage-0 enrichment shared by the batch manifest and the streaming
+    * [[graft.streaming.StreamingAnalytics.curateIntake]] — ONE
+    * definition of the quality/fingerprint columns so the two surfaces
+    * cannot drift. */
+  private[graft] def enrich(docs: DataFrame): DataFrame = {
     val qscore = TextAnalysis.qualityColumns(col("text"))
       .collectFirst { case ("quality_score", c) => c }.get
-    val base = docs.select(col("doc_id"), col("text"),
+    docs.select(col("doc_id"), col("text"),
       qscore.as("quality_score"),
       TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
+  }
+
+  def manifest(docs: DataFrame, probes: DataFrame,
+               minQuality: Double = 0.5): DataFrame = {
+    val base = enrich(docs)
     // slim exact-dup verdict: only (doc_id, fingerprint) rides the window
     val rnSlim = base.select(col("doc_id"), col("fingerprint"))
       .withColumn("rn", row_number().over(

@@ -192,11 +192,12 @@ object Multimodal {
         ContainerMeta("wav", dataLen * 8000L / (rate.toLong * ch * bits), rate, ch)
       }
 
-    /** REAL PCM sample decode — the one payload family decodable with no
+    /** REAL PCM sample decode — the payload family decodable with no
       * codec dependency: WAVE format tag 1, 16-bit signed LE or 8-bit
-      * unsigned (rebased to signed), channels interleaved. Anything else
-      * (float WAV, compressed tags, truncated data) returns None and
-      * falls to the documented stub path. */
+      * unsigned (rebased to signed), channels interleaved. G.711
+      * companded tags decode via [[decodeWavCompanded]]; anything else
+      * (float WAV, other compressed tags, truncated data) returns None
+      * and falls to the documented stub path. */
     private[operators] def decodeWavPcm(b: Array[Byte])
         : Option[(ContainerMeta, Array[Int])] =
       wavChunks(b).collect {
@@ -216,6 +217,42 @@ object Multimodal {
           (ContainerMeta("wav", dataLen * 8000L / (rate.toLong * ch * bits),
             rate, ch), out)
       }
+
+    /** REAL compressed-payload audio decode — G.711 companded WAV
+      * (format tag 7 = µ-law, 6 = A-law; ITU-T G.711, the 2:1 logarithmic
+      * codec telephony payloads ship in) through the JDK's
+      * `javax.sound.sampled` codec chain to 16-bit signed PCM. The JDK
+      * decoder is bit-identical to the published G.711 expansion
+      * formulas (all 256 codes of both laws — spec-pinned), so the
+      * decode is deterministic AND closed-form reproducible by any
+      * engine: the multimodal_ulaw_stats oracle recomputes the µ-law
+      * expansion arithmetically in SQL. Anything malformed (wrong
+      * bits/sample, truncated data, codec refusal) returns None and
+      * falls to the sentinel path, same contract as [[decodeWavPcm]]. */
+    private[operators] def decodeWavCompanded(b: Array[Byte])
+        : Option[(ContainerMeta, Array[Int])] =
+      try wavChunks(b).collect {
+        case (tag, rate, ch, 8, dataOff, dataLen) if tag == 6 || tag == 7 =>
+          import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+          val enc = if (tag == 7) AudioFormat.Encoding.ULAW
+            else AudioFormat.Encoding.ALAW
+          val src = new AudioFormat(enc, rate.toFloat, 8, ch, ch, rate.toFloat, false)
+          val ais = new AudioInputStream(
+            new java.io.ByteArrayInputStream(b, dataOff, dataLen.toInt),
+            src, dataLen / ch)
+          val dec = AudioSystem.getAudioInputStream(
+            new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+              rate.toFloat, 16, ch, 2 * ch, rate.toFloat, false), ais)
+          val bytes = dec.readAllBytes()
+          val out = new Array[Int](bytes.length / 2)
+          var i = 0
+          while (i < out.length) {
+            out(i) = (((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort).toInt
+            i += 1
+          }
+          (ContainerMeta("wav", dataLen * 8000L / (rate.toLong * ch * 8),
+            rate, ch), out)
+      } catch { case _: Exception => None }
 
     /** ISO BMFF (MP4): walk top-level boxes to `moov`, then its children
       * to `mvhd`; duration = mvhd.duration / mvhd.timescale (v0 32-bit and
@@ -360,12 +397,18 @@ object Multimodal {
 
     /** Canonical 44-byte-header PCM WAV around `data`. */
     def wav(sampleRate: Int, channels: Int, bitsPerSample: Int,
-            data: Array[Byte]): Array[Byte] = {
+            data: Array[Byte]): Array[Byte] =
+      wavFmt(1, sampleRate, channels, bitsPerSample, data)
+
+    /** [[wav]] with an explicit format tag — fixtures for the companded
+      * encodings (6 = G.711 A-law, 7 = G.711 µ-law, both 8 bits). */
+    def wavFmt(fmtTag: Int, sampleRate: Int, channels: Int,
+               bitsPerSample: Int, data: Array[Byte]): Array[Byte] = {
       val blockAlign = channels * bitsPerSample / 8
       val out = new java.io.ByteArrayOutputStream(44 + data.length)
       out.write(cc("RIFF")); out.write(le32b(36L + data.length)); out.write(cc("WAVE"))
       out.write(cc("fmt ")); out.write(le32b(16L))
-      out.write(le16b(1)); out.write(le16b(channels))
+      out.write(le16b(fmtTag)); out.write(le16b(channels))
       out.write(le32b(sampleRate.toLong)); out.write(le32b(sampleRate.toLong * blockAlign))
       out.write(le16b(blockAlign)); out.write(le16b(bitsPerSample))
       out.write(cc("data")); out.write(le32b(data.length.toLong)); out.write(data)
@@ -457,8 +500,11 @@ object Multimodal {
   /** Integer-exact audio sample statistics — floats never cross the
     * engine boundary: `sum_sq` (Σ sample², exact in 63 bits for any
     * realistic clip) and `peak` let a consumer derive RMS/clipping
-    * without the decoder. Non-decodable payloads (no WAV signature,
-    * compressed tag, float samples) get the -1 sentinel row. */
+    * without the decoder. Integer PCM decodes directly
+    * ([[ContainerCodec.decodeWavPcm]]); G.711 companded payloads decode
+    * through the real JDK codec ([[ContainerCodec.decodeWavCompanded]]).
+    * Non-decodable payloads (no WAV signature, unsupported compressed
+    * tag, float samples) get the -1 sentinel row. */
   case class AudioStats(doc_id: Long, n_samples: Long, peak: Long,
                         sum_sq: Long, sample_rate: Int, channels: Int)
 
@@ -469,7 +515,8 @@ object Multimodal {
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
       it.map { r =>
-        ContainerCodec.decodeWavPcm(r.media) match {
+        ContainerCodec.decodeWavPcm(r.media)
+          .orElse(ContainerCodec.decodeWavCompanded(r.media)) match {
           case Some((meta, samples)) =>
             var peak = 0L
             var sumSq = 0L

@@ -2842,6 +2842,58 @@ SELECT doc_id,
        CAST(1 AS INTEGER) AS channels
 FROM s GROUP BY doc_id ORDER BY doc_id"""
 
+  /** REAL compressed-payload decode under the gate: each doc gets a
+    * G.711 µ-LAW WAV (format tag 7 — an actual ITU companded codec, 2:1
+    * vs linear PCM) whose code bytes follow a (doc_id, position)
+    * formula; Spark expands them through the JDK's javax.sound codec
+    * ([[Multimodal.ContainerCodec.decodeWavCompanded]], spec-pinned
+    * bit-identical to the published G.711 expansion), and DuckDB
+    * recomputes that closed-form expansion arithmetically — the decoder
+    * itself sits under the cross-engine hash gate. */
+  def multimodalUlawStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"n_chars", $"source")
+      .as[(Long, Long, String)]
+      .map { case (id, nChars, src) =>
+        val n = (nChars % 200 + 8).toInt
+        val data = new Array[Byte](n)
+        var i = 0
+        while (i < n) {
+          data(i) = ((id * 31 + i.toLong * 7) % 256L).toByte
+          i += 1
+        }
+        Multimodal.MediaRow(id,
+          Multimodal.ContainerFixtures.wavFmt(7, 8000, 1, 8, data),
+          "audio/ulaw", src)
+      }
+    Multimodal.audioStats(rows).toDF().orderBy("doc_id")
+  }
+
+  /** G.711 µ-law expansion, closed form (the public-domain g711.c
+    * arithmetic): u = ~code; t = ((u & 15)·8 + 132) << seg;
+    * v = sign ? 132 − t : t − 132. */
+  val multimodalUlawStatsOracle: String = """
+WITH d AS (SELECT doc_id, n_chars % 200 + 8 AS n FROM documents),
+i AS (
+  SELECT doc_id, unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS i FROM d),
+u AS (
+  SELECT doc_id, 255 - ((doc_id * 31 + i * 7) % 256) AS u FROM i),
+s AS (
+  SELECT doc_id,
+         CASE WHEN u >= 128
+              THEN 132 - (((u & 15) * 8 + 132) * (1 << ((u >> 4) & 7)))
+              ELSE (((u & 15) * 8 + 132) * (1 << ((u >> 4) & 7))) - 132
+         END AS v
+  FROM u)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(max(abs(v)) AS BIGINT) AS peak,
+       CAST(sum(v * v) AS BIGINT) AS sum_sq,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS channels
+FROM s GROUP BY doc_id ORDER BY doc_id"""
+
   val multimodalFeaturesOracle: String = """
 SELECT doc_id,
        'image/t' || (doc_id % 3) AS media_type,

@@ -251,6 +251,154 @@ object StreamingAnalytics {
     }
   }
 
+  /** Incremental curation manifest — [[graft.operators.Curate.manifest]]
+    * applied as documents ARRIVE: each micro-batch is labeled with the
+    * same five fates (`exact_dup`, `low_quality`, `contaminated`,
+    * `near_dup`, `kept`) against STANDING state, without re-pricing the
+    * corpus per refresh. Two persistent indexes carry the cross-batch
+    * state, both batch_id-partitioned with dynamic partition overwrite
+    * (a retried micro-batch overwrites its own partition — the same
+    * at-least-once idempotency discipline as [[nearDedupIntake]]):
+    *
+    *  - `fpIndexPath` — every FIRST-SEEN normalized fingerprint (any
+    *    fate: the batch manifest ranks exact-dups over ALL docs, so a
+    *    later arrival matching a low-quality first is still exact_dup);
+    *  - `sigIndexPath` — prepared MinHash rows ((id, sh, sig),
+    *    [[graft.operators.Dedup.minhashPrepare]]) of KEPT docs only:
+    *    the standing corpus's incumbents. Each admitted document is
+    *    shingled exactly once, at admission.
+    *
+    * Stage semantics per batch are the batch manifest's own operators
+    * (stage-0 enrichment is literally shared — [[graft.operators.Curate.enrich]];
+    * within-batch near-dup clustering is the same
+    * ngramJaccard → connectedComponents → quality-argmax keep-best).
+    * Where streaming NECESSARILY differs, the rule is first-arrival
+    * /incumbent wins, and the batch≡stream differential holds on any
+    * corpus where arrival order respects doc_id order and each cluster's
+    * best-quality member arrives first (the planted spec scenario):
+    *
+    *  - exact dedup: "keep smallest doc_id" becomes keep-first-arrival
+    *    (within a batch, smallest id — identical when ids follow
+    *    arrival);
+    *  - cross-batch near-dup: a new arrival matching a standing
+    *    incumbent (LSH candidate + exact stored-shingle Jaccard ≥
+    *    threshold) is `near_dup` — an already-emitted incumbent is never
+    *    retro-demoted by a better late arrival;
+    *  - only KEPT docs join the signature index, so a chain through an
+    *    earlier batch's near_dup LOSER does not propagate (transitive
+    *    closure beyond the incumbents is the batch operator's job, the
+    *    same bound [[nearDedupIntake]] documents);
+    *  - the contamination df-cap (`maxDocFreq`) prices n-gram hotness
+    *    within the batch's survivors, not corpus-wide.
+    *
+    * The manifest frame handed to `sink` — (doc_id, fate,
+    * quality_score), one row per batch document — is checkpointed
+    * BEFORE the index appends (its plan reads both paths this batch
+    * extends; see [[nearDedupIntake]]'s recache note). Mid-stream index
+    * compaction is not supported (compact offline between runs if
+    * micro-batch count grows the partition listing).
+    *
+    * @param probes static eval-set frame (doc_id, text) for the
+    *               contamination stage; an empty frame disables it */
+  def curateIntake(probes: DataFrame,
+                   fpIndexPath: String, sigIndexPath: String,
+                   minQuality: Double = 0.5,
+                   bands: Int = 16, rowsPerBand: Int = 4,
+                   shingleWidth: Int = 3, threshold: Double = 0.5,
+                   maxBucket: Int = 64, maxDocFreq: Int = 100,
+                   sink: (DataFrame, Long) => Unit = (_, _) => ())
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    import graft.operators.{Artifacts, CacheRegistry, Curate, Dedup}
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val base = Curate.enrich(batch).persist()
+    try {
+      val rnSlim = base.select(col("doc_id"), col("fingerprint"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("fingerprint").orderBy("doc_id")))
+        .select("doc_id", "rn")
+      val labeled0 = base.join(rnSlim, "doc_id")
+      val labeled = (if (Artifacts.hasData(spark, fpIndexPath)) {
+        val seenFps = spark.read.parquet(fpIndexPath)
+          .filter(col("batch_id") =!= lit(batchId))
+          .select(col("fingerprint")).distinct()
+          .withColumn("seen", lit(1))
+        labeled0.join(seenFps, Seq("fingerprint"), "left_outer")
+      } else labeled0.withColumn("seen", lit(null).cast("int"))).persist()
+      CacheRegistry.track(labeled)
+      val s2 = labeled.filter(col("rn") === 1 && col("seen").isNull &&
+        col("quality_score") >= minQuality)
+      val contaminated = Dedup.crossNgramOverlap(s2, probes, "doc_id", "text",
+          n = 5, minShared = 3, maxDocFreq = maxDocFreq)
+        .select("doc_id").distinct()
+        .withColumn("is_cont", lit(1))
+        .persist()
+      CacheRegistry.track(contaminated)
+      val s3 = s2.join(contaminated, Seq("doc_id"), "left_anti").persist()
+      CacheRegistry.track(s3)
+      // within-batch clusters: the batch manifest's own keep-best stage
+      val clusters = Dedup.connectedComponents(
+        Dedup.ngramJaccard(s3, "doc_id", "text",
+          n = shingleWidth, threshold = threshold, maxDocFreq = maxDocFreq))
+      val wBest = Window.partitionBy("component")
+        .orderBy(col("quality_score").desc, col("doc_id").asc)
+      val bestKeep = s3.select(col("doc_id"), col("quality_score"))
+        .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_outer")
+        .withColumn("component", coalesce(col("label"), col("doc_id")))
+        .select(col("doc_id"),
+          (row_number().over(wBest) === 1).cast("int").as("keep"))
+      val winners = s3.join(bestKeep.filter(col("keep") === 1).select("doc_id"), "doc_id")
+      // localCheckpoint, NOT persist: `prepared`'s lineage scans
+      // fpIndexPath (via labeled's seen-join), which this batch appends
+      // to below — a cached plan would be invalidated by the append
+      // (CacheManager.recacheByPath) and recomputed against the
+      // post-append index, where the batch's own fingerprints read as
+      // "seen" and the sig append would silently write nothing. Same
+      // trap [[nearDedupIntake]] documents.
+      val prepared = Dedup.minhashPrepare(winners, "doc_id", "text",
+        bands, rowsPerBand, shingleWidth).localCheckpoint(true)
+      // cross-batch near-dup: batch winners vs the standing incumbents
+      val idxDup = (if (Artifacts.hasData(spark, sigIndexPath)) {
+        val index = spark.read.parquet(sigIndexPath)
+          .filter(col("batch_id") =!= lit(batchId))
+        Dedup.minhashLshAgainstPrepared(index, prepared,
+            bands, rowsPerBand, threshold, maxBucket)
+          .select(col("incoming_id").as("doc_id")).distinct()
+      } else spark.emptyDataFrame
+        .withColumn("doc_id", lit(0L)).limit(0))
+        .withColumn("idx_dup", lit(1))
+      val fates = labeled
+        .join(contaminated, Seq("doc_id"), "left_outer")
+        .join(bestKeep, Seq("doc_id"), "left_outer")
+        .join(idxDup, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          when(col("rn") > 1 || col("seen") === 1, "exact_dup")
+            .when(col("quality_score") < minQuality, "low_quality")
+            .when(col("is_cont") === 1, "contaminated")
+            .when(col("keep") === 0 || col("idx_dup") === 1, "near_dup")
+            .otherwise("kept").as("fate"),
+          col("quality_score"))
+        .localCheckpoint(true)
+      // checkpointed: the plan both reads and (next line) overwrites
+      // fpIndexPath — truncating the lineage to materialized blocks is
+      // what makes the self-referential append legal and replay-stable
+      val newFps = labeled.filter(col("rn") === 1 && col("seen").isNull)
+        .select(col("fingerprint"), lit(batchId).as("batch_id"))
+        .localCheckpoint(true)
+      newFps.write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").mode("overwrite").parquet(fpIndexPath)
+      val keptIds = fates.filter(col("fate") === "kept").select("doc_id")
+      prepared.join(keptIds, col("id") === col("doc_id"))
+        .select(col("id"), col("sh"), col("sig"), lit(batchId).as("batch_id"))
+        .write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").mode("overwrite").parquet(sigIndexPath)
+      sink(fates, batchId)
+    } finally {
+      base.unpersist()
+      graft.operators.CacheRegistry.releaseAll()
+    }
+  }
+
   /** Model-based streaming gate — the serving half of train-once,
     * serve-forever: score each arriving micro-batch under a PERSISTED
     * n-gram LM ([[graft.operators.LanguageModel.save]]) and keep
@@ -392,10 +540,12 @@ object StreamingAnalytics {
     * Coarse quantizer and codebooks load once per query lifetime — the
     * pinned-generation contract shared with [[annSearchIntake]] and the
     * NB route gate: a mid-stream artifact swap does not change scoring
-    * until the query restarts. The `lists` frame is likewise the index
-    * SNAPSHOT the caller passed — rows pqAppend'ed to the backing store
-    * become visible when a restarted query re-reads it, the same
-    * generation shape as the models. Stateless per micro-batch, so
+    * until the query restarts. The `lists` frame is the index SNAPSHOT
+    * the caller passed — its parquet file listing froze when the frame
+    * was created, so rows pqAppend'ed to the backing store become
+    * visible only when a restarted query re-reads it. For an index that
+    * GROWS mid-stream, use [[pqServeIntake]], which re-lists the store
+    * path every micro-batch. Stateless per micro-batch, so
     * replayed batches re-emit identical rows (at-least-once sink
     * semantics, like the other serve paths). */
   def pqSearchIntake(lists: DataFrame, corpus: DataFrame,
@@ -412,6 +562,40 @@ object StreamingAnalytics {
         codebooks = graft.operators.Artifacts
           .loadPqCodebooks(batch.sparkSession, codebooksPath)
       }
+      val probes = graft.operators.Similarity
+        .pqProbes(batch, quantizer, codebooks, nprobe)
+      sink(graft.operators.Similarity
+        .pqTopKFromGeom(lists, probes, batch, corpus, k, rerank), batchId)
+    }
+  }
+
+  /** [[pqSearchIntake]] over a GROWING index: `listsPath` is re-listed
+    * every micro-batch, so rows [[graft.operators.Similarity.pqAppend]]'ed
+    * to the store mid-stream are served at the very next batch — index
+    * growth without a query restart (spec'd by the growth-soak test).
+    * The MODEL stays pinned exactly as in [[pqSearchIntake]]: growing
+    * the index under the pinned generation is always safe (pqAppend
+    * encodes with the same frozen quantizer + codebooks), whereas
+    * rolling the model itself still requires rebuilding the closure —
+    * an in-place codebook swap does not change what this closure
+    * serves. Per-batch listing cost is the file-status scan only; keep
+    * the store compacted if micro-batch count grows the file count. */
+  def pqServeIntake(listsPath: String, corpus: DataFrame,
+                    centroidsPath: String, codebooksPath: String,
+                    k: Int, nprobe: Int = 4, rerank: Int = 0,
+                    sink: (DataFrame, Long) => Unit = (_, _) => ())
+      : (DataFrame, Long) => Unit = {
+    var quantizer: (Array[Long], Array[Array[Float]]) = null
+    var codebooks: Array[Array[Array[Float]]] = null
+    (batch, batchId) => {
+      if (quantizer == null) {
+        quantizer = graft.operators.Artifacts
+          .loadCentroids(batch.sparkSession, centroidsPath)
+        codebooks = graft.operators.Artifacts
+          .loadPqCodebooks(batch.sparkSession, codebooksPath)
+      }
+      // fresh scan per batch: the ONLY un-pinned piece, by design
+      val lists = batch.sparkSession.read.parquet(listsPath)
       val probes = graft.operators.Similarity
         .pqProbes(batch, quantizer, codebooks, nprobe)
       sink(graft.operators.Similarity

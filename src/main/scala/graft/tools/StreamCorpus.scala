@@ -29,18 +29,30 @@ import org.apache.spark.sql.streaming.Trigger
   * ([[graft.operators.LanguageModel]], loaded once) before the dedup
   * cascade — model-based filtering at ingest, trained offline.
   *
-  * Usage: StreamCorpus <inputDir> <outDir> [--follow]
+  * With `--curate`, the gate is the INCREMENTAL CURATION MANIFEST
+  * ([[StreamingAnalytics.curateIntake]]) instead: every arriving
+  * document is labeled with its fate (exact_dup / low_quality /
+  * contaminated / near_dup / kept) against standing fingerprint +
+  * signature indexes — the batch [[CleanCorpus]] manifest under
+  * continuous ingest, without re-pricing the corpus per refresh. The
+  * per-batch manifest appends to `<outDir>/manifest`, kept documents
+  * land in `<outDir>/clean`, and `SPARK_GRAFT_EVAL_PROBES` (a parquet
+  * of (doc_id, text)) enables the decontamination stage.
+  *
+  * Usage: StreamCorpus <inputDir> <outDir> [--follow] [--curate]
   * Env: SPARK_GRAFT_ND_INDEX_PATH (default <outDir>/nd_index),
   * SPARK_GRAFT_MIN_QUALITY (default 0.5), SPARK_GRAFT_ND_THRESHOLD
   * (default 0.7), SPARK_GRAFT_COMPACT_EVERY (default 64 batches, 0 = off),
   * SPARK_GRAFT_LM_MODEL_PATH (off by default),
-  * SPARK_GRAFT_MIN_LM_SCORE (default 0.0).
+  * SPARK_GRAFT_MIN_LM_SCORE (default 0.0),
+  * SPARK_GRAFT_EVAL_PROBES (curate mode; off by default).
   */
 object StreamCorpus {
   def main(args: Array[String]): Unit = {
     val inputDir = args(0)
     val outDir = args(1)
-    val follow = args.length > 2 && args(2) == "--follow"
+    val follow = args.contains("--follow")
+    val curate = args.contains("--curate")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
       .appName("graft-stream-corpus")
@@ -86,6 +98,28 @@ object StreamCorpus {
     val lmModelPath = sys.env.get("SPARK_GRAFT_LM_MODEL_PATH")
     val minLmScore = sys.env.getOrElse("SPARK_GRAFT_MIN_LM_SCORE", "0.0").toDouble
     var lmModel: Option[graft.operators.LanguageModel.NgramLm] = None
+    import org.apache.spark.sql.functions.{col, lit}
+    // curate mode: fate manifest against standing indexes; the sink
+    // closes over the batch so kept docs keep their full source schema
+    val curateGate: (org.apache.spark.sql.DataFrame, Long) => Unit = { (batch, batchId) =>
+      val probes = sys.env.get("SPARK_GRAFT_EVAL_PROBES")
+        .map(spark.read.parquet(_).select("doc_id", "text"))
+        .getOrElse(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          batch.select("doc_id", "text").schema))
+      StreamingAnalytics.curateIntake(probes,
+        s"$outDir/fp_index", s"$outDir/sig_index",
+        minQuality = minQuality, threshold = threshold,
+        sink = (manifest, bid) => {
+          manifest.withColumn("batch_id", lit(bid))
+            .write.mode("append").parquet(s"$outDir/manifest")
+          val kept = batch.join(
+            manifest.filter(col("fate") === "kept").select("doc_id"), "doc_id")
+          val n = kept.count()
+          if (n > 0) kept.write.mode("append").parquet(s"$outDir/clean")
+          println(s"[stream-corpus] batch=$bid curated kept=$n")
+        })(batch, batchId)
+    }
     val gate: (org.apache.spark.sql.DataFrame, Long) => Unit = { (batch, batchId) =>
       if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
         StreamingAnalytics.compactIndex(spark, indexPath, belowBatchId = batchId)
@@ -111,7 +145,7 @@ object StreamCorpus {
 
     val q = docs.writeStream
       .option("checkpointLocation", s"$outDir/_checkpoint")
-      .foreachBatch(gate)
+      .foreachBatch(if (curate) curateGate else gate)
       .trigger(if (follow) Trigger.ProcessingTime("5 seconds")
         else Trigger.AvailableNow())
       .start()

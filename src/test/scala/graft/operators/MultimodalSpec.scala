@@ -244,6 +244,56 @@ class MultimodalSpec extends AnyFunSuite {
       assert(ContainerCodec.meta(junk).kind == "none")
   }
 
+  test("G.711 companded decode is bit-identical to the published expansion, all 256 codes") {
+    // the oracle recomputes these closed forms in SQL — this is the pin
+    // that makes the JDK codec cross-engine reproducible
+    def ulawRef(b: Int): Int = {
+      val u = (~b) & 0xFF
+      val t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+      if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+    }
+    def alawRef(b: Int): Int = {
+      val a = b ^ 0x55
+      val seg = (a & 0x70) >> 4
+      var t = (a & 0x0F) << 4
+      if (seg == 0) t += 8
+      else { t += 0x108; if (seg > 1) t <<= seg - 1 }
+      if ((a & 0x80) != 0) t else -t
+    }
+    val codes = Array.tabulate[Byte](256)(_.toByte)
+    val Some((mu, uSamples)) = ContainerCodec.decodeWavCompanded(
+      ContainerFixtures.wavFmt(7, 8000, 1, 8, codes))
+    assert(mu == ContainerMeta("wav", 32L, 8000, 1)) // 256 samples @ 8 kHz
+    assert(uSamples.toSeq == (0 until 256).map(ulawRef),
+      "JDK ULAW decode must equal the G.711 mu-law expansion")
+    val Some((_, aSamples)) = ContainerCodec.decodeWavCompanded(
+      ContainerFixtures.wavFmt(6, 8000, 1, 8, codes))
+    assert(aSamples.toSeq == (0 until 256).map(alawRef),
+      "JDK ALAW decode must equal the G.711 A-law expansion")
+    // malformed companded payloads keep the sentinel contract
+    assert(ContainerCodec.decodeWavCompanded(
+      ContainerFixtures.wavFmt(7, 8000, 1, 16, codes)).isEmpty,
+      "mu-law is 8-bit by definition; 16-bit tag-7 must refuse")
+    assert(ContainerCodec.decodeWavCompanded(
+      ContainerFixtures.wav(8000, 1, 8, codes)).isEmpty,
+      "integer PCM is decodeWavPcm's job, not the codec chain's")
+  }
+
+  test("audioStats decodes companded payloads and sentinels unsupported tags") {
+    import spark.implicits._
+    val ulaw = Array[Byte](0x00, 0x7F, 0xFF.toByte, 0x80.toByte)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, ContainerFixtures.wavFmt(7, 8000, 1, 8, ulaw), "audio/ulaw", "s"),
+      Multimodal.MediaRow(2L, ContainerFixtures.wavFmt(3, 8000, 1, 32,
+        Array.fill[Byte](8)(1)), "audio/float", "s"))
+      .toDS()
+    val got = Multimodal.audioStats(rows).collect().sortBy(_.doc_id)
+    // 0x00 -> -8031 (mu-law negative max), 0x7F -> -0, 0xFF -> +0, 0x80 -> +8031
+    assert(got(0).n_samples == 4 && got(0).peak == 8031 &&
+      got(0).sum_sq == 2 * 8031L * 8031L && got(0).sample_rate == 8000)
+    assert(got(1).n_samples == -1L, "float WAV stays on the sentinel path")
+  }
+
   test("containerMeta dataset operator over planted rows") {
     import spark.implicits._
     val rows = Seq(

@@ -426,6 +426,66 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       "streamed PQ results differ from the batch prepared-index search")
   }
 
+  test("pq index growth soak: mid-stream pqAppend serves at the next batch; codebook swap refused") {
+    import graft.operators.{Artifacts, Similarity}
+    // the PQ sibling of the compactIndex-mid-stream spec: pqServeIntake
+    // re-lists the store path every micro-batch, so an index grown by
+    // pqAppend (file-granular append) is served at the very next
+    // micro-batch — while the MODEL (centroids + codebooks) stays
+    // pinned at first load, so growing the index never silently
+    // re-encodes under a different generation
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val base = e.filter(col("vec_id") >= 20)
+    // the appended batch: exact copies of the queries under fresh ids —
+    // cosine 1.0 guarantees they MUST rank once the index serves them
+    val held = e.filter(col("vec_id") < 4)
+      .withColumn("vec_id", col("vec_id") + lit(1000000L))
+    val quant = Similarity.trainCentroids(base, nlist = 8, trainIters = 2)
+    val cb = Similarity.trainPqCodebooks(base, m = 8, ksub = 16, trainIters = 1)
+    val tmp = java.nio.file.Files.createTempDirectory("pq_soak").toString
+    val listsPath = tmp + "/lists"
+    Similarity.pqPrepare(base, quant, cb).write.parquet(listsPath)
+    Artifacts.saveCentroids(spark, tmp + "/cent", quant._1, quant._2)
+    Artifacts.savePqCodebooks(spark, tmp + "/cb", cb)
+    val results = scala.collection.mutable.Map.empty[Long, Seq[(Long, Long)]]
+    val corpus = e.unionByName(held) // raw floats already in the store
+    val intake = StreamingAnalytics.pqServeIntake(
+      listsPath, corpus, tmp + "/cent", tmp + "/cb",
+      k = 5, nprobe = 8,
+      sink = (df, bid) => results(bid) = df.select("query_id", "cand_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    val queryBatch = e.filter(col("vec_id") < 4)
+    intake(queryBatch, 0L)
+    assert(results(0L).nonEmpty)
+    assert(results(0L).forall(c => c._2 >= 20 && c._2 < 1000000L),
+      s"batch 0 must see only base-index candidates: ${results(0L)}")
+    // GROW the index mid-stream, through the round-tripped artifacts
+    Similarity.pqAppend(listsPath, held,
+      Artifacts.loadCentroids(spark, tmp + "/cent"),
+      Artifacts.loadPqCodebooks(spark, tmp + "/cb"))
+    intake(queryBatch, 1L)
+    // the appended vectors are served at the next micro-batch, and the
+    // grown index answers exactly like a batch search over full lists
+    assert((0L until 4L).forall(q => results(1L).contains((q, q + 1000000L))),
+      s"appended exact copies must surface after pqAppend: ${results(1L)}")
+    val want = Similarity.pqTopKFromGeom(
+        spark.read.parquet(listsPath),
+        Similarity.pqProbes(queryBatch, quant, cb, nprobe = 8),
+        queryBatch, corpus, k = 5)
+      .select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(results(1L) == want,
+      "post-append stream results must equal the batch search on the grown index")
+    // model pin: an in-place codebook swap must NOT change what this
+    // closure serves (same generation until the closure is rebuilt)
+    Artifacts.savePqCodebooks(spark, tmp + "/cb",
+      Similarity.trainPqCodebooks(e, m = 8, ksub = 16, trainIters = 2))
+    intake(queryBatch, 2L)
+    assert(results(2L) == results(1L),
+      "pinned codebook generation must refuse the in-place swap")
+  }
+
   test("pq search intake pins its model generation for the query lifetime") {
     import graft.operators.{Artifacts, Similarity}
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -680,6 +740,73 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       assert(batchSurvivors == indexIds,
         s"streaming admission ($indexIds) must equal the batch pipeline ($batchSurvivors)")
     } finally q.stop()
+  }
+
+  test("curate intake: replayed-stream manifest equals the batch manifest fate-for-fate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The planted contract under which streaming ≡ batch exactly:
+    // arrival order respects doc_id order, and each near-dup cluster's
+    // best-quality member either co-arrives with its cluster or arrives
+    // first (the incumbent). Quality is tuned via stopword ratio —
+    // swapping stopwords for content words lowers the score without
+    // dropping 3-gram Jaccard below the 0.5 stage threshold.
+    def doc(topic: String): String =
+      s"the $topic system and the $topic runtime are the part of the " +
+        s"$topic stack which reads the $topic rows and the $topic tables " +
+        s"while it is the $topic job that keeps the $topic data in the " +
+        s"$topic store for the $topic users of the $topic week"
+    def worse(topic: String, m: Map[String, String]): String =
+      m.foldLeft(doc(topic)) { case (t, (a, b)) => t.replace(a, b) }
+    val lowq = "short text low quality"
+    // the probe must NOT share the template's topic-free 5-gram runs
+    // ("runtime are the part of" etc.) with the whole corpus — break
+    // them so only the planted doc 4 trips decontamination
+    val probeText = worse("eval",
+      Map("part" -> "evalpart", "tables while" -> "tablet whilst"))
+    val b0 = Seq(
+      1L -> doc("spark"),                       // kept
+      2L -> doc("spark"),                       // exact_dup (in batch)
+      3L -> lowq,                               // low_quality
+      4L -> probeText.replace("rows", "cells"), // contaminated (vs probe)
+      5L -> worse("hive", Map("and the" -> "minus some")), // near_dup (loses keep-best to 6)
+      6L -> doc("hive"))                        // kept (cluster argmax, larger id)
+    val b1 = Seq(
+      7L -> doc("spark"),                       // exact_dup (cross-batch fp)
+      8L -> lowq,                               // exact_dup (fp of a low-quality FIRST)
+      9L -> worse("hive", Map("it is" -> "iron ore")), // near_dup (vs incumbent 6, via sig index)
+      10L -> doc("presto"))                     // kept
+    val b2 = Seq(
+      11L -> worse("presto", Map("in the" -> "beside a")), // near_dup (incumbent 10, index grew)
+      12L -> doc("iceberg"))                    // kept
+    val probes = Seq(100L -> probeText).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-curate").toString
+    val got = scala.collection.mutable.ArrayBuffer[(Long, String, Double)]()
+    val gate = StreamingAnalytics.curateIntake(probes,
+      s"$root/fp_index", s"$root/sig_index",
+      sink = (m, _) => got ++= m.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getDouble(2))))
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch(gate).start()
+    try {
+      Seq(b0, b1, b2).foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val want = graft.operators.Curate
+      .manifest(Seq(b0, b1, b2).flatten.toDF("doc_id", "text"), probes)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(got.sortBy(_._1).toSeq == want,
+      s"stream manifest ${got.sortBy(_._1)} != batch manifest $want")
+    // the planted scenario exercises every fate
+    assert(want.map(_._2).toSet ==
+      Set("kept", "exact_dup", "low_quality", "contaminated", "near_dup"))
+    // standing state holds exactly the incumbents' signatures and every
+    // first-seen fingerprint
+    assert(spark.read.parquet(s"$root/sig_index").select("id").as[Long]
+      .collect().toSet == Set(1L, 6L, 10L, 12L))
+    assert(spark.read.parquet(s"$root/fp_index").count() == 9) // 12 docs - 3 dup fingerprints
+    graft.operators.CacheRegistry.releaseAll()
   }
 
   test("streaming sequenceCount equals the batch fold, out-of-order arrivals included") {
