@@ -288,9 +288,10 @@ class MultimodalSpec extends AnyFunSuite {
         Array.fill[Byte](8)(1)), "audio/float", "s"))
       .toDS()
     val got = Multimodal.audioStats(rows).collect().sortBy(_.doc_id)
-    // 0x00 -> -8031 (mu-law negative max), 0x7F -> -0, 0xFF -> +0, 0x80 -> +8031
-    assert(got(0).n_samples == 4 && got(0).peak == 8031 &&
-      got(0).sum_sq == 2 * 8031L * 8031L && got(0).sample_rate == 8000)
+    // 0x00 -> -32124 (mu-law negative max under the g711.c 16-bit
+    // convention), 0x7F -> -0, 0xFF -> +0, 0x80 -> +32124
+    assert(got(0).n_samples == 4 && got(0).peak == 32124 &&
+      got(0).sum_sq == 2 * 32124L * 32124L && got(0).sample_rate == 8000)
     assert(got(1).n_samples == -1L, "float WAV stays on the sentinel path")
   }
 
