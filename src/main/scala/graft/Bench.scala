@@ -64,9 +64,14 @@ object Bench {
     // detection (trigger 2).
     val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCHFULL.json")
     val prevMedians = loadPrevMedians(prevPath)
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS: decouple shuffle width from core
+    // count for scale probes — partitions should track DATA SIZE while
+    // local[N] stays fixed, the knob a real cluster would turn first
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -191,6 +196,7 @@ object Bench {
       s""""excluded":${excluded.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}""",
       s""""runs":$runs""",
       s""""warmup":$warmup""",
+      s""""shuffle_partitions":$shufflePartitions""",
       s""""load_before":${fmt(loadBefore)}""",
       s""""load_after":${fmt(loadAfter)}""",
       s""""prev_artifact":"$prevPath"""",

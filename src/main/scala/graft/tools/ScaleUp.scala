@@ -64,12 +64,24 @@ object ScaleUp {
               transform(split(col("text"), " "),
                 w => concat(w, lit("_"), col("_copy"))), " ")))
       case "embeddings" =>
+        // Rotation is an exact isometry but CYCLES at dim copies: raw
+        // slice lengths go negative past it (the sf10 crash), and a
+        // mod-only fix would hand copies k and k+dim IDENTICAL vectors
+        // (cross-copy cosine 1.0 — duplicate density would grow with
+        // copies instead of data). Rotate by k mod dim and NEGATE every
+        // second dim-cycle: negation preserves every within-copy cosine
+        // and turns the repeated rotation anti-parallel (cosine −1),
+        // keeping the shards mutually dissimilar up to 2×dim copies
+        // (enforced in main).
+        val dim = size(col("embedding"))
+        val rot = pmod(col("_copy"), dim.cast("long")).cast("int")
+        val rotated = when(rot === 0, col("embedding"))
+          .otherwise(concat(
+            slice(col("embedding"), rot + 1, dim - rot),
+            slice(col("embedding"), lit(1), rot)))
+        val negated = floor(col("_copy") / dim.cast("long")) % 2 === 1
         keyed.withColumn("embedding",
-          when(col("_copy") === 0, col("embedding"))
-            .otherwise(concat(
-              slice(col("embedding"), (col("_copy") + 1).cast("int"),
-                size(col("embedding")) - col("_copy").cast("int")),
-              slice(col("embedding"), lit(1), col("_copy").cast("int")))))
+          when(negated, transform(rotated, x => -x)).otherwise(rotated))
       case _ => keyed
     }
     perturbed.drop("_copy")
@@ -92,6 +104,12 @@ object ScaleUp {
       // nanos-as-long, rebuild a micros TimestampType); the scaled copy
       // is then written as plain micros, which Tables also accepts
       val in = graft.queries.Tables(spark, src, t)
+      if (t == "embeddings") {
+        val dim = in.select(size(col("embedding"))).head().getInt(0)
+        require(copies <= 2 * dim,
+          s"rotation×negation yields $dim×2 distinct isometries; " +
+            s"copies=$copies would repeat shards (dim=$dim)")
+      }
       val scaled = if (passthrough.contains(t)) in else scaleTable(in, t, copies)
       // repartition before write: the source tables are single-file,
       // single-row-group parquet (unsplittable — scans arrive as ONE

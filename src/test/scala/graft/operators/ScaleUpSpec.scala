@@ -66,4 +66,25 @@ class ScaleUpSpec extends AnyFunSuite {
     val c1 = cos(scaled(1L + 1000000000L), scaled(2L + 1000000000L))
     assert(math.abs(c0 - c1) < 1e-12)
   }
+
+  test("embedding copies past dim negate instead of repeating (sf10 regression)") {
+    import spark.implicits._
+    // dim=4, 8 copies: copy 4 would be a BYTE-IDENTICAL repeat of copy 0
+    // under mod-only rotation (cross-copy cosine 1.0 — fake duplicates);
+    // the second dim-cycle must come back negated (anti-parallel, −1)
+    val emb = Seq((1L, Seq(1.0f, 2.0f, 3.0f, 4.0f))).toDF("vec_id", "embedding")
+    val scaled = ScaleUp.scaleTable(emb, "embeddings", 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(scaled.size == 8, "no copy may crash past the dim boundary")
+    assert(scaled(1L + 4000000000L) == Seq(-1.0f, -2.0f, -3.0f, -4.0f),
+      "copy dim is the negated identity rotation, not a repeat")
+    assert(scaled(1L + 5000000000L) == Seq(-2.0f, -3.0f, -4.0f, -1.0f))
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    assert(math.abs(cos(scaled(1L), scaled(1L + 4000000000L)) + 1.0) < 1e-12,
+      "the repeated rotation must be anti-parallel, never identical")
+  }
 }
