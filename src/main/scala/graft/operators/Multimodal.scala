@@ -218,18 +218,55 @@ object Multimodal {
             rate, ch), out)
       }
 
+    /** G.711 expansion tables, built once from the published closed-form
+      * arithmetic (the public-domain g711.c expressions). The spec pins
+      * the JDK `javax.sound.sampled` codec ([[decodeWavCompandedJdk]])
+      * bit-identical to these over all 256 codes of BOTH laws, so the
+      * table lookup IS the real codec — minus the per-row
+      * stream/SPI-provider machinery whose fixed cost dominated the
+      * decode at scale (9.5× per data decade at the sf1 probe vs 1.6×
+      * for the hand-rolled PCM twin on the same fixture shape). */
+    private val UlawTable: Array[Short] = Array.tabulate(256) { b =>
+      val u = (~b) & 0xFF
+      val t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+      (if ((u & 0x80) != 0) 0x84 - t else t - 0x84).toShort
+    }
+    private val AlawTable: Array[Short] = Array.tabulate(256) { b =>
+      val a = b ^ 0x55
+      val seg = (a & 0x70) >> 4
+      var t = (a & 0x0F) << 4
+      if (seg == 0) t += 8 else { t += 0x108; if (seg > 1) t <<= seg - 1 }
+      (if ((a & 0x80) != 0) t else -t).toShort
+    }
+
     /** REAL compressed-payload audio decode — G.711 companded WAV
       * (format tag 7 = µ-law, 6 = A-law; ITU-T G.711, the 2:1 logarithmic
-      * codec telephony payloads ship in) through the JDK's
-      * `javax.sound.sampled` codec chain to 16-bit signed PCM. The JDK
-      * decoder is bit-identical to the published G.711 expansion
-      * formulas (all 256 codes of both laws — spec-pinned), so the
-      * decode is deterministic AND closed-form reproducible by any
-      * engine: the multimodal_ulaw_stats oracle recomputes the µ-law
-      * expansion arithmetically in SQL. Anything malformed (wrong
-      * bits/sample, truncated data, codec refusal) returns None and
+      * codec telephony payloads ship in) to 16-bit signed PCM via the
+      * expansion tables above (spec-pinned identical to the JDK codec
+      * chain AND the closed formulas, so the decode is deterministic and
+      * reproducible by any engine: the multimodal_ulaw_stats oracle
+      * recomputes the expansion arithmetically in SQL). Anything
+      * malformed (wrong bits/sample, truncated data) returns None and
       * falls to the sentinel path, same contract as [[decodeWavPcm]]. */
     private[operators] def decodeWavCompanded(b: Array[Byte])
+        : Option[(ContainerMeta, Array[Int])] =
+      wavChunks(b).collect {
+        case (tag, rate, ch, 8, dataOff, dataLen) if tag == 6 || tag == 7 =>
+          val table = if (tag == 7) UlawTable else AlawTable
+          val n = dataLen.toInt
+          val out = new Array[Int](n)
+          var i = 0
+          while (i < n) { out(i) = table(b(dataOff + i) & 0xFF).toInt; i += 1 }
+          (ContainerMeta("wav", dataLen * 8000L / (rate.toLong * ch * 8),
+            rate, ch), out)
+      }
+
+    /** The same decode through the JDK's `javax.sound.sampled` codec
+      * chain — the REFERENCE implementation the table path is pinned
+      * against in spec (all 256 codes, both laws). Not on the hot path:
+      * `AudioSystem.getAudioInputStream` pays an SPI provider scan and
+      * stream-chain setup per call. */
+    private[operators] def decodeWavCompandedJdk(b: Array[Byte])
         : Option[(ContainerMeta, Array[Int])] =
       try wavChunks(b).collect {
         case (tag, rate, ch, 8, dataOff, dataLen) if tag == 6 || tag == 7 =>

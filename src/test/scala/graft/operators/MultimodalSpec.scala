@@ -261,15 +261,22 @@ class MultimodalSpec extends AnyFunSuite {
       if ((a & 0x80) != 0) t else -t
     }
     val codes = Array.tabulate[Byte](256)(_.toByte)
-    val Some((mu, uSamples)) = ContainerCodec.decodeWavCompanded(
-      ContainerFixtures.wavFmt(7, 8000, 1, 8, codes))
+    val uWav = ContainerFixtures.wavFmt(7, 8000, 1, 8, codes)
+    val aWav = ContainerFixtures.wavFmt(6, 8000, 1, 8, codes)
+    val Some((mu, uSamples)) = ContainerCodec.decodeWavCompanded(uWav)
     assert(mu == ContainerMeta("wav", 32L, 8000, 1)) // 256 samples @ 8 kHz
     assert(uSamples.toSeq == (0 until 256).map(ulawRef),
-      "JDK ULAW decode must equal the G.711 mu-law expansion")
-    val Some((_, aSamples)) = ContainerCodec.decodeWavCompanded(
-      ContainerFixtures.wavFmt(6, 8000, 1, 8, codes))
+      "table ULAW decode must equal the G.711 mu-law expansion")
+    val Some((_, aSamples)) = ContainerCodec.decodeWavCompanded(aWav)
     assert(aSamples.toSeq == (0 until 256).map(alawRef),
-      "JDK ALAW decode must equal the G.711 A-law expansion")
+      "table ALAW decode must equal the G.711 A-law expansion")
+    // three-way pin: the JDK javax.sound codec chain (the reference
+    // implementation) emits the very same samples the hot-path table
+    // does — the table IS the real codec, minus per-row SPI setup
+    assert(ContainerCodec.decodeWavCompandedJdk(uWav).get._2.toSeq
+      == uSamples.toSeq, "JDK ULAW chain must match the table path")
+    assert(ContainerCodec.decodeWavCompandedJdk(aWav).get._2.toSeq
+      == aSamples.toSeq, "JDK ALAW chain must match the table path")
     // malformed companded payloads keep the sentinel contract
     assert(ContainerCodec.decodeWavCompanded(
       ContainerFixtures.wavFmt(7, 8000, 1, 16, codes)).isEmpty,
