@@ -1056,16 +1056,21 @@ object Similarity {
     val base = Par.widen(df).select(col("vec_id"), col("embedding"),
       vecNorm(col("embedding")).as("nrm")).filter(col("nrm") > 0).persist()
     CacheRegistry.track(base)
+    // vectors attach to the slim bucket rows (one join, n × tables rows)
+    // and the exact cosine runs inside the pairing stage — see
+    // [[cosineDedupCells]]: candidates never ride an exchange
     SpanGuard.pairs(
-        slimBuckets(base, "vec_id", "embedding", "vec_id", tables, bitsPerTable),
+        slimBuckets(base, "vec_id", "embedding", "vec_id", tables, bitsPerTable)
+          .join(base, Seq("vec_id"))
+          .select(col("table"), col("bucket"), col("vec_id"),
+            col("embedding"), col("nrm")),
         keys = Seq("table", "bucket"), idCol = "vec_id",
-        order = Seq("vec_id"), maxSpan = maxBucket)
-      .join(base.select(col("vec_id").as("id_a"), col("embedding").as("va"),
-        col("nrm").as("na")), "id_a")
-      .join(base.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-        col("nrm").as("nb")), "id_b")
-      .withColumn("sim", vecDot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("sim") >= threshold)
+        order = Seq("vec_id"), maxSpan = maxBucket,
+        payload = Seq("embedding", "nrm"),
+        verify = _.withColumn("sim",
+            vecDot(col("embedding_a"), col("embedding_b")) /
+              (col("nrm_a") * col("nrm_b")))
+          .filter(col("sim") >= threshold))
       .select("id_a", "id_b", "sim")
   }
 
@@ -1091,9 +1096,15 @@ object Similarity {
     * exact twin. Candidates are verified with exact cosine — emitted
     * pairs are exact (misses allowed, false positives never).
     *
-    * Scale shape: one corpus scan for assignment (no shuffle), slim
-    * (cell, vec_id) rows shuffle ×probeCells, SpanGuard-bounded in-cell
-    * pairing, vectors re-attached only to deduped candidates. Trainer
+    * Scale shape: one corpus scan for assignment (no shuffle), (cell,
+    * vec_id, embedding) rows shuffle ×probeCells into SpanGuard-bounded
+    * in-cell pairing, and the exact-cosine verify runs INSIDE the
+    * pairing stage (SpanGuard's verify hook) so the O(n × probeCells ×
+    * maxCell) candidate volume is pruned to survivors before any
+    * further exchange — re-attaching vectors by id after pairing would
+    * ship every candidate through three shuffles first (measured 40×/
+    * decade at the 100×-rows probe, vs ~linear with the fused verify).
+    * Trainer
     * cost amortizes via `pretrained` ([[trainCentroids]] / Artifacts),
     * like IVF's quantizer.
     *
@@ -1116,20 +1127,26 @@ object Similarity {
     val base = Par.widen(df).select(col("vec_id"), col("embedding"),
         vecNorm(col("embedding")).as("nrm"),
         cellsAssign(col("embedding"), centIds, cents, probeCells).as("cells"))
-      .filter(col("nrm") > 0).persist()
-    CacheRegistry.track(base)
+      .filter(col("nrm") > 0)
+    // (embedding, nrm) ride the slim frame as pairing payload: the exact
+    // cosine runs INSIDE the pairing stage (SpanGuard verify) and only
+    // ≥-threshold survivors reach the pair-dedup exchange. The candidate
+    // volume is ~n × probeCells × maxCell/2 pairs — at expected cell
+    // occupancy the span guard is inactive and every in-cell pair is a
+    // candidate — so re-attaching vectors by id AFTER pairing would push
+    // that whole volume through three exchanges (pair dedup + two id
+    // joins) before the threshold prunes anything; measured at the
+    // 100×-rows probe this was 204M candidate rows vs ~10⁵ survivors.
     val slim = base.filter(col("cells").isNotNull)
-      .select(explode(col("cells")).as("cell"), col("vec_id"))
-    // a pair meeting in several shared cells is emitted once —
-    // SpanGuard's final (id_a, id_b) dedup runs after the keys drop
+      .select(explode(col("cells")).as("cell"), col("vec_id"),
+        col("embedding"), col("nrm"))
     SpanGuard.pairs(slim, keys = Seq("cell"), idCol = "vec_id",
-        order = Seq("vec_id"), maxSpan = maxCell * probeCells)
-      .join(base.select(col("vec_id").as("id_a"), col("embedding").as("va"),
-        col("nrm").as("na")), "id_a")
-      .join(base.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-        col("nrm").as("nb")), "id_b")
-      .withColumn("sim", vecDot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("sim") >= threshold)
+        order = Seq("vec_id"), maxSpan = maxCell * probeCells,
+        payload = Seq("embedding", "nrm"),
+        verify = _.withColumn("sim",
+            vecDot(col("embedding_a"), col("embedding_b")) /
+              (col("nrm_a") * col("nrm_b")))
+          .filter(col("sim") >= threshold))
       .select("id_a", "id_b", "sim")
   }
 
@@ -1159,16 +1176,20 @@ object Similarity {
     * `threshold` from the raw embeddings. */
   def cosineDedupCellsFrom(slim: DataFrame, corpus: DataFrame,
                            threshold: Double, maxSpan: Int): DataFrame = {
+    // one slim-side join attaches vectors BEFORE pairing (n × probeCells
+    // rows), then the exact cosine runs inside the pairing stage as in
+    // [[cosineDedupCells]] — candidates never ride an exchange
     val base = corpus.select(col("vec_id"), col("embedding"),
       vecNorm(col("embedding")).as("nrm"))
-    SpanGuard.pairs(slim, keys = Seq("cell"), idCol = "vec_id",
-        order = Seq("vec_id"), maxSpan = maxSpan)
-      .join(base.select(col("vec_id").as("id_a"), col("embedding").as("va"),
-        col("nrm").as("na")), "id_a")
-      .join(base.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-        col("nrm").as("nb")), "id_b")
-      .withColumn("sim", vecDot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("sim") >= threshold)
+    val enriched = slim.join(base, Seq("vec_id"))
+      .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
+    SpanGuard.pairs(enriched, keys = Seq("cell"), idCol = "vec_id",
+        order = Seq("vec_id"), maxSpan = maxSpan,
+        payload = Seq("embedding", "nrm"),
+        verify = _.withColumn("sim",
+            vecDot(col("embedding_a"), col("embedding_b")) /
+              (col("nrm_a") * col("nrm_b")))
+          .filter(col("sim") >= threshold))
       .select("id_a", "id_b", "sim")
   }
 
@@ -1288,16 +1309,17 @@ object Similarity {
     // id. Zero-norm vectors are kept out of pairing (cosine against them
     // is NaN — family contract at [[bruteForceTopK]]) but STAY in the
     // manifest as kept rows, like null-cell dim mismatches.
+    // exact cosine runs inside the pairing stage (SpanGuard verify, same
+    // shape as [[cosineDedupCells]]) — only survivors reach an exchange
     val dups = SpanGuard.pairs(
         base.filter(col("cell").isNotNull && col("nrm") > 0)
-          .select("cell", "vec_id"),
+          .select("cell", "vec_id", "embedding", "nrm"),
         keys = Seq("cell"), idCol = "vec_id",
-        order = Seq("vec_id"), maxSpan = maxCell)
-      .join(base.select(col("vec_id").as("id_a"), col("embedding").as("va"),
-        col("nrm").as("na")), "id_a")
-      .join(base.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-        col("nrm").as("nb")), "id_b")
-      .filter(vecDot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+        order = Seq("vec_id"), maxSpan = maxCell,
+        payload = Seq("embedding", "nrm"),
+        verify = _.filter(
+          vecDot(col("embedding_a"), col("embedding_b")) /
+            (col("nrm_a") * col("nrm_b")) >= threshold))
       .groupBy(col("id_b").as("vec_id"))
       .agg(min(col("id_a")).as("dup_of"))
 
@@ -1334,15 +1356,18 @@ object Similarity {
                         threshold: Double, maxCell: Int = 256): DataFrame = {
     val base = corpus.select(col("vec_id"), col("embedding"),
       vecNorm(col("embedding")).as("nrm"))
+    // one slim-side join attaches vectors before pairing; exact cosine
+    // runs inside the pairing stage — see [[semanticDedup]]
     val dups = SpanGuard.pairs(
-        assigned.filter(col("pairable") === 1).select("cell", "vec_id"),
+        assigned.filter(col("pairable") === 1).select("cell", "vec_id")
+          .join(base, Seq("vec_id"))
+          .select(col("cell"), col("vec_id"), col("embedding"), col("nrm")),
         keys = Seq("cell"), idCol = "vec_id",
-        order = Seq("vec_id"), maxSpan = maxCell)
-      .join(base.select(col("vec_id").as("id_a"), col("embedding").as("va"),
-        col("nrm").as("na")), "id_a")
-      .join(base.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-        col("nrm").as("nb")), "id_b")
-      .filter(vecDot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+        order = Seq("vec_id"), maxSpan = maxCell,
+        payload = Seq("embedding", "nrm"),
+        verify = _.filter(
+          vecDot(col("embedding_a"), col("embedding_b")) /
+            (col("nrm_a") * col("nrm_b")) >= threshold))
       .groupBy(col("id_b").as("vec_id"))
       .agg(min(col("id_a")).as("dup_of"))
     assigned.select(col("vec_id"), col("cell"))

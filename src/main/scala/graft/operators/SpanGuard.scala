@@ -44,12 +44,25 @@ private[operators] object SpanGuard {
     *                as `<name>_a` / `<name>_b`
     * @param cache   persist the ranked frame (it is consumed by both
     *                join sides; tracked in [[CacheRegistry]])
+    * @param verify  row-wise transform (derived columns + filter over
+    *                pair-side columns) applied BEFORE the (id_a, id_b)
+    *                dedup, i.e. INSIDE the pairing stage: expensive
+    *                verification (exact cosine, Jaccard) runs map-side
+    *                on the join output and only SURVIVORS reach the
+    *                dedup exchange — for a candidate volume of C pairs
+    *                with S survivors the exchanges shrink from O(C) to
+    *                O(S). A pair that meets in several shared groups is
+    *                verified once per group, so `verify` must be a pure
+    *                per-pair function (same columns in → same row out)
+    *                for the dedup to stay deterministic — true for any
+    *                expression over the pair-side columns.
     * @return (id_a, id_b, payload_a/b…) with rank(a) < rank(b) under
     *         `order` — when `order` is the id itself this means
     *         id_a < id_b — deduplicated on (id_a, id_b). */
   def pairs(rows: DataFrame, keys: Seq[String], idCol: String,
             order: Seq[String], maxSpan: Int,
-            payload: Seq[String] = Nil, cache: Boolean = true): DataFrame = {
+            payload: Seq[String] = Nil, cache: Boolean = true,
+            verify: DataFrame => DataFrame = identity): DataFrame = {
     // maxSpan = 0 would make the block key (rn-1)/0 = NaN/Infinity and
     // silently emit ZERO pairs — a recall cliff with no diagnostic
     require(maxSpan >= 1, s"maxSpan must be >= 1, got $maxSpan")
@@ -67,10 +80,10 @@ private[operators] object SpanGuard {
     val b = ranked.select(keys.map(col) ++
       (col(idCol).as("id_b") +: payload.map(c => col(c).as(s"${c}_b"))) :+
       col("rn").as("rn_b") :+ col("blk").as("jblk"): _*)
-    a.join(b, keys :+ "jblk")
-      .filter(col("rn_b") > col("rn_a") && col("rn_b") - col("rn_a") <= maxSpan)
-      .drop("rn_a", "rn_b", "jblk")
-      .drop(keys: _*)
+    verify(a.join(b, keys :+ "jblk")
+        .filter(col("rn_b") > col("rn_a") && col("rn_b") - col("rn_a") <= maxSpan)
+        .drop("rn_a", "rn_b", "jblk")
+        .drop(keys: _*))
       .dropDuplicates("id_a", "id_b")
   }
 }
