@@ -35,5 +35,11 @@ scalacOptions += "-deprecation"
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The target environment is local[32] with 128 GiB (see SURVEY §6);
+  // an 8g heap made every >100M-row exchange spill-or-not bimodal at
+  // the 100x-rows probe (32 concurrent aggregation hash maps share the
+  // heap in local mode — a real cluster gives each executor its own).
+  // 32g sizes the shared heap to the documented machine while leaving
+  // plenty for the OS page cache over the corpus.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -358,8 +358,16 @@ object Dedup {
   def connectedComponentsWithStats(pairs: DataFrame, aCol: String = "id_a",
                                    bCol: String = "id_b",
                                    maxIter: Int = 20): (DataFrame, CcStats) = {
-    val e0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-    val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+    // both edge directions from ONE pass over the pair plan: a
+    // two-branch union would re-execute the (possibly expensive,
+    // uncached) pair pipeline once per branch — at the 100×-rows probe
+    // that silently doubled the ngram pair kernel under every
+    // components/keep-best/curate run
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().localCheckpoint()
     CacheRegistry.track(edges)
     def labelSum(df: DataFrame): (java.math.BigDecimal, Long) = {
@@ -375,7 +383,10 @@ object Dedup {
     var prevSum = labelSum(current)
     var it = 0
     var done = false
+    // GRAFT_CC_DEBUG: per-round wall-clock to stderr (scale triage)
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
     while (it < maxIter && !done) {
+      val t0 = if (debug) System.nanoTime() else 0L
       // relax: label = min over self + neighbors' labels
       val relaxed = edges
         .join(current.select(col("id").as("dst"), col("label")), "dst")
@@ -398,6 +409,9 @@ object Dedup {
       done = s == prevSum
       prevSum = s
       it += 1
+      if (debug)
+        System.err.println(f"[graft-cc] round $it: ${(System.nanoTime() - t0) / 1e9}%.2f s" +
+          s" (nodes=${s._2}, converged=$done)")
     }
     if (!done)
       System.err.println(s"[graft] connectedComponents: NOT converged after " +
