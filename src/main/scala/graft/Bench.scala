@@ -75,6 +75,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // local mode: executor and driver share one JVM, so the heartbeat
+      // is a formality — but a long GC/CPU-saturation stall (observed
+      // 175 s during a 100×-rows sweep) can exceed the 120 s default
+      // and HeartbeatReceiver then REMOVES the only executor, killing
+      // the context and every remaining query. A cluster wants the
+      // default; a single-JVM bench wants to outlast its worst stall.
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/session so the first query doesn't pay executor spin-up
