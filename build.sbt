@@ -42,4 +42,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 32g sizes the shared heap to the documented machine while leaving
   // plenty for the OS page cache over the corpus.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-)
+) ++ sys.env.get("SPARK_DRIVER_JVM_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

@@ -24,6 +24,54 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Lowest-id first-fit over open-bin free capacities in O(log B) per
+    * query: a growable max-segment tree keyed by bin id (internal nodes
+    * hold the subtree's max free space; a fit-query descends left-first,
+    * so the hit is always the LOWEST id that fits — exactly the
+    * assignment the linear scan, the spec's reference fold, and the
+    * recursive-CTE oracle define). Replaces an `indexWhere` scan that
+    * cost O(bins) per document: bins per shard grow linearly with shard
+    * volume at fixed `seqLen`, so the scan made per-shard FFD quadratic
+    * per decade at fixed shard count (measured 4.9×/decade at the
+    * 100×-rows probe; log-tree makes it ~linear). */
+  private final class FirstFitTree(seqLen: Long) {
+    private var cap = 1024
+    private var tree = new Array[Long](2 * cap) // leaves at [cap, 2cap)
+    private var n = 0
+    private def grow(): Unit = {
+      val old = tree; val oldCap = cap
+      cap *= 2
+      tree = new Array[Long](2 * cap)
+      System.arraycopy(old, oldCap, tree, cap, oldCap)
+      var i = cap - 1
+      while (i >= 1) { tree(i) = math.max(tree(2 * i), tree(2 * i + 1)); i -= 1 }
+    }
+    private def pull(bin: Int): Unit = {
+      var i = (cap + bin) / 2
+      while (i >= 1) { tree(i) = math.max(tree(2 * i), tree(2 * i + 1)); i /= 2 }
+    }
+    def freeOf(bin: Int): Long = tree(cap + bin)
+    def take(bin: Int, tok: Long): Unit = {
+      tree(cap + bin) -= tok; pull(bin)
+    }
+    /** Opens a bin holding `tok` tokens; returns its id. */
+    def open(tok: Long): Int = {
+      if (n == cap) grow()
+      tree(cap + n) = seqLen - tok; pull(n); n += 1; n - 1
+    }
+    /** Lowest bin id with free ≥ `need`, or -1. */
+    def firstFit(need: Long): Int =
+      if (tree(1) < need) -1
+      else {
+        var i = 1
+        while (i < cap) i = if (tree(2 * i) >= need) 2 * i else 2 * i + 1
+        i - cap
+      }
+    def reset(): Unit = {
+      if (n > 0) { java.util.Arrays.fill(tree, 0L); n = 0 }
+    }
+  }
+
   /** Pack manifest for `docs`.
     *
     * @param nTok   per-document token count column (must be ≥ 0; empty
@@ -70,7 +118,8 @@ object Packing {
     *
     * Scale design: ONE hash exchange on the shard + an in-partition sort
     * on (shard, n_tok DESC, doc_id) — the secondary-sort pattern — then
-    * a streaming per-shard FFD fold. FFD keeps every bin's remaining
+    * a streaming per-shard FFD fold with O(log bins) first-fit
+    * ([[FirstFitTree]]). FFD keeps every bin's remaining
     * capacity; documents arrive largest-first, so the classic guarantee
     * holds: AT MOST ONE bin per shard ends ≤ half full (two half-empty
     * bins contradict first-fit — the later bin's first doc, ≤ half a
@@ -105,19 +154,20 @@ object Packing {
         val buf = it.buffered
         new Iterator[(String, Long, Long, Long, Long)] {
           private var shard: String = _
-          // open bins: (bin id, used tokens); FFD scans first-fit order
-          private var bins = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+          // open-bin free capacities, first-fit in O(log bins)
+          private val bins = new FirstFitTree(seqLen)
           def hasNext: Boolean = buf.hasNext
           def next(): (String, Long, Long, Long, Long) = {
             val (s, id, n) = buf.next()
-            if (s != shard) { shard = s; bins = scala.collection.mutable.ArrayBuffer() }
+            if (s != shard) { shard = s; bins.reset() }
             if (n > seqLen) (s, -1L, id, n, -1L)
             else {
-              val i = bins.indexWhere(_._2 + n <= seqLen)
-              val (bin, off) =
-                if (i >= 0) { val b = bins(i); bins(i) = (b._1, b._2 + n); (b._1, b._2) }
-                else { bins += ((bins.length.toLong, n)); (bins.length - 1L, 0L) }
-              (s, bin, id, n, off)
+              val i = bins.firstFit(n)
+              if (i >= 0) {
+                val off = seqLen - bins.freeOf(i)
+                bins.take(i, n)
+                (s, i.toLong, id, n, off)
+              } else (s, bins.open(n).toLong, id, n, 0L)
             }
           }
         }
