@@ -32,7 +32,20 @@ import org.apache.spark.sql.functions._
   *    exact isometry within the copy (all within-copy cosines
   *    preserved), while cross-copy similarities decorrelate.
   *
-  * Usage: `runMain graft.tools.ScaleUp <srcSfDir> <outDir> [copies=10]`.
+  * Usage: `runMain graft.tools.ScaleUp <srcSfDir> <outDir> [copies=10]
+  * [offsetBase=10⁹]`.
+  *
+  * CHAINED DECADES: a third-rung corpus can be built FROM a scaled dir
+  * (e.g. sf10 → sf100 with copies=10), with two constraints the args
+  * encode. (1) `offsetBase` must exceed firstPassCopies × 10⁹ or the
+  * two passes' key offsets collide (copy sums repeat → duplicate ids);
+  * pass e.g. 1000000000000. (2) embeddings must be SKIPPED
+  * (`SPARK_GRAFT_SCALEUP_SKIP=embeddings`): composing two
+  * rotation×negation isometries repeats — copies (k,j) and (j,k) get
+  * IDENTICAL vectors, so cross-copy duplicate density would grow with
+  * copies instead of data. Document token suffixes compose fine
+  * (`w_k_j` — still a within-copy renaming, still cross-copy
+  * disjoint), as do plain key offsets.
   */
 object ScaleUp {
   private val Offset = 1000000000L
@@ -50,11 +63,12 @@ object ScaleUp {
     "embeddings" -> Seq("vec_id"))
   private val passthrough = Seq("region", "nation")
 
-  def scaleTable(df: DataFrame, table: String, copies: Int): DataFrame = {
+  def scaleTable(df: DataFrame, table: String, copies: Int,
+                 offset: Long = Offset): DataFrame = {
     val copied = df.withColumn("_copy",
       explode(sequence(lit(0L), lit(copies - 1L))))
     val keyed = keyCols.getOrElse(table, Seq.empty).foldLeft(copied) {
-      (acc, c) => acc.withColumn(c, col(c) + col("_copy") * Offset)
+      (acc, c) => acc.withColumn(c, col(c) + col("_copy") * offset)
     }
     val perturbed = table match {
       case "documents" =>
@@ -91,6 +105,9 @@ object ScaleUp {
     require(args.length >= 2, "usage: ScaleUp <srcSfDir> <outDir> [copies]")
     val (src, out) = (args(0), args(1))
     val copies = if (args.length > 2) args(2).toInt else 10
+    val offset = if (args.length > 3) args(3).toLong else Offset
+    val skip = sys.env.get("SPARK_GRAFT_SCALEUP_SKIP")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -98,7 +115,7 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val tables = keyCols.keys.toSeq ++ passthrough
+    val tables = (keyCols.keys.toSeq ++ passthrough).filterNot(skip.contains)
     for (t <- tables.sorted) {
       // Tables handles the events table's INT64 TIMESTAMP(NANOS) (read
       // nanos-as-long, rebuild a micros TimestampType); the scaled copy
@@ -110,7 +127,8 @@ object ScaleUp {
           s"rotation×negation yields $dim×2 distinct isometries; " +
             s"copies=$copies would repeat shards (dim=$dim)")
       }
-      val scaled = if (passthrough.contains(t)) in else scaleTable(in, t, copies)
+      val scaled =
+        if (passthrough.contains(t)) in else scaleTable(in, t, copies, offset)
       // repartition before write: the source tables are single-file,
       // single-row-group parquet (unsplittable — scans arrive as ONE
       // partition), and a genuinely 10× corpus is many files. Without
