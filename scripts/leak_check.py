@@ -42,6 +42,13 @@ CATEGORIES = {
 
 SCAN_EXT = (".scala", ".sbt", ".py", ".md", ".json", ".sh")
 
+# The enumeration shape of a pattern-list quote in the judge reports:
+# two pattern-family names joined on one line ("anthropic/claude/s3://…").
+# A real leaked reference names one system in running prose, never two
+# marker names adjacent, so only this shape is suppressed in VERDICT.md
+# and ADVICE.md.
+PATTERN_QUOTE = re.compile(r"(?:anthropic|claude)\W{1,3}(?:anthropic|claude)", re.I)
+
 
 def main(round_no):
     files = sorted(
@@ -58,14 +65,22 @@ def main(round_no):
             text = data.decode("utf-8")
         except UnicodeDecodeError:
             continue
-        # the scanner's own pattern definitions would match themselves;
-        # likewise the judge-authored round reports quote the pattern
-        # list verbatim when describing this scan. All are hashed into
-        # input_sha256 above but not line-scanned.
-        if f in ("scripts/leak_check.py", "VERDICT.md", "ADVICE.md"):
+        # the scanner's own pattern definitions would match themselves —
+        # it is hashed into input_sha256 above but not line-scanned.
+        if f == "scripts/leak_check.py":
             continue
+        # the judge-authored round reports (VERDICT.md / ADVICE.md) ARE
+        # line-scanned, but quote the pattern list verbatim when
+        # describing this scan; a quote line has the enumeration shape —
+        # two or more marker names joined together — which never occurs
+        # in a genuine reference (those name one system in context).
+        # Only that shape is suppressed, so any other pasted marker in
+        # the reports still fails the gate.
+        report = f in ("VERDICT.md", "ADVICE.md")
         scala = f.endswith((".scala", ".sbt"))
         for i, line in enumerate(text.splitlines(), 1):
+            if report and PATTERN_QUOTE.search(line):
+                continue
             for cat, rx in CATEGORIES.items():
                 # the import whitelist describes the JVM stack — python
                 # (driver-side tooling) imports its own stdlib freely

@@ -36,6 +36,39 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
 
+  /** Total bytes of data files under a scale dir (recursive; skips
+    * _SUCCESS/.crc bookkeeping). Used to derive shuffle width. */
+  def inputBytes(sfDir: String): Long = {
+    val root = java.nio.file.Paths.get(sfDir)
+    if (!java.nio.file.Files.isDirectory(root)) 0L
+    else {
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .filter(p => { val n = p.getFileName.toString
+          !n.startsWith("_") && !n.startsWith(".") })
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+  }
+
+  /** Shuffle width for a corpus: one partition per ~64 MB of input,
+    * floored at the core count. This is how a real cluster is
+    * provisioned — width tracks DATA, not the machine — and it is what
+    * the r13 sf100 probe measured by hand (23 GB → 320p restored the
+    * join/union families to ~linear; this rule derives 368 for the same
+    * corpus). SPARK_GRAFT_SHUFFLE_PARTITIONS overrides; the artifact
+    * records which path was taken. Parsed with toInt so a bad value
+    * fails fast instead of silently mis-configuring the session AND
+    * corrupting the JSON artifact. */
+  def deriveShufflePartitions(sfDir: String, cpus: Int): (Int, Boolean, Long) =
+    sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS") match {
+      case Some(v) => (v.toInt, false, inputBytes(sfDir))
+      case None =>
+        val bytes = inputBytes(sfDir)
+        val derived = math.max(cpus.toLong, bytes / (64L << 20)).toInt
+        (derived, true, bytes)
+    }
+
   private def loadPrevMedians(path: String): Map[String, Double] =
     try {
       val p = java.nio.file.Paths.get(path)
@@ -64,14 +97,16 @@ object Bench {
     // detection (trigger 2).
     val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCHFULL.json")
     val prevMedians = loadPrevMedians(prevPath)
-    // SPARK_GRAFT_SHUFFLE_PARTITIONS: decouple shuffle width from core
-    // count for scale probes — partitions should track DATA SIZE while
-    // local[N] stays fixed, the knob a real cluster would turn first
-    val shufflePartitions =
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // Shuffle width tracks DATA SIZE while local[N] stays fixed — the
+    // knob a real cluster would turn first. Derived from input bytes by
+    // default (≈64 MB/partition, floored at core count) so every ladder
+    // rung is apples-to-apples without operator care;
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS overrides for probes.
+    val (shufflePartitions, widthDerived, inputBytesTotal) =
+      deriveShufflePartitions(sfDir, cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toLong)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -204,6 +239,8 @@ object Bench {
       s""""runs":$runs""",
       s""""warmup":$warmup""",
       s""""shuffle_partitions":$shufflePartitions""",
+      s""""shuffle_partitions_derived":$widthDerived""",
+      s""""input_bytes":$inputBytesTotal""",
       s""""load_before":${fmt(loadBefore)}""",
       s""""load_after":${fmt(loadAfter)}""",
       s""""prev_artifact":"$prevPath"""",

@@ -18,9 +18,12 @@ object Verify {
     val only: Option[Set[String]] =
       if (rest.length > 2) Some(rest(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // width ∝ input bytes like Bench (64 MB/partition, floor = cores),
+    // so a Verify run against a scaled corpus gets a scaled shuffle too
+    val (shufflePartitions, _, _) = Bench.deriveShufflePartitions(sfDir, cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toLong)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // single-JVM local mode: outlast GC stalls, never self-remove the

@@ -594,7 +594,14 @@ object StreamingAnalytics {
         codebooks = graft.operators.Artifacts
           .loadPqCodebooks(batch.sparkSession, codebooksPath)
       }
-      // fresh scan per batch: the ONLY un-pinned piece, by design
+      // fresh scan per batch: the ONLY un-pinned piece, by design. A
+      // batch arriving before the index store exists must not kill the
+      // query with a bare AnalysisException from schema inference —
+      // fail with a message that names the path and the fix
+      // ([[graft.operators.Similarity.pqPrepare]] first).
+      require(graft.operators.Artifacts.hasData(batch.sparkSession, listsPath),
+        s"pqServeIntake: no PQ index data at $listsPath — run pqPrepare " +
+          "before starting the serving query")
       val lists = batch.sparkSession.read.parquet(listsPath)
       val probes = graft.operators.Similarity
         .pqProbes(batch, quantizer, codebooks, nprobe)

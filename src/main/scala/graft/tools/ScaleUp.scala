@@ -28,22 +28,34 @@ import org.apache.spark.sql.functions._
   *  - `documents.text`: copy k > 0 suffixes EVERY token with `_k` — a
   *    consistent within-copy renaming (shingle structure isomorphic to
   *    the original) that shares no shingles across copies;
-  *  - `embeddings.embedding`: copy k rotates the dimensions by k — an
-  *    exact isometry within the copy (all within-copy cosines
-  *    preserved), while cross-copy similarities decorrelate.
+  *  - `embeddings.embedding`: copy k applies a SEEDED SIGNED
+  *    PERMUTATION of the dimensions (seed = mix of `offsetBase` and
+  *    `k`). A signed permutation matrix is orthogonal, so every
+  *    within-copy norm and cosine is preserved — and because the
+  *    transform only reorders components and flips signs, the
+  *    isometry is BIT-EXACT in floating point (a Givens/Householder
+  *    rotation would be correct only to rounding error and cost
+  *    O(d²)). Cross-copy, two shards differ by another random signed
+  *    permutation, so similarities decorrelate; distinct copies
+  *    collide with probability ~1/(d!·2^d) — negligible at any dim
+  *    ≥ 8 — so the scheme is valid at ARBITRARY copy counts (the old
+  *    rotation×negation scheme cycled at 2×dim copies, which is why
+  *    sf100 embeddings didn't exist until round 14).
   *
   * Usage: `runMain graft.tools.ScaleUp <srcSfDir> <outDir> [copies=10]
   * [offsetBase=10⁹]`.
   *
   * CHAINED DECADES: a third-rung corpus can be built FROM a scaled dir
-  * (e.g. sf10 → sf100 with copies=10), with two constraints the args
-  * encode. (1) `offsetBase` must exceed firstPassCopies × 10⁹ or the
-  * two passes' key offsets collide (copy sums repeat → duplicate ids);
-  * pass e.g. 1000000000000. (2) embeddings must be SKIPPED
-  * (`SPARK_GRAFT_SCALEUP_SKIP=embeddings`): composing two
-  * rotation×negation isometries repeats — copies (k,j) and (j,k) get
-  * IDENTICAL vectors, so cross-copy duplicate density would grow with
-  * copies instead of data. Document token suffixes compose fine
+  * (e.g. sf10 → sf100 with copies=10). `offsetBase` must exceed
+  * firstPassCopies × 10⁹ or the two passes' key offsets collide (copy
+  * sums repeat → duplicate ids); pass e.g. 1000000000000. Embeddings
+  * chain too: the transform seed incorporates `offsetBase`, which the
+  * key-collision rule already forces to differ between passes, so the
+  * two passes draw INDEPENDENT signed permutations and the composed
+  * transform of shard (k, j) — one more signed permutation — repeats
+  * neither pass's nor any other shard's (the round-13 scheme had
+  * (k,j) ≡ (j,k) because cyclic rotations commute; random signed
+  * permutations don't). Document token suffixes compose fine
   * (`w_k_j` — still a within-copy renaming, still cross-copy
   * disjoint), as do plain key offsets.
   */
@@ -63,6 +75,35 @@ object ScaleUp {
     "embeddings" -> Seq("vec_id"))
   private val passthrough = Seq("region", "nation")
 
+  /** splitmix64 finalizer — decorrelates consecutive (offset, copy)
+    * seeds before they reach java.util.Random's LCG. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** The signed permutation for copy `k`, encoded as 1-based signed
+    * source indices: output(i) = sign(s)·embedding(|s|) for
+    * s = result(i). Copy 0 is the identity (the original shard
+    * survives byte-identical, like documents/keys). Deterministic
+    * across JVMs: java.util.Random's algorithm is fixed by its spec,
+    * and the seed depends only on (offsetBase, copy). */
+  private[tools] def signedPerm(dim: Int, copy: Long, offset: Long): Array[Int] =
+    if (copy == 0L) Array.tabulate(dim)(_ + 1)
+    else {
+      val rnd = new java.util.Random(mix64(offset) ^ mix64(copy))
+      val perm = Array.tabulate(dim)(identity)
+      var i = dim - 1
+      while (i > 0) { // Fisher–Yates
+        val j = rnd.nextInt(i + 1)
+        val t = perm(i); perm(i) = perm(j); perm(j) = t
+        i -= 1
+      }
+      Array.tabulate(dim)(i => (perm(i) + 1) * (if (rnd.nextBoolean()) 1 else -1))
+    }
+
   def scaleTable(df: DataFrame, table: String, copies: Int,
                  offset: Long = Offset): DataFrame = {
     val copied = df.withColumn("_copy",
@@ -78,24 +119,25 @@ object ScaleUp {
               transform(split(col("text"), " "),
                 w => concat(w, lit("_"), col("_copy"))), " ")))
       case "embeddings" =>
-        // Rotation is an exact isometry but CYCLES at dim copies: raw
-        // slice lengths go negative past it (the sf10 crash), and a
-        // mod-only fix would hand copies k and k+dim IDENTICAL vectors
-        // (cross-copy cosine 1.0 — duplicate density would grow with
-        // copies instead of data). Rotate by k mod dim and NEGATE every
-        // second dim-cycle: negation preserves every within-copy cosine
-        // and turns the repeated rotation anti-parallel (cosine −1),
-        // keeping the shards mutually dissimilar up to 2×dim copies
-        // (enforced in main).
-        val dim = size(col("embedding"))
-        val rot = pmod(col("_copy"), dim.cast("long")).cast("int")
-        val rotated = when(rot === 0, col("embedding"))
-          .otherwise(concat(
-            slice(col("embedding"), rot + 1, dim - rot),
-            slice(col("embedding"), lit(1), rot)))
-        val negated = floor(col("_copy") / dim.cast("long")) % 2 === 1
-        keyed.withColumn("embedding",
-          when(negated, transform(rotated, x => -x)).otherwise(rotated))
+        // Per-copy seeded signed permutation (see object scaladoc):
+        // bit-exact orthogonal transform, valid at arbitrary copy
+        // counts. The copies×dim signed-index table is built on the
+        // driver (≤ a few hundred KB even at 1000 copies) and shipped
+        // as one nested array literal; each row does O(d) element_at
+        // lookups inside codegen — no join, no shuffle, no FP error
+        // beyond the sign flip (which is exact).
+        val dims = df.select(size(col("embedding"))).limit(1).collect()
+        if (dims.isEmpty) keyed
+        else {
+          val dim = dims(0).getInt(0)
+          val sidx: Seq[Seq[Int]] =
+            (0L until copies.toLong).map(k => signedPerm(dim, k, offset).toSeq)
+          val rowSidx = element_at(typedLit(sidx), col("_copy").cast("int") + 1)
+          keyed.withColumn("embedding",
+            transform(rowSidx, s =>
+              when(s > 0, element_at(col("embedding"), s))
+                .otherwise(-element_at(col("embedding"), -s))))
+        }
       case _ => keyed
     }
     perturbed.drop("_copy")
@@ -121,12 +163,9 @@ object ScaleUp {
       // nanos-as-long, rebuild a micros TimestampType); the scaled copy
       // is then written as plain micros, which Tables also accepts
       val in = graft.queries.Tables(spark, src, t)
-      if (t == "embeddings") {
-        val dim = in.select(size(col("embedding"))).head().getInt(0)
-        require(copies <= 2 * dim,
-          s"rotation×negation yields $dim×2 distinct isometries; " +
-            s"copies=$copies would repeat shards (dim=$dim)")
-      }
+      // (the round-13 copies ≤ 2×dim embedding guard is gone: the
+      // seeded signed permutation never cycles, so scaleTable is safe
+      // at any copy count for library callers and main alike)
       val scaled =
         if (passthrough.contains(t)) in else scaleTable(in, t, copies, offset)
       // repartition before write: the source tables are single-file,

@@ -111,11 +111,21 @@ object StreamCorpus {
         s"$outDir/fp_index", s"$outDir/sig_index",
         minQuality = minQuality, threshold = threshold,
         sink = (manifest, bid) => {
+          // replay-idempotent like the fp/sig indexes one layer down: a
+          // retried micro-batch overwrites its own batch_id partition
+          // instead of double-appending the same fate rows
           manifest.withColumn("batch_id", lit(bid))
-            .write.mode("append").parquet(s"$outDir/manifest")
+            .write.option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").mode("overwrite")
+            .parquet(s"$outDir/manifest")
           val kept = batch.join(
             manifest.filter(col("fate") === "kept").select("doc_id"), "doc_id")
           val n = kept.count()
+          // clean/ is an at-least-once stream of admitted docs (plain
+          // append, no batch column in the user schema): a replayed
+          // batch may re-append rows. Exactly-once readers should join
+          // clean/ against the manifest's kept fates, or dedup on
+          // doc_id — the manifest is the authoritative ledger.
           if (n > 0) kept.write.mode("append").parquet(s"$outDir/clean")
           println(s"[stream-corpus] batch=$bid curated kept=$n")
         })(batch, batchId)

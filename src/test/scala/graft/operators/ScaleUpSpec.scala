@@ -45,46 +45,76 @@ class ScaleUpSpec extends AnyFunSuite {
       scaled(1L + 1000000000L).split(" ").toSet).isEmpty)
   }
 
-  test("embedding copies rotate dimensions: exact within-copy isometry") {
-    import spark.implicits._
-    val emb = Seq(
-      (1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
-      (2L, Seq(4.0f, 3.0f, 2.0f, 1.0f))).toDF("vec_id", "embedding")
-    val scaled = ScaleUp.scaleTable(emb, "embeddings", 3)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-    assert(scaled(1L) == Seq(1.0f, 2.0f, 3.0f, 4.0f))
-    assert(scaled(1L + 1000000000L) == Seq(2.0f, 3.0f, 4.0f, 1.0f),
-      "copy 1 rotates by one dimension")
-    assert(scaled(1L + 2000000000L) == Seq(3.0f, 4.0f, 1.0f, 2.0f))
-    def cos(a: Seq[Float], b: Seq[Float]): Double = {
-      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
-      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
-        math.sqrt(b.map(x => x.toDouble * x).sum))
-    }
-    // rotation is an isometry: within-copy cosines equal copy-0 cosines
-    val c0 = cos(scaled(1L), scaled(2L))
-    val c1 = cos(scaled(1L + 1000000000L), scaled(2L + 1000000000L))
-    assert(math.abs(c0 - c1) < 1e-12)
+  private def cos(a: Seq[Float], b: Seq[Float]): Double = {
+    val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+      math.sqrt(b.map(x => x.toDouble * x).sum))
   }
 
-  test("embedding copies past dim negate instead of repeating (sf10 regression)") {
+  test("embedding signed permutation: bit-exact isometry at 20 copies, " +
+    "all shards mutually dissimilar (the old rotation cycled at 2×dim)") {
     import spark.implicits._
-    // dim=4, 8 copies: copy 4 would be a BYTE-IDENTICAL repeat of copy 0
-    // under mod-only rotation (cross-copy cosine 1.0 — fake duplicates);
-    // the second dim-cycle must come back negated (anti-parallel, −1)
-    val emb = Seq((1L, Seq(1.0f, 2.0f, 3.0f, 4.0f))).toDF("vec_id", "embedding")
-    val scaled = ScaleUp.scaleTable(emb, "embeddings", 8)
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    // two fixed vectors with a known angle, dim large enough that a
+    // random signed permutation can't accidentally align shards
+    val v1 = Seq.fill(dim)(rnd.nextFloat() * 2f - 1f)
+    val v2 = Seq.fill(dim)(rnd.nextFloat() * 2f - 1f)
+    val emb = Seq((1L, v1), (2L, v2)).toDF("vec_id", "embedding")
+    val copies = 20 // > dim: impossible under round-13 rotation×negation
+    val scaled = ScaleUp.scaleTable(emb, "embeddings", copies)
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-    assert(scaled.size == 8, "no copy may crash past the dim boundary")
-    assert(scaled(1L + 4000000000L) == Seq(-1.0f, -2.0f, -3.0f, -4.0f),
-      "copy dim is the negated identity rotation, not a repeat")
-    assert(scaled(1L + 5000000000L) == Seq(-2.0f, -3.0f, -4.0f, -1.0f))
-    def cos(a: Seq[Float], b: Seq[Float]): Double = {
-      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
-      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
-        math.sqrt(b.map(x => x.toDouble * x).sum))
+    assert(scaled.size == 2 * copies)
+    assert(scaled(1L) == v1 && scaled(2L) == v2, "copy 0 untouched")
+    val c0 = cos(v1, v2)
+    for (k <- 0 until copies) {
+      val off = k * 1000000000L
+      val (a, b) = (scaled(1L + off), scaled(2L + off))
+      // a signed permutation only reorders/negates components: the
+      // multiset of elementwise PRODUCTS is bit-identical (signs
+      // cancel pairwise), so the isometry is exact up to summation
+      // order — far inside the 1e-12 contract
+      assert(a.zip(b).map { case (x, y) => x * y }.sorted ==
+        v1.zip(v2).map { case (x, y) => x * y }.sorted,
+        s"copy $k must preserve the dot-product term multiset exactly")
+      assert(math.abs(cos(a, b) - c0) < 1e-12,
+        s"copy $k must preserve cosines to 1e-12")
+      assert(a.map(_.abs).sorted == v1.map(_.abs).sorted,
+        s"copy $k must be a signed permutation of the components")
     }
-    assert(math.abs(cos(scaled(1L), scaled(1L + 4000000000L)) + 1.0) < 1e-12,
-      "the repeated rotation must be anti-parallel, never identical")
+    // cross-copy: every pair of shards must be dissimilar — this is the
+    // property whose absence past 2×dim copies blocked sf100 embeddings
+    for (k <- 0 until copies; j <- (k + 1) until copies) {
+      val c = cos(scaled(1L + k * 1000000000L), scaled(1L + j * 1000000000L))
+      assert(math.abs(c) < 0.9, s"shards $k,$j too similar (cos=$c)")
+    }
+  }
+
+  test("embedding transform chains across decades: two passes with " +
+    "distinct offsets give pairwise-dissimilar composed shards") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    val v = Seq.fill(dim)(rnd.nextFloat() * 2f - 1f)
+    val emb = Seq((1L, v)).toDF("vec_id", "embedding")
+    // pass 1 (sf0.1→sf1-style, offset 10⁹), pass 2 (sf1→sf10-style,
+    // offset 10¹²) — the key-collision rule already forces distinct
+    // offsets, and the transform seed rides the offset, so the 9
+    // composed shards must all differ (round-13 rotations had
+    // (k,j) ≡ (j,k) and (k,0) ≡ (0,k))
+    val pass1 = ScaleUp.scaleTable(emb, "embeddings", 3)
+    val pass2 = ScaleUp.scaleTable(pass1, "embeddings", 3, 1000000000000L)
+    val shards = pass2.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(shards.size == 9)
+    val ids = shards.keys.toSeq.sorted
+    for (i <- ids.indices; j <- (i + 1) until ids.size) {
+      val c = cos(shards(ids(i)), shards(ids(j)))
+      assert(math.abs(c) < 0.9,
+        s"composed shards ${ids(i)},${ids(j)} too similar (cos=$c)")
+    }
+    // and every shard is still an exact isometric image of the original
+    for (id <- ids)
+      assert(shards(id).map(_.abs).sorted == v.map(_.abs).sorted)
   }
 }
