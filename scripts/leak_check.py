@@ -42,12 +42,20 @@ CATEGORIES = {
 
 SCAN_EXT = (".scala", ".sbt", ".py", ".md", ".json", ".sh")
 
-# The enumeration shape of a pattern-list quote in the judge reports:
-# two pattern-family names joined on one line ("anthropic/claude/s3://…").
-# A real leaked reference names one system in running prose, never two
-# marker names adjacent, so only this shape is suppressed in VERDICT.md
-# and ADVICE.md.
-PATTERN_QUOTE = re.compile(r"(?:anthropic|claude)\W{1,3}(?:anthropic|claude)", re.I)
+# The judge reports (VERDICT.md / ADVICE.md) discuss this scanner and
+# quote its marker names when doing so. The old suppression keyed on the
+# quote's *shape* (two marker names adjacent), which also matches real
+# dotted model-ID references and skipped the whole line for ALL
+# categories (an s3:// URI sharing the line escaped). Now a line is
+# exempt only when it explicitly names a scanner artifact or category —
+# evidence it is ABOUT the scan, not a leaked reference — and even then
+# only the marker-name category (internal-pkg2) is suppressed; bucket
+# URIs, keys, URLs etc. on the same line still fail the gate. A dotted
+# model-ID form in any line NOT discussing the scanner is never
+# suppressed.
+SCANNER_REF = re.compile(
+    r"leak_check|LEAKCHECK|PATTERN_QUOTE|SCANNER_REF|"
+    r"internal-(?:import|url|pkg2|bucket)|slack-link|api-key|axon-env")
 
 
 def main(round_no):
@@ -70,18 +78,14 @@ def main(round_no):
         if f == "scripts/leak_check.py":
             continue
         # the judge-authored round reports (VERDICT.md / ADVICE.md) ARE
-        # line-scanned, but quote the pattern list verbatim when
-        # describing this scan; a quote line has the enumeration shape —
-        # two or more marker names joined together — which never occurs
-        # in a genuine reference (those name one system in context).
-        # Only that shape is suppressed, so any other pasted marker in
-        # the reports still fails the gate.
+        # line-scanned; see SCANNER_REF above for the narrow exemption.
         report = f in ("VERDICT.md", "ADVICE.md")
         scala = f.endswith((".scala", ".sbt"))
         for i, line in enumerate(text.splitlines(), 1):
-            if report and PATTERN_QUOTE.search(line):
-                continue
+            scanner_line = report and SCANNER_REF.search(line)
             for cat, rx in CATEGORIES.items():
+                if cat == "internal-pkg2" and scanner_line:
+                    continue
                 # the import whitelist describes the JVM stack — python
                 # (driver-side tooling) imports its own stdlib freely
                 if cat == "internal-import" and not scala:

@@ -126,10 +126,24 @@ object ScaleUp {
         // as one nested array literal; each row does O(d) element_at
         // lookups inside codegen — no join, no shuffle, no FP error
         // beyond the sign flip (which is exact).
-        val dims = df.select(size(col("embedding"))).limit(1).collect()
-        if (dims.isEmpty) keyed
+        // Validate dimensionality up front instead of sampling one
+        // arbitrary row: a null embedding or ragged dims would
+        // otherwise surface mid-job as an opaque ANSI getInt /
+        // element_at error. One tiny aggregate (3 longs to the driver).
+        val stats = df.agg(
+          sum(when(col("embedding").isNull, 1L).otherwise(0L)).as("nulls"),
+          min(size(col("embedding"))).as("mn"),
+          max(size(col("embedding"))).as("mx")).head()
+        if (stats.isNullAt(1)) keyed // empty table — nothing to permute
         else {
-          val dim = dims(0).getInt(0)
+          require(stats.getLong(0) == 0L,
+            s"[scale-up] table '$table' has ${stats.getLong(0)} null " +
+              "embedding rows; clean them before scaling")
+          require(stats.getInt(1) == stats.getInt(2),
+            s"[scale-up] table '$table' has ragged embedding dims " +
+              s"(min=${stats.getInt(1)}, max=${stats.getInt(2)}); a " +
+              "signed permutation needs one uniform dimension")
+          val dim = stats.getInt(1)
           val sidx: Seq[Seq[Int]] =
             (0L until copies.toLong).map(k => signedPerm(dim, k, offset).toSeq)
           val rowSidx = element_at(typedLit(sidx), col("_copy").cast("int") + 1)
@@ -150,6 +164,11 @@ object ScaleUp {
     val offset = if (args.length > 3) args(3).toLong else Offset
     val skip = sys.env.get("SPARK_GRAFT_SCALEUP_SKIP")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    // SPARK_GRAFT_SCALEUP_ONLY=embeddings regenerates a single table
+    // into an existing scaled dir (e.g. adding embeddings to an sf100
+    // built before the arbitrary-copy isometry existed) without
+    // rewriting the other ~24 GB.
+    val only = sys.env.get("SPARK_GRAFT_SCALEUP_ONLY").map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -157,7 +176,8 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val tables = (keyCols.keys.toSeq ++ passthrough).filterNot(skip.contains)
+    val tables = (keyCols.keys.toSeq ++ passthrough)
+      .filterNot(skip.contains).filter(t => only.forall(_.contains(t)))
     for (t <- tables.sorted) {
       // Tables handles the events table's INT64 TIMESTAMP(NANOS) (read
       // nanos-as-long, rebuild a micros TimestampType); the scaled copy

@@ -153,6 +153,29 @@ object StreamCorpus {
       inner(gated, batchId)
     }
 
+    // The manifest layout changed (round 14) from unpartitioned append
+    // with batch_id as a data column to partitionBy("batch_id") dynamic
+    // overwrite. Restarting against a pre-upgrade outDir would mix
+    // root-level part files with batch_id=N directories — parquet
+    // partition discovery rejects that mid-stream with an opaque error,
+    // so detect the legacy layout up front and name the migration.
+    // (batch_id is now partition-inferred as int/long from the dir name
+    // rather than typed by an explicit lit(); readers should not depend
+    // on its exact integral width.)
+    if (curate) {
+      val manifestDir = new java.io.File(s"$outDir/manifest")
+      val entries = Option(manifestDir.listFiles()).getOrElse(Array.empty)
+      val legacyData = entries.exists(f =>
+        f.isFile && f.getName.startsWith("part-"))
+      val partitioned = entries.exists(f =>
+        f.isDirectory && f.getName.startsWith("batch_id="))
+      require(!legacyData,
+        s"$outDir/manifest holds a pre-partitioned (legacy append) " +
+          "manifest" + (if (partitioned) " MIXED with batch_id= partitions" else "") +
+          "; migrate it first: read the old manifest, write it back " +
+          "partitionBy(\"batch_id\"), or point --curate at a fresh outDir")
+    }
+
     val q = docs.writeStream
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .foreachBatch(if (curate) curateGate else gate)
