@@ -262,8 +262,9 @@ object Dedup {
     graft.functions.VectorExpressions.simhashFromHashes(
       transform(split(text, " "), w => xxhash64(w)))
 
-  /** SimHash near-duplicates: candidates share one of 4 16-bit bands,
-    * verified by hamming distance ≤ maxHamming.
+  /** SimHash near-duplicates: candidates share one of 4 scale-aware
+    * bands (see [[simhashBucketBits]]), verified by hamming distance ≤
+    * maxHamming.
     *
     * @param maxBucket skew guard, same contract as [[minhashLsh]]: within
     *                  a (band, bucket) group each doc pairs with at most
@@ -274,10 +275,48 @@ object Dedup {
     *                  bands; dropping such groups outright would instead
     *                  silently report ZERO pairs for > maxBucket exact
     *                  duplicates).
+    * @param bucketBits band width in bits; 0 (default) derives it from
+    *                  the corpus size so expected bucket occupancy stays
+    *                  ≈ [[SimhashTargetOccupancy]] (16 bits up to ~0.5M
+    *                  docs — bit-identical to the historical fixed
+    *                  banding — then one more bit per doubling)
     */
   def simhashDups(df: DataFrame, idCol: String, textCol: String,
-                  maxHamming: Int = 6, maxBucket: Int = 64): DataFrame =
-    simhashPairsFrom(simhashDocs(df, idCol, textCol), maxHamming, maxBucket)
+                  maxHamming: Int = 6, maxBucket: Int = 64,
+                  bucketBits: Int = 0): DataFrame =
+    simhashPairsFrom(simhashDocs(df, idCol, textCol), maxHamming, maxBucket,
+      bucketBits)
+
+  /** Expected docs per (band, bucket) the scale-aware banding aims for.
+    * 8 leaves ~8× headroom under the default maxBucket=64 span guard for
+    * the non-uniformity of real simhash values (duplicate clusters land
+    * in one bucket BY DESIGN; only the cross-cluster background should
+    * approach uniform). */
+  val SimhashTargetOccupancy: Long = 8L
+
+  /** Scale-aware SimHash band width: the smallest w ≥ 16 with
+    * `n ≤ occupancy · 2^w`, capped at 32 (at w=32 even 34B docs meet the
+    * target). Pure integer arithmetic — the DuckDB oracle derives the
+    * same w from `count(*)` over the replayed fingerprint artifact, and
+    * both engines must agree exactly, so no FP log2 on either side.
+    *
+    * Fixed 16-bit banding has a quadratic window: past ~0.5M docs the
+    * expected 2¹⁶-bucket occupancy crosses the span guard and candidate
+    * volume grows ~n²/2¹⁶ until the guard clamps it (measured
+    * 45.5×/decade at the 5M-doc rung before this). Widening the bands
+    * with corpus size keeps occupancy — and so candidate volume per doc —
+    * constant. The price is bounded recall at the hamming radius: a
+    * wider window is likelier to contain a differing bit (at w=20,
+    * h≤3 pairs are caught with p≈0.79 vs ≈0.89 at w=16, 4 bands) —
+    * the standard Hamming-LSH occupancy/recall trade, documented rather
+    * than hidden. Within-threshold precision is unaffected (every
+    * candidate is hamming-verified), which is what the violations gate
+    * checks. */
+  def simhashBucketBits(n: Long, occupancy: Long = SimhashTargetOccupancy): Int = {
+    val m = n / occupancy + (if (n % occupancy != 0) 1 else 0) // overflow-safe ceilDiv
+    val ceilLog2 = if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.min(32, math.max(16, ceilLog2))
+  }
 
   /** The per-document fingerprint stage of [[simhashDups]] (doc_id,
     * 64-bit simhash) — exposed for persistence/replay, same rationale
@@ -288,12 +327,26 @@ object Dedup {
       .select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sim"))
 
   /** Banding + span-guarded pairing + hamming verify over a
-    * [[simhashDocs]]-shaped frame. */
-  def simhashPairsFrom(sh: DataFrame, maxHamming: Int,
-                       maxBucket: Int): DataFrame = {
+    * [[simhashDocs]]-shaped frame.
+    *
+    * Band b covers the `w`-bit window at offset `min(16·b, 64−w)` —
+    * at w=16 this is exactly the historical disjoint 4×16 tiling (the
+    * small-corpus results are bit-identical); wider windows overlap at
+    * the high end rather than wrap, so the bucket stays a plain
+    * `shiftright + mask` both here and in the SQL oracle (arithmetic
+    * shift is safe: the masked bits are below 64−offset, above which
+    * the sign-fill lives). */
+  def simhashPairsFrom(sh0: DataFrame, maxHamming: Int,
+                       maxBucket: Int, bucketBits: Int = 0): DataFrame = {
+    val sh = sh0.persist() // consumed by the width count and the banding
+    CacheRegistry.track(sh)
+    val w = if (bucketBits > 0) bucketBits else simhashBucketBits(sh.count())
+    require(w >= 1 && w <= 63, s"bucketBits must be in [1,63], got $w")
+    val mask = (1L << w) - 1
     val banded0 = sh.select(col("doc_id"), col("sim"),
       posexplode(transform(sequence(lit(0), lit(3)),
-        b => call_function("shiftright", col("sim"), b * 16).bitwiseAND(0xFFFFL))))
+        b => call_function("shiftright", col("sim"),
+          least(b * 16, lit(64 - w))).bitwiseAND(mask))))
       .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "band")
     // same block-keyed span pairing as minhashLsh: bounded compute, not
     // just bounded output, for the degenerate all-zero-simhash bucket;
@@ -506,19 +559,42 @@ object Dedup {
 
   /** Exact n-gram Jaccard ≥ threshold via inverted index:
     * explode distinct n-grams → self-join on ngram (df-capped,
-    * shuffle-hash) → count shared → Jaccard. The only shuffle keys are
-    * 8-byte ngram hashes. */
+    * shuffle-hash) → count shared → Jaccard.
+    *
+    * Exchange-byte design (the heaviest dedup family at scale — the
+    * candidate pair volume is provably ~linear per decade, so BYTES per
+    * pair row are the remaining lever):
+    *  - postings carry one packed long `sn = surrogate<<32 | n_grams`
+    *    besides the 8-byte gram hash — the doc's identity AND size ride
+    *    the same 8 bytes, so the size-ratio prefilter costs no width;
+    *  - a SIZE-RATIO PREFILTER drops candidate pairs BEFORE the pair
+    *    exchange: jaccard ≤ min(na,nb)/max(na,nb), so
+    *    min < threshold·max cannot reach the threshold — exact pruning,
+    *    boundary kept, no semantic change (the first-principles oracle
+    *    is unchanged);
+    *  - surviving pairs shuffle as ONE packed long `sa<<32 | sb` + the
+    *    count — 16 bytes/row against 24+ for (id_a, id_b, cnt), and the
+    *    spill sort compares single longs;
+    *  - doc ids already in [0, 2³¹) are their own surrogates (no extra
+    *    work); otherwise a dense rank is built by range-partition +
+    *    per-partition rank + prefix offsets (two slim shuffles over the
+    *    DOC set — never the postings), broadcast back when it fits.
+    * Output is bit-identical to the unpacked formulation: the surrogate
+    * map is strictly monotone, so `sa < sb ⟺ id_a < id_b`. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxDocFreq: Int = 100): DataFrame = {
-    // cached: consumed by the inverted index, both self-join sides, and
-    // the two size lookups
+    // cached: consumed by the id-bounds probe, the inverted index, and
+    // the final size lookups
     val grams = Par.widen(df).select(col(idCol).as("doc_id"),
         shingleHashes(col(textCol), n).as("grams"))
       .filter(size(col("grams")) > 0)
       .persist()
     CacheRegistry.track(grams)
-    val sizes = grams.select(col("doc_id"), size(col("grams")).as("n_grams"))
+    val lo32 = 0xFFFFFFFFL
+    // (doc_id, s, n_grams): s strictly monotone in doc_id, < 2^32
+    val docsMeta = surrogateIds(grams).persist()
+    CacheRegistry.track(docsMeta)
     val inverted = grams.select(col("doc_id"), explode(col("grams")).as("g"))
     // df cap as a broadcast anti-join against the (tiny) hot-gram set:
     // the groupBy shuffles only (gram, partial count) pairs, and the
@@ -528,7 +604,10 @@ object Dedup {
     val hotGrams = inverted.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq)
       .select("g")
+    val sn = (shiftleft(col("s"), 32)).bitwiseOR(col("n_grams").cast("long"))
     val capped = inverted.join(broadcast(hotGrams), Seq("g"), "left_anti")
+      .join(docsMeta.select(col("doc_id"), sn.as("sn")), "doc_id")
+      .select("g", "sn")
       .persist()
     CacheRegistry.track(capped)
     // SHUFFLE_HASH: without the hint AQE picks a sort-merge self-join,
@@ -536,19 +615,62 @@ object Dedup {
     // measured 3.5-4× slower at 10× rows (17.8 s vs 4.3 s at sf1) and
     // strictly worse at every scale. Hash build per partition is safe
     // here: build-side partitions are df-cap-bounded posting groups of
-    // slim (g, doc_id) rows, not corpus-sized.
+    // slim (g, sn) rows, not corpus-sized.
+    def su(c: Column) = call_function("shiftright", c, lit(32)).bitwiseAND(lo32)
+    val nx = col("x.sn").bitwiseAND(lo32)
+    val ny = col("y.sn").bitwiseAND(lo32)
     val shared = capped.as("x").hint("shuffle_hash")
       .join(capped.as("y"), col("x.g") === col("y.g"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .filter(su(col("x.sn")) < su(col("y.sn")) &&
+        least(nx, ny).cast("double") >= lit(threshold) * greatest(nx, ny))
+      .groupBy(shiftleft(su(col("x.sn")), 32).bitwiseOR(su(col("y.sn"))).as("p"))
       .agg(count(lit(1)).as("shared"))
     shared
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
+      .join(docsMeta.select(col("s").as("sa"),
+        col("doc_id").as("id_a"), col("n_grams").as("na")),
+        call_function("shiftright", col("p"), lit(32)).bitwiseAND(lo32) === col("sa"))
+      .join(docsMeta.select(col("s").as("sb"),
+        col("doc_id").as("id_b"), col("n_grams").as("nb")),
+        col("p").bitwiseAND(lo32) === col("sb"))
       .withColumn("jaccard",
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Monotone surrogate ids for a [[ngramJaccard]]-shaped grams frame:
+    * (doc_id, s, n_grams) with `s` strictly increasing in doc_id and
+    * < 2³². Ids already in [0, 2³¹) pass through unchanged (one cheap
+    * bounds aggregate, no extra shuffle — the common case for dense
+    * corpus ids). Otherwise a dense rank over the DOC set: range
+    * partition → per-partition rank → prefix offsets collected to the
+    * driver (≤ one row per partition — model-sized). The ranked frame is
+    * localCheckpoint'ed before its two consumers so the sampled range
+    * boundaries cannot differ between the counts job and the rank job. */
+  private def surrogateIds(grams: DataFrame): DataFrame = {
+    val base = grams.select(col("doc_id"), size(col("grams")).as("n_grams"))
+    val bounds = base.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
+    if (bounds.isNullAt(0)) return base.withColumn("s", col("doc_id"))
+    val (mn, mx, nDocs) = (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
+    if (mn >= 0L && mx < (1L << 31)) base.select(col("doc_id"), col("doc_id").as("s"), col("n_grams"))
+    else {
+      require(nDocs < (1L << 32),
+        s"ngramJaccard surrogate space is 32-bit; got $nDocs documents")
+      val spark = grams.sparkSession
+      val p = spark.sessionState.conf.numShufflePartitions
+      val ranged = base.repartitionByRange(p, col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint()
+      val counts = ranged.groupBy("pid").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val offsets = counts.map(_._1).zip(
+        counts.map(_._2).scanLeft(0L)(_ + _)).toMap
+      val offCol = element_at(
+        typedLit(offsets.map { case (k, v) => (k, v) }), col("pid"))
+      val w = Window.partitionBy("pid").orderBy("doc_id")
+      ranged.withColumn("s", offCol + row_number().over(w) - 1)
+        .select(col("doc_id"), col("s"), col("n_grams"))
+    }
   }
 
   /** Sub-document (span-level) exact dedup — the C4/RefinedWeb-style

@@ -549,15 +549,27 @@ SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
 ORDER BY id_a, id_b"""
 
   /** Full SQL twin of [[dedupSimhash]] over the replayed fingerprint
-    * artifact: 4 16-bit bands (arithmetic shift + mask, identical to
-    * Spark's shiftright/bitwiseAND on signed longs), SpanGuard pairing,
+    * artifact: 4 scale-aware bands (width w re-derived from count(*)
+    * with the same pure-integer formula as
+    * [[Dedup.simhashBucketBits]] — `length(printf('%b', m-1))` IS
+    * ceilLog2(m), so both engines agree exactly, no FP log2; band b
+    * sits at offset min(16·b, 64−w), and arithmetic shift + mask is
+    * identical to Spark's shiftright/bitwiseAND on signed longs because
+    * the masked bits lie below the sign-fill), SpanGuard pairing,
     * hamming = bit_count(xor) ≤ 3. */
   def dedupSimhashOracle: String = s"""
 WITH art AS (SELECT * FROM read_parquet(
   '${oracleArtifact("simhash-sig", "64")}/*.parquet')),
+wb AS (
+  SELECT least(32, greatest(16,
+    CASE WHEN cast(ceil(count(*)/8.0) AS BIGINT) <= 1 THEN 0
+         ELSE length(printf('%b', cast(ceil(count(*)/8.0) AS BIGINT) - 1))
+    END)) AS w
+  FROM art),
 b AS (
-  SELECT doc_id, sim, t.band, (sim >> (t.band*16)) & 65535 AS bucket
-  FROM art, (SELECT unnest(range(4)) AS band) t),
+  SELECT doc_id, sim, t.band,
+         (sim >> least(t.band*16, 64 - wb.w)) & ((1::BIGINT << wb.w) - 1) AS bucket
+  FROM art, (SELECT unnest(range(4)) AS band) t, wb),
 r AS (
   SELECT band, bucket, doc_id, sim,
          row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn

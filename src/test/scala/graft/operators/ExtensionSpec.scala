@@ -888,4 +888,55 @@ class ExtensionSpec extends AnyFunSuite {
     assert(serve(loaded) == serve(trained),
       "a loaded quantizer must serve the same results as the in-memory one")
   }
+
+  test("simhash bucket width derivation: smallest w in [16,32] with n <= occ·2^w") {
+    assert(Dedup.simhashBucketBits(0L) == 16)
+    assert(Dedup.simhashBucketBits(500L) == 16)
+    assert(Dedup.simhashBucketBits(8L << 16) == 16)       // n = occ·2^16 exactly
+    assert(Dedup.simhashBucketBits((8L << 16) + 1) == 17) // one doc past the boundary
+    assert(Dedup.simhashBucketBits(5000000L) == 20)       // the sf100 rung
+    assert(Dedup.simhashBucketBits(Long.MaxValue) == 32)  // capped
+    for (n <- Seq(1L, 7L, 9L, 65535L, 524287L, 524289L, 1048576L,
+        123456789L, 34359738368L)) {
+      val w = Dedup.simhashBucketBits(n)
+      assert(w >= 16 && w <= 32)
+      assert(w == 32 || n <= 8L * (1L << w), s"n=$n w=$w occupancy target violated")
+      assert(w == 16 || n > 8L * (1L << (w - 1)), s"n=$n w=$w not minimal")
+    }
+  }
+
+  test("simhash wide bands (forced scale-regime width) keep precision and catch dups") {
+    // w=20 is what a 5M-doc corpus derives; identical texts have identical
+    // simhashes, hence identical buckets at ANY width
+    for (w <- Seq(20, 32)) {
+      val pairs = Dedup.simhashDups(planted, "doc_id", "text",
+          maxHamming = 3, maxBucket = 64, bucketBits = w)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((0L, 1L)), s"w=$w must link the exact dup")
+      assert(!pairs.exists { case (a, b) => a == 3L || b == 3L },
+        s"w=$w linked the unrelated doc")
+    }
+    // small corpora derive w=16: the default path must equal the
+    // historical fixed banding exactly
+    val derived = Dedup.simhashDups(planted, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val forced16 = Dedup.simhashDups(planted, "doc_id", "text",
+        maxHamming = 3, maxBucket = 64, bucketBits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(derived == forced16)
+  }
+
+  test("ngram jaccard with >32-bit doc ids equals the small-id result (surrogate path)") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    def pairs(d: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      Dedup.ngramJaccard(d, "doc_id", "text", n = 3, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val small = pairs(docs) // ids < 2^31: ids are their own surrogates
+    assert(small.nonEmpty)
+    val shift = 5000000000000L // sf100-style chained offsets force the dense rank
+    val big = pairs(docs.withColumn("doc_id", col("doc_id") + shift))
+      .map { case (a, b, j) => (a - shift, b - shift, j) }
+    assert(big == small)
+  }
 }
