@@ -153,6 +153,7 @@ object SparkEntry {
     "multimodal_media_meta" -> (ExtensionQueries.multimodalMediaMeta _),
     "multimodal_audio_stats" -> (ExtensionQueries.multimodalAudioStats _),
     "multimodal_ulaw_stats" -> (ExtensionQueries.multimodalUlawStats _),
+    "multimodal_adpcm_stats" -> (ExtensionQueries.multimodalAdpcmStats _),
     "events_session_window" -> (AnalyticsQueries.eventsSessionWindow _),
     // -- spark.sql surface over registered views + custom SQL functions --
     "sql_events_arrayjoin" -> (PipelineQueries.sqlArrayJoin _),
@@ -225,6 +226,7 @@ object SparkEntry {
     "multimodal_media_meta" -> ExtensionQueries.multimodalMediaMetaOracle,
     "multimodal_audio_stats" -> ExtensionQueries.multimodalAudioStatsOracle,
     "multimodal_ulaw_stats" -> ExtensionQueries.multimodalUlawStatsOracle,
+    "multimodal_adpcm_stats" -> ExtensionQueries.multimodalAdpcmStatsOracle,
     "events_session_window" -> AnalyticsQueries.eventsSessionWindowOracle,
     "sql_events_arrayjoin" -> PipelineQueries.sqlArrayJoinOracle,
     "sql_mime_decode" -> ExtensionQueries.sqlMimeDecodeOracle,

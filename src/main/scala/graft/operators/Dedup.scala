@@ -592,10 +592,27 @@ object Dedup {
       .persist()
     CacheRegistry.track(grams)
     val lo32 = 0xFFFFFFFFL
+    // Ids already in [0, 2^31) are their own surrogates: `sn` is computed
+    // MAP-SIDE inside the explode (no join at all — the common case).
+    // Otherwise a dense monotone rank map is built over the doc set and
+    // attached to the postings — broadcast while it fits, shuffle join
+    // beyond (the map is 16 B/doc; 10M docs ≈ 160 MB broadcast).
+    val bounds = grams.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
+    val direct = bounds.isNullAt(0) ||
+      (bounds.getLong(0) >= 0L && bounds.getLong(1) < (1L << 31))
+    val nDocs = if (bounds.isNullAt(2)) 0L else bounds.getLong(2)
     // (doc_id, s, n_grams): s strictly monotone in doc_id, < 2^32
-    val docsMeta = surrogateIds(grams).persist()
-    CacheRegistry.track(docsMeta)
-    val inverted = grams.select(col("doc_id"), explode(col("grams")).as("g"))
+    val docsMeta =
+      if (direct)
+        grams.select(col("doc_id"), col("doc_id").as("s"),
+          size(col("grams")).as("n_grams"))
+      else {
+        val m = surrogateIds(grams, nDocs).persist()
+        CacheRegistry.track(m)
+        m
+      }
+    val inverted = grams.select(col("doc_id"),
+      size(col("grams")).as("n_grams"), explode(col("grams")).as("g"))
     // df cap as a broadcast anti-join against the (tiny) hot-gram set:
     // the groupBy shuffles only (gram, partial count) pairs, and the
     // inverted index itself never shuffles for the cap — a window
@@ -604,11 +621,17 @@ object Dedup {
     val hotGrams = inverted.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq)
       .select("g")
-    val sn = (shiftleft(col("s"), 32)).bitwiseOR(col("n_grams").cast("long"))
-    val capped = inverted.join(broadcast(hotGrams), Seq("g"), "left_anti")
-      .join(docsMeta.select(col("doc_id"), sn.as("sn")), "doc_id")
-      .select("g", "sn")
-      .persist()
+    val dfCapped = inverted.join(broadcast(hotGrams), Seq("g"), "left_anti")
+    val capped = (if (direct)
+        dfCapped.select(col("g"), shiftleft(col("doc_id"), 32)
+          .bitwiseOR(col("n_grams").cast("long")).as("sn"))
+      else {
+        val sn = shiftleft(col("s"), 32).bitwiseOR(col("n_grams").cast("long"))
+        val slim = docsMeta.select(col("doc_id"), sn.as("sn"))
+        dfCapped.drop("n_grams")
+          .join(if (nDocs <= 10000000L) broadcast(slim) else slim, "doc_id")
+          .select("g", "sn")
+      }).persist()
     CacheRegistry.track(capped)
     // SHUFFLE_HASH: without the hint AQE picks a sort-merge self-join,
     // which SORTS the exploded index twice on top of the two exchanges —
@@ -638,39 +661,31 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Monotone surrogate ids for a [[ngramJaccard]]-shaped grams frame:
-    * (doc_id, s, n_grams) with `s` strictly increasing in doc_id and
-    * < 2³². Ids already in [0, 2³¹) pass through unchanged (one cheap
-    * bounds aggregate, no extra shuffle — the common case for dense
-    * corpus ids). Otherwise a dense rank over the DOC set: range
-    * partition → per-partition rank → prefix offsets collected to the
-    * driver (≤ one row per partition — model-sized). The ranked frame is
+  /** Dense monotone surrogate ids for a [[ngramJaccard]]-shaped grams
+    * frame whose ids don't fit 32 bits: (doc_id, s, n_grams) with `s`
+    * strictly increasing in doc_id and < 2³². Range partition →
+    * per-partition rank → prefix offsets collected to the driver (≤ one
+    * row per partition — model-sized). The ranged frame is
     * localCheckpoint'ed before its two consumers so the sampled range
     * boundaries cannot differ between the counts job and the rank job. */
-  private def surrogateIds(grams: DataFrame): DataFrame = {
+  private def surrogateIds(grams: DataFrame, nDocs: Long): DataFrame = {
+    require(nDocs < (1L << 32),
+      s"ngramJaccard surrogate space is 32-bit; got $nDocs documents")
     val base = grams.select(col("doc_id"), size(col("grams")).as("n_grams"))
-    val bounds = base.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
-    if (bounds.isNullAt(0)) return base.withColumn("s", col("doc_id"))
-    val (mn, mx, nDocs) = (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
-    if (mn >= 0L && mx < (1L << 31)) base.select(col("doc_id"), col("doc_id").as("s"), col("n_grams"))
-    else {
-      require(nDocs < (1L << 32),
-        s"ngramJaccard surrogate space is 32-bit; got $nDocs documents")
-      val spark = grams.sparkSession
-      val p = spark.sessionState.conf.numShufflePartitions
-      val ranged = base.repartitionByRange(p, col("doc_id"))
-        .withColumn("pid", spark_partition_id())
-        .localCheckpoint()
-      val counts = ranged.groupBy("pid").count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-      val offsets = counts.map(_._1).zip(
-        counts.map(_._2).scanLeft(0L)(_ + _)).toMap
-      val offCol = element_at(
-        typedLit(offsets.map { case (k, v) => (k, v) }), col("pid"))
-      val w = Window.partitionBy("pid").orderBy("doc_id")
-      ranged.withColumn("s", offCol + row_number().over(w) - 1)
-        .select(col("doc_id"), col("s"), col("n_grams"))
-    }
+    val spark = grams.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    val ranged = base.repartitionByRange(p, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged.groupBy("pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1).zip(
+      counts.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val offCol = element_at(
+      typedLit(offsets.map { case (k, v) => (k, v) }), col("pid"))
+    val w = Window.partitionBy("pid").orderBy("doc_id")
+    ranged.withColumn("s", offCol + row_number().over(w) - 1)
+      .select(col("doc_id"), col("s"), col("n_grams"))
   }
 
   /** Sub-document (span-level) exact dedup — the C4/RefinedWeb-style

@@ -155,41 +155,50 @@ object Multimodal {
     /** RIFF/WAVE: `fmt ` chunk (sample rate, channels, bits/sample) +
       * `data` chunk size → exact PCM duration. Chunk sizes are validated
       * against the buffer; a truncated or lying header → None. */
-    /** Shared RIFF/WAVE chunk walk: (fmtTag, rate, channels, bits,
-      * dataOff, dataLen) — the metadata path reads the sizes, the PCM
-      * decoder also needs WHERE the data chunk lives and the format tag
-      * (only tag 1 = integer PCM is decodable without a codec). */
-    private def wavChunks(b: Array[Byte])
-        : Option[(Int, Int, Int, Int, Int, Long)] = {
+    /** One parsed RIFF/WAVE layout: the metadata path reads the sizes,
+      * the sample decoders also need WHERE the data chunk lives and the
+      * format tag; the block codecs (IMA ADPCM) additionally need
+      * `blockAlign` and the fmt extension's samples-per-block
+      * (`spbExt` = -1 when the fmt chunk has no extension). */
+    private[operators] final case class WavLayout(
+      tag: Int, rate: Int, ch: Int, bits: Int,
+      dataOff: Int, dataLen: Long, blockAlign: Int, spbExt: Int)
+
+    private def wavChunks(b: Array[Byte]): Option[WavLayout] = {
       if (b.length < 44 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "WAVE")
         return None
       var off = 12
-      var fmt: Option[(Int, Int, Int, Int)] = None // (tag, rate, ch, bits)
+      var fmt: Option[WavLayout] = None
       var dataOff = -1
       var dataLen = -1L
       while (off + 8 <= b.length && (fmt.isEmpty || dataLen < 0)) {
         val id = fourcc(b, off)
         val sz = le32(b, off + 4)
         if (sz > b.length) return None // declared size can't fit the buffer
-        if (id == "fmt " && sz >= 16 && off + 8 + 16 <= b.length)
-          fmt = Some((le16(b, off + 8), le32(b, off + 12).toInt,
-            le16(b, off + 10), le16(b, off + 22)))
-        else if (id == "data") {
+        if (id == "fmt " && sz >= 16 && off + 8 + 16 <= b.length) {
+          // cbSize (+16) and wSamplesPerBlock (+18) exist only in the
+          // extended fmt layout the block codecs write
+          val spb = if (sz >= 20 && off + 8 + 20 <= b.length &&
+              le16(b, off + 24) >= 2) le16(b, off + 26) else -1
+          fmt = Some(WavLayout(le16(b, off + 8), le32(b, off + 12).toInt,
+            le16(b, off + 10), le16(b, off + 22), -1, -1L,
+            le16(b, off + 20), spb))
+        } else if (id == "data") {
           if (off + 8 + sz > b.length) return None // declared past the buffer
           dataOff = off + 8
           dataLen = sz
         }
         off += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
       }
-      fmt.collect { case (tag, rate, ch, bits)
-          if rate > 0 && ch > 0 && bits > 0 && dataLen >= 0 =>
-        (tag, rate, ch, bits, dataOff, dataLen)
+      fmt.collect { case w if w.rate > 0 && w.ch > 0 && w.bits > 0 && dataLen >= 0 =>
+        w.copy(dataOff = dataOff, dataLen = dataLen)
       }
     }
 
     private[operators] def parseWav(b: Array[Byte]): Option[ContainerMeta] =
-      wavChunks(b).map { case (_, rate, ch, bits, _, dataLen) =>
-        ContainerMeta("wav", dataLen * 8000L / (rate.toLong * ch * bits), rate, ch)
+      wavChunks(b).map { w =>
+        ContainerMeta("wav",
+          w.dataLen * 8000L / (w.rate.toLong * w.ch * w.bits), w.rate, w.ch)
       }
 
     /** REAL PCM sample decode — the payload family decodable with no
@@ -201,7 +210,7 @@ object Multimodal {
     private[operators] def decodeWavPcm(b: Array[Byte])
         : Option[(ContainerMeta, Array[Int])] =
       wavChunks(b).collect {
-        case (1, rate, ch, bits, dataOff, dataLen)
+        case WavLayout(1, rate, ch, bits, dataOff, dataLen, _, _)
             if (bits == 16 && dataLen % 2 == 0) || bits == 8 =>
           val n = if (bits == 16) (dataLen / 2).toInt else dataLen.toInt
           val out = new Array[Int](n)
@@ -251,7 +260,8 @@ object Multimodal {
     private[operators] def decodeWavCompanded(b: Array[Byte])
         : Option[(ContainerMeta, Array[Int])] =
       wavChunks(b).collect {
-        case (tag, rate, ch, 8, dataOff, dataLen) if tag == 6 || tag == 7 =>
+        case WavLayout(tag, rate, ch, 8, dataOff, dataLen, _, _)
+            if tag == 6 || tag == 7 =>
           val table = if (tag == 7) UlawTable else AlawTable
           val n = dataLen.toInt
           val out = new Array[Int](n)
@@ -269,7 +279,8 @@ object Multimodal {
     private[operators] def decodeWavCompandedJdk(b: Array[Byte])
         : Option[(ContainerMeta, Array[Int])] =
       try wavChunks(b).collect {
-        case (tag, rate, ch, 8, dataOff, dataLen) if tag == 6 || tag == 7 =>
+        case WavLayout(tag, rate, ch, 8, dataOff, dataLen, _, _)
+            if tag == 6 || tag == 7 =>
           import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
           val enc = if (tag == 7) AudioFormat.Encoding.ULAW
             else AudioFormat.Encoding.ALAW
@@ -290,6 +301,75 @@ object Multimodal {
           (ContainerMeta("wav", dataLen * 8000L / (rate.toLong * ch * 8),
             rate, ch), out)
       } catch { case _: Exception => None }
+
+    /** IMA/DVI ADPCM step-size table (89 entries) and index-adjust
+      * table, as published in the IMA Digital Audio Compatibility
+      * Project ADPCM reference (the same tables every interoperable
+      * decoder ships). */
+    private val AdpcmStepTable: Array[Int] = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+      34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+      143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+      494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+      1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+      4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+      11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+      27086, 29794, 32767)
+    private val AdpcmIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+    /** REAL block-codec audio decode — IMA ADPCM WAV (format tag 0x11,
+      * 4 bits/sample, 4:1 vs 16-bit PCM; the published IMA/DVI
+      * step-table algorithm). Mono blocks: a 4-byte header (int16 LE
+      * predictor — which IS output sample 0 — plus a step index byte
+      * and a reserved byte) followed by nibble bytes, LOW nibble first.
+      * Each nibble advances the predictor by a step-table delta and the
+      * index by the adjust table, both saturating — the decode is pure
+      * integer arithmetic, so the multimodal_adpcm_stats oracle replays
+      * it exactly as a recursive CTE in SQL (same contract as the G.711
+      * closed form one tag over).
+      *
+      * Refusals (→ None → the documented sentinel path, same contract
+      * as [[decodeWavPcm]]): bits/sample ≠ 4, more than one channel
+      * (stereo interleaves 4-byte channel groups — out of scope for
+      * the fixture-gated rung), blockAlign ≤ 4, a data chunk that is
+      * not whole blocks, or an fmt-extension samples-per-block that
+      * contradicts the block geometry. */
+    private[operators] def decodeWavAdpcm(b: Array[Byte])
+        : Option[(ContainerMeta, Array[Int])] =
+      wavChunks(b).collect {
+        case WavLayout(0x11, rate, 1, 4, dataOff, dataLen, ba, spbExt)
+            if ba > 4 && dataLen > 0 && dataLen % ba == 0 &&
+              (spbExt < 0 || spbExt == (ba - 4) * 2 + 1) =>
+          val spb = (ba - 4) * 2 + 1
+          val nBlocks = (dataLen / ba).toInt
+          val out = new Array[Int](nBlocks * spb)
+          var blk = 0
+          while (blk < nBlocks) {
+            val base = dataOff + blk * ba
+            var pred = (((b(base) & 0xFF) | (b(base + 1) << 8)).toShort).toInt
+            var idx = math.min(88, b(base + 2) & 0xFF)
+            var o = blk * spb
+            out(o) = pred; o += 1
+            var nib = 0
+            while (nib < spb - 1) {
+              val byte = b(base + 4 + (nib >> 1)) & 0xFF
+              val n = if ((nib & 1) == 0) byte & 0x0F else byte >> 4
+              val step = AdpcmStepTable(idx)
+              var diff = step >> 3
+              if ((n & 1) != 0) diff += step >> 2
+              if ((n & 2) != 0) diff += step >> 1
+              if ((n & 4) != 0) diff += step
+              pred = if ((n & 8) != 0) pred - diff else pred + diff
+              if (pred > 32767) pred = 32767 else if (pred < -32768) pred = -32768
+              idx += AdpcmIndexTable(n & 7)
+              if (idx < 0) idx = 0 else if (idx > 88) idx = 88
+              out(o) = pred; o += 1
+              nib += 1
+            }
+            blk += 1
+          }
+          (ContainerMeta("wav", out.length * 1000L / rate, rate, 1), out)
+      }
 
     /** ISO BMFF (MP4): walk top-level boxes to `moov`, then its children
       * to `mvhd`; duration = mvhd.duration / mvhd.timescale (v0 32-bit and
@@ -452,6 +532,30 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** IMA ADPCM WAV (format tag 0x11) with the EXTENDED fmt chunk
+      * (cbSize=2 + wSamplesPerBlock) — one mono block per call: 4-byte
+      * header (int16 LE predictor, step-index byte, reserved 0) +
+      * `nibbles` data bytes, low nibble first. blockAlign = 4 + len. */
+    def wavAdpcm(sampleRate: Int, predictor: Int, stepIndex: Int,
+                 nibbles: Array[Byte]): Array[Byte] = {
+      val blockAlign = 4 + nibbles.length
+      val spb = nibbles.length * 2 + 1
+      val out = new java.io.ByteArrayOutputStream(48 + 4 + nibbles.length)
+      out.write(cc("RIFF")); out.write(le32b(40L + 4 + nibbles.length)); out.write(cc("WAVE"))
+      out.write(cc("fmt ")); out.write(le32b(20L))
+      out.write(le16b(0x11)); out.write(le16b(1))
+      out.write(le32b(sampleRate.toLong))
+      // byte rate for ADPCM: rate·blockAlign/samplesPerBlock, rounded
+      out.write(le32b(sampleRate.toLong * blockAlign / spb))
+      out.write(le16b(blockAlign)); out.write(le16b(4))
+      out.write(le16b(2)); out.write(le16b(spb)) // cbSize, wSamplesPerBlock
+      out.write(cc("data")); out.write(le32b(4L + nibbles.length))
+      out.write(le16b(predictor & 0xFFFF)) // int16 LE
+      out.write(stepIndex & 0xFF); out.write(0)
+      out.write(nibbles)
+      out.toByteArray
+    }
+
     /** ftyp + moov/mvhd(v0) + mdat(payload); duration in `timescale` ticks. */
     def mp4(timescale: Long, duration: Long, payload: Array[Byte]): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream(16 + 116 + 8 + payload.length)
@@ -539,9 +643,11 @@ object Multimodal {
     * realistic clip) and `peak` let a consumer derive RMS/clipping
     * without the decoder. Integer PCM decodes directly
     * ([[ContainerCodec.decodeWavPcm]]); G.711 companded payloads decode
-    * through the real JDK codec ([[ContainerCodec.decodeWavCompanded]]).
-    * Non-decodable payloads (no WAV signature, unsupported compressed
-    * tag, float samples) get the -1 sentinel row. */
+    * through the real JDK codec ([[ContainerCodec.decodeWavCompanded]]);
+    * IMA ADPCM blocks decode through the published step-table algorithm
+    * ([[ContainerCodec.decodeWavAdpcm]]). Non-decodable payloads (no
+    * WAV signature, unsupported compressed tag, float samples) get the
+    * -1 sentinel row. */
   case class AudioStats(doc_id: Long, n_samples: Long, peak: Long,
                         sum_sq: Long, sample_rate: Int, channels: Int)
 
@@ -553,7 +659,8 @@ object Multimodal {
     rows.mapPartitions { it =>
       it.map { r =>
         ContainerCodec.decodeWavPcm(r.media)
-          .orElse(ContainerCodec.decodeWavCompanded(r.media)) match {
+          .orElse(ContainerCodec.decodeWavCompanded(r.media))
+          .orElse(ContainerCodec.decodeWavAdpcm(r.media)) match {
           case Some((meta, samples)) =>
             var peak = 0L
             var sumSq = 0L

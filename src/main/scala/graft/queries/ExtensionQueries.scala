@@ -2906,6 +2906,89 @@ SELECT doc_id,
        CAST(1 AS INTEGER) AS channels
 FROM s GROUP BY doc_id ORDER BY doc_id"""
 
+  /** REAL block-codec decode under the gate: each doc gets an IMA ADPCM
+    * WAV (format tag 0x11, 4:1 vs 16-bit PCM — the published IMA/DVI
+    * step-table algorithm) whose nibble bytes, initial predictor and
+    * initial step index all follow (doc_id, position) formulas; Spark
+    * decodes through [[Multimodal.ContainerCodec.decodeWavAdpcm]] and
+    * DuckDB replays the SAME stateful integer recurrence as a recursive
+    * CTE — predictor and step index evolve per nibble, both saturating,
+    * so the whole decoder (not just a per-sample formula) sits under
+    * the cross-engine hash gate. */
+  def multimodalAdpcmStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"n_chars", $"source")
+      .as[(Long, Long, String)]
+      .map { case (id, nChars, src) =>
+        val n = (nChars % 200 + 8).toInt
+        val data = new Array[Byte](n)
+        var i = 0
+        while (i < n) {
+          data(i) = ((id * 31 + i.toLong * 7) % 256L).toByte
+          i += 1
+        }
+        val pred = ((id * 131) % 65536L - 32768L).toInt
+        val idx = (id % 89L).toInt
+        Multimodal.MediaRow(id,
+          Multimodal.ContainerFixtures.wavAdpcm(8000, pred, idx, data),
+          "audio/adpcm", src)
+      }
+    Multimodal.audioStats(rows).toDF().orderBy("doc_id")
+  }
+
+  /** The IMA ADPCM recurrence as a recursive CTE: state (pred, idx)
+    * advances one nibble per iteration (t = samples emitted after the
+    * header sample; nibble t comes from data byte t/2, low nibble
+    * first), with the published 89-entry step table and the ±
+    * index-adjust table inlined as array literals. Recursion depth =
+    * max samples per doc (~420 at the gate scale). */
+  val multimodalAdpcmStatsOracle: String = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, CAST(n_chars % 200 + 8 AS BIGINT) AS nb FROM documents),
+tabs AS (
+  SELECT [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,
+          34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,
+          143,157,173,190,209,230,253,279,307,337,371,408,449,
+          494,544,598,658,724,796,876,963,1060,1166,1282,1411,
+          1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,
+          4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,
+          11487,12635,13899,15289,16818,18500,20350,22385,24623,
+          27086,29794,32767] AS st,
+         [-1,-1,-1,-1,2,4,6,8] AS it),
+rec AS (
+  SELECT doc_id, nb, CAST(0 AS BIGINT) AS t,
+         CAST((doc_id * 131) % 65536 - 32768 AS BIGINT) AS pred,
+         CAST(least(88, doc_id % 89) AS BIGINT) AS idx
+  FROM d
+  UNION ALL
+  SELECT doc_id, nb, t + 1, pred2.v, idx2.v
+  FROM (
+    SELECT r.doc_id, r.nb, r.t, r.pred, r.idx,
+           CASE WHEN r.t % 2 = 0
+                THEN CAST((r.doc_id * 31 + (r.t // 2) * 7) % 256 AS BIGINT) & 15
+                ELSE CAST((r.doc_id * 31 + (r.t // 2) * 7) % 256 AS BIGINT) >> 4
+           END AS nib,
+           tabs.st[CAST(r.idx AS INTEGER) + 1] AS step,
+           tabs.it
+    FROM rec r, tabs
+    WHERE r.t < 2 * r.nb) x,
+  LATERAL (SELECT (x.step >> 3)
+                  + CASE WHEN x.nib & 1 > 0 THEN x.step >> 2 ELSE 0 END
+                  + CASE WHEN x.nib & 2 > 0 THEN x.step >> 1 ELSE 0 END
+                  + CASE WHEN x.nib & 4 > 0 THEN x.step ELSE 0 END AS v) diff,
+  LATERAL (SELECT greatest(-32768, least(32767,
+                  x.pred + CASE WHEN x.nib & 8 > 0 THEN -diff.v ELSE diff.v END)) AS v) pred2,
+  LATERAL (SELECT greatest(0, least(88,
+                  x.idx + x.it[CAST(x.nib & 7 AS INTEGER) + 1])) AS v) idx2)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(max(abs(pred)) AS BIGINT) AS peak,
+       CAST(sum(pred * pred) AS BIGINT) AS sum_sq,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS channels
+FROM rec GROUP BY doc_id ORDER BY doc_id"""
+
   val multimodalFeaturesOracle: String = """
 SELECT doc_id,
        'image/t' || (doc_id % 3) AS media_type,

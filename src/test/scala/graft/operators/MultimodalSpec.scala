@@ -302,6 +302,71 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(1).n_samples == -1L, "float WAV stays on the sentinel path")
   }
 
+  test("IMA ADPCM decode matches hand-computed step-table vectors") {
+    import Multimodal.{ContainerCodec, ContainerFixtures}
+    // pred0=0, idx0=0, one byte 0x81 → nibbles (low first) 1 then 8:
+    // step=7: n=1 → diff=0+1=1 → pred 1, idx clamps at 0;
+    //         n=8 → diff=0, sign bit → pred stays 1
+    val Some((m1, s1)) = ContainerCodec.decodeWavAdpcm(
+      ContainerFixtures.wavAdpcm(8000, 0, 0, Array(0x81.toByte)))
+    assert(s1.toSeq == Seq(0, 1, 1) && m1.sample_rate == 8000 && m1.channels == 1)
+    // pred0=100, idx0=10 (step 19), byte 0xF7 → nibbles 7 then 15:
+    // n=7 → diff=2+4+9+19=34 → 134, idx 18 (step 41);
+    // n=15 → diff=5+10+20+41=76, sign → 58
+    val Some((_, s2)) = ContainerCodec.decodeWavAdpcm(
+      ContainerFixtures.wavAdpcm(8000, 100, 10, Array(0xF7.toByte)))
+    assert(s2.toSeq == Seq(100, 134, 58))
+    // saturation at both rails + index clamp at 88
+    val Some((_, s3)) = ContainerCodec.decodeWavAdpcm(
+      ContainerFixtures.wavAdpcm(8000, 32760, 88, Array(0x07.toByte)))
+    assert(s3.toSeq == Seq(32760, 32767, 32767))
+    val Some((_, s4)) = ContainerCodec.decodeWavAdpcm(
+      ContainerFixtures.wavAdpcm(8000, -32760, 88, Array(0x0F.toByte)))
+    assert(s4(1) == -32768)
+    // an out-of-range header step index clamps to 88 (what shipping
+    // decoders do), bit-identical to an explicit 88
+    val wild = ContainerCodec.decodeWavAdpcm(
+      ContainerFixtures.wavAdpcm(8000, 5, 200, Array(0x3C.toByte, 0x55.toByte)))
+    val pinned = ContainerCodec.decodeWavAdpcm(
+      ContainerFixtures.wavAdpcm(8000, 5, 88, Array(0x3C.toByte, 0x55.toByte)))
+    assert(wild.get._2.toSeq == pinned.get._2.toSeq)
+  }
+
+  test("IMA ADPCM refusals: stereo, wrong bits, ragged data, lying fmt extension") {
+    import Multimodal.{ContainerCodec, ContainerFixtures}
+    val good = ContainerFixtures.wavAdpcm(8000, 0, 0, Array.fill[Byte](8)(0x20))
+    assert(ContainerCodec.decodeWavAdpcm(good).isDefined)
+    def patched(off: Int, v: Int): Array[Byte] = {
+      val b = good.clone(); b(off) = v.toByte; b
+    }
+    // layout: RIFF(12) | fmt hdr(8) tag@20 ch@22 rate@24 byterate@28
+    //         blockAlign@32 bits@34 cbSize@36 spb@38 | data hdr@40 size@44
+    assert(ContainerCodec.decodeWavAdpcm(patched(22, 2)).isEmpty,
+      "stereo block interleave is out of the real-decode scope")
+    assert(ContainerCodec.decodeWavAdpcm(patched(34, 8)).isEmpty,
+      "IMA ADPCM is 4 bits/sample by definition")
+    assert(ContainerCodec.decodeWavAdpcm(patched(44, good(44) - 1)).isEmpty,
+      "a data chunk that is not whole blocks must refuse")
+    assert(ContainerCodec.decodeWavAdpcm(patched(38, 3)).isEmpty,
+      "an fmt-extension samples-per-block contradicting the geometry must refuse")
+    // PCM/companded decoders must not claim the 0x11 tag and vice versa
+    assert(ContainerCodec.decodeWavPcm(good).isEmpty)
+    assert(ContainerCodec.decodeWavCompanded(good).isEmpty)
+  }
+
+  test("audioStats decodes ADPCM payloads through the codec chain") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, Multimodal.ContainerFixtures.wavAdpcm(
+        8000, 100, 10, Array(0xF7.toByte)), "audio/adpcm", "s"))
+      .toDS()
+    val got = Multimodal.audioStats(rows).collect()
+    // samples 100, 134, 58 (pinned above)
+    assert(got(0).n_samples == 3 && got(0).peak == 134 &&
+      got(0).sum_sq == 100L * 100 + 134L * 134 + 58L * 58 &&
+      got(0).sample_rate == 8000 && got(0).channels == 1)
+  }
+
   test("containerMeta dataset operator over planted rows") {
     import spark.implicits._
     val rows = Seq(
