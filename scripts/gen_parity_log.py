@@ -6,7 +6,7 @@ each session stays internally ordered."""
 import base64, random, sys
 from datetime import datetime, timedelta, timezone
 
-def main(out, n_sessions=3000, seed=7):
+def main(out, n_sessions=3000, seed=7, n_files=1):
     rnd = random.Random(seed)
     lines = []  # (sort_time, line)
     t = 1700000000.0
@@ -41,10 +41,27 @@ def main(out, n_sessions=3000, seed=7):
             lines.append((base+0.05, f"{iso(0.05)} h postfix/smtpd[1]: disconnect from c{i}[1.2.3.{i%250}] ehlo=1 quit=1"))
         lines.append((base+0.5, f"{iso(0.5)} h postfix/qmgr[5]: {qid}: removed"))
     lines.sort(key=lambda p: p[0])
-    with open(out, "w") as f:
-        for _, l in lines:
-            f.write(l + "\n")
+    if n_files <= 1:
+        with open(out, "w") as f:
+            for _, l in lines:
+                f.write(l + "\n")
+    else:
+        # split the globally time-sorted stream into consecutive chunks
+        # with ascending mtimes: the streaming CLI's file source then
+        # replays them in arrival order, and maxFilesPerTrigger can
+        # bound micro-batch size for throughput-ladder probes
+        import os
+        os.makedirs(out, exist_ok=True)
+        per = (len(lines) + n_files - 1) // n_files
+        now = int(__import__("time").time())
+        for k in range(n_files):
+            p = os.path.join(out, "part-%04d.log" % k)
+            with open(p, "w") as f:
+                for _, l in lines[k * per:(k + 1) * per]:
+                    f.write(l + "\n")
+            os.utime(p, (now + k, now + k))
     print(f"wrote {len(lines)} lines to {out}")
 
 if __name__ == "__main__":
-    main(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 3000)
+    main(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 3000,
+         n_files=int(sys.argv[3]) if len(sys.argv) > 3 else 1)

@@ -68,9 +68,13 @@ object StreamCorpus {
     val threshold = sys.env.getOrElse("SPARK_GRAFT_ND_THRESHOLD", "0.7").toDouble
     val compactEvery = sys.env.getOrElse("SPARK_GRAFT_COMPACT_EVERY", "64").toInt
 
-    val docs = spark.readStream
+    val done = StreamMeter.attach(spark, "stream-corpus", outDir)
+    val reader = spark.readStream
       .schema(spark.read.parquet(inputDir).schema) // file source needs a fixed schema
-      .parquet(inputDir)
+    // batch-size sensitivity probes bound each micro-batch's file count
+    sys.env.get("SPARK_GRAFT_MAX_FILES_PER_TRIGGER")
+      .foreach(v => reader.option("maxFilesPerTrigger", v.toInt))
+    val docs = reader.parquet(inputDir)
 
     val inner = StreamingAnalytics.nearDedupIntake(indexPath,
       minQuality = minQuality, threshold = threshold,
@@ -183,6 +187,9 @@ object StreamCorpus {
         else Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    val wallS = done()
+    val nDocs = spark.read.parquet(inputDir).count()
+    println(f"[stream-corpus] docs=$nDocs docs_per_s=${nDocs / math.max(wallS, 1e-9)}%.0f")
     spark.stop()
   }
 }

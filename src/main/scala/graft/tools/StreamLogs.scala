@@ -26,13 +26,20 @@ import org.apache.spark.sql.streaming.Trigger
   * Usage: StreamLogs <inputDir> <outDir> [--follow]
   *   default: Trigger.AvailableNow (process everything present, then stop)
   *   --follow: 5-second micro-batches, runs until killed.
+  * Env: SPARK_GRAFT_ROCKSDB=1 keeps session state in the RocksDB state
+  * store ([[StreamingSessionize.withRocksDbStateStore]] — the 100 TB
+  * configuration: state spills to executor-local disk instead of heap);
+  * SPARK_GRAFT_MAX_FILES_PER_TRIGGER bounds each micro-batch (batch-size
+  * sensitivity probes). Every run appends per-batch
+  * `StreamingQueryProgress` JSON to `<outDir>/progress.jsonl` and prints
+  * a wall-clock lines/s summary ([[StreamMeter]]).
   */
 object StreamLogs {
   def main(args: Array[String]): Unit = {
     val inputDir = args(0)
     val outDir = args(1)
     val follow = args.length > 2 && args(2) == "--follow"
-    val spark = SparkSession.builder()
+    val spark0 = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
       .appName("graft-stream-logs")
       .config("spark.sql.shuffle.partitions",
@@ -40,11 +47,21 @@ object StreamLogs {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark0.sparkContext.setLogLevel("WARN")
+    // RocksDB state store on request — an isolated session so the
+    // provider choice cannot leak into other queries on the context
+    val spark =
+      if (sys.env.get("SPARK_GRAFT_ROCKSDB").contains("1"))
+        StreamingSessionize.withRocksDbStateStore(spark0)
+      else spark0
     import spark.implicits._
+    val done = StreamMeter.attach(spark, "stream-logs", outDir)
 
     val epoch2020s = 1577836800L
-    val lines = spark.readStream.text(inputDir)
+    val reader = spark.readStream
+    sys.env.get("SPARK_GRAFT_MAX_FILES_PER_TRIGGER")
+      .foreach(v => reader.option("maxFilesPerTrigger", v.toInt))
+    val lines = reader.text(inputDir)
       .select(col("value"),
         unix_timestamp(col("_metadata.file_modification_time")).as("fsec"))
       .as[(String, Long)]
@@ -68,8 +85,11 @@ object StreamLogs {
     val q = (if (follow) writer.trigger(Trigger.ProcessingTime("5 seconds"))
              else writer.trigger(Trigger.AvailableNow())).start()
     q.awaitTermination()
+    val wallS = done()
+    val nLines = spark.read.text(inputDir).count()
     val n = spark.read.parquet(s"$outDir/events").count()
-    println(s"[stream-logs] events=$n out=$outDir")
+    println(f"[stream-logs] lines=$nLines lines_per_s=${nLines / math.max(wallS, 1e-9)}%.0f " +
+      s"events=$n out=$outDir")
     spark.stop()
   }
 }
