@@ -1,0 +1,77 @@
+package graft.tools
+
+import graft.operators.{CacheRegistry, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Recall-vs-budget sweep for the fixed-query-cost ANN families at a
+  * given corpus scale — the measurement loop behind the BASELINE.md
+  * third-decade recall ladder.
+  *
+  * The registered gate queries pin ONE configuration (so the DuckDB
+  * oracle replays a fixed geometry); this probe answers the deployment
+  * question those numbers raise: when a fixed per-query budget's recall
+  * decays with corpus growth (LSH's tables×probes×maxBucket candidate
+  * cap, PQ's keepR ADC frontier), how much budget buys it back? Ground
+  * truth is [[Similarity.bruteForceTopK]] — exact, and cheap even at
+  * 2M vectors (it is the ann_cosine_topk query).
+  *
+  * Usage: AnnScaleProbe <sfDir> — prints one line per configuration:
+  * `[ann-probe] <family> <param>=<v> recall@5=<r> wall=<s>s`.
+  */
+object AnnScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-ann-scale-probe")
+      .config("spark.sql.shuffle.partitions",
+        math.max(32, graft.Bench.inputBytes(sfDir) / (64L << 20)).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    val k = 5
+    val exact = Similarity.bruteForceTopK(q, e, k)
+      .select("query_id", "cand_id").persist()
+    val nExact = exact.count() // materialize ground truth once
+
+    def recall(ann: DataFrame): Double = {
+      val hits = exact.join(ann.select(col("query_id"), col("cand_id"),
+          lit(1).as("hit")), Seq("query_id", "cand_id"), "left_outer")
+        .agg(count(col("hit"))).head().getLong(0)
+      hits.toDouble / nExact
+    }
+    def timed(label: String, ann: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val r = recall(ann)
+      CacheRegistry.releaseAll()
+      println(f"[ann-probe] $label recall@$k=$r%.3f wall=${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+
+    // PQ: one shared geometry (the gate's 16×256 grid over the shared
+    // 16-cell coarse quantizer), swept over the exact-rerank frontier
+    val cents = Similarity.trainCentroids(e, nlist = 16, trainIters = 2)
+    val books = Similarity.trainPqCodebooks(e, m = 16, ksub = 256)
+    val pq = Similarity.pqGeomFrames(q, e, cents, books, nprobe = 12)
+    val lists = pq.lists.persist(); lists.count()
+    val probes = pq.probes.persist(); probes.count()
+    for (rerank <- Seq(40, 100, 400, 1600))
+      timed(s"pq rerank=$rerank",
+        Similarity.pqTopKFromGeom(lists, probes, q, e, k, rerank = rerank))
+    lists.unpersist(); probes.unpersist()
+
+    // LSH: the gate's scale-adaptive bucket depth (bitsPerTable=0),
+    // swept over the query-side multi-probe budget
+    for (p <- Seq(32, 128, 512)) {
+      val f = Similarity.lshProbeFrames(q, e,
+        tables = 24, bitsPerTable = 0, maxBucket = 64, probes = p)
+      timed(s"lsh probes=$p", Similarity.lshRerankTopK(q, e, f.qProbes, f.cBuckets, k))
+    }
+    exact.unpersist()
+    spark.stop()
+  }
+}
