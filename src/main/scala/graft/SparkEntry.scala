@@ -119,6 +119,8 @@ object SparkEntry {
     "corpus_take_uniform" -> (ExtensionQueries.corpusTakeUniform _),
     "dedup_semantic" -> (ExtensionQueries.dedupSemantic _),
     "corpus_span_dedup" -> (ExtensionQueries.corpusSpanDedup _),
+    "dedup_substring" -> (ExtensionQueries.dedupSubstring _),
+    "search_hybrid_rrf" -> (ExtensionQueries.searchHybridRrf _),
     "dedup_incremental" -> (ExtensionQueries.dedupIncremental _),
     "dedup_incremental_exact" -> (ExtensionQueries.dedupIncrementalExact _),
     "dedup_incremental_violations" -> (ExtensionQueries.dedupIncrementalViolations _),
@@ -271,6 +273,8 @@ object SparkEntry {
     "corpus_mixture" -> ExtensionQueries.corpusMixtureOracle,
     "corpus_take_uniform" -> ExtensionQueries.corpusTakeUniformOracle,
     "corpus_span_dedup" -> ExtensionQueries.corpusSpanDedupOracle,
+    "dedup_substring" -> ExtensionQueries.dedupSubstringOracle,
+    "search_hybrid_rrf" -> ExtensionQueries.searchHybridRrfOracle,
     "dedup_incremental_exact" -> ExtensionQueries.dedupIncrementalExactOracle,
     "dedup_incremental_violations" -> ExtensionQueries.violationOracle,
     "dedup_semantic_violations" -> ExtensionQueries.violationOracle,

@@ -739,4 +739,82 @@ object Dedup {
         nSpans.cast("long").as("n_spans"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
+
+  /** Exact duplicated-substring detection — the suffix-array substring
+    * dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better") re-expressed relationally with rolling
+    * shingles: a token offset `i` of a document is DUPLICATED when the
+    * `spanTokens`-token span starting at `i` occurs (by exact text)
+    * more than once anywhere in the corpus — at ANY offset of any
+    * document, including elsewhere in the same document. Overlapping and
+    * adjacent duplicated offsets merge into maximal spans, so a 500-token
+    * boilerplate block shared at arbitrary alignment reports as ONE
+    * `[start, start+500+spanTokens)` interval per occurrence — the thing
+    * [[spanDedup]]'s fixed 20-token grid cannot see when the copies are
+    * shifted by a few tokens.
+    *
+    * Scale shape (the shingle stream is one row per TOKEN — the heaviest
+    * stream in the dedup family, so exchange bytes are the design):
+    *  1. count pass over 64-bit `xxhash64` shingle keys — 16 B/row with
+    *     map-side combine. A 64-bit count ≥ 2 has NO false negatives, so
+    *     this pass exactly bounds the candidate set;
+    *  2. the (tiny) candidate key set broadcasts back into a fresh
+    *     map-side shingle scan — the full stream never shuffles again;
+    *     only candidate rows compute the 128-bit md5 and re-count, which
+    *     removes 64-bit birthday collisions (at 10^11 shingles a pure
+    *     64-bit count would silently merge distinct spans — the
+    *     [[spanDedup]] exactness argument);
+    *  3. island merge is a per-document window over the few duplicated
+    *     offsets (bounded by document length, never corpus-wide).
+    * Both passes re-derive shingles inside the scan (CPU, no cache): at
+    * corpus scale a persisted token-wide frame is memory none of the
+    * exchanges need.
+    *
+    * @return (doc_id, span_start, span_end, span_len) — one row per
+    *         maximal duplicated span, token offsets 0-based, `span_end`
+    *         exclusive. Documents shorter than `spanTokens` tokens have
+    *         no spans by construction. */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+               spanTokens: Int = 20): DataFrame = {
+    require(spanTokens >= 1, "spanTokens must be >= 1")
+    val L = spanTokens
+    val toks = split(col(textCol), " ")
+    val spanAt = (i: Column) => array_join(slice(toks, i + 1, lit(L)), " ")
+    // one shingle per token offset; docs shorter than L contribute none.
+    // The span TEXT stays inside the scan: pass 1 projects it down to a
+    // 64-bit key before its exchange, pass 2 drops it map-side right
+    // after the broadcast semi-join.
+    def shingles: DataFrame =
+      Par.widen(df).filter(size(toks) >= L)
+        .select(col(idCol).as("id"),
+          posexplode(transform(sequence(lit(0), size(toks) - L), spanAt)))
+        .select(xxhash64(col("col")).as("h"), col("col"),
+          col("id"), col("pos").as("idx"))
+    // pass 1: 64-bit candidate count (exact superset of the dup set)
+    val cand64 = shingles.select("h").groupBy("h")
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).select("h")
+    // pass 2: md5 recheck of candidates only; the broadcast semi-join
+    // keeps the full stream map-side
+    val candRows = shingles
+      .join(broadcast(cand64), Seq("h"), "left_semi")
+      .select(unhex(md5(col("col"))).as("m"), col("id"), col("idx"))
+    val dupOff = candRows.join(
+        candRows.groupBy("m").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).select("m"),
+        Seq("m"), "left_semi")
+      .select(col("id"), col("idx"))
+    // pass 3: merge offsets i with gap <= L into maximal [min, max+L)
+    val byDoc = Window.partitionBy("id").orderBy("idx")
+    dupOff
+      .withColumn("f", when(lag(col("idx"), 1).over(byDoc).isNull
+          .or(col("idx") - lag(col("idx"), 1).over(byDoc) > L), 1)
+        .otherwise(0))
+      .withColumn("g", sum(col("f")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id").as(idCol), col("g"))
+      .agg(min(col("idx")).cast("long").as("span_start"),
+        (max(col("idx")) + L).cast("long").as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_len"))
+  }
 }

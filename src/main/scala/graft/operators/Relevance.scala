@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Okapi BM25 relevance scoring of a document corpus against a fixed
@@ -115,5 +116,93 @@ object Relevance {
       .select(col("doc_id"), posexplode(col("top")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col.term").as("term"), col("col.score").as("score"))
+  }
+
+  /** Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack et al. 2009)
+    * of a lexical leg and a vector leg — the standard two-tower search a
+    * RAG / data-mining pipeline runs when neither keyword match nor
+    * embedding similarity alone is trusted. Query documents are fused
+    * against the whole corpus: each leg retrieves its top `legK`
+    * candidates per query, and a candidate's fused score is
+    * `Σ_legs 1/(rrfK + rank_in_leg)` over the legs that retrieved it.
+    *
+    * Lexical leg: Jaccard similarity over each document's DISTINCT
+    * df-capped tokens — tokens appearing in more than `maxDocFreq`
+    * documents are boilerplate/stopwords, excluded from BOTH the score's
+    * token universe and candidate generation (one consistent capped
+    * universe, so the score is exactly reproducible relationally). The
+    * cap is also what bounds the leg at scale: candidate rows per query
+    * ≤ |query tokens| × maxDocFreq regardless of corpus size, so the
+    * per-query rank window sorts a provably bounded frame. The index
+    * side never shuffles — query tokens (a handful of docs) broadcast
+    * into the postings scan, and only matched (query, cand) pairs reach
+    * the count aggregate (map-side combined).
+    *
+    * Vector leg: exact brute-force cosine ([[Similarity.bruteForceTopK]]
+    * — broadcast queries, no corpus shuffle). At 100 TB swap in
+    * [[Similarity.ivfTopK]] — every leg emits the same
+    * (query_id, cand_id, rank) shape, and RRF only consumes ranks.
+    *
+    * Determinism (the SQL-oracle contract): Jaccard is an IEEE division
+    * of small exact integers, cosine is the same double kernel the
+    * hash-green ann_cosine_topk oracle replays, RRF terms are
+    * `1.0 / integer`, and every rank breaks ties by cand_id — so the
+    * whole result hash-matches DuckDB.
+    *
+    * @return (query_id, cand_id, lex_rank, vec_rank, rrf, rank), top `k`
+    *         fused rows per query; a leg's rank is 0 when that leg did
+    *         not retrieve the candidate. */
+  def hybridRrfTopK(docs: DataFrame, embeddings: DataFrame,
+                    idCol: String, textCol: String,
+                    embIdCol: String, embCol: String,
+                    nQueries: Int = 10, legK: Int = 20, k: Int = 5,
+                    rrfK: Int = 60, maxDocFreq: Int = 1000): DataFrame = {
+    require(nQueries >= 1 && legK >= 1 && k >= 1 && rrfK >= 1,
+      "nQueries, legK, k, rrfK must all be >= 1")
+    // ---- lexical leg: capped-distinct-token Jaccard --------------------
+    val dtok = Par.widen(docs)
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
+    // df cap: broadcast anti-join against the (tiny) hot-token set — the
+    // ngramJaccard discipline; the postings frame itself never shuffles
+    val hot = dtok.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select("tok")
+    val capped = dtok.join(broadcast(hot), Seq("tok"), "left_anti").persist()
+    CacheRegistry.track(capped)
+    val nPer = capped.groupBy("doc_id")
+      .agg(count(lit(1)).cast("double").as("n_tok"))
+    val qTok = capped.filter(col("doc_id") < nQueries)
+      .join(nPer, "doc_id")
+      .select(col("doc_id").as("query_id"), col("tok"), col("n_tok").as("nq"))
+    val pairs = capped.join(broadcast(qTok), Seq("tok"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id").as("cand_id"))
+      .agg(count(lit(1)).cast("double").as("inter"), max(col("nq")).as("nq"))
+    val lexW = Window.partitionBy("query_id")
+      .orderBy(col("jacc").desc, col("cand_id"))
+    val lexTop = pairs
+      .join(nPer.withColumnRenamed("doc_id", "cand_id"), "cand_id")
+      .withColumn("jacc",
+        col("inter") / (col("nq") + col("n_tok") - col("inter")))
+      .withColumn("lr", row_number().over(lexW).cast("long"))
+      .filter(col("lr") <= legK)
+      .select(col("query_id"), col("cand_id"), col("lr"))
+    // ---- vector leg ----------------------------------------------------
+    val vecTop = Similarity.bruteForceTopK(
+        embeddings.filter(col(embIdCol) < nQueries), embeddings, legK,
+        qId = embIdCol, qVec = embCol, cId = embIdCol, cVec = embCol)
+      .select(col("query_id"), col("cand_id"), col("rank").as("vr"))
+    // ---- fusion --------------------------------------------------------
+    val fused = lexTop.join(vecTop, Seq("query_id", "cand_id"), "full_outer")
+      .select(col("query_id"), col("cand_id"),
+        coalesce(col("lr"), lit(0L)).as("lex_rank"),
+        coalesce(col("vr"), lit(0L)).as("vec_rank"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("lr")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("vr")), lit(0.0))).as("rrf"))
+    val fuseW = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("cand_id"))
+    fused.withColumn("rank", row_number().over(fuseW).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "lex_rank", "vec_rank", "rrf", "rank")
   }
 }

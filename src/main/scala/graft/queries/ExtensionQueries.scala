@@ -2027,6 +2027,73 @@ FROM f, s
 WHERE tf1 + tf2 + tf3 > 0
 ORDER BY doc_id"""
 
+  /** Hybrid retrieval ([[Relevance.hybridRrfTopK]]): RRF fusion of a
+    * df-capped-token Jaccard leg and an exact-cosine vector leg, query
+    * docs 0-9 against the whole corpus (documents ↔ embeddings are
+    * row-aligned by id). */
+  def searchHybridRrf(spark: SparkSession, sfDir: String): DataFrame =
+    Relevance.hybridRrfTopK(
+        Tables(spark, sfDir, "documents").select("doc_id", "text"),
+        Tables(spark, sfDir, "embeddings").select("vec_id", "embedding"),
+        "doc_id", "text", "vec_id", "embedding",
+        nQueries = 10, legK = 20, k = 5, rrfK = 60, maxDocFreq = 1000)
+      .orderBy("query_id", "rank")
+
+  val searchHybridRrfOracle: String = """
+WITH dtok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents),
+hot AS (SELECT tok FROM dtok GROUP BY tok HAVING count(*) > 1000),
+capped AS (SELECT doc_id, tok FROM dtok
+           WHERE tok NOT IN (SELECT tok FROM hot)),
+npr AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS ntok
+        FROM capped GROUP BY doc_id),
+qt AS (SELECT c.doc_id AS query_id, c.tok, n.ntok AS nq
+       FROM capped c JOIN npr n USING (doc_id) WHERE c.doc_id < 10),
+pr AS (SELECT qt.query_id, c.doc_id AS cand_id,
+              CAST(count(*) AS DOUBLE) AS inter, max(qt.nq) AS nq
+       FROM capped c JOIN qt ON c.tok = qt.tok AND c.doc_id <> qt.query_id
+       GROUP BY 1, 2),
+lexk AS (SELECT query_id, cand_id, lr FROM (
+    SELECT pr.query_id, pr.cand_id,
+           row_number() OVER (PARTITION BY pr.query_id
+             ORDER BY pr.inter / (pr.nq + n.ntok - pr.inter) DESC,
+                      pr.cand_id) AS lr
+    FROM pr JOIN npr n ON pr.cand_id = n.doc_id)
+  WHERE lr <= 20),
+q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         generate_subscripts(q.embedding, 1) AS i,
+         unnest(q.embedding) AS qv, unnest(c.embedding) AS cv
+  FROM q, embeddings c WHERE q.vec_id <> c.vec_id),
+s AS (
+  SELECT query_id, cand_id,
+         SUM(CAST(qv AS DOUBLE) * CAST(cv AS DOUBLE)) /
+           (sqrt(SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE))) *
+            sqrt(SUM(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE)))) AS sim
+  FROM p GROUP BY query_id, cand_id),
+veck AS (SELECT query_id, cand_id, vr FROM (
+    SELECT query_id, cand_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, cand_id) AS vr
+    FROM s)
+  WHERE vr <= 20),
+f AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+             coalesce(l.cand_id, v.cand_id) AS cand_id,
+             CAST(coalesce(l.lr, 0) AS BIGINT) AS lex_rank,
+             CAST(coalesce(v.vr, 0) AS BIGINT) AS vec_rank,
+             coalesce(1.0 / (60 + l.lr), 0.0)
+               + coalesce(1.0 / (60 + v.vr), 0.0) AS rrf
+      FROM lexk l FULL OUTER JOIN veck v
+        ON l.query_id = v.query_id AND l.cand_id = v.cand_id)
+SELECT query_id, cand_id, lex_rank, vec_rank, rrf, rank FROM (
+  SELECT f.*, row_number() OVER (PARTITION BY query_id
+           ORDER BY rrf DESC, cand_id) AS rank
+  FROM f)
+WHERE rank <= 5
+ORDER BY query_id, rank"""
+
   /** Bigram-LM memo — same train-once-serve-across-JOBS discipline as
     * [[centroidsFor]]/BPE: counts are corpus metadata (bit-deterministic
     * groupBys), persisted via [[LanguageModel.save]] and served LOADED so
@@ -2602,6 +2669,38 @@ SELECT d.doc_id, coalesce(k.txt, '') AS text_deduped, n.n_spans,
        coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept
 FROM documents d JOIN n USING (doc_id) LEFT JOIN k USING (doc_id)
 ORDER BY d.doc_id"""
+
+  /** Exact duplicated-substring spans ([[Dedup.dupSpans]]): rolling
+    * 20-token shingles at every offset, corpus-wide occurrence count,
+    * overlap-merged maximal spans — the alignment-free substring dedup
+    * [[corpusSpanDedup]]'s fixed grid cannot see. */
+  def dedupSubstring(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.dupSpans(
+        Tables(spark, sfDir, "documents").select("doc_id", "text"),
+        "doc_id", "text", spanTokens = 20)
+      .orderBy("doc_id", "span_start")
+
+  val dedupSubstringOracle: String = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id, CAST(i AS INTEGER) AS idx,
+         md5(array_to_string(w[CAST(i+1 AS BIGINT):CAST(i+20 AS BIGINT)], ' ')) AS h
+       FROM t, unnest(range(0, len(w) - 20 + 1)) AS u(i)
+       WHERE len(w) >= 20),
+dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) > 1),
+d AS (SELECT doc_id, idx FROM sh WHERE h IN (SELECT h FROM dup)),
+fl AS (SELECT doc_id, idx,
+         CASE WHEN lag(idx) OVER (PARTITION BY doc_id ORDER BY idx) IS NULL
+                OR idx - lag(idx) OVER (PARTITION BY doc_id ORDER BY idx) > 20
+              THEN 1 ELSE 0 END AS f
+       FROM d),
+isl AS (SELECT doc_id, idx,
+          sum(f) OVER (PARTITION BY doc_id ORDER BY idx) AS g
+        FROM fl)
+SELECT doc_id, CAST(min(idx) AS BIGINT) AS span_start,
+       CAST(max(idx) + 20 AS BIGINT) AS span_end,
+       CAST(max(idx) + 20 - min(idx) AS BIGINT) AS span_len
+FROM isl GROUP BY doc_id, g
+ORDER BY doc_id, span_start"""
 
   /** Epoch-weighted repetition ([[Sampling.upsample]]): repeat factors
     * above AND below 1 in one operator — src0 seen ~2.5× per epoch,

@@ -939,4 +939,89 @@ class ExtensionSpec extends AnyFunSuite {
       .map { case (a, b, j) => (a - shift, b - shift, j) }
     assert(big == small)
   }
+
+  test("dupSpans merges shifted copies into maximal spans and skips short docs") {
+    import spark.implicits._
+    val words = (1 to 60).map(i => s"w$i").mkString(" ")  // 60 unique tokens
+    val unique1 = (1 to 30).map(i => s"a$i").mkString(" ")
+    val unique2 = (1 to 25).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$unique1 $words"),        // block at offsets [30, 90)
+      (1L, s"$unique2 $words"),        // same block shifted: [25, 85)
+      (2L, (1 to 19).map(i => s"c$i").mkString(" ")), // < 20 tokens: no shingles
+      (3L, (1 to 40).map(i => s"d$i").mkString(" "))  // unique: no dups
+    ).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(docs, "doc_id", "text", spanTokens = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // every offset whose 20-token window lies inside the shared 60-token
+    // block is duplicated; consecutive offsets merge into ONE span
+    // covering exactly the block: doc 0 [30, 90), doc 1 [25, 85)
+    assert(spans == Set((0L, 30L, 90L), (1L, 25L, 85L)))
+  }
+
+  test("dupSpans catches within-document self-repetition") {
+    import spark.implicits._
+    val block = (1 to 22).map(i => s"r$i").mkString(" ")
+    val mid = (1 to 10).map(i => s"m$i").mkString(" ")
+    // one doc repeating its own 22-token block: [0,22) and [32,54)
+    val docs = Seq((7L, s"$block $mid $block")).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(docs, "doc_id", "text", spanTokens = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((7L, 0L, 22L), (7L, 32L, 54L)))
+  }
+
+  test("hybrid RRF ranks a both-legs candidate above single-leg candidates") {
+    import spark.implicits._
+    // query doc 0; cand 1 = lexical twin with an unrelated embedding,
+    // cand 2 = vector twin with unrelated text, cand 3 = decent in BOTH
+    val docs = Seq(
+      (0L, "apple banana cherry date elder fig"),
+      (1L, "apple banana cherry date elder grape"),
+      (2L, "umbrella violet walnut xylophone yarn zebra"),
+      (3L, "apple banana cherry kiwi lemon mango"),
+      (4L, "quince raspberry strawberry tomato ugli vanilla")
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.8f, 0.2f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    // legK=2: lexical top-2 = {1, 3}, vector top-2 = {2, 3}
+    val top = Relevance.hybridRrfTopK(docs, emb, "doc_id", "text",
+        "vec_id", "embedding", nQueries = 1, legK = 2, k = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5)))
+    val byCand = top.map(t => t._1 -> t).toMap
+    assert(byCand.keySet == Set(1L, 2L, 3L), s"got ${top.toSeq}")
+    // cand 3 retrieved by both legs (1/62 + 1/62) beats either
+    // single-leg rank-1 (1/61) -> fused rank 1
+    assert(byCand(3L)._4 == 1L, s"both-legs candidate must win: ${top.toSeq}")
+    assert(byCand(3L)._2 > 0L && byCand(3L)._3 > 0L)
+    // single-leg candidates carry rank 0 on the missing leg; the
+    // 1/61 = 1/61 tie breaks by cand_id
+    assert(byCand(1L) == ((1L, 1L, 0L, 2L))) // lexical only
+    assert(byCand(2L) == ((2L, 0L, 1L, 3L))) // vector only
+  }
+
+  test("hybrid RRF df-cap drops boilerplate tokens from the lexical leg") {
+    import spark.implicits._
+    // 'the' appears in every doc; with maxDocFreq=2 it cannot generate
+    // candidates, so doc 2 (sharing ONLY 'the' with the query) is absent
+    val docs = Seq(
+      (0L, "the quick brown fox"),
+      (1L, "the quick brown bear"),
+      (2L, "the zebra yak wolf"),
+      (3L, "the quick red fox")
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val lexCands = Relevance.hybridRrfTopK(docs, emb, "doc_id", "text",
+        "vec_id", "embedding", nQueries = 1, legK = 4, k = 4, maxDocFreq = 2)
+      .filter(col("lex_rank") > 0)
+      .collect().map(_.getLong(1)).toSet
+    assert(lexCands == Set(1L, 3L), s"got $lexCands")
+  }
 }
