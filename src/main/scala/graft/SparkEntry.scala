@@ -120,6 +120,7 @@ object SparkEntry {
     "dedup_semantic" -> (ExtensionQueries.dedupSemantic _),
     "corpus_span_dedup" -> (ExtensionQueries.corpusSpanDedup _),
     "dedup_substring" -> (ExtensionQueries.dedupSubstring _),
+    "corpus_strip_substrings" -> (ExtensionQueries.corpusStripSubstrings _),
     "search_hybrid_rrf" -> (ExtensionQueries.searchHybridRrf _),
     "dedup_incremental" -> (ExtensionQueries.dedupIncremental _),
     "dedup_incremental_exact" -> (ExtensionQueries.dedupIncrementalExact _),
@@ -274,6 +275,7 @@ object SparkEntry {
     "corpus_take_uniform" -> ExtensionQueries.corpusTakeUniformOracle,
     "corpus_span_dedup" -> ExtensionQueries.corpusSpanDedupOracle,
     "dedup_substring" -> ExtensionQueries.dedupSubstringOracle,
+    "corpus_strip_substrings" -> ExtensionQueries.corpusStripSubstringsOracle,
     "search_hybrid_rrf" -> ExtensionQueries.searchHybridRrfOracle,
     "dedup_incremental_exact" -> ExtensionQueries.dedupIncrementalExactOracle,
     "dedup_incremental_violations" -> ExtensionQueries.violationOracle,

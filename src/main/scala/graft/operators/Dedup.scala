@@ -792,11 +792,19 @@ object Dedup {
           col("id"), col("pos").as("idx"))
     // pass 1: 64-bit candidate count (exact superset of the dup set)
     val cand64 = shingles.select("h").groupBy("h")
-      .agg(count(lit(1)).as("c")).filter(col("c") > 1).select("h")
-    // pass 2: md5 recheck of candidates only; the broadcast semi-join
-    // keeps the full stream map-side
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).select("h").persist()
+    CacheRegistry.track(cand64)
+    // bounds probe (the ngramJaccard discipline): broadcast the candidate
+    // key set only while it fits (~8 B/key — 50M ≈ 400 MB); a corpus
+    // whose duplicated-shingle set is larger falls back to a shuffle
+    // semi-join — the full stream pays one (h, id, idx) exchange, the
+    // spanDedup price, still exact
+    val nCand = cand64.count()
+    val candSide = if (nCand <= 50000000L) broadcast(cand64) else cand64
+    // pass 2: md5 recheck of candidates only; in the broadcast regime the
+    // semi-join keeps the full stream map-side
     val candRows = shingles
-      .join(broadcast(cand64), Seq("h"), "left_semi")
+      .join(candSide, Seq("h"), "left_semi")
       .select(unhex(md5(col("col"))).as("m"), col("id"), col("idx"))
     val dupOff = candRows.join(
         candRows.groupBy("m").agg(count(lit(1)).as("c"))
@@ -816,5 +824,45 @@ object Dedup {
         (max(col("idx")) + L).cast("long").as("span_end"))
       .select(col(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_len"))
+  }
+
+  /** Apply [[dupSpans]]: strip EVERY duplicated maximal span from every
+    * document — the conservative (RefinedWeb-style) removal policy. All
+    * occurrences go, not all-but-one: once spans from different
+    * documents merge at different boundaries, "first occurrence" has no
+    * well-defined owner at span granularity, and for training data the
+    * cheap safe answer is that boilerplate present twice anywhere is
+    * worth keeping nowhere.
+    *
+    * Scale shape: [[dupSpans]]'s interval rows are the ONLY addition to
+    * the document scan — a per-document handful of (start, end) structs
+    * collected into one array and joined back by id; the strip itself is
+    * a codegen higher-order filter over the token array (no explode, no
+    * extra exchange beyond the one keyed join).
+    *
+    * @return (id, text_stripped, n_tokens, n_dup_tokens) — one row per
+    *         input document, text reassembled from surviving tokens in
+    *         order (empty string when everything was duplicated). */
+  def stripDupSpans(df: DataFrame, idCol: String, textCol: String,
+                    spanTokens: Int = 20): DataFrame = {
+    val spans = dupSpans(df, idCol, textCol, spanTokens)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sp"))
+    val toks = split(col(textCol), " ")
+    df.select(col(idCol), col(textCol))
+      .join(spans, Seq(idCol), "left_outer")
+      .select(col(idCol), toks.as("w"),
+        coalesce(col("sp"),
+          array().cast("array<struct<span_start:bigint,span_end:bigint>>"))
+          .as("sp"))
+      // kept materialized ONCE below both consumers (the Relevance.bm25
+      // cross-operator-CSE discipline)
+      .withColumn("kept", filter(col("w"), (_, i) =>
+        !exists(col("sp"), s =>
+          i >= s.getField("span_start") && i < s.getField("span_end"))))
+      .select(col(idCol),
+        array_join(col("kept"), " ").as("text_stripped"),
+        size(col("w")).cast("long").as("n_tokens"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_dup_tokens"))
   }
 }

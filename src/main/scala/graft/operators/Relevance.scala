@@ -167,8 +167,11 @@ object Relevance {
     // ngramJaccard discipline; the postings frame itself never shuffles
     val hot = dtok.groupBy("tok").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq).select("tok")
-    val capped = dtok.join(broadcast(hot), Seq("tok"), "left_anti").persist()
-    CacheRegistry.track(capped)
+    // NOT persisted: the frame is token-wide (one row per distinct token
+    // per doc), so caching it at corpus scale costs more than the three
+    // map-side re-scans that re-derive it (each is a codegen split +
+    // broadcast anti-join, no exchange)
+    val capped = dtok.join(broadcast(hot), Seq("tok"), "left_anti")
     val nPer = capped.groupBy("doc_id")
       .agg(count(lit(1)).cast("double").as("n_tok"))
     val qTok = capped.filter(col("doc_id") < nQueries)

@@ -2702,6 +2702,47 @@ SELECT doc_id, CAST(min(idx) AS BIGINT) AS span_start,
 FROM isl GROUP BY doc_id, g
 ORDER BY doc_id, span_start"""
 
+  /** Strip applied ([[Dedup.stripDupSpans]]): every duplicated maximal
+    * span removed from every document — the conservative removal policy,
+    * documents reassembled from surviving tokens. */
+  def corpusStripSubstrings(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.stripDupSpans(
+        Tables(spark, sfDir, "documents").select("doc_id", "text"),
+        "doc_id", "text", spanTokens = 20)
+      .orderBy("doc_id")
+
+  val corpusStripSubstringsOracle: String = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id, CAST(i AS INTEGER) AS idx,
+         md5(array_to_string(w[CAST(i+1 AS BIGINT):CAST(i+20 AS BIGINT)], ' ')) AS h
+       FROM t, unnest(range(0, len(w) - 20 + 1)) AS u(i)
+       WHERE len(w) >= 20),
+dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) > 1),
+d AS (SELECT doc_id, idx FROM sh WHERE h IN (SELECT h FROM dup)),
+fl AS (SELECT doc_id, idx,
+         CASE WHEN lag(idx) OVER (PARTITION BY doc_id ORDER BY idx) IS NULL
+                OR idx - lag(idx) OVER (PARTITION BY doc_id ORDER BY idx) > 20
+              THEN 1 ELSE 0 END AS f
+       FROM d),
+isl AS (SELECT doc_id, idx,
+          sum(f) OVER (PARTITION BY doc_id ORDER BY idx) AS g
+        FROM fl),
+sp AS (SELECT doc_id, min(idx) AS s, max(idx) + 20 AS e
+       FROM isl GROUP BY doc_id, g),
+tok AS (SELECT doc_id, CAST(j AS INTEGER) - 1 AS j, w[CAST(j AS BIGINT)] AS tk
+        FROM t, unnest(range(1, len(w) + 1)) AS u(j)),
+kept AS (SELECT tok.doc_id, tok.j, tok.tk FROM tok
+         WHERE NOT EXISTS (SELECT 1 FROM sp
+           WHERE sp.doc_id = tok.doc_id AND tok.j >= sp.s AND tok.j < sp.e)),
+a AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY j) AS txt,
+        CAST(count(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc_id)
+SELECT t.doc_id, coalesce(a.txt, '') AS text_stripped,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(w) AS BIGINT) - coalesce(a.n_kept, CAST(0 AS BIGINT)) AS n_dup_tokens
+FROM t LEFT JOIN a USING (doc_id)
+ORDER BY t.doc_id"""
+
   /** Epoch-weighted repetition ([[Sampling.upsample]]): repeat factors
     * above AND below 1 in one operator — src0 seen ~2.5× per epoch,
     * src3 downsampled to 0.5, src4 dropped. */

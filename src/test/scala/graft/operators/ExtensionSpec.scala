@@ -970,6 +970,27 @@ class ExtensionSpec extends AnyFunSuite {
     assert(spans == Set((7L, 0L, 22L), (7L, 32L, 54L)))
   }
 
+  test("stripDupSpans removes every duplicated span, keeps unique text verbatim") {
+    import spark.implicits._
+    val words = (1 to 60).map(i => s"w$i").mkString(" ")
+    val unique1 = (1 to 30).map(i => s"a$i").mkString(" ")
+    val unique2 = (1 to 25).map(i => s"b$i").mkString(" ")
+    val block = (1 to 22).map(i => s"r$i").mkString(" ")
+    val mid = (1 to 10).map(i => s"m$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$unique1 $words"),
+      (1L, s"$unique2 $words"),
+      (2L, (1 to 40).map(i => s"d$i").mkString(" ")), // unique: untouched
+      (3L, s"$block $mid $block")                     // self-repeat
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripDupSpans(docs, "doc_id", "text", spanTokens = 20)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == ((unique1, 90L, 60L)))
+    assert(out(1L) == ((unique2, 85L, 60L)))
+    assert(out(2L) == (((1 to 40).map(i => s"d$i").mkString(" "), 40L, 0L)))
+    assert(out(3L) == ((mid, 54L, 44L)))
+  }
+
   test("hybrid RRF ranks a both-legs candidate above single-leg candidates") {
     import spark.implicits._
     // query doc 0; cand 1 = lexical twin with an unrelated embedding,
