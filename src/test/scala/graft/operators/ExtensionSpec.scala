@@ -991,6 +991,56 @@ class ExtensionSpec extends AnyFunSuite {
     assert(out(3L) == ((mid, 54L, 44L)))
   }
 
+  test("dupSpans/stripDupSpans match a brute-force reference on random corpora") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val L = 5
+    // tiny alphabet so rolling windows collide often (the interesting regime)
+    val docGen = Gen.chooseNum(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 5).map(i => s"t$i")).map(_.mkString(" ")))
+    val corpusGen = Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, docGen))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+    def refSpans(corpus: Seq[(Long, String)]): Set[(Long, Long, Long)] = {
+      val sh = for {
+        (id, text) <- corpus
+        w = text.split(" ", -1).toSeq
+        if w.length >= L
+        i <- 0 to w.length - L
+      } yield (id, i, w.slice(i, i + L).mkString(" "))
+      val counts = sh.groupBy(_._3).view.mapValues(_.size).toMap
+      sh.filter(s => counts(s._3) > 1).groupBy(_._1).flatMap { case (id, offs) =>
+        val sorted = offs.map(_._2).sorted
+        sorted.foldLeft(List.empty[(Int, Int)]) {
+          case (acc, i) if acc.nonEmpty && i - acc.head._2 <= L =>
+            (acc.head._1, i) :: acc.tail    // extend the open island
+          case (acc, i) => (i, i) :: acc    // open a new island
+        }.map { case (s, e) => (id, s.toLong, (e + L).toLong) }
+      }.toSet
+    }
+
+    val prop = Prop.forAll(corpusGen) { corpus =>
+      val df = corpus.toDF("doc_id", "text")
+      val expected = refSpans(corpus)
+      val got = Dedup.dupSpans(df, "doc_id", "text", spanTokens = L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val stripped = Dedup.stripDupSpans(df, "doc_id", "text", spanTokens = L)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+      val stripOk = corpus.forall { case (id, text) =>
+        val w = text.split(" ", -1).toSeq
+        val covered = expected.collect {
+          case (i, s, e) if i == id => (s until e) }.flatten.toSet
+        val keep = w.zipWithIndex.collect {
+          case (t, j) if !covered(j.toLong) => t }
+        stripped(id) == ((keep.mkString(" "), covered.size.toLong))
+      }
+      got == expected && stripOk
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("hybrid RRF ranks a both-legs candidate above single-leg candidates") {
     import spark.implicits._
     // query doc 0; cand 1 = lexical twin with an unrelated embedding,
