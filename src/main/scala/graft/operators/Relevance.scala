@@ -194,18 +194,51 @@ object Relevance {
     val vecTop = Similarity.bruteForceTopK(
         embeddings.filter(col(embIdCol) < nQueries), embeddings, legK,
         qId = embIdCol, qVec = embCol, cId = embIdCol, cVec = embCol)
-      .select(col("query_id"), col("cand_id"), col("rank").as("vr"))
-    // ---- fusion --------------------------------------------------------
-    val fused = lexTop.join(vecTop, Seq("query_id", "cand_id"), "full_outer")
-      .select(col("query_id"), col("cand_id"),
-        coalesce(col("lr"), lit(0L)).as("lex_rank"),
-        coalesce(col("vr"), lit(0L)).as("vec_rank"),
-        (coalesce(lit(1.0) / (lit(rrfK) + col("lr")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(rrfK) + col("vr")), lit(0.0))).as("rrf"))
+      .select(col("query_id"), col("cand_id"), col("rank"))
+    rrfFuse(Seq(
+        "lex" -> lexTop.withColumnRenamed("lr", "rank"),
+        "vec" -> vecTop),
+      k = k, rrfK = rrfK)
+  }
+
+  /** Reciprocal-rank fusion of ANY number of per-query rankings — the
+    * [[hybridRrfTopK]] fusion stage as a first-class operator, so a
+    * deployment fuses whatever legs it has (BM25, [[Similarity.ivfTopK]],
+    * a recency ranking, ...): every leg is just a
+    * (query_id, cand_id, rank) frame, however it was computed.
+    *
+    * Scale shape: legs are top-`legK`-per-query frames — model-sized
+    * relative to the corpora that produced them — so the fold of full
+    * outer joins exchanges only (query, cand, rank) rows; the per-query
+    * rank window sorts ≤ Σ legK rows per query.
+    *
+    * @param legs (name, frame) pairs; each frame has
+    *             (query_id, cand_id, rank) with rank ≥ 1
+    * @return (query_id, cand_id, <name>_rank..., rrf, rank) — one
+    *         `<name>_rank` column per leg in input order, 0 when that
+    *         leg did not retrieve the candidate; top `k` per query by
+    *         `rrf = Σ_legs 1/(rrfK + rank_leg)`, ties by cand_id. */
+  def rrfFuse(legs: Seq[(String, DataFrame)], k: Int,
+              rrfK: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse needs at least one leg")
+    require(legs.map(_._1).distinct.size == legs.size, "leg names must be unique")
+    require(k >= 1 && rrfK >= 1, "k and rrfK must be >= 1")
+    val named = legs.map { case (name, df) =>
+      name -> df.select(col("query_id"), col("cand_id"),
+        col("rank").cast("long").as(s"${name}_rank"))
+    }
+    val joined = named.map(_._2)
+      .reduce(_.join(_, Seq("query_id", "cand_id"), "full_outer"))
+    val rrf = named.map { case (name, _) =>
+      coalesce(lit(1.0) / (lit(rrfK) + col(s"${name}_rank")), lit(0.0))
+    }.reduce(_ + _)
+    val rankCols = named.map { case (name, _) =>
+      coalesce(col(s"${name}_rank"), lit(0L)).as(s"${name}_rank") }
+    val fused = joined.select(
+      col("query_id") +: col("cand_id") +: rankCols :+ rrf.as("rrf"): _*)
     val fuseW = Window.partitionBy("query_id")
       .orderBy(col("rrf").desc, col("cand_id"))
     fused.withColumn("rank", row_number().over(fuseW).cast("long"))
       .filter(col("rank") <= k)
-      .select("query_id", "cand_id", "lex_rank", "vec_rank", "rrf", "rank")
   }
 }

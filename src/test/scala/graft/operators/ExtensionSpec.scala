@@ -1075,6 +1075,25 @@ class ExtensionSpec extends AnyFunSuite {
     assert(byCand(2L) == ((2L, 0L, 1L, 3L))) // vector only
   }
 
+  test("rrfFuse generalizes to three legs with rank-0 absences and stable ties") {
+    import spark.implicits._
+    val a = Seq((0L, 10L, 1L), (0L, 11L, 2L)).toDF("query_id", "cand_id", "rank")
+    val b = Seq((0L, 11L, 1L), (0L, 12L, 2L)).toDF("query_id", "cand_id", "rank")
+    val c = Seq((0L, 11L, 3L), (0L, 13L, 1L)).toDF("query_id", "cand_id", "rank")
+    val out = Relevance.rrfFuse(Seq("a" -> a, "b" -> b, "c" -> c), k = 4)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(6)))
+      .sortBy(_._5)
+    // cand 11 rides three terms (1/62 + 1/61 + 1/63) -> rank 1; the
+    // single-leg rank-1s (cand 10 in a, cand 13 in c) tie at 1/61 and
+    // break by cand_id; cand 12 (1/62) is last
+    assert(out.toSeq == Seq(
+      (11L, 2L, 1L, 3L, 1L),
+      (10L, 1L, 0L, 0L, 2L),
+      (13L, 0L, 0L, 1L, 3L),
+      (12L, 0L, 2L, 0L, 4L)))
+  }
+
   test("hybrid RRF df-cap drops boilerplate tokens from the lexical leg") {
     import spark.implicits._
     // 'the' appears in every doc; with maxDocFreq=2 it cannot generate
