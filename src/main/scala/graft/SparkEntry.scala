@@ -121,6 +121,7 @@ object SparkEntry {
     "corpus_span_dedup" -> (ExtensionQueries.corpusSpanDedup _),
     "dedup_substring" -> (ExtensionQueries.dedupSubstring _),
     "corpus_strip_substrings" -> (ExtensionQueries.corpusStripSubstrings _),
+    "dedup_substring_incremental" -> (ExtensionQueries.dedupSubstringIncremental _),
     "search_hybrid_rrf" -> (ExtensionQueries.searchHybridRrf _),
     "dedup_incremental" -> (ExtensionQueries.dedupIncremental _),
     "dedup_incremental_exact" -> (ExtensionQueries.dedupIncrementalExact _),
@@ -276,6 +277,7 @@ object SparkEntry {
     "corpus_span_dedup" -> ExtensionQueries.corpusSpanDedupOracle,
     "dedup_substring" -> ExtensionQueries.dedupSubstringOracle,
     "corpus_strip_substrings" -> ExtensionQueries.corpusStripSubstringsOracle,
+    "dedup_substring_incremental" -> ExtensionQueries.dedupSubstringIncrementalOracle,
     "search_hybrid_rrf" -> ExtensionQueries.searchHybridRrfOracle,
     "dedup_incremental_exact" -> ExtensionQueries.dedupIncrementalExactOracle,
     "dedup_incremental_violations" -> ExtensionQueries.violationOracle,

@@ -812,6 +812,15 @@ object Dedup {
         Seq("m"), "left_semi")
       .select(col("id"), col("idx"))
     // pass 3: merge offsets i with gap <= L into maximal [min, max+L)
+    mergeDupOffsets(dupOff, idCol, L)
+  }
+
+  /** Island merge shared by [[dupSpans]] and [[dupSpansAgainst]]:
+    * duplicated offsets with gap ≤ L coalesce into maximal
+    * [min, max+L) spans — a per-document window (bounded by document
+    * length, never corpus-wide). Input: (id, idx) rows. */
+  private def mergeDupOffsets(dupOff: DataFrame, idCol: String,
+                              L: Int): DataFrame = {
     val byDoc = Window.partitionBy("id").orderBy("idx")
     dupOff
       .withColumn("f", when(lag(col("idx"), 1).over(byDoc).isNull
@@ -824,6 +833,67 @@ object Dedup {
         (max(col("idx")) + L).cast("long").as("span_end"))
       .select(col(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_len"))
+  }
+
+  /** Rolling 128-bit shingle stream: (m = unhex(md5(span)), id, idx),
+    * one row per token offset; docs shorter than L contribute none. */
+  private def md5Shingles(df: DataFrame, idCol: String, textCol: String,
+                          L: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val spanAt = (i: Column) => array_join(slice(toks, i + 1, lit(L)), " ")
+    Par.widen(df).filter(size(toks) >= L)
+      .select(col(idCol).as("id"),
+        posexplode(transform(sequence(lit(0), size(toks) - L), spanAt)))
+      .select(unhex(md5(col("col"))).as("m"), col("id"), col("pos").as("idx"))
+  }
+
+  /** Standing shingle-count index for [[dupSpansAgainst]] — the state a
+    * continuous-ingest pipeline maintains between batches: EVERY
+    * distinct rolling span key of the standing corpus with its
+    * occurrence count (singletons included — a standing singleton plus
+    * one incoming copy IS a duplicate). Keys are the full 128-bit md5
+    * (the [[spanDedup]] exactness bound); the only exchange is the
+    * count aggregate, map-side combined.
+    *
+    * @return (m BINARY(16), cnt) — persist it once, columnar. */
+  def dupSpanIndex(standing: DataFrame, idCol: String, textCol: String,
+                   spanTokens: Int = 20): DataFrame =
+    md5Shingles(standing, idCol, textCol, spanTokens)
+      .groupBy("m").agg(count(lit(1)).as("cnt"))
+
+  /** Incremental [[dupSpans]]: duplicated maximal spans in an INCOMING
+    * batch, counting occurrences across standing ∪ incoming — exactly
+    * `dupSpans(standing ∪ incoming)` restricted to incoming documents
+    * (counts add, so the restriction is an identity, spec-pinned by a
+    * random-corpus differential). Spans newly created inside standing
+    * documents are the next full recompute's business — the
+    * [[graft.queries.ExtensionQueries.dedupIncremental]] contract.
+    *
+    * Scale shape: the standing index never shuffles — the batch's key
+    * counts broadcast into ONE column-pruned (m, cnt) index scan per
+    * batch; everything downstream is batch-sized. At 100 TB the scan is
+    * the per-batch price (amortize by batching arrivals); the index
+    * itself updates by merging the batch's counts — an append plus a
+    * periodic compaction, never a rebuild.
+    *
+    * @param index (m, cnt) frame from [[dupSpanIndex]]
+    * @return (id, span_start, span_end, span_len) over incoming docs. */
+  def dupSpansAgainst(index: DataFrame, incoming: DataFrame,
+                      idCol: String, textCol: String,
+                      spanTokens: Int = 20): DataFrame = {
+    val L = spanTokens
+    require(L >= 1, "spanTokens must be >= 1")
+    val incSh = md5Shingles(incoming, idCol, textCol, L)
+    val batchCnt = incSh.groupBy("m").agg(count(lit(1)).as("bcnt"))
+    // keys duplicated across standing+batch: inner broadcast join keeps
+    // the index scan map-side; batch-internal dups union in separately
+    val dupKeys = index.join(broadcast(batchCnt), Seq("m"))
+      .filter(col("cnt") + col("bcnt") >= 2).select("m")
+      .unionByName(batchCnt.filter(col("bcnt") >= 2).select("m"))
+      .distinct()
+    val dupOff = incSh.join(broadcast(dupKeys), Seq("m"), "left_semi")
+      .select(col("id"), col("idx"))
+    mergeDupOffsets(dupOff, idCol, L)
   }
 
   /** Apply [[dupSpans]]: strip EVERY duplicated maximal span from every

@@ -2702,6 +2702,60 @@ SELECT doc_id, CAST(min(idx) AS BIGINT) AS span_start,
 FROM isl GROUP BY doc_id, g
 ORDER BY doc_id, span_start"""
 
+  /** Persisted [[Dedup.dupSpanIndex]] over the standing split — the
+    * shingle-count state a continuous-ingest deployment carries between
+    * batches; the DuckDB oracle replays it via read_parquet. */
+  private def substrIdxFor(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = artifactPath("substr-idx", sfDir, "L20")
+    if (!Artifacts.exists(spark, path))
+      Dedup.dupSpanIndex(
+          Tables(spark, sfDir, "documents").select("doc_id", "text")
+            .filter(col("doc_id") < IncrementalSplit),
+          "doc_id", "text", spanTokens = 20)
+        .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** Incremental substring dedup ([[Dedup.dupSpansAgainst]]): incoming
+    * docs' duplicated maximal spans counted against the persisted
+    * standing index + the batch itself — provably ≡ the full
+    * [[dedupSubstring]] restricted to incoming docs (counts add;
+    * random-corpus differential in ExtensionSpec). */
+  def dedupSubstringIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.dupSpansAgainst(
+        substrIdxFor(spark, sfDir),
+        Tables(spark, sfDir, "documents").select("doc_id", "text")
+          .filter(col("doc_id") >= IncrementalSplit),
+        "doc_id", "text", spanTokens = 20)
+      .orderBy("doc_id", "span_start")
+
+  def dedupSubstringIncrementalOracle: String = s"""
+WITH si AS (SELECT m, cnt FROM read_parquet(
+  '${oracleArtifact("substr-idx", "L20")}/*.parquet')),
+t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE doc_id >= $IncrementalSplit),
+sh AS (SELECT doc_id, CAST(i AS INTEGER) AS idx,
+         unhex(md5(array_to_string(w[CAST(i+1 AS BIGINT):CAST(i+20 AS BIGINT)], ' '))) AS m
+       FROM t, unnest(range(0, len(w) - 20 + 1)) AS u(i)
+       WHERE len(w) >= 20),
+bc AS (SELECT m, count(*) AS bcnt FROM sh GROUP BY m),
+dk AS (SELECT bc.m FROM bc LEFT JOIN si USING (m)
+       WHERE coalesce(si.cnt, 0) + bc.bcnt >= 2),
+d AS (SELECT doc_id, idx FROM sh WHERE m IN (SELECT m FROM dk)),
+fl AS (SELECT doc_id, idx,
+         CASE WHEN lag(idx) OVER (PARTITION BY doc_id ORDER BY idx) IS NULL
+                OR idx - lag(idx) OVER (PARTITION BY doc_id ORDER BY idx) > 20
+              THEN 1 ELSE 0 END AS f
+       FROM d),
+isl AS (SELECT doc_id, idx,
+          sum(f) OVER (PARTITION BY doc_id ORDER BY idx) AS g
+        FROM fl)
+SELECT doc_id, CAST(min(idx) AS BIGINT) AS span_start,
+       CAST(max(idx) + 20 AS BIGINT) AS span_end,
+       CAST(max(idx) + 20 - min(idx) AS BIGINT) AS span_len
+FROM isl GROUP BY doc_id, g
+ORDER BY doc_id, span_start"""
+
   /** Strip applied ([[Dedup.stripDupSpans]]): every duplicated maximal
     * span removed from every document — the conservative removal policy,
     * documents reassembled from surviving tokens. */

@@ -1034,11 +1034,38 @@ class ExtensionSpec extends AnyFunSuite {
           case (t, j) if !covered(j.toLong) => t }
         stripped(id) == ((keep.mkString(" "), covered.size.toLong))
       }
-      got == expected && stripOk
+      // incremental ≡ batch restricted to incoming ids (counts add)
+      val split = corpus.size / 2
+      val standing = df.filter(col("doc_id") < split)
+      val incoming = df.filter(col("doc_id") >= split)
+      val inc = Dedup.dupSpansAgainst(
+          Dedup.dupSpanIndex(standing, "doc_id", "text", spanTokens = L),
+          incoming, "doc_id", "text", spanTokens = L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val incOk = inc == expected.filter(_._1 >= split)
+      got == expected && stripOk && incOk
     }
     val res = SCTest.check(SCTest.Parameters.default
-      .withMinSuccessfulTests(20), prop)
+      .withMinSuccessfulTests(15), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("dupSpansAgainst flags an incoming copy of a standing singleton") {
+    import spark.implicits._
+    val block = (1 to 25).map(i => s"s$i").mkString(" ")
+    val standing = Seq(
+      (0L, s"$block"),                                    // single copy
+      (1L, (1 to 30).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, s"${(1 to 6).map(i => s"p$i").mkString(" ")} $block"), // copy at [6, 31)
+      (11L, (1 to 24).map(i => s"q$i").mkString(" "))     // novel: no spans
+    ).toDF("doc_id", "text")
+    val idx = Dedup.dupSpanIndex(standing, "doc_id", "text", spanTokens = 20)
+    val spans = Dedup.dupSpansAgainst(idx, incoming, "doc_id", "text",
+        spanTokens = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((10L, 6L, 31L)))
   }
 
   test("hybrid RRF ranks a both-legs candidate above single-leg candidates") {
