@@ -876,7 +876,9 @@ object Dedup {
     * itself updates by merging the batch's counts — an append plus a
     * periodic compaction, never a rebuild.
     *
-    * @param index (m, cnt) frame from [[dupSpanIndex]]
+    * @param index (m, cnt) frame from [[dupSpanIndex]]; MULTIPLE rows
+    *              per key are summed, so a batch_id-partitioned append
+    *              index (the streaming intake's layout) works uncompacted
     * @return (id, span_start, span_end, span_len) over incoming docs. */
   def dupSpansAgainst(index: DataFrame, incoming: DataFrame,
                       idCol: String, textCol: String,
@@ -886,8 +888,12 @@ object Dedup {
     val incSh = md5Shingles(incoming, idCol, textCol, L)
     val batchCnt = incSh.groupBy("m").agg(count(lit(1)).as("bcnt"))
     // keys duplicated across standing+batch: inner broadcast join keeps
-    // the index scan map-side; batch-internal dups union in separately
+    // the index scan map-side, and the count sum aggregates the (tiny)
+    // batch-keys-only survivor frame — never the whole index;
+    // batch-internal dups union in separately
     val dupKeys = index.join(broadcast(batchCnt), Seq("m"))
+      .groupBy("m")
+      .agg(sum(col("cnt")).as("cnt"), max(col("bcnt")).as("bcnt"))
       .filter(col("cnt") + col("bcnt") >= 2).select("m")
       .unionByName(batchCnt.filter(col("bcnt") >= 2).select("m"))
       .distinct()

@@ -133,6 +133,58 @@ object StreamingAnalytics {
     * @param sink receives (survivors with quality/langid columns,
     *             batchId) AFTER the index append — write to the corpus
     *             store, metrics, etc. */
+  /** Substring-dedup intake: each micro-batch is scanned for duplicated
+    * maximal spans against the STANDING shingle-count index plus the
+    * batch itself ([[graft.operators.Dedup.dupSpansAgainst]] — provably
+    * the full-corpus [[graft.operators.Dedup.dupSpans]] restricted to
+    * the batch's documents, because occurrence counts add), then the
+    * batch's own shingle counts append to the index as its `batch_id`
+    * partition. Per-batch cost: one column-pruned index scan (the batch
+    * key counts broadcast — the index never shuffles) + batch-sized work.
+    *
+    * At-least-once discipline (the [[nearDedupIntake]] contracts): a
+    * replayed batch excludes its OWN `batch_id` partition from the
+    * standing side, so counts it already appended cannot self-flag, and
+    * the dynamic partition overwrite makes the re-append idempotent.
+    * Compaction (folding old partitions into `batch_id = -1`) must only
+    * fold batches older than the checkpoint horizon — folding an
+    * in-flight batch would make its replay self-match.
+    *
+    * @param sink receives ((id, span_start, span_end, span_len), batchId)
+    *             for the batch's documents after the index append; the
+    *             span rows are checkpointed BEFORE it, because their
+    *             plan reads the index path the append extends
+    *             (the [[nearDedupIntake]] recacheByPath hazard). */
+  def substringIntake(indexPath: String, spanTokens: Int = 20,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      sink: (DataFrame, Long) => Unit = (_, _) => ())
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    import graft.operators.{Artifacts, Dedup}
+    val spark = batch.sparkSession
+    val docs = batch.select(col(idCol), col(textCol))
+    try {
+      val spans =
+        (if (Artifacts.hasData(spark, indexPath))
+          Dedup.dupSpansAgainst(
+            spark.read.parquet(indexPath)
+              .filter(col("batch_id") =!= lit(batchId))
+              .select(col("m"), col("cnt")),
+            docs, idCol, textCol, spanTokens)
+        // first batch: no standing counts — batch-internal dups only,
+        // which is exactly dupSpans of the batch
+        else Dedup.dupSpans(docs, idCol, textCol, spanTokens))
+          .localCheckpoint(true)
+      Dedup.dupSpanIndex(docs, idCol, textCol, spanTokens)
+        .select(col("m"), col("cnt"), lit(batchId).as("batch_id"))
+        .write
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .mode("overwrite")
+        .parquet(indexPath)
+      sink(spans, batchId)
+    } finally graft.operators.CacheRegistry.releaseAll()
+  }
+
   def nearDedupIntake(indexPath: String, textCol: String = "text",
                       minQuality: Double = 0.5,
                       bands: Int = 16, rowsPerBand: Int = 4,

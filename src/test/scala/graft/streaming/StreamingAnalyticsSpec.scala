@@ -1253,4 +1253,52 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       assert(gotCohorts == batch, s"streaming $gotCohorts vs batch $batch")
     } finally q.stop()
   }
+
+  test("substring intake: per-batch spans equal the batch operator over the cumulative corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val blockA = (1 to 25).map(i => s"a$i").mkString(" ")
+    val blockB = (1 to 22).map(i => s"b$i").mkString(" ")
+    val uniq = (n: Int, p: String) => (1 to n).map(i => s"$p$i").mkString(" ")
+    val batches = Seq(
+      Seq(0L -> blockA, 1L -> uniq(30, "u")),
+      // 10 repeats standing blockA shifted; 11 self-repeats blockB;
+      // 12 is novel (and becomes standing for batch 3)
+      Seq(10L -> s"${uniq(6, "p")} $blockA",
+          11L -> s"$blockB ${uniq(10, "m")} $blockB",
+          12L -> uniq(28, "n")),
+      Seq(20L -> (uniq(28, "n") + " " + uniq(5, "z"))) // copies doc 12
+    )
+    val idxPath = java.nio.file.Files.createTempDirectory("substr_idx").toString + "/idx"
+    val ckpt = java.nio.file.Files.createTempDirectory("substr_ckpt").toString
+    val got = scala.collection.mutable.Map.empty[Long, Set[(Long, Long, Long)]]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(StreamingAnalytics.substringIntake(
+        idxPath,
+        sink = (df, bid) => got.synchronized {
+          got(bid) = df.collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        }))
+      .start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // differential: batch k's spans == dupSpans(batches 0..k) ∩ batch k ids
+    batches.zipWithIndex.foreach { case (b, k) =>
+      val cumulative = batches.take(k + 1).flatten.toDF("doc_id", "text")
+      val ids = b.map(_._1).toSet
+      val want = Dedup.dupSpans(cumulative, "doc_id", "text", spanTokens = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .filter(t => ids(t._1)).toSet
+      assert(got(k.toLong) == want, s"batch $k: ${got(k.toLong)} vs $want")
+    }
+    // the planted expectations themselves, for readability of intent
+    assert(got(0L) == Set.empty)
+    assert(got(1L) == Set((10L, 6L, 31L), (11L, 0L, 22L), (11L, 32L, 54L)))
+    assert(got(2L) == Set((20L, 0L, 28L)))
+  }
 }
