@@ -1150,6 +1150,31 @@ object StreamingAnalytics {
     }
   }
 
+  /** Compaction for COUNT indexes ([[substringIntake]]'s
+    * (m, cnt, batch_id) store): partitions below `belowBatchId` fold
+    * into `batch_id = -1` with counts SUMMED per key — the additivity
+    * the intake's duplicate test relies on, so a fold changes no
+    * answer. Same batch-start-only discipline as [[compactIndex]]:
+    * fold only batches the checkpoint has committed, or a replay's
+    * own counts hide inside -1 and self-flag its documents. */
+  def compactCountIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String, numFiles: Int = 32,
+                        belowBatchId: Long = Long.MaxValue): Unit = {
+    import graft.operators.Artifacts
+    require(numFiles >= 1, "numFiles must be >= 1")
+    if (!Artifacts.hasData(spark, indexPath)) return
+    swapInto(spark, indexPath) { staging =>
+      spark.read.parquet(indexPath)
+        .select(col("m"), col("cnt"),
+          when(col("batch_id") < lit(belowBatchId), lit(-1L))
+            .otherwise(col("batch_id")).as("batch_id"))
+        .groupBy("m", "batch_id").agg(sum(col("cnt")).as("cnt"))
+        .repartition(numFiles, col("m"))
+        .write.partitionBy("batch_id").mode("overwrite")
+        .parquet(staging)
+    }
+  }
+
   /** Write a replacement for `storePath` into a staging dir, then swap
     * it in with two renames (backup kept until the swap lands — the
     * store must never vanish, even mid-crash). Shared by the

@@ -39,7 +39,15 @@ import org.apache.spark.sql.streaming.Trigger
   * land in `<outDir>/clean`, and `SPARK_GRAFT_EVAL_PROBES` (a parquet
   * of (doc_id, text)) enables the decontamination stage.
   *
-  * Usage: StreamCorpus <inputDir> <outDir> [--follow] [--curate]
+  * With `--substring`, the gate is the SUBSTRING-dedup intake
+  * ([[StreamingAnalytics.substringIntake]]): each batch's duplicated
+  * maximal spans (vs the standing shingle-count index + the batch)
+  * land replay-idempotently in `<outDir>/dup_spans` partitioned by
+  * batch_id, and the batch's counts grow `<outDir>/ss_index`
+  * (compacted by [[StreamingAnalytics.compactCountIndex]] on the same
+  * cadence).
+  *
+  * Usage: StreamCorpus <inputDir> <outDir> [--follow] [--curate] [--substring]
   * Env: SPARK_GRAFT_ND_INDEX_PATH (default <outDir>/nd_index),
   * SPARK_GRAFT_MIN_QUALITY (default 0.5), SPARK_GRAFT_ND_THRESHOLD
   * (default 0.7), SPARK_GRAFT_COMPACT_EVERY (default 64 batches, 0 = off),
@@ -53,6 +61,7 @@ object StreamCorpus {
     val outDir = args(1)
     val follow = args.contains("--follow")
     val curate = args.contains("--curate")
+    val substring = args.contains("--substring")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
       .appName("graft-stream-corpus")
@@ -134,6 +143,23 @@ object StreamCorpus {
           println(s"[stream-corpus] batch=$bid curated kept=$n")
         })(batch, batchId)
     }
+    // substring mode: span report + count-index growth, both
+    // replay-idempotent (dynamic overwrite of the batch's own partition)
+    val substringGate: (org.apache.spark.sql.DataFrame, Long) => Unit = { (batch, batchId) =>
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+        StreamingAnalytics.compactCountIndex(spark, s"$outDir/ss_index",
+          belowBatchId = batchId)
+        println(s"[stream-corpus] batch=$batchId compacted ss_index (< $batchId)")
+      }
+      StreamingAnalytics.substringIntake(s"$outDir/ss_index",
+        sink = (spans, bid) => {
+          spans.withColumn("batch_id", lit(bid))
+            .write.option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").mode("overwrite")
+            .parquet(s"$outDir/dup_spans")
+          println(s"[stream-corpus] batch=$bid dup_spans=${spans.count()}")
+        })(batch, batchId)
+    }
     val gate: (org.apache.spark.sql.DataFrame, Long) => Unit = { (batch, batchId) =>
       if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
         StreamingAnalytics.compactIndex(spark, indexPath, belowBatchId = batchId)
@@ -182,7 +208,8 @@ object StreamCorpus {
 
     val q = docs.writeStream
       .option("checkpointLocation", s"$outDir/_checkpoint")
-      .foreachBatch(if (curate) curateGate else gate)
+      .foreachBatch(if (curate) curateGate
+        else if (substring) substringGate else gate)
       .trigger(if (follow) Trigger.ProcessingTime("5 seconds")
         else Trigger.AvailableNow())
       .start()
