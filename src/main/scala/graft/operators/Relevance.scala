@@ -159,46 +159,93 @@ object Relevance {
                     rrfK: Int = 60, maxDocFreq: Int = 1000): DataFrame = {
     require(nQueries >= 1 && legK >= 1 && k >= 1 && rrfK >= 1,
       "nQueries, legK, k, rrfK must all be >= 1")
-    // ---- lexical leg: capped-distinct-token Jaccard --------------------
-    val dtok = Par.widen(docs)
+    val lexTop = lexicalJaccardTopK(
+      docs.filter(col(idCol) < nQueries)
+        .select(col(idCol).as("query_id"), col(textCol).as("text")),
+      lexicalIndex(docs, idCol, textCol, maxDocFreq), legK)
+    val vecTop = Similarity.bruteForceTopK(
+        embeddings.filter(col(embIdCol) < nQueries), embeddings, legK,
+        qId = embIdCol, qVec = embCol, cId = embIdCol, cVec = embCol)
+      .select(col("query_id"), col("cand_id"), col("rank"))
+    rrfFuse(Seq("lex" -> lexTop, "vec" -> vecTop), k = k, rrfK = rrfK)
+  }
+
+  /** The lexical leg's standing state: df-capped distinct-token postings
+    * + per-doc capped-token counts + the hot (stopword) set. Built once
+    * per corpus — the prepared/serve split the ANN family uses
+    * ([[Similarity]] geometry frames): persist these three frames and
+    * every query batch pays only its own work.
+    *
+    * None of the frames is cached here: postings are token-wide (the
+    * measured persist-at-scale lesson in BASELINE.md), and the serve
+    * path reads them from parquet anyway. */
+  case class LexIndex(postings: DataFrame, nPer: DataFrame, hot: DataFrame)
+
+  def lexicalIndex(corpus: DataFrame, idCol: String, textCol: String,
+                   maxDocFreq: Int = 1000): LexIndex = {
+    val dtok = Par.widen(corpus)
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
     // df cap: broadcast anti-join against the (tiny) hot-token set — the
     // ngramJaccard discipline; the postings frame itself never shuffles
     val hot = dtok.groupBy("tok").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq).select("tok")
-    // NOT persisted: the frame is token-wide (one row per distinct token
-    // per doc), so caching it at corpus scale costs more than the three
-    // map-side re-scans that re-derive it (each is a codegen split +
-    // broadcast anti-join, no exchange)
-    val capped = dtok.join(broadcast(hot), Seq("tok"), "left_anti")
-    val nPer = capped.groupBy("doc_id")
+    val postings = dtok.join(broadcast(hot), Seq("tok"), "left_anti")
+    val nPer = postings.groupBy("doc_id")
       .agg(count(lit(1)).cast("double").as("n_tok"))
-    val qTok = capped.filter(col("doc_id") < nQueries)
-      .join(nPer, "doc_id")
-      .select(col("doc_id").as("query_id"), col("tok"), col("n_tok").as("nq"))
-    val pairs = capped.join(broadcast(qTok), Seq("tok"))
+    LexIndex(postings, nPer, hot)
+  }
+
+  /** Persist / reload a [[LexIndex]] (the [[graft.operators.LanguageModel]]
+    * save/load discipline): three parquet frames under one root, `hot`
+    * written LAST as the completion marker (postings and counts are
+    * useless without the stopword set that defined them). */
+  def saveLexIndex(path: String, index: LexIndex): Unit = {
+    index.postings.write.mode("overwrite").parquet(s"$path/postings")
+    index.nPer.write.mode("overwrite").parquet(s"$path/nper")
+    index.hot.write.mode("overwrite").parquet(s"$path/hot")
+  }
+
+  def loadLexIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): LexIndex =
+    LexIndex(spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/nper"),
+      spark.read.parquet(s"$path/hot"))
+
+  /** Serve the lexical leg from a prepared [[LexIndex]]: top-`legK`
+    * candidates per query by Jaccard over the capped token universe
+    * (query tokens minus the index's hot set — external queries and
+    * corpus-drawn queries get the same arithmetic; a candidate equal to
+    * the query id is excluded). Queries broadcast into the postings
+    * scan; candidate rows per query ≤ |query tokens| × maxDocFreq, so
+    * the rank window sorts a bounded frame.
+    *
+    * @param queries (query_id, text)
+    * @return (query_id, cand_id, rank), rank 1..legK by (jaccard DESC,
+    *         cand_id). */
+  def lexicalJaccardTopK(queries: DataFrame, index: LexIndex,
+                         legK: Int = 20): DataFrame = {
+    require(legK >= 1, "legK must be >= 1")
+    val qtok = queries
+      .select(col("query_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
+      .join(broadcast(index.hot), Seq("tok"), "left_anti")
+    val nq = qtok.groupBy("query_id")
+      .agg(count(lit(1)).cast("double").as("nq"))
+    val qTok = qtok.join(nq, "query_id")
+    val pairs = index.postings.join(broadcast(qTok), Seq("tok"))
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id").as("cand_id"))
       .agg(count(lit(1)).cast("double").as("inter"), max(col("nq")).as("nq"))
     val lexW = Window.partitionBy("query_id")
       .orderBy(col("jacc").desc, col("cand_id"))
-    val lexTop = pairs
-      .join(nPer.withColumnRenamed("doc_id", "cand_id"), "cand_id")
+    pairs
+      .join(index.nPer.withColumnRenamed("doc_id", "cand_id"), "cand_id")
       .withColumn("jacc",
         col("inter") / (col("nq") + col("n_tok") - col("inter")))
-      .withColumn("lr", row_number().over(lexW).cast("long"))
-      .filter(col("lr") <= legK)
-      .select(col("query_id"), col("cand_id"), col("lr"))
-    // ---- vector leg ----------------------------------------------------
-    val vecTop = Similarity.bruteForceTopK(
-        embeddings.filter(col(embIdCol) < nQueries), embeddings, legK,
-        qId = embIdCol, qVec = embCol, cId = embIdCol, cVec = embCol)
+      .withColumn("rank", row_number().over(lexW).cast("long"))
+      .filter(col("rank") <= legK)
       .select(col("query_id"), col("cand_id"), col("rank"))
-    rrfFuse(Seq(
-        "lex" -> lexTop.withColumnRenamed("lr", "rank"),
-        "vec" -> vecTop),
-      k = k, rrfK = rrfK)
   }
 
   /** Reciprocal-rank fusion of ANY number of per-query rankings — the

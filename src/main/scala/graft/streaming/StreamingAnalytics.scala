@@ -133,6 +133,42 @@ object StreamingAnalytics {
     * @param sink receives (survivors with quality/langid columns,
     *             batchId) AFTER the index append — write to the corpus
     *             store, metrics, etc. */
+  /** Hybrid-retrieval SERVE intake: each micro-batch of queries
+    * (query_id, text, embedding) is fused against a STANDING corpus —
+    * the lexical leg from a prepared
+    * [[graft.operators.Relevance.LexIndex]] (persisted once via
+    * [[graft.operators.Relevance.saveLexIndex]]), the vector leg exact
+    * cosine over the standing embeddings — through
+    * [[graft.operators.Relevance.rrfFuse]]. Stateless serve: no index
+    * growth, no checkpoint-ordering hazard; per batch the standing
+    * frames are scanned column-pruned while query tokens/vectors
+    * broadcast, so batch cost is query-sized work over one index pass.
+    * Query ids should be disjoint from corpus doc ids (an id-equal
+    * candidate is excluded as a self-match, the drawn-from-corpus
+    * convention). Swap the vector leg for the IVF/PQ serve frames when
+    * the standing corpus outgrows brute force — [[graft.operators.Relevance.rrfFuse]]
+    * only consumes (query_id, cand_id, rank).
+    *
+    * @param sink receives the fused
+    *             (query_id, cand_id, lex_rank, vec_rank, rrf, rank). */
+  def hybridServeIntake(lexIndexPath: String, embPath: String,
+                        legK: Int = 20, k: Int = 5, rrfK: Int = 60,
+                        sink: (DataFrame, Long) => Unit = (_, _) => ())
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    import graft.operators.{Relevance, Similarity}
+    val spark = batch.sparkSession
+    val lex = Relevance.lexicalJaccardTopK(
+      batch.select(col("query_id"), col("text")),
+      Relevance.loadLexIndex(spark, lexIndexPath), legK)
+    val vec = Similarity.bruteForceTopK(
+        batch.select(col("query_id"), col("embedding")),
+        spark.read.parquet(embPath), legK,
+        qId = "query_id", qVec = "embedding")
+      .select(col("query_id"), col("cand_id"), col("rank"))
+    sink(Relevance.rrfFuse(Seq("lex" -> lex, "vec" -> vec),
+      k = k, rrfK = rrfK), batchId)
+  }
+
   /** Substring-dedup intake: each micro-batch is scanned for duplicated
     * maximal spans against the STANDING shingle-count index plus the
     * batch itself ([[graft.operators.Dedup.dupSpansAgainst]] — provably

@@ -1254,6 +1254,58 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hybrid serve intake: streamed fusion equals the batch legs bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Relevance, Similarity}
+    val corpus = Seq(
+      (0L, "apple banana cherry date elder fig"),
+      (1L, "apple banana cherry date elder grape"),
+      (2L, "umbrella violet walnut xylophone yarn zebra"),
+      (3L, "apple banana cherry kiwi lemon mango")
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)), (3L, Array(0.8f, 0.2f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("hybrid_serve").toString
+    Relevance.saveLexIndex(s"$root/lex",
+      Relevance.lexicalIndex(corpus, "doc_id", "text", maxDocFreq = 1000))
+    emb.write.parquet(s"$root/emb")
+    val queries = Seq(
+      (100L, "apple banana cherry nectarine olive", Array(0.95f, 0.05f, 0.0f)),
+      (101L, "umbrella violet walnut quartz ruby", Array(0.0f, 0.9f, 0.1f)))
+    val ckpt = java.nio.file.Files.createTempDirectory("hybrid_ckpt").toString
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Double, Long)]
+    val mem = MemoryStream[(Long, String, Array[Float])]
+    val q = mem.toDF().toDF("query_id", "text", "embedding")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(StreamingAnalytics.hybridServeIntake(
+        s"$root/lex", s"$root/emb", legK = 3, k = 4,
+        sink = (df, _) => df.collect().foreach(r => got.synchronized {
+          got += ((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getDouble(4), r.getLong(5))) })))
+      .start()
+    try {
+      mem.addData(queries.take(1): _*); q.processAllAvailable()
+      mem.addData(queries.drop(1): _*); q.processAllAvailable()
+    } finally q.stop()
+    val qDf = queries.toDF("query_id", "text", "embedding")
+    val want = Relevance.rrfFuse(Seq(
+        "lex" -> Relevance.lexicalJaccardTopK(qDf.select("query_id", "text"),
+          Relevance.loadLexIndex(spark, s"$root/lex"), legK = 3),
+        "vec" -> Similarity.bruteForceTopK(qDf.select("query_id", "embedding"),
+            emb, 3, qId = "query_id", qVec = "embedding")
+          .select(col("query_id"), col("cand_id"), col("rank"))),
+      k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5))).toSet
+    assert(got.toSet == want, s"streamed ${got.toSet} vs batch $want")
+    assert(got.map(_._1).toSet == Set(100L, 101L))
+  }
+
   test("substring intake: per-batch spans equal the batch operator over the cumulative corpus") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
