@@ -885,19 +885,26 @@ object Dedup {
                       spanTokens: Int = 20): DataFrame = {
     val L = spanTokens
     require(L >= 1, "spanTokens must be >= 1")
+    // bounds probe: the broadcast-batch regime is for MICRO-BATCH-sized
+    // incoming frames (the streaming intake); a bulk reprocess whose
+    // "incoming" side is corpus-sized must not broadcast corpus-sized
+    // key counts — drop the hints and let AQE pick the build side (for
+    // the usual small standing index that inverts to broadcasting IT)
+    val micro = incoming.count() <= 100000L
+    def maybeBcast(df: DataFrame): DataFrame = if (micro) broadcast(df) else df
     val incSh = md5Shingles(incoming, idCol, textCol, L)
     val batchCnt = incSh.groupBy("m").agg(count(lit(1)).as("bcnt"))
     // keys duplicated across standing+batch: inner broadcast join keeps
     // the index scan map-side, and the count sum aggregates the (tiny)
     // batch-keys-only survivor frame — never the whole index;
     // batch-internal dups union in separately
-    val dupKeys = index.join(broadcast(batchCnt), Seq("m"))
+    val dupKeys = index.join(maybeBcast(batchCnt), Seq("m"))
       .groupBy("m")
       .agg(sum(col("cnt")).as("cnt"), max(col("bcnt")).as("bcnt"))
       .filter(col("cnt") + col("bcnt") >= 2).select("m")
       .unionByName(batchCnt.filter(col("bcnt") >= 2).select("m"))
       .distinct()
-    val dupOff = incSh.join(broadcast(dupKeys), Seq("m"), "left_semi")
+    val dupOff = incSh.join(maybeBcast(dupKeys), Seq("m"), "left_semi")
       .select(col("id"), col("idx"))
     mergeDupOffsets(dupOff, idCol, L)
   }
