@@ -122,6 +122,7 @@ object SparkEntry {
     "dedup_substring" -> (ExtensionQueries.dedupSubstring _),
     "corpus_strip_substrings" -> (ExtensionQueries.corpusStripSubstrings _),
     "dedup_substring_incremental" -> (ExtensionQueries.dedupSubstringIncremental _),
+    "dedup_containment" -> (ExtensionQueries.dedupContainment _),
     "search_hybrid_rrf" -> (ExtensionQueries.searchHybridRrf _),
     "dedup_incremental" -> (ExtensionQueries.dedupIncremental _),
     "dedup_incremental_exact" -> (ExtensionQueries.dedupIncrementalExact _),
@@ -278,6 +279,7 @@ object SparkEntry {
     "dedup_substring" -> ExtensionQueries.dedupSubstringOracle,
     "corpus_strip_substrings" -> ExtensionQueries.corpusStripSubstringsOracle,
     "dedup_substring_incremental" -> ExtensionQueries.dedupSubstringIncrementalOracle,
+    "dedup_containment" -> ExtensionQueries.dedupContainmentOracle,
     "search_hybrid_rrf" -> ExtensionQueries.searchHybridRrfOracle,
     "dedup_incremental_exact" -> ExtensionQueries.dedupIncrementalExactOracle,
     "dedup_incremental_violations" -> ExtensionQueries.violationOracle,

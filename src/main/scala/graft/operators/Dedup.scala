@@ -583,7 +583,45 @@ object Dedup {
     * map is strictly monotone, so `sa < sb ⟺ id_a < id_b`. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
-                   maxDocFreq: Int = 100): DataFrame = {
+                   maxDocFreq: Int = 100): DataFrame =
+    ngramSharedPairs(df, idCol, textCol, n, maxDocFreq,
+        sizeRatioPrefilter = Some(threshold))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
+  /** Exact n-gram CONTAINMENT ≥ threshold — the asymmetric near-subset
+    * signal Jaccard structurally misses: containment
+    * `c = |A∩B| / min(|A|,|B|)` of the smaller document's distinct
+    * n-gram set in the larger one is ~1 when a short document is quoted
+    * verbatim inside a long one, while their Jaccard is tiny (the union
+    * is dominated by the long side). The standard companion pass for
+    * aggregator pages, quote farms, and boilerplate-wrapped reposts.
+    *
+    * Same packed inverted-index kernel as [[ngramJaccard]]; the
+    * size-ratio prefilter CANNOT apply — wildly different sizes are
+    * exactly the signal — so candidate volume is the df-cap bound
+    * alone. */
+  def ngramContainment(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.9,
+                       maxDocFreq: Int = 100): DataFrame =
+    ngramSharedPairs(df, idCol, textCol, n, maxDocFreq,
+        sizeRatioPrefilter = None)
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+
+  /** The shared inverted-index pair kernel behind [[ngramJaccard]] and
+    * [[ngramContainment]]: (id_a, id_b, shared, na, nb) for every
+    * df-capped candidate pair (ordered id_a < id_b), with the packed
+    * exchange described on [[ngramJaccard]]. `sizeRatioPrefilter`
+    * applies the jaccard-only exact pruning (min < t·max ⟹ jaccard < t)
+    * before the pair exchange; containment passes None. */
+  private def ngramSharedPairs(df: DataFrame, idCol: String,
+                               textCol: String, n: Int, maxDocFreq: Int,
+                               sizeRatioPrefilter: Option[Double]): DataFrame = {
     // cached: consumed by the id-bounds probe, the inverted index, and
     // the final size lookups
     val grams = Par.widen(df).select(col(idCol).as("doc_id"),
@@ -642,10 +680,12 @@ object Dedup {
     def su(c: Column) = call_function("shiftright", c, lit(32)).bitwiseAND(lo32)
     val nx = col("x.sn").bitwiseAND(lo32)
     val ny = col("y.sn").bitwiseAND(lo32)
+    val ordered = su(col("x.sn")) < su(col("y.sn"))
+    val pairCond = sizeRatioPrefilter.fold(ordered)(t =>
+      ordered && least(nx, ny).cast("double") >= lit(t) * greatest(nx, ny))
     val shared = capped.as("x").hint("shuffle_hash")
       .join(capped.as("y"), col("x.g") === col("y.g"))
-      .filter(su(col("x.sn")) < su(col("y.sn")) &&
-        least(nx, ny).cast("double") >= lit(threshold) * greatest(nx, ny))
+      .filter(pairCond)
       .groupBy(shiftleft(su(col("x.sn")), 32).bitwiseOR(su(col("y.sn"))).as("p"))
       .agg(count(lit(1)).as("shared"))
     shared
@@ -655,10 +695,7 @@ object Dedup {
       .join(docsMeta.select(col("s").as("sb"),
         col("doc_id").as("id_b"), col("n_grams").as("nb")),
         col("p").bitwiseAND(lo32) === col("sb"))
-      .withColumn("jaccard",
-        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .select("id_a", "id_b", "shared", "na", "nb")
   }
 
   /** Dense monotone surrogate ids for a [[ngramJaccard]]-shaped grams

@@ -63,6 +63,40 @@ FROM p JOIN sz x ON p.id_a = x.doc_id JOIN sz y ON p.id_b = y.doc_id
 WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.5
 ORDER BY id_a, id_b"""
 
+  /** Asymmetric near-subset pairs ([[Dedup.ngramContainment]]):
+    * containment of the smaller doc's distinct-3-gram set in the larger,
+    * ≥ 0.8 — quoted/wrapped reposts Jaccard misses. */
+  def dedupContainment(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.ngramContainment(Tables(spark, sfDir, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.8, maxDocFreq = 100)
+      .orderBy("id_a", "id_b")
+
+  val dedupContainmentOracle: String = """
+WITH words AS (
+  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS i,
+         unnest(string_split(text,' ')) AS w
+  FROM documents),
+g0 AS (
+  SELECT doc_id,
+         w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i) || ' ' ||
+                     lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS gram,
+         lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS l2
+  FROM words),
+g AS (SELECT DISTINCT doc_id, gram FROM g0 WHERE l2 IS NOT NULL),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+capped AS (
+  SELECT doc_id, gram FROM
+    (SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM g)
+  WHERE df <= 100),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM capped a JOIN capped b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, CAST(shared AS DOUBLE) / least(x.n, y.n) AS containment
+FROM p JOIN sz x ON p.id_a = x.doc_id JOIN sz y ON p.id_b = y.doc_id
+WHERE CAST(shared AS DOUBLE) / least(x.n, y.n) >= 0.8
+ORDER BY id_a, id_b"""
+
   /** Dedup manifest: exact n-gram-Jaccard pairs → transitive closure →
     * one row per document with its duplicate-cluster id and the
     * keep/drop verdict (keep = cluster minimum). The step a real corpus

@@ -940,6 +940,26 @@ class ExtensionSpec extends AnyFunSuite {
     assert(big == small)
   }
 
+  test("ngram containment catches a quoted short doc that jaccard misses") {
+    import spark.implicits._
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")      // 10 3-grams
+    val filler = (1 to 120).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (0L, quote),                       // the short original
+      (1L, s"$filler $quote"),           // long page quoting it verbatim
+      (2L, (1 to 50).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainment(docs, "doc_id", "text",
+        n = 3, threshold = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // all 10 of doc 0's 3-grams appear in doc 1 -> containment 1.0
+    assert(cont.keySet == Set((0L, 1L)) && cont((0L, 1L)) == 1.0, s"$cont")
+    // jaccard at the same corpus misses it: union is filler-dominated
+    val jac = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect()
+    assert(jac.isEmpty, s"jaccard unexpectedly paired: ${jac.toSeq}")
+  }
+
   test("dupSpans merges shifted copies into maximal spans and skips short docs") {
     import spark.implicits._
     val words = (1 to 60).map(i => s"w$i").mkString(" ")  // 60 unique tokens
