@@ -123,6 +123,7 @@ object SparkEntry {
     "corpus_strip_substrings" -> (ExtensionQueries.corpusStripSubstrings _),
     "dedup_substring_incremental" -> (ExtensionQueries.dedupSubstringIncremental _),
     "dedup_containment" -> (ExtensionQueries.dedupContainment _),
+    "corpus_dup_profile" -> (ExtensionQueries.corpusDupProfile _),
     "search_hybrid_rrf" -> (ExtensionQueries.searchHybridRrf _),
     "dedup_incremental" -> (ExtensionQueries.dedupIncremental _),
     "dedup_incremental_exact" -> (ExtensionQueries.dedupIncrementalExact _),
@@ -280,6 +281,7 @@ object SparkEntry {
     "corpus_strip_substrings" -> ExtensionQueries.corpusStripSubstringsOracle,
     "dedup_substring_incremental" -> ExtensionQueries.dedupSubstringIncrementalOracle,
     "dedup_containment" -> ExtensionQueries.dedupContainmentOracle,
+    "corpus_dup_profile" -> ExtensionQueries.corpusDupProfileOracle,
     "search_hybrid_rrf" -> ExtensionQueries.searchHybridRrfOracle,
     "dedup_incremental_exact" -> ExtensionQueries.dedupIncrementalExactOracle,
     "dedup_incremental_violations" -> ExtensionQueries.violationOracle,

@@ -2831,6 +2831,76 @@ SELECT t.doc_id, coalesce(a.txt, '') AS text_stripped,
 FROM t LEFT JOIN a USING (doc_id)
 ORDER BY t.doc_id"""
 
+  /** Per-source duplication profile — the data-card row a corpus report
+    * leads with: how much of each source is exact-duplicate documents
+    * ([[graft.operators.TextAnalysis.fingerprintMd5]] clusters of
+    * size ≥ 2) and how much of its token mass sits inside duplicated
+    * substrings ([[Dedup.dupSpans]]). Slim by construction: the profile
+    * exchanges (source, counters) only. */
+  def corpusDupProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val base = docs.select(col("doc_id"), col("source"),
+      TextAnalysis.fingerprintMd5(col("text")).as("fp"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val dupFp = base.groupBy("fp").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("fp"), lit(1L).as("is_dup"))
+    val flagged = base.join(dupFp, Seq("fp"), "left_outer")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        coalesce(col("is_dup"), lit(0L)).as("exact"))
+    val spanStats = Dedup.dupSpans(docs, "doc_id", "text", spanTokens = 20)
+      .groupBy("doc_id").agg(sum(col("span_len")).as("dup_tokens"))
+    flagged.join(spanStats, Seq("doc_id"), "left_outer")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("exact")).as("n_exact_dup_docs"),
+        count(col("dup_tokens")).as("n_span_docs"),
+        sum(coalesce(col("dup_tokens"), lit(0L))).as("dup_tokens"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("dup_token_frac",
+        col("dup_tokens").cast("double") / col("n_tokens"))
+      .orderBy("source")
+  }
+
+  val corpusDupProfileOracle: String = """
+WITH t AS (SELECT doc_id, source,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+             CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+             string_split(text, ' ') AS w
+           FROM documents),
+df AS (SELECT fp FROM t GROUP BY fp HAVING count(*) > 1),
+sh AS (SELECT doc_id, CAST(i AS INTEGER) AS idx,
+         md5(array_to_string(w[CAST(i+1 AS BIGINT):CAST(i+20 AS BIGINT)], ' ')) AS h
+       FROM t, unnest(range(0, len(w) - 20 + 1)) AS u(i)
+       WHERE len(w) >= 20),
+dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) > 1),
+d AS (SELECT doc_id, idx FROM sh WHERE h IN (SELECT h FROM dup)),
+fl AS (SELECT doc_id, idx,
+         CASE WHEN lag(idx) OVER (PARTITION BY doc_id ORDER BY idx) IS NULL
+                OR idx - lag(idx) OVER (PARTITION BY doc_id ORDER BY idx) > 20
+              THEN 1 ELSE 0 END AS f
+       FROM d),
+isl AS (SELECT doc_id, idx,
+          sum(f) OVER (PARTITION BY doc_id ORDER BY idx) AS g
+        FROM fl),
+spans AS (SELECT doc_id, max(idx) + 20 - min(idx) AS span_len
+          FROM isl GROUP BY doc_id, g),
+sp AS (SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_tokens
+       FROM spans GROUP BY doc_id),
+e AS (SELECT t.doc_id, t.source, t.n_tokens,
+        CASE WHEN t.fp IN (SELECT fp FROM df) THEN 1 ELSE 0 END AS exact
+      FROM t)
+SELECT e.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(e.exact) AS BIGINT) AS n_exact_dup_docs,
+       CAST(count(sp.dup_tokens) AS BIGINT) AS n_span_docs,
+       CAST(coalesce(sum(sp.dup_tokens), 0) AS BIGINT) AS dup_tokens,
+       CAST(sum(e.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(coalesce(sum(sp.dup_tokens), 0) AS DOUBLE) / sum(e.n_tokens)
+         AS dup_token_frac
+FROM e LEFT JOIN sp ON e.doc_id = sp.doc_id
+GROUP BY e.source
+ORDER BY e.source"""
+
   /** Epoch-weighted repetition ([[Sampling.upsample]]): repeat factors
     * above AND below 1 in one operator — src0 seen ~2.5× per epoch,
     * src3 downsampled to 0.5, src4 dropped. */

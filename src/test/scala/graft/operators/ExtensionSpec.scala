@@ -960,6 +960,29 @@ class ExtensionSpec extends AnyFunSuite {
     assert(jac.isEmpty, s"jaccard unexpectedly paired: ${jac.toSeq}")
   }
 
+  test("corpus dup profile counts exact clusters and span token mass per source") {
+    import spark.implicits._
+    import graft.queries.ExtensionQueries
+    val a30 = (1 to 30).map(i => s"a$i").mkString(" ")
+    val b22 = (1 to 22).map(i => s"b$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("dupprof").toString
+    Seq(
+      (0L, a30, "srcA"), (1L, a30, "srcA"),               // exact pair
+      (2L, (1 to 25).map(i => s"c$i").mkString(" "), "srcA"),
+      (3L, s"p1 p2 p3 p4 p5 $b22", "srcB"),                // shifted copies
+      (4L, s"$b22 q1 q2 q3 q4", "srcB")
+    ).toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val prof = ExtensionQueries.corpusDupProfile(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // srcA: 3 docs, the identical pair is exact-dup AND all-span-dup
+    assert(prof("srcA") == ((3L, 2L, 2L, 60L, 85L)), s"$prof")
+    // srcB: shifted 22-token block -> both docs span-flagged, no exact
+    assert(prof("srcB") == ((2L, 0L, 2L, 44L, 53L)), s"$prof")
+  }
+
   test("dupSpans merges shifted copies into maximal spans and skips short docs") {
     import spark.implicits._
     val words = (1 to 60).map(i => s"w$i").mkString(" ")  // 60 unique tokens
