@@ -46,16 +46,27 @@ SCAN_EXT = (".scala", ".sbt", ".py", ".md", ".json", ".sh")
 # quote its marker names when doing so. The old suppression keyed on the
 # quote's *shape* (two marker names adjacent), which also matches real
 # dotted model-ID references and skipped the whole line for ALL
-# categories (an s3:// URI sharing the line escaped). Now a line is
-# exempt only when it explicitly names a scanner artifact or category —
-# evidence it is ABOUT the scan, not a leaked reference — and even then
-# only the marker-name category (internal-pkg2) is suppressed; bucket
-# URIs, keys, URLs etc. on the same line still fail the gate. A dotted
-# model-ID form in any line NOT discussing the scanner is never
-# suppressed.
+# categories (an s3:// URI sharing the line escaped). A line is exempt
+# only when BOTH hold: (1) it explicitly names a scanner artifact or
+# category — evidence it is ABOUT the scan — AND (2) the flagged token
+# itself sits inside backticks (a quoted pattern, not prose reference);
+# and even then only the marker-name category (internal-pkg2) is
+# suppressed — bucket URIs, keys, URLs etc. on the same line still fail
+# the gate. A marker token outside backticks is flagged even on a
+# scanner-discussion line, and any line NOT discussing the scanner is
+# never suppressed.
 SCANNER_REF = re.compile(
     r"leak_check|LEAKCHECK|PATTERN_QUOTE|SCANNER_REF|"
     r"internal-(?:import|url|pkg2|bucket)|slack-link|api-key|axon-env")
+BACKTICK_SPAN = re.compile(r"`[^`]*`")
+
+
+def all_inside_backticks(line, rx):
+    """True iff every rx match in line falls inside a `...` span."""
+    spans = [m.span() for m in BACKTICK_SPAN.finditer(line)]
+    return all(
+        any(s <= m.start() and m.end() <= e for s, e in spans)
+        for m in rx.finditer(line))
 
 
 def main(round_no):
@@ -84,7 +95,8 @@ def main(round_no):
         for i, line in enumerate(text.splitlines(), 1):
             scanner_line = report and SCANNER_REF.search(line)
             for cat, rx in CATEGORIES.items():
-                if cat == "internal-pkg2" and scanner_line:
+                if (cat == "internal-pkg2" and scanner_line
+                        and all_inside_backticks(line, rx)):
                     continue
                 # the import whitelist describes the JVM stack — python
                 # (driver-side tooling) imports its own stdlib freely

@@ -69,6 +69,17 @@ object Bench {
         (derived, true, bytes)
     }
 
+  /** Shuffle/broadcast/spill codec for a corpus: zstd once the input
+    * clears 1 GiB, lz4 (Spark's default) below. Like the shuffle width,
+    * the codec tracks DATA: the sf100 heavy-pair exchanges are bound by
+    * a single spill disk, where zstd's ~35% denser blocks are a measured
+    * 17% wall / 37% spill win (BASELINE.md third-decade notes), and at
+    * gate/bench scales the shuffles are memory-resident so the codec is
+    * inert either way. SPARK_GRAFT_IO_CODEC overrides for A/B probes. */
+  def ioCodec(inputBytesTotal: Long): String =
+    sys.env.getOrElse("SPARK_GRAFT_IO_CODEC",
+      if (inputBytesTotal >= (1L << 30)) "zstd" else "lz4")
+
   private def loadPrevMedians(path: String): Map[String, Double] =
     try {
       val p = java.nio.file.Paths.get(path)
@@ -110,6 +121,14 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Shuffle/spill codec tracks data size like the width does: the
+      // big-pair exchanges (ngram/components/containment at sf100) are
+      // DISK-bound on a single spill disk, and zstd's denser blocks are
+      // a measured win there (ngram 275→227 s, spill 30→19 GB) while
+      // the CPU-bound exchanges lose nothing (substring −3.6%). Small
+      // inputs keep the lz4 default — their shuffles never touch disk
+      // long enough to repay zstd's CPU. SPARK_GRAFT_IO_CODEC overrides.
+      .config("spark.io.compression.codec", ioCodec(inputBytesTotal))
       // local mode: executor and driver share one JVM, so the heartbeat
       // is a formality — but a long GC/CPU-saturation stall (observed
       // 175 s during a 100×-rows sweep) can exceed the 120 s default
@@ -241,6 +260,7 @@ object Bench {
       s""""shuffle_partitions":$shufflePartitions""",
       s""""shuffle_partitions_derived":$widthDerived""",
       s""""input_bytes":$inputBytesTotal""",
+      s""""io_codec":"${ioCodec(inputBytesTotal)}"""",
       s""""load_before":${fmt(loadBefore)}""",
       s""""load_after":${fmt(loadAfter)}""",
       s""""prev_artifact":"$prevPath"""",

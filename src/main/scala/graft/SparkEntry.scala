@@ -153,6 +153,7 @@ object SparkEntry {
     "corpus_clean" -> (ExtensionQueries.corpusClean _),
     "corpus_curate" -> (ExtensionQueries.corpusCurate _),
     "corpus_curate_summary" -> (ExtensionQueries.corpusCurateSummary _),
+    "corpus_curate_substring" -> (ExtensionQueries.corpusCurateSubstring _),
     "multimodal_features" -> (ExtensionQueries.multimodalFeatures _),
     "multimodal_resize" -> (ExtensionQueries.multimodalResize _),
     "multimodal_frames" -> (ExtensionQueries.multimodalFrames _),
@@ -214,6 +215,7 @@ object SparkEntry {
     "corpus_clean" -> ExtensionQueries.corpusCleanOracle,
     "corpus_curate" -> ExtensionQueries.corpusCurateOracle,
     "corpus_curate_summary" -> ExtensionQueries.corpusCurateSummaryOracle,
+    "corpus_curate_substring" -> ExtensionQueries.corpusCurateSubstringOracle,
     "dedup_exact" -> ExtensionQueries.dedupExactOracle,
     "dedup_ngram_jaccard" -> ExtensionQueries.dedupNgramJaccardOracle,
     "dedup_components" -> ExtensionQueries.dedupComponentsOracle,

@@ -20,12 +20,15 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // width ∝ input bytes like Bench (64 MB/partition, floor = cores),
     // so a Verify run against a scaled corpus gets a scaled shuffle too
-    val (shufflePartitions, _, _) = Bench.deriveShufflePartitions(sfDir, cpus.toInt)
+    val (shufflePartitions, _, verifyInputBytes) =
+      Bench.deriveShufflePartitions(sfDir, cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toLong)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // codec tracks data size like the width (see Bench.ioCodec)
+      .config("spark.io.compression.codec", Bench.ioCodec(verifyInputBytes))
       // single-JVM local mode: outlast GC stalls, never self-remove the
       // only executor (see Bench)
       .config("spark.network.timeout", "600s")

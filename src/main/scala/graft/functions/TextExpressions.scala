@@ -254,12 +254,18 @@ object TextExpressions {
   def winnowFingerprint(c: Column, k: Int = 8, w: Int = 4): Column =
     GraftBridge.column(WinnowFingerprint(GraftBridge.expr(c), k, w))
 
-  /** Register the SQL-facing function names. */
+  /** Register the SQL-facing function names. Idempotent: re-registering
+    * an already-present name would log a noisy "replaced a previously
+    * registered function" warning per session (and costs a registry write
+    * per streaming micro-batch when called from per-batch query code). */
   def register(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("decode_mime_header",
-      exprs => DecodeMimeHeader(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("winnow_fingerprint",
-      exprs => WinnowFingerprint(exprs.head, 8, 4), "scala_udf")
+    if (!reg.functionExists(FunctionIdentifier("decode_mime_header")))
+      reg.createOrReplaceTempFunction("decode_mime_header",
+        exprs => DecodeMimeHeader(exprs.head), "scala_udf")
+    if (!reg.functionExists(FunctionIdentifier("winnow_fingerprint")))
+      reg.createOrReplaceTempFunction("winnow_fingerprint",
+        exprs => WinnowFingerprint(exprs.head, 8, 4), "scala_udf")
   }
 }

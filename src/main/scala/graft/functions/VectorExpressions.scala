@@ -976,16 +976,28 @@ object VectorExpressions {
       coarseCents, childLists, centIds, centroids, coarseProbes, keep))
 
   /** Register SQL-facing names so `spark.sql("SELECT vec_dot(a,b) ...")`
-    * works (FunctionRegistry extension point). */
+    * works (FunctionRegistry extension point). Idempotent — re-registering
+    * logs a "replaced a previously registered function" warning per call. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("vec_dot",
-      exprs => FloatVecDot(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("simhash64_from_hashes",
-      exprs => SimHashFromHashes(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("int8_quantize",
-      exprs => Int8Quantize(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("int8_vec_dot",
-      exprs => Int8VecDot(exprs(0), exprs(1)), "scala_udf")
+    def once(name: String)(body: => Unit): Unit =
+      if (!reg.functionExists(FunctionIdentifier(name))) body
+    once("vec_dot") {
+      reg.createOrReplaceTempFunction("vec_dot",
+        exprs => FloatVecDot(exprs(0), exprs(1)), "scala_udf")
+    }
+    once("simhash64_from_hashes") {
+      reg.createOrReplaceTempFunction("simhash64_from_hashes",
+        exprs => SimHashFromHashes(exprs.head), "scala_udf")
+    }
+    once("int8_quantize") {
+      reg.createOrReplaceTempFunction("int8_quantize",
+        exprs => Int8Quantize(exprs.head), "scala_udf")
+    }
+    once("int8_vec_dot") {
+      reg.createOrReplaceTempFunction("int8_vec_dot",
+        exprs => Int8VecDot(exprs(0), exprs(1)), "scala_udf")
+    }
   }
 }

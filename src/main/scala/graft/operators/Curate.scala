@@ -91,4 +91,49 @@ object Curate {
           .otherwise("kept").as("fate"),
         col("quality_score"))
   }
+
+  /** [[manifest]] plus the substring-dedup stage a production curation
+    * run appends after document-level keep-best (the C4/RefinedWeb
+    * lineage: drop duplicate DOCUMENTS first, then excise duplicated
+    * SPANS inside the survivors): [[Dedup.dupSpans]] re-derives maximal
+    * duplicated ≥`spanTokens`-token spans OVER THE KEPT SUBSET ONLY —
+    * the same sees-only-its-predecessor's-survivors staging as every
+    * other stage, so a span duplicated solely between a kept doc and a
+    * dropped near-dup is NOT counted (its other copy is already gone).
+    *
+    * Two manifest columns extend the fate row (one row per input doc,
+    * unchanged): `n_tokens` (kept docs' token count; NULL for docs that
+    * did not survive to this stage) and `n_dup_tokens` (token mass
+    * inside duplicated spans — what [[Dedup.stripDupSpans]] would
+    * excise; 0 for clean kept docs, NULL for non-kept). The applied
+    * strip (reassembled text) stays the standalone
+    * `corpus_strip_substrings` operator; the manifest prices it.
+    *
+    * Scale shape: the manifest frame is persisted before its two
+    * consumers (the kept-filter and the output join) — without it the
+    * ngram pair kernel + closure would run twice; it is 3 slim columns
+    * per doc. The span stage inherits [[Dedup.dupSpans]]'s design
+    * (64-bit prefilter pass, bounds-probed broadcast semi-join, span
+    * text never crosses an exchange). */
+  def manifestWithStrip(docs: DataFrame, probes: DataFrame,
+                        minQuality: Double = 0.5,
+                        spanTokens: Int = 20): DataFrame = {
+    val m = manifest(docs, probes, minQuality).persist()
+    CacheRegistry.track(m)
+    val keptDocs = docs.select(col("doc_id"), col("text"))
+      .join(m.filter(col("fate") === "kept").select("doc_id"), "doc_id")
+      .persist()
+    CacheRegistry.track(keptDocs)
+    val spanStats = Dedup.dupSpans(keptDocs, "doc_id", "text", spanTokens)
+      .groupBy("doc_id").agg(sum(col("span_len")).as("dup_toks"))
+    val keptMeta = keptDocs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(spanStats, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_toks"), lit(0L)).as("n_dup_tokens"))
+    m.join(keptMeta, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("fate"), col("quality_score"),
+        col("n_tokens"), col("n_dup_tokens"))
+  }
 }

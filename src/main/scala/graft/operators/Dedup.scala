@@ -22,6 +22,21 @@ import org.apache.spark.sql.expressions.Window
   */
 object Dedup {
 
+  /** Row cutoff for explicitly-broadcast slim frames, derived from the
+    * JVM heap instead of a constant: an explicit `broadcast()` bypasses
+    * autoBroadcastJoinThreshold, and the built HashedRelation costs
+    * ~5-6× the raw key bytes (hash table + UnsafeRow overhead — a
+    * 50M-long-key relation is ~2.5 GB, not the ~400 MB its raw bytes
+    * suggest), held simultaneously on the driver and every executor.
+    * Budget: 1/20 of max heap for the relation at `bytesPerRow`
+    * HASHED-RELATION bytes per row (key + row + table overhead; use
+    * ~48 for an 8-byte-key, ~56 with a long payload). On this box's
+    * 32g driver that is ~33M bare keys; on an 8g executor ~8M — the
+    * fallback (shuffle semi-join / plain join, still exact) triggers on
+    * MEMORY, not on a row count tuned to one machine. */
+  private[graft] def broadcastRowCutoff(bytesPerRow: Int): Long =
+    math.max(1000000L, Runtime.getRuntime.maxMemory / 20 / bytesPerRow)
+
   /** Exact duplicate groups: representative (min id) + member count per
     * distinct content. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -338,8 +353,14 @@ object Dedup {
     * the sign-fill lives). */
   def simhashPairsFrom(sh0: DataFrame, maxHamming: Int,
                        maxBucket: Int, bucketBits: Int = 0): DataFrame = {
-    val sh = sh0.persist() // consumed by the width count and the banding
-    CacheRegistry.track(sh)
+    // persist only when the width derivation makes the frame
+    // multi-consumer (count + banding); a caller-pinned width leaves
+    // the banding as the single consumer and the persist pure cost
+    val sh = if (bucketBits > 0) sh0 else {
+      val p = sh0.persist()
+      CacheRegistry.track(p)
+      p
+    }
     val w = if (bucketBits > 0) bucketBits else simhashBucketBits(sh.count())
     require(w >= 1 && w <= 63, s"bucketBits must be in [1,63], got $w")
     val mask = (1L << w) - 1
@@ -633,8 +654,9 @@ object Dedup {
     // Ids already in [0, 2^31) are their own surrogates: `sn` is computed
     // MAP-SIDE inside the explode (no join at all — the common case).
     // Otherwise a dense monotone rank map is built over the doc set and
-    // attached to the postings — broadcast while it fits, shuffle join
-    // beyond (the map is 16 B/doc; 10M docs ≈ 160 MB broadcast).
+    // attached to the postings — broadcast while its HASHED relation
+    // fits the heap budget ([[broadcastRowCutoff]]: ~56 B/doc hashed,
+    // not the 16 B raw), shuffle join beyond.
     val bounds = grams.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
     val direct = bounds.isNullAt(0) ||
       (bounds.getLong(0) >= 0L && bounds.getLong(1) < (1L << 31))
@@ -667,7 +689,9 @@ object Dedup {
         val sn = shiftleft(col("s"), 32).bitwiseOR(col("n_grams").cast("long"))
         val slim = docsMeta.select(col("doc_id"), sn.as("sn"))
         dfCapped.drop("n_grams")
-          .join(if (nDocs <= 10000000L) broadcast(slim) else slim, "doc_id")
+          .join(if (nDocs <= broadcastRowCutoff(bytesPerRow = 56))
+              broadcast(slim)
+            else slim, "doc_id")
           .select("g", "sn")
       }).persist()
     CacheRegistry.track(capped)
@@ -832,12 +856,15 @@ object Dedup {
       .agg(count(lit(1)).as("c")).filter(col("c") > 1).select("h").persist()
     CacheRegistry.track(cand64)
     // bounds probe (the ngramJaccard discipline): broadcast the candidate
-    // key set only while it fits (~8 B/key — 50M ≈ 400 MB); a corpus
-    // whose duplicated-shingle set is larger falls back to a shuffle
-    // semi-join — the full stream pays one (h, id, idx) exchange, the
-    // spanDedup price, still exact
+    // key set only while its HASHED relation fits the memory budget
+    // ([[broadcastRowCutoff]] — heap-derived, not a row constant); a
+    // corpus whose duplicated-shingle set is larger falls back to a
+    // shuffle semi-join — the full stream pays one (h, id, idx)
+    // exchange, the spanDedup price, still exact
     val nCand = cand64.count()
-    val candSide = if (nCand <= 50000000L) broadcast(cand64) else cand64
+    val candSide =
+      if (nCand <= broadcastRowCutoff(bytesPerRow = 48)) broadcast(cand64)
+      else cand64
     // pass 2: md5 recheck of candidates only; in the broadcast regime the
     // semi-join keeps the full stream map-side
     val candRows = shingles

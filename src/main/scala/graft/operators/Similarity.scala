@@ -57,6 +57,40 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
   }
 
+  /** Scale-aware LSH multi-probe budget: the query-side probe width a
+    * corpus of `n` vectors needs to hold recall as its auto bucket code
+    * ([[lshProbeFrames]] bitsPerTable = 0) deepens. Calibrated on the
+    * measured decay/recovery curve (tools.AnnScaleProbe, BASELINE.md
+    * third-decade ladder): at 2M vectors the fixed probes=32 cap decays
+    * to 0.64 recall@5 while 128→0.92 and 512→1.00 at FLAT wall clock
+    * (multi-probe is query-side only; the corpus still inserts once per
+    * table). `n >> 12` lands at 488 ≈ the measured 1.00 point for 2M and
+    * keeps every gate-scale corpus (n ≤ 131k) at the floor of 32 — the
+    * exact geometry the sf0.01 oracles replay. Clamped to 4096 beyond
+    * the measured range (≥16M vectors: sweep with AnnScaleProbe before
+    * trusting the extrapolation). Same discipline as the SimHash
+    * width derivation in [[Dedup]]: budgets derive from index size, not
+    * from a constant tuned at test scale. */
+  def autoLshProbes(n: Long): Int =
+    math.max(32L, math.min(4096L, n >> 12)).toInt
+
+  /** Scale-aware PQ exact-rerank frontier: keepR grows with the corpus
+    * because ADC quantization noise displaces true top-k items by a
+    * rank margin that widens with the number of distractors inside the
+    * noise band. ⌈√n⌉ fits the measured recall plateaus across three
+    * decades (tools.AnnScaleProbe): n=500 plateaus at keepR ≤ 40 (the
+    * 8·k floor — so every gate-scale corpus replays the old fixed-40
+    * geometry), n=20k at ~100 (√n = 142; the constant-fraction rule
+    * n/1250 left 0.88 there), n=2M at ~1600 (√n = 1415; measured
+    * 0.94@400 / 0.96@1600 = the coarse-cell ceiling, 2-5 s wall for a
+    * 10-query batch). √ is one of IEEE 754's correctly-rounded ops, so
+    * ⌈√count⌉ derives the SAME integer in any engine — the DuckDB
+    * oracle replays it from count(*) over the list rows. Clamped at
+    * 16384 beyond the measured range. */
+  def autoPqRerank(n: Long, k: Int): Int =
+    math.max(8L * k,
+      math.min(16384L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+
   /** `nBits`-bit random-hyperplane signature of a float-array column:
     * bit p = sign of the dot product with a hyperplane whose components
     * are `xxhash64-derived uniforms in [-1, 1)` — no RNG state, so
@@ -108,10 +142,13 @@ object Similarity {
     *   signature bits per table ([[graft.functions.VectorExpressions
     *   .RhpMultiProbe]], query-directed Lv et al. ordering) — recall at
     *   deep codes for query-side-only cost (the corpus still inserts
-    *   once per table). 1 = exact-bucket behavior. */
+    *   once per table). 1 = exact-bucket behavior; 0 = AUTO — derive
+    *   the width from the corpus size ([[autoLshProbes]]) so the
+    *   default budget holds recall as the auto bucket code deepens
+    *   with corpus growth, instead of decaying like any constant. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               tables: Int = 8, bitsPerTable: Int = 8,
-              maxBucket: Int = 64, probes: Int = 1): DataFrame = {
+              maxBucket: Int = 64, probes: Int = 0): DataFrame = {
     val f = lshProbeFrames(queries, corpus, tables, bitsPerTable,
       maxBucket, probes)
     lshRerankTopK(queries, corpus, f.qProbes, f.cBuckets, k)
@@ -136,17 +173,21 @@ object Similarity {
   def lshProbeFrames(queries: DataFrame, corpus: DataFrame,
                      tables: Int, bitsPerTable: Int,
                      maxBucket: Int, probes: Int): LshFrames = {
-    require(probes >= 1, "probes must be >= 1")
+    require(probes >= 0, "probes must be >= 0 (0 = AUTO)")
     val qBase = queries.select(col("vec_id").as("query_id"), col("embedding").as("queryv"),
       vecNorm(col("embedding")).as("queryn")).filter(col("queryn") > 0)
     val cBase = Par.widen(corpus)
       .select(col("vec_id").as("cand_id"), col("embedding").as("candv"),
         vecNorm(col("embedding")).as("candn")).filter(col("candn") > 0).persist()
     CacheRegistry.track(cBase)
+    // one count serves both derivations (bucket depth + probe budget);
+    // skipped entirely when the caller pins both knobs
+    val n = if (bitsPerTable > 0 && probes > 0) -1L else cBase.count()
     val bpt = if (bitsPerTable > 0) bitsPerTable
       else math.max(1, math.ceil(math.log(
-        math.max(1.0, cBase.count().toDouble / math.max(1, maxBucket / 2)))
+        math.max(1.0, n.toDouble / math.max(1, maxBucket / 2)))
         / math.log(2.0)).toInt)
+    val probesEff = if (probes > 0) probes else autoLshProbes(n)
 
     val wBucket = Window.partitionBy("table", "bucket").orderBy("cand_id")
     // persisted: consumed by both the block-count aggregate and the
@@ -161,13 +202,13 @@ object Similarity {
     val nBlks = cBuckets.groupBy("table", "bucket")
       .agg((max(col("blk")) + 1).as("nblk"))
     val qBuckets =
-      if (probes <= 1)
+      if (probesEff <= 1)
         slimBuckets(qBase, "query_id", "queryv", "query_id", tables, bpt)
       else qBase.select(col("query_id"),
           posexplode(graft.functions.VectorExpressions.rhpMultiProbe(
-            col("queryv"), tables, bpt, probes)))
+            col("queryv"), tables, bpt, probesEff)))
         .select(col("query_id"),
-          floor(col("pos") / lit(probes)).cast("int").as("table"),
+          floor(col("pos") / lit(probesEff)).cast("int").as("table"),
           col("col").as("bucket"))
         // duplicate probe buckets appear when 2^bpt < probes (pad) — a
         // dup would double-join its bucket's rows
@@ -971,13 +1012,20 @@ object Similarity {
     * ADC(lut, codes) / (‖q‖·‖x̂‖) ranks a keepR frontier per query on
     * (asim DESC, cand_id); raw float vectors attach only to the
     * ≤ keepR·|queries| frontier for the exact rerank — the same tail
-    * contract as [[ivfqTopKFromGeom]]. */
+    * contract as [[ivfqTopKFromGeom]].
+    *
+    * @param rerank keepR frontier size; 0 = AUTO — derive from the
+    *   index size ([[autoPqRerank]]: max(8·k, ⌈√n⌉), the measured
+    *   plateau fit) with one count over the slim list rows.
+    *   Serve loops that hold a pinned index snapshot should resolve the
+    *   budget once and pass it explicitly (see streaming
+    *   pqSearchIntake) rather than pay the count per batch. */
   def pqTopKFromGeom(lists: DataFrame, probes: DataFrame,
                      queries: DataFrame, corpus: DataFrame,
                      k: Int, rerank: Int = 0,
                      broadcastProbes: Boolean = true): DataFrame = {
     import graft.functions.VectorExpressions.pqAdc
-    val keepR = if (rerank > 0) rerank else 4 * k
+    val keepR = if (rerank > 0) rerank else autoPqRerank(lists.count(), k)
     val wApprox = Window.partitionBy("query_id")
       .orderBy(col("asim").desc, col("cand_id"))
     // PQ probes are the heaviest probe frame in the family — each row

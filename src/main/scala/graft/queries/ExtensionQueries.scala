@@ -371,6 +371,57 @@ FROM ($corpusCurateOracle) m
 JOIN documents d ON d.doc_id = m.doc_id
 GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** The curation manifest with the substring-dedup stage appended
+    * ([[graft.operators.Curate.manifestWithStrip]]): maximal duplicated
+    * ≥20-token spans re-derived over the KEPT survivors only, priced as
+    * (n_tokens, n_dup_tokens) manifest columns — the production stage a
+    * C4/RefinedWeb-lineage pipeline runs after document-level
+    * keep-best. */
+  def corpusCurateSubstring(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    graft.operators.Curate.manifestWithStrip(docs,
+        probes = docs.filter(col("doc_id") < 100), minQuality = 0.5,
+        spanTokens = 20)
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the [[corpusCurateOracle]] CTE chain composed with the
+    * [[dedupSubstringOracle]] island chain RESTRICTED to fate='kept'
+    * docs — md5 shingle equality, gap-≤20 island merge, span mass
+    * summed per doc. Non-kept docs carry NULL stage columns (the stage
+    * never saw them); clean kept docs carry 0. */
+  val corpusCurateSubstringOracle: String = s"""
+WITH m AS ($corpusCurateOracle),
+kd AS (SELECT d.doc_id, string_split(d.text, ' ') AS w
+       FROM documents d JOIN m ON m.doc_id = d.doc_id
+       WHERE m.fate = 'kept'),
+sh AS (SELECT doc_id, CAST(i AS INTEGER) AS idx,
+         md5(array_to_string(w[CAST(i+1 AS BIGINT):CAST(i+20 AS BIGINT)], ' ')) AS h
+       FROM kd, unnest(range(0, len(w) - 20 + 1)) AS u(i)
+       WHERE len(w) >= 20),
+dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) > 1),
+d AS (SELECT doc_id, idx FROM sh WHERE h IN (SELECT h FROM dup)),
+fl AS (SELECT doc_id, idx,
+         CASE WHEN lag(idx) OVER (PARTITION BY doc_id ORDER BY idx) IS NULL
+                OR idx - lag(idx) OVER (PARTITION BY doc_id ORDER BY idx) > 20
+              THEN 1 ELSE 0 END AS f
+       FROM d),
+isl AS (SELECT doc_id, idx,
+          sum(f) OVER (PARTITION BY doc_id ORDER BY idx) AS g
+        FROM fl),
+sp AS (SELECT doc_id, CAST(max(idx) + 20 - min(idx) AS BIGINT) AS span_len
+       FROM isl GROUP BY doc_id, g),
+st AS (SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS n_dup_tokens
+       FROM sp GROUP BY doc_id)
+SELECT m.doc_id, m.fate, m.quality_score,
+       CAST(len(kd.w) AS BIGINT) AS n_tokens,
+       CASE WHEN kd.doc_id IS NOT NULL
+            THEN coalesce(st.n_dup_tokens, CAST(0 AS BIGINT)) END AS n_dup_tokens
+FROM m
+LEFT JOIN kd ON kd.doc_id = m.doc_id
+LEFT JOIN st ON st.doc_id = m.doc_id
+ORDER BY m.doc_id"""
+
   /** Oracle: closure CTE + the [[textStatsOracle]] quality expression +
     * one argmax window — same verdict, derived relationally. */
   def dedupKeepBestOracle: String = s"""$componentClosureCte,
@@ -1172,11 +1223,16 @@ ORDER BY query_id, rank"""
     * the completion marker. */
   private def lshFramesFor(spark: SparkSession, sfDir: String)
       : (DataFrame, DataFrame) = {
-    val path = artifactPath("lsh-probes", sfDir, "t24b0p32")
+    val path = artifactPath("lsh-probes", sfDir, "t24b0pauto")
     if (!Artifacts.exists(spark, path + "/cbuckets")) {
       val e = Tables(spark, sfDir, "embeddings")
+      // probes = 0: scale-aware AUTO ([[Similarity.autoLshProbes]]) —
+      // resolves to the old fixed 32 at every gate-scale corpus (the
+      // replayed geometry is unchanged there) and grows with the index
+      // so the DEFAULT budget holds recall at the 2M-vector decade
+      // (BASELINE.md third-decade ladder)
       val f = Similarity.lshProbeFrames(e.filter(col("vec_id") < 10), e,
-        tables = 24, bitsPerTable = 0, maxBucket = 64, probes = 32)
+        tables = 24, bitsPerTable = 0, maxBucket = 64, probes = 0)
       f.qProbes.write.mode("overwrite").parquet(path + "/qprobes")
       f.cBuckets.write.mode("overwrite").parquet(path + "/cbuckets")
     }
@@ -1192,9 +1248,9 @@ ORDER BY query_id, rank"""
     * cand_id) tie-break. */
   def annLshTopKOracle: String = s"""
 WITH qp AS (SELECT * FROM read_parquet(
-  '${oracleArtifact("lsh-probes", "t24b0p32")}/qprobes/*.parquet')),
+  '${oracleArtifact("lsh-probes", "t24b0pauto")}/qprobes/*.parquet')),
 cb AS (SELECT * FROM read_parquet(
-  '${oracleArtifact("lsh-probes", "t24b0p32")}/cbuckets/*.parquet')),
+  '${oracleArtifact("lsh-probes", "t24b0pauto")}/cbuckets/*.parquet')),
 cand AS (
   SELECT DISTINCT qp.query_id, cb.cand_id
   FROM qp JOIN cb ON qp."table" = cb."table"
@@ -1442,8 +1498,14 @@ ORDER BY query_id, rank"""
   def annPqTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables(spark, sfDir, "embeddings")
     val f = pqFramesFor(spark, sfDir)
+    // rerank = 0: scale-aware AUTO ([[Similarity.autoPqRerank]],
+    // max(8·k, ⌈√n⌉)) — the 8·k floor (= the old fixed 40) at every
+    // gate-scale corpus, the measured ~0.96-recall frontier (√2M =
+    // 1415) at the 2M-vector decade. The oracle re-derives the same
+    // integer from count(*) over the replayed list rows (√ is
+    // correctly-rounded IEEE in both engines).
     Similarity.pqTopKFromGeom(f.lists, f.probes,
-        e.filter(col("vec_id") < 10), e, k = 5, rerank = 40)
+        e.filter(col("vec_id") < 10), e, k = 5, rerank = 0)
       .orderBy("query_id", "rank")
   }
 
@@ -1451,8 +1513,11 @@ ORDER BY query_id, rank"""
     * re-derived relationally — lut[(j−1)·ksub + codes[j] + 1] summed in
     * subspace order (exact lookups, one double fold matching the Spark
     * kernel's accumulation order), asim = adc / (qn·rn) with the same
-    * operand order, keepR = 8·k frontier on (asim DESC, cand_id), then
-    * the exact-cosine rerank tail shared with [[annIvfqTopKOracle]]. */
+    * operand order, then the exact-cosine rerank tail shared with
+    * [[annIvfqTopKOracle]]. keepR is the scale-aware AUTO budget
+    * ([[Similarity.autoPqRerank]]) re-derived in pure integer SQL from
+    * count(*) over the replayed list rows — same cross-engine
+    * derivation discipline as the SimHash banding width. */
   def annPqTopKOracle: String = s"""
 WITH il AS (SELECT * FROM read_parquet(
   '${oracleArtifact("pq-geom", s"m${PqM}k${PqKsub}n${IvfNlist}p$IvfNprobe")}/lists/*.parquet')),
@@ -1470,7 +1535,9 @@ front AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY asim DESC, cand_id) AS arank
   FROM front0),
-cand AS (SELECT query_id, cand_id FROM front WHERE arank <= 40),
+cand AS (SELECT query_id, cand_id FROM front
+         WHERE arank <= (SELECT GREATEST(40, LEAST(16384,
+                           CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM il)),
 p AS (
   SELECT cand.query_id, cand.cand_id,
          unnest(q.embedding) AS qv, unnest(c.embedding) AS cv

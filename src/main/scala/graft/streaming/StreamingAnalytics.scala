@@ -643,17 +643,23 @@ object StreamingAnalytics {
       : (DataFrame, Long) => Unit = {
     var quantizer: (Array[Long], Array[Array[Float]]) = null
     var codebooks: Array[Array[Array[Float]]] = null
+    // the index is a pinned snapshot, so the scale-aware AUTO rerank
+    // budget (rerank = 0) is resolved ONCE against it — not a count
+    // job per micro-batch
+    var rerankEff = rerank
     (batch, batchId) => {
       if (quantizer == null) {
         quantizer = graft.operators.Artifacts
           .loadCentroids(batch.sparkSession, centroidsPath)
         codebooks = graft.operators.Artifacts
           .loadPqCodebooks(batch.sparkSession, codebooksPath)
+        if (rerankEff <= 0)
+          rerankEff = graft.operators.Similarity.autoPqRerank(lists.count(), k)
       }
       val probes = graft.operators.Similarity
         .pqProbes(batch, quantizer, codebooks, nprobe)
       sink(graft.operators.Similarity
-        .pqTopKFromGeom(lists, probes, batch, corpus, k, rerank), batchId)
+        .pqTopKFromGeom(lists, probes, batch, corpus, k, rerankEff), batchId)
     }
   }
 
@@ -667,7 +673,10 @@ object StreamingAnalytics {
     * rolling the model itself still requires rebuilding the closure —
     * an in-place codebook swap does not change what this closure
     * serves. Per-batch listing cost is the file-status scan only; keep
-    * the store compacted if micro-batch count grows the file count. */
+    * the store compacted if micro-batch count grows the file count.
+    * With `rerank = 0` (AUTO) the scale-aware budget is re-derived per
+    * batch from the re-listed index — a footer-only count — so the
+    * frontier tracks index growth the way the banding width does. */
   def pqServeIntake(listsPath: String, corpus: DataFrame,
                     centroidsPath: String, codebooksPath: String,
                     k: Int, nprobe: Int = 4, rerank: Int = 0,

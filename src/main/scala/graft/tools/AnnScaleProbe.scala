@@ -57,19 +57,25 @@ object AnnScaleProbe {
     val cents = Similarity.trainCentroids(e, nlist = 16, trainIters = 2)
     val books = Similarity.trainPqCodebooks(e, m = 16, ksub = 256)
     val pq = Similarity.pqGeomFrames(q, e, cents, books, nprobe = 12)
-    val lists = pq.lists.persist(); lists.count()
+    val lists = pq.lists.persist(); val nCorpus = lists.count()
     val probes = pq.probes.persist(); probes.count()
-    for (rerank <- Seq(40, 100, 400, 1600))
-      timed(s"pq rerank=$rerank",
+    val autoRerank = Similarity.autoPqRerank(nCorpus, k)
+    for (rerank <- (Seq(40, 100, 400, 1600) :+ autoRerank).distinct.sorted) {
+      val tag = if (rerank == autoRerank) s"$rerank(AUTO)" else rerank.toString
+      timed(s"pq rerank=$tag",
         Similarity.pqTopKFromGeom(lists, probes, q, e, k, rerank = rerank))
+    }
     lists.unpersist(); probes.unpersist()
 
     // LSH: the gate's scale-adaptive bucket depth (bitsPerTable=0),
-    // swept over the query-side multi-probe budget
-    for (p <- Seq(32, 128, 512)) {
+    // swept over the query-side multi-probe budget incl. the
+    // scale-aware AUTO width the defaults now derive
+    val autoProbes = Similarity.autoLshProbes(nCorpus)
+    for (p <- (Seq(32, 128, 512) :+ autoProbes).distinct.sorted) {
+      val tag = if (p == autoProbes) s"$p(AUTO)" else p.toString
       val f = Similarity.lshProbeFrames(q, e,
         tables = 24, bitsPerTable = 0, maxBucket = 64, probes = p)
-      timed(s"lsh probes=$p", Similarity.lshRerankTopK(q, e, f.qProbes, f.cBuckets, k))
+      timed(s"lsh probes=$tag", Similarity.lshRerankTopK(q, e, f.qProbes, f.cBuckets, k))
     }
     exact.unpersist()
     spark.stop()

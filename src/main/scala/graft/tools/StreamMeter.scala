@@ -18,6 +18,14 @@ object StreamMeter {
     * detaches the listener, prints the summary, and returns the wall
     * seconds (for the caller's own item-throughput line).
     *
+    * The listener is session-global, but only the FIRST query that
+    * reports progress after attach is counted (its id is captured on
+    * first event and later events are filtered on it) — a concurrent
+    * unrelated query on the same session must not leak its rows into
+    * this meter's throughput line or progress.jsonl. The CLIs attach
+    * immediately before starting their single query, so first-progress
+    * binding is unambiguous there.
+    *
     * @param label  CLI tag for the summary line, e.g. "stream-logs"
     * @param outDir progress.jsonl lands under this directory */
   def attach(spark: SparkSession, label: String, outDir: String)
@@ -28,15 +36,19 @@ object StreamMeter {
     val rows = new java.util.concurrent.atomic.AtomicLong(0L)
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val listener = new StreamingQueryListener {
+      private var boundId: java.util.UUID = null
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
         synchronized {
-          rows.addAndGet(e.progress.numInputRows)
-          batches.incrementAndGet()
-          java.nio.file.Files.writeString(path, e.progress.json + "\n",
-            java.nio.file.StandardOpenOption.CREATE,
-            java.nio.file.StandardOpenOption.APPEND)
+          if (boundId == null) boundId = e.progress.id
+          if (e.progress.id == boundId) {
+            rows.addAndGet(e.progress.numInputRows)
+            batches.incrementAndGet()
+            java.nio.file.Files.writeString(path, e.progress.json + "\n",
+              java.nio.file.StandardOpenOption.CREATE,
+              java.nio.file.StandardOpenOption.APPEND)
+          }
         }
     }
     spark.streams.addListener(listener)

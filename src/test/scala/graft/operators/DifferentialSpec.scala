@@ -72,6 +72,82 @@ class DifferentialSpec extends AnyFunSuite {
     (e.queue_id, e.message_id, e.timestamp.getTime, e.message_to, e.message_subject,
       e.status_code, e.dovecot_fileinto_action, e.client, e.raw_log)
 
+  /** Adversarial dovecot arrival mix for the A4 differential: sieve
+    * lines BEFORE a session's msgid exists, AFTER its removal, for
+    * msgids with NO session at all, msgids SHARED across up to three
+    * concurrently-live sessions (the reference's live-scan applies one
+    * sieve line to every matching live session — the interval join must
+    * reproduce the fan-out), repeated sieve lines on one msgid (last
+    * wins), and combined dovecot+msgid-CHANGE lines (the inclusive-toSeq
+    * boundary). One total line order; every mode must agree on it. */
+  def genDovecotStress(seed: Long, nSessions: Int): Seq[String] = {
+    val rnd = new Random(seed)
+    val lines = ArrayBuffer[(Double, String)]()
+    var t = 1700000000.0
+    def iso(at: Double) = {
+      val inst = java.time.Instant.ofEpochMilli((at * 1000).toLong)
+      java.time.OffsetDateTime.ofInstant(inst, java.time.ZoneOffset.ofHours(3))
+        .format(java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME)
+    }
+    def sieve(msgid: String, box: String) =
+      s"Apr 30 15:09:27 lmtp(x)<1><Y>: Info: sieve: msgid=$msgid: fileinto action: stored into '$box'"
+    for (i <- 0 until nSessions) {
+      val qid = f"$i%011X"
+      // overlap window: short gaps keep up to ~3 same-msgid sessions live
+      t += 0.05 + rnd.nextDouble() * 0.3
+      val base = t
+      // msgid shared across a rolling window of 3 sessions
+      val msgid = s"<shared${i / 3}@ex.com>"
+      lines += ((base, s"${iso(base)} h postfix/smtpd[1]: $qid: client=c$i[1.2.3.4]"))
+      // sieve BEFORE this session's msgid is set (may legally enrich an
+      // EARLIER live session of the same shared-msgid group)
+      if (rnd.nextInt(3) == 0)
+        lines += ((base + 0.05, sieve(msgid, s"Early$i")))
+      lines += ((base + 0.1, s"${iso(base + 0.1)} h postfix/cleanup[2]: $qid: message-id=$msgid"))
+      lines += ((base + 0.2, s"${iso(base + 0.2)} h postfix/qmgr[3]: $qid: from=<u$i@ex.dom>, size=$i, nrcpt=1 (queue active)"))
+      // sieve DURING the live window: 0-2 lines, last one wins
+      for (j <- 0 until rnd.nextInt(3))
+        lines += ((base + 0.25 + j * 0.01, sieve(msgid, s"During${i}_$j")))
+      // sieve for a msgid that never belongs to ANY session
+      if (rnd.nextInt(4) == 0)
+        lines += ((base + 0.27, sieve(s"<ghost$i@ex.com>", s"Ghost$i")))
+      lines += ((base + 0.3, s"${iso(base + 0.3)} h postfix/lmtp[4]: $qid: to=<r$i@ex.dom>, relay=rl, delay=0.1, dsn=2.0.0, status=sent (250 ok)"))
+      // combined dovecot + msgid-CHANGE line: acts on the PRE-line msgid
+      if (rnd.nextInt(4) == 0)
+        lines += ((base + 0.35,
+          s"${iso(base + 0.35)} h lmtp(x)[9]: $qid: Info: sieve: msgid=$msgid: fileinto action: stored into 'Combo$i' message-id=<chg$i@ex.com>"))
+      lines += ((base + 0.4, s"${iso(base + 0.4)} h postfix/qmgr[5]: $qid: removed"))
+      // sieve AFTER removal (may still enrich a LATER live session of the
+      // same group — never this one)
+      if (rnd.nextInt(3) == 0)
+        lines += ((base + 0.45, sieve(msgid, s"Late$i")))
+    }
+    lines.sortBy(_._1).map(_._2).toSeq
+  }
+
+  test("incremental and batch agree on adversarial dovecot streams") {
+    import spark.implicits._
+    var enriched = 0
+    for (seed <- 1 to 20) {
+      val log = genDovecotStress(seed, 36)
+      val incEvents = ArrayBuffer[PostfixEvent]()
+      val incFaults = ArrayBuffer[ParseFault]()
+      val inc = new IncrementalSessionizer(incEvents += _, incFaults += _)
+      log.foreach(inc.feedLine)
+
+      val res = Sessionize(spark,
+        log.zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDS())
+      val batchEvents = res.events.collect()
+      assert(batchEvents.length == incEvents.length, s"seed=$seed event count")
+      assert(res.faults.count() == incFaults.length.toLong, s"seed=$seed fault count")
+      assert(batchEvents.map(key).sortBy(_.toString()).toSeq ==
+        incEvents.map(key).sortBy(_.toString()).toSeq, s"seed=$seed event content")
+      enriched += batchEvents.count(_.dovecot_fileinto_action.isDefined)
+    }
+    // non-vacuity: the adversarial mix must actually exercise enrichment
+    assert(enriched > 0, "no event was dovecot-enriched across all seeds")
+  }
+
   test("fromTextFiles multi-file rotation replay matches cat-order incremental") {
     // The reference's primary usage is `cat /var/log/mail.log* | parse.py`
     // (parse.py:515-516): lines arrive in lexicographic-filename order,

@@ -493,6 +493,41 @@ class ExtensionSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("corpus_curate_substring prices dup spans over kept docs only") {
+    val out = graft.queries.ExtensionQueries
+      .corpusCurateSubstring(spark, sf).collect()
+    val plain = graft.queries.ExtensionQueries.corpusCurate(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length == plain.size, "one manifest row per input document")
+    out.foreach { r =>
+      val (id, fate) = (r.getLong(0), r.getString(1))
+      assert(plain(id) == fate,
+        s"strip stage must not change fates: doc $id $fate vs ${plain(id)}")
+      if (fate == "kept") {
+        // stage columns present and bounded: 0 <= n_dup_tokens <= n_tokens
+        assert(!r.isNullAt(3) && !r.isNullAt(4), s"kept doc $id missing stage cols")
+        assert(r.getLong(4) >= 0L && r.getLong(4) <= r.getLong(3),
+          s"doc $id dup tokens ${r.getLong(4)} out of [0, ${r.getLong(3)}]")
+      } else {
+        // the stage never saw non-survivors
+        assert(r.isNullAt(3) && r.isNullAt(4),
+          s"non-kept doc $id must carry NULL stage columns")
+      }
+    }
+    // staged semantics: spans derive from the KEPT subset, so the
+    // whole-corpus strip is an upper bound on per-doc dup mass
+    val whole = Dedup.dupSpans(
+        spark.read.parquet(sf + "/documents.parquet").select("doc_id", "text"),
+        "doc_id", "text", spanTokens = 20)
+      .groupBy("doc_id").agg(sum("span_len").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.filter(_.getString(1) == "kept").foreach { r =>
+      assert(r.getLong(4) <= whole.getOrElse(r.getLong(0), 0L),
+        s"kept-subset span mass exceeds whole-corpus mass for doc ${r.getLong(0)}")
+    }
+    CacheRegistry.releaseAll()
+  }
+
   test("pq ADC score equals the reconstruction inner product") {
     import spark.implicits._
     import graft.functions.VectorExpressions.{pqAdc, pqEncode, pqLut}

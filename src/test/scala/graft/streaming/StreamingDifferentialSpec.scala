@@ -26,12 +26,23 @@ class StreamingDifferentialSpec extends AnyFunSuite {
     runSeeds(StreamingSessionize.withRocksDbStateStore(spark), 7 to 8)
   }
 
+  test("adversarial dovecot streams agree across incremental and streaming") {
+    // the A4 stress mix (sieve before/after/without sessions, shared
+    // msgids across live sessions, repeated + combined lines) under
+    // random micro-batch boundaries — locks the enrichment timing the
+    // in-order streaming path shares with the reference's live scan
+    runSeeds(spark, 9 to 12,
+      s => gen.genDovecotStress(s * 313, 30))
+  }
+
   private def runSeeds(spark: org.apache.spark.sql.SparkSession,
-                       seeds: Range): Unit = {
+                       seeds: Range,
+                       mkLog: Int => Seq[String] = s => gen.genLog(s * 101, 30))
+      : Unit = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     for (seed <- seeds) {
-      val log = gen.genLog(seed * 101, 30)
+      val log = mkLog(seed)
       val incEvents = ArrayBuffer[PostfixEvent]()
       val incFaults = ArrayBuffer[ParseFault]()
       val inc = new IncrementalSessionizer(incEvents += _, incFaults += _)
