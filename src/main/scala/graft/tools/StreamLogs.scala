@@ -13,10 +13,12 @@ import org.apache.spark.sql.streaming.Trigger
   * stamped on a single partition with `(file-mtime-seconds-since-2020
   * << 31) | line index` — exact arrival order within a file, monotone
   * across micro-batches for tailed logs (later files have later mtimes),
-  * and — critically — DETERMINISTIC: the plan's union branches make Spark
-  * recompute this stage more than once per batch, so a wall-clock stamp
-  * would give the branches inconsistent seqs (found empirically: it broke
-  * every dovecot window join). The single-partition stamping only affects
+  * and — critically — DETERMINISTIC: Spark may recompute this stage
+  * (task retry, plan re-derivation), so a wall-clock stamp would hand
+  * different runs inconsistent seqs (found empirically under the old
+  * three-branch union plan: it broke every dovecot window join; the
+  * r16 plan computes the stage once per batch, but determinism is still
+  * the contract retries rely on). The single-partition stamping only affects
   * the classify stage of a replay CLI; the stateful stage re-shuffles to
   * full parallelism. An offset-bearing source (e.g. Kafka) should use its
   * offsets instead — [[StdinLogs]] is the offset-bearing variant here

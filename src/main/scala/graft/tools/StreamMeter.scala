@@ -58,8 +58,8 @@ object StreamMeter {
       val n = rows.get()
       // source_rows is Spark's numInputRows sum — a plan whose union
       // branches re-read the source counts it once PER BRANCH (the
-      // sessionize CLI reads 3×), so true item throughput is the
-      // caller's item count over this wall clock, not this rate
+      // sessionize CLI did until its r16 single-operator plan), so true
+      // item throughput is the caller's item count over this wall clock
       println(f"[$label] meter: source_rows=$n batches=${batches.get()} " +
         f"wall=$wallS%.1fs source_rows_per_s=${n / math.max(wallS, 1e-9)}%.0f " +
         s"progress=$path")
