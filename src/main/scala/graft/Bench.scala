@@ -69,16 +69,21 @@ object Bench {
         (derived, true, bytes)
     }
 
-  /** Shuffle/broadcast/spill codec for a corpus: zstd once the input
-    * clears 1 GiB, lz4 (Spark's default) below. Like the shuffle width,
-    * the codec tracks DATA: the sf100 heavy-pair exchanges are bound by
-    * a single spill disk, where zstd's ~35% denser blocks are a measured
-    * 17% wall / 37% spill win (BASELINE.md third-decade notes), and at
-    * gate/bench scales the shuffles are memory-resident so the codec is
-    * inert either way. SPARK_GRAFT_IO_CODEC overrides for A/B probes. */
+  /** Shuffle/broadcast/spill codec. Default lz4 (Spark's default);
+    * SPARK_GRAFT_IO_CODEC overrides for A/B probes. Round 16 TRIED
+    * promoting zstd to the default above 1 GiB of input (r15's focused
+    * A/B had measured the sf100 ngram exchange 275→227 s) and the
+    * session-wide default measured WORSE and then broke: ngram 352 s
+    * (runs=2, quiet) and dedup_components a DETERMINISTIC
+    * SparkOutOfMemoryError at the same closure stage across two fresh
+    * JVMs, while the identical run under SPARK_GRAFT_IO_CODEC=lz4
+    * passes at 304 s (bench_r16_sf100_{ngram_joint,components,
+    * components_lz4}.json). The session default compresses broadcast
+    * and checkpoint streams too, not just the one spill-bound exchange
+    * the A/B isolated — codec choice stays a per-run knob, not a
+    * default. */
   def ioCodec(inputBytesTotal: Long): String =
-    sys.env.getOrElse("SPARK_GRAFT_IO_CODEC",
-      if (inputBytesTotal >= (1L << 30)) "zstd" else "lz4")
+    sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4")
 
   private def loadPrevMedians(path: String): Map[String, Double] =
     try {
@@ -121,13 +126,8 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // Shuffle/spill codec tracks data size like the width does: the
-      // big-pair exchanges (ngram/components/containment at sf100) are
-      // DISK-bound on a single spill disk, and zstd's denser blocks are
-      // a measured win there (ngram 275→227 s, spill 30→19 GB) while
-      // the CPU-bound exchanges lose nothing (substring −3.6%). Small
-      // inputs keep the lz4 default — their shuffles never touch disk
-      // long enough to repay zstd's CPU. SPARK_GRAFT_IO_CODEC overrides.
+      // lz4 unless SPARK_GRAFT_IO_CODEC overrides — see ioCodec for why
+      // the zstd-by-default experiment was reverted
       .config("spark.io.compression.codec", ioCodec(inputBytesTotal))
       // local mode: executor and driver share one JVM, so the heartbeat
       // is a formality — but a long GC/CPU-saturation stall (observed
