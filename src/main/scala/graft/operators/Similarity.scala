@@ -79,7 +79,8 @@ object Similarity {
     * rank margin that widens with the number of distractors inside the
     * noise band. ⌈√n⌉ fits the measured recall plateaus across three
     * decades (tools.AnnScaleProbe): n=500 plateaus at keepR ≤ 40 (the
-    * 8·k floor — so every gate-scale corpus replays the old fixed-40
+    * 8·k floor binds for n ≤ (8k)² — 1,600 at k=5 — which covers the
+    * sf0.01 oracle corpus, so the gate replays the old fixed-40
     * geometry), n=20k at ~100 (√n = 142; the constant-fraction rule
     * n/1250 left 0.88 there), n=2M at ~1600 (√n = 1415; measured
     * 0.94@400 / 0.96@1600 = the coarse-cell ceiling, 2-5 s wall for a

@@ -493,6 +493,26 @@ class ExtensionSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("scale-aware ANN budget derivations pin the measured calibration points") {
+    import Similarity.{autoLshProbes, autoPqRerank}
+    // gate/oracle scales replay the historical fixed geometry
+    assert(autoLshProbes(500) == 32)      // sf0.01 gate corpus
+    assert(autoLshProbes(2000) == 32)     // sf0.1
+    assert(autoLshProbes(20000) == 32)    // sf1 — measured 1.000 recall
+    assert(autoPqRerank(500, 5) == 40)    // sf0.01 gate corpus (8·k floor)
+    assert(autoPqRerank(1600, 5) == 40)   // floor boundary: sqrt(1600) = 40
+    // measured recovery points of the 2M-vector decay curve
+    assert(autoLshProbes(200000) == 48)   // sf10 — measured 0.960
+    assert(autoLshProbes(2000000) == 488) // sf100 — measured 1.000
+    assert(autoPqRerank(200000, 5) == 448)   // sf10 — measured 0.960
+    assert(autoPqRerank(2000000, 5) == 1415) // sf100 — measured 0.960
+    // clamps guard the unmeasured range
+    assert(autoLshProbes(1L << 40) == 4096)
+    assert(autoPqRerank(1L << 40, 5) == 16384)
+    // degenerate inputs stay at the floors
+    assert(autoLshProbes(0) == 32 && autoPqRerank(0, 5) == 40)
+  }
+
   test("corpus_curate_substring prices dup spans over kept docs only") {
     val out = graft.queries.ExtensionQueries
       .corpusCurateSubstring(spark, sf).collect()
