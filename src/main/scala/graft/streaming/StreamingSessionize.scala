@@ -175,7 +175,7 @@ object StreamingSessionize {
   /** Key-routed dispatch for the single stateful operator: "q:" keys run
     * the session fold; "p:" keys pass dovecot/fault rows straight
     * through (stateless — no state row is ever written for them). */
-  private def dispatch(ttlMs: Option[Long])(key: String, rows: Iterator[InRow],
+  private[streaming] def dispatch(ttlMs: Option[Long])(key: String, rows: Iterator[InRow],
                state: GroupState[S1State]): Iterator[StreamOut] =
     if (key.startsWith("q:")) updateSession(ttlMs)(key.substring(2), rows, state)
     else rows.map { r =>

@@ -81,6 +81,26 @@ class StreamingSessionizeSpec extends AnyFunSuite {
     assert(out2.count(_.kind == 0) == 1, "live session emits on removed")
   }
 
+  test("pass-through keys never write state and map dove/fault rows verbatim") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val dove = StreamingSessionize.InRow(7L, 1, "", -1L,
+      "raw dove line", "<m@x>", "stored into 'Junk'", "")
+    val fault = StreamingSessionize.InRow(9L, 2, "", -1L,
+      "bad line", "", "", "boom")
+    val state = TestGroupState.create[StreamingSessionize.S1State](
+      Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], false)
+    val out = StreamingSessionize.dispatch(Some(StreamingSessionize.TtlMs))(
+      "p:3", Iterator(dove, fault), state).toVector
+    assert(!state.exists, "pass-through keys must not create state")
+    assert(!state.isUpdated && !state.isRemoved)
+    assert(out.map(_.kind) == Vector(1, 2))
+    assert(out(0).msgidRaw == "<m@x>" && out(0).doveSeq == 7L &&
+      out(0).doveAction == "stored into 'Junk'")
+    assert(out(1).fault.exists(f => f.line == "bad line" && f.error == "boom"))
+  }
+
   test("basic fixture, one line per micro-batch") {
     val (events, faults) = run(Fixtures.basic, 1)
     assert(faults.isEmpty)
