@@ -81,8 +81,10 @@ object RecallProbe {
         else truth.count(got.contains).toDouble / truth.size
       println(f"[probe] ann $label%-36s recall@5=$recall%.3f time=$secs%6.2fs")
     }
-    annMeasure("lsh 16x3 (current fixed)") {
-      Similarity.lshTopK(q, e, 5, tables = 16, bitsPerTable = 3)
+    // probes pinned to 1: this row demonstrates the HISTORICAL fixed
+    // exact-bucket geometry's decay (lshTopK's default is AUTO since r16)
+    annMeasure("lsh 16x3 (historical fixed)") {
+      Similarity.lshTopK(q, e, 5, tables = 16, bitsPerTable = 3, probes = 1)
     }
     val bitsList = sys.env.get("PROBE_BITS").map(_.split(",").map(_.toInt).toSeq)
       .getOrElse(Seq(0))
