@@ -82,7 +82,7 @@ object Bench {
     * and checkpoint streams too, not just the one spill-bound exchange
     * the A/B isolated — codec choice stays a per-run knob, not a
     * default. */
-  def ioCodec(inputBytesTotal: Long): String =
+  def ioCodec(): String =
     sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4")
 
   private def loadPrevMedians(path: String): Map[String, Double] =
@@ -128,7 +128,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // lz4 unless SPARK_GRAFT_IO_CODEC overrides — see ioCodec for why
       // the zstd-by-default experiment was reverted
-      .config("spark.io.compression.codec", ioCodec(inputBytesTotal))
+      .config("spark.io.compression.codec", ioCodec())
       // local mode: executor and driver share one JVM, so the heartbeat
       // is a formality — but a long GC/CPU-saturation stall (observed
       // 175 s during a 100×-rows sweep) can exceed the 120 s default
@@ -260,7 +260,7 @@ object Bench {
       s""""shuffle_partitions":$shufflePartitions""",
       s""""shuffle_partitions_derived":$widthDerived""",
       s""""input_bytes":$inputBytesTotal""",
-      s""""io_codec":"${ioCodec(inputBytesTotal)}"""",
+      s""""io_codec":"${ioCodec()}"""",
       s""""load_before":${fmt(loadBefore)}""",
       s""""load_after":${fmt(loadAfter)}""",
       s""""prev_artifact":"$prevPath"""",

@@ -20,15 +20,16 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // width ∝ input bytes like Bench (64 MB/partition, floor = cores),
     // so a Verify run against a scaled corpus gets a scaled shuffle too
-    val (shufflePartitions, _, verifyInputBytes) =
+    val (shufflePartitions, _, _) =
       Bench.deriveShufflePartitions(sfDir, cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toLong)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // codec tracks data size like the width (see Bench.ioCodec)
-      .config("spark.io.compression.codec", Bench.ioCodec(verifyInputBytes))
+      // codec is a fixed lz4 default; SPARK_GRAFT_IO_CODEC overrides it
+      // per-run (see Bench.ioCodec's scaladoc for the measured rationale)
+      .config("spark.io.compression.codec", Bench.ioCodec())
       // single-JVM local mode: outlast GC stalls, never self-remove the
       // only executor (see Bench)
       .config("spark.network.timeout", "600s")

@@ -254,18 +254,25 @@ object TextExpressions {
   def winnowFingerprint(c: Column, k: Int = 8, w: Int = 4): Column =
     GraftBridge.column(WinnowFingerprint(GraftBridge.expr(c), k, w))
 
-  /** Register the SQL-facing function names. Idempotent: re-registering
-    * an already-present name would log a noisy "replaced a previously
-    * registered function" warning per session (and costs a registry write
-    * per streaming micro-batch when called from per-batch query code). */
+  // Per-registry first-registration flags (weak keys: a closed session's
+  // registry can be collected). Guarding on a flag rather than on
+  // functionExists keeps strict ownership: the FIRST register() call in a
+  // session still createOrReplaces a conflicting pre-existing user
+  // function of the same name, while repeat calls (one per streaming
+  // micro-batch from per-batch query code) skip the registry write and
+  // its noisy "replaced a previously registered function" warning.
+  private val registeredSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[AnyRef, java.lang.Boolean]())
+
+  /** Register the SQL-facing function names. Idempotent per session. */
   def register(spark: SparkSession): Unit = {
-    import org.apache.spark.sql.catalyst.FunctionIdentifier
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier("decode_mime_header")))
+    if (registeredSessions.putIfAbsent(reg, java.lang.Boolean.TRUE) == null) {
       reg.createOrReplaceTempFunction("decode_mime_header",
         exprs => DecodeMimeHeader(exprs.head), "scala_udf")
-    if (!reg.functionExists(FunctionIdentifier("winnow_fingerprint")))
       reg.createOrReplaceTempFunction("winnow_fingerprint",
         exprs => WinnowFingerprint(exprs.head, 8, 4), "scala_udf")
+    }
   }
 }

@@ -33,9 +33,20 @@ object Dedup {
     * ~48 for an 8-byte-key, ~56 with a long payload). On this box's
     * 32g driver that is ~33M bare keys; on an 8g executor ~8M — the
     * fallback (shuffle semi-join / plain join, still exact) triggers on
-    * MEMORY, not on a row count tuned to one machine. */
-  private[graft] def broadcastRowCutoff(bytesPerRow: Int): Long =
-    math.max(1000000L, Runtime.getRuntime.maxMemory / 20 / bytesPerRow)
+    * MEMORY, not on a row count tuned to one machine. On a non-local
+    * master the relation must ALSO fit every executor heap (often much
+    * smaller than the driver's), so the budget clamps against
+    * `spark.executor.memory` there; in local[n] driver == executor and
+    * the runtime heap is the right bound. */
+  private[graft] def broadcastRowCutoff(bytesPerRow: Int): Long = {
+    val driverHeap = Runtime.getRuntime.maxMemory
+    val heap = Option(org.apache.spark.SparkEnv.get).map(_.conf) match {
+      case Some(conf) if !conf.get("spark.master", "local").startsWith("local") =>
+        math.min(driverHeap, conf.getSizeAsBytes("spark.executor.memory", "1g"))
+      case _ => driverHeap
+    }
+    math.max(1000000L, heap / 20 / bytesPerRow)
+  }
 
   /** Exact duplicate groups: representative (min id) + member count per
     * distinct content. */

@@ -1454,6 +1454,11 @@ ORDER BY query_id, rank"""
   // Coarser grids (8×16) need keepR ≈ 32k for the same recall.
   private val PqM = 16
   private val PqKsub = 256
+  /** Gate top-k shared by [[annPqTopK]] and its oracle so the 8·k AUTO
+    * rerank floor ([[Similarity.autoPqRerank]]) is interpolated from
+    * the SAME k on both sides — a future k change can't silently
+    * diverge the SQL floor from the Scala one. */
+  private val PqGateK = 5
   private val pqCache = scala.collection.concurrent.TrieMap
     .empty[String, Array[Array[Array[Float]]]]
 
@@ -1505,7 +1510,7 @@ ORDER BY query_id, rank"""
     // integer from count(*) over the replayed list rows (√ is
     // correctly-rounded IEEE in both engines).
     Similarity.pqTopKFromGeom(f.lists, f.probes,
-        e.filter(col("vec_id") < 10), e, k = 5, rerank = 0)
+        e.filter(col("vec_id") < 10), e, k = PqGateK, rerank = 0)
       .orderBy("query_id", "rank")
   }
 
@@ -1536,7 +1541,7 @@ front AS (
                             ORDER BY asim DESC, cand_id) AS arank
   FROM front0),
 cand AS (SELECT query_id, cand_id FROM front
-         WHERE arank <= (SELECT GREATEST(40, LEAST(16384,
+         WHERE arank <= (SELECT GREATEST(${8 * PqGateK}, LEAST(16384,
                            CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM il)),
 p AS (
   SELECT cand.query_id, cand.cand_id,
@@ -1555,7 +1560,7 @@ r AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY sim DESC, cand_id) AS rank
   FROM s)
-SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 5
+SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= $PqGateK
 ORDER BY query_id, rank"""
 
   def annPqViolations(spark: SparkSession, sfDir: String): DataFrame =

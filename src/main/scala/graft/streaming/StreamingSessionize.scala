@@ -231,7 +231,13 @@ object StreamingSessionize {
       // enrichment is idempotent to duplicates), and the events write
       // runs first so the cache materializes inside it at the stateful
       // stage's full parallelism (coalesce only collapses the
-      // post-shuffle tail of the enrich plan).
+      // post-shuffle tail of the enrich plan). Replay caveat: the sink
+      // is append-mode, NOT idempotent — a crash between the events
+      // write and the store append duplicates ENRICHED EVENT rows when
+      // the batch replays (before r16's reorder the victim was store
+      // rows instead); consumers that need exactly-once should dedup on
+      // (queue_id, seq) or read through a batch_id-partitioned
+      // overwrite sink.
       val cached = batch.toDF().persist()
       try {
         val newActs = cached.where(col("kind") === 1)
