@@ -386,15 +386,47 @@ object StreamingAnalytics {
     * compaction is not supported (compact offline between runs if
     * micro-batch count grows the partition listing).
     *
+    * With a non-empty `substringIndexPath` the manifest grows the
+    * SUBSTRING-dedup stage of [[graft.operators.Curate.manifestWithStrip]]
+    * (the C4/RefinedWeb lineage: doc-level keep-best first, then price
+    * duplicated SPANS over the kept survivors only): each batch's kept
+    * docs get `n_tokens` and `n_dup_tokens` (NULL for non-kept) from
+    * [[graft.operators.Dedup.dupSpansAgainst]] versus the STANDING
+    * shingle-count index — the accumulated kept corpus of every earlier
+    * batch — plus the batch itself, and then their own shingle counts
+    * append as the batch's `batch_id` partition (the [[substringIntake]]
+    * discipline verbatim: own-partition excluded on read so a replayed
+    * batch cannot self-flag, dynamic partition overwrite so the
+    * re-append is idempotent, and the extended manifest checkpoints
+    * BEFORE the append because its span plan scans the path the append
+    * extends). Because occurrence counts add, the per-batch span stats
+    * are exactly `dupSpans(all kept docs so far)` restricted to the
+    * batch's kept docs — the incremental contract of
+    * [[graft.operators.Dedup.dupSpansAgainst]]: a span whose later copy
+    * arrives in a FUTURE batch is that future batch's finding (and a
+    * full [[graft.operators.Curate.manifestWithStrip]] recompute's for
+    * the standing copy); on any corpus where duplicated spans only flow
+    * forward — or trivially when the whole corpus is one batch — the
+    * accumulated stream manifest equals the batch operator's
+    * (spec-pinned).
+    *
     * @param probes static eval-set frame (doc_id, text) for the
-    *               contamination stage; an empty frame disables it */
+    *               contamination stage; an empty frame disables it
+    * @param substringIndexPath standing (m, cnt, batch_id) shingle-count
+    *               index of kept docs' rolling spans; "" (default)
+    *               disables the substring stage and keeps the 3-column
+    *               manifest
+    * @param spanTokens rolling span width in tokens for the substring
+    *               stage (the [[graft.operators.Dedup.dupSpans]] L) */
   def curateIntake(probes: DataFrame,
                    fpIndexPath: String, sigIndexPath: String,
                    minQuality: Double = 0.5,
                    bands: Int = 16, rowsPerBand: Int = 4,
                    shingleWidth: Int = 3, threshold: Double = 0.5,
                    maxBucket: Int = 64, maxDocFreq: Int = 100,
-                   sink: (DataFrame, Long) => Unit = (_, _) => ())
+                   sink: (DataFrame, Long) => Unit = (_, _) => (),
+                   substringIndexPath: String = "",
+                   spanTokens: Int = 20)
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
     import graft.operators.{Artifacts, CacheRegistry, Curate, Dedup}
     import org.apache.spark.sql.expressions.Window
@@ -480,7 +512,44 @@ object StreamingAnalytics {
         .select(col("id"), col("sh"), col("sig"), lit(batchId).as("batch_id"))
         .write.option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id").mode("overwrite").parquet(sigIndexPath)
-      sink(fates, batchId)
+      val manifest = if (substringIndexPath.isEmpty) fates else {
+        // substring stage over THIS batch's kept survivors vs the
+        // standing kept corpus (counts add ⇒ ≡ dupSpans of all kept
+        // docs so far, restricted to the batch — see scaladoc)
+        val keptDocs = batch.select(col("doc_id"), col("text"))
+          .join(keptIds, "doc_id").persist()
+        CacheRegistry.track(keptDocs)
+        val spans =
+          (if (Artifacts.hasData(spark, substringIndexPath))
+            Dedup.dupSpansAgainst(
+              spark.read.parquet(substringIndexPath)
+                .filter(col("batch_id") =!= lit(batchId))
+                .select(col("m"), col("cnt")),
+              keptDocs, "doc_id", "text", spanTokens)
+          else Dedup.dupSpans(keptDocs, "doc_id", "text", spanTokens))
+        val spanStats = spans.groupBy("doc_id")
+          .agg(sum(col("span_len")).as("dup_toks"))
+        val keptMeta = keptDocs
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .join(spanStats, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("dup_toks"), lit(0L)).as("n_dup_tokens"))
+        // checkpointed BEFORE the count append: the span plan scans
+        // substringIndexPath, which the next write extends (the same
+        // recacheByPath self-match hazard the fp/sig appends document)
+        val extended = fates
+          .join(keptMeta, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("fate"), col("quality_score"),
+            col("n_tokens"), col("n_dup_tokens"))
+          .localCheckpoint(true)
+        Dedup.dupSpanIndex(keptDocs, "doc_id", "text", spanTokens)
+          .select(col("m"), col("cnt"), lit(batchId).as("batch_id"))
+          .write.option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").mode("overwrite").parquet(substringIndexPath)
+        extended
+      }
+      sink(manifest, batchId)
     } finally {
       base.unpersist()
       graft.operators.CacheRegistry.releaseAll()

@@ -37,7 +37,12 @@ import org.apache.spark.sql.streaming.Trigger
   * continuous ingest, without re-pricing the corpus per refresh. The
   * per-batch manifest appends to `<outDir>/manifest`, kept documents
   * land in `<outDir>/clean`, and `SPARK_GRAFT_EVAL_PROBES` (a parquet
-  * of (doc_id, text)) enables the decontamination stage.
+  * of (doc_id, text)) enables the decontamination stage. Adding
+  * `--substring` to `--curate` appends the SUBSTRING-dedup stage to the
+  * manifest ([[graft.operators.Curate.manifestWithStrip]] under
+  * continuous ingest): kept docs gain (n_tokens, n_dup_tokens) priced
+  * against the standing kept corpus's shingle-count index at
+  * `<outDir>/ss_index`, which their own counts then grow.
   *
   * With `--substring`, the gate is the SUBSTRING-dedup intake
   * ([[StreamingAnalytics.substringIntake]]): each batch's duplicated
@@ -123,6 +128,11 @@ object StreamCorpus {
       StreamingAnalytics.curateIntake(probes,
         s"$outDir/fp_index", s"$outDir/sig_index",
         minQuality = minQuality, threshold = threshold,
+        // --curate --substring: the manifest additionally prices span
+        // duplication of each batch's kept docs vs the standing kept
+        // corpus (n_tokens / n_dup_tokens columns), and their shingle
+        // counts grow <outDir>/ss_index
+        substringIndexPath = if (substring) s"$outDir/ss_index" else "",
         sink = (manifest, bid) => {
           // replay-idempotent like the fp/sig indexes one layer down: a
           // retried micro-batch overwrites its own batch_id partition

@@ -809,6 +809,87 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     graft.operators.CacheRegistry.releaseAll()
   }
 
+  test("curate intake substring stage: spans priced vs the standing kept corpus, replay idempotent") {
+    import spark.implicits._
+    import graft.operators.Curate
+    val shared = "the quick brown fox jumps over the lazy sleeping dog" // 10 toks
+    val blockB = "every green turtle walks slowly across warm sand" // 8 toks
+    val doc1 = "the spark system parses the input logs and computes " +
+      "the output tables " + shared
+    val doc10 = "the hive engine scans the remote files and emits " +
+      "the final rows " + shared
+    val doc11 = "the ocean water moves gently near the shore today " + blockB +
+      " while the birds watch from above " + blockB
+    val doc12 = "the mountain path climbs steeply toward the snowy peak where " +
+      "many hikers rest beside the ancient stone marker every spring season"
+    val b0 = Seq(1L -> doc1, 2L -> doc1, 3L -> "short low")
+    val b1 = Seq(10L -> doc10, 11L -> doc11, 12L -> doc12)
+    val probes = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-curate-ss").toString
+    type Row4 = (Long, String, Option[Long], Option[Long])
+    val got = scala.collection.mutable.Map.empty[Long, Seq[Row4]]
+    def mkGate(r: String, sunk: scala.collection.mutable.Map[Long, Seq[Row4]]) =
+      StreamingAnalytics.curateIntake(probes, s"$r/fp", s"$r/sig",
+        sink = (m, bid) => sunk.synchronized {
+          sunk(bid) = m.collect().map(x => (x.getLong(0), x.getString(1),
+            if (x.isNullAt(3)) None else Some(x.getLong(3)),
+            if (x.isNullAt(4)) None else Some(x.getLong(4)))).sortBy(_._1).toSeq
+        },
+        substringIndexPath = s"$r/ss", spanTokens = 8)
+    val gate = mkGate(root, got)
+    gate(b0.toDF("doc_id", "text"), 0L)
+    gate(b1.toDF("doc_id", "text"), 1L)
+    // planted expectations: doc 10's shared 10-token tail is a
+    // CROSS-BATCH span dup vs standing doc 1 (too short a share for
+    // near_dup at jaccard 0.5 — the span stage catches what the doc
+    // stage keeps); doc 11 self-repeats an 8-token block; non-kept
+    // docs price NULL
+    assert(got(0L) == Seq((1L, "kept", Some(22L), Some(0L)),
+      (2L, "exact_dup", None, None), (3L, "low_quality", None, None)),
+      s"batch 0: ${got(0L)}")
+    assert(got(1L) == Seq(
+      (10L, "kept", Some(22L), Some(10L)),
+      (11L, "kept", Some(31L), Some(16L)),
+      (12L, "kept", Some(21L), Some(0L))), s"batch 1: ${got(1L)}")
+    // doc-level fates equal the batch manifest over the cumulative corpus
+    val all = (b0 ++ b1).toDF("doc_id", "text")
+    val wantStrip = Curate.manifestWithStrip(all, probes, spanTokens = 8)
+      .collect().map(x => (x.getLong(0), x.getString(1),
+        if (x.isNullAt(3)) None else Some(x.getLong(3)),
+        if (x.isNullAt(4)) None else Some(x.getLong(4)))).sortBy(_._1).toSeq
+    assert((got(0L) ++ got(1L)).map(t => (t._1, t._2)).sorted ==
+      wantStrip.map(t => (t._1, t._2)).sorted)
+    // where the contracts coincide (batch-1 docs: their dup spans only
+    // look BACKWARD), the stream prices exactly what the batch operator
+    // prices on the accumulated corpus...
+    assert(got(1L) == wantStrip.filter(t => t._1 >= 10L))
+    // ...and the one divergence is the documented incremental contract:
+    // the STANDING copy of a span whose duplicate arrived later (doc
+    // 1's shared tail) is the full recompute's finding, not the stream's
+    assert(wantStrip.find(_._1 == 1L).get._4.contains(10L))
+    assert(got(0L).find(_._1 == 1L).get._4.contains(0L))
+    // the whole corpus as ONE batch: full equality with manifestWithStrip
+    val root2 = java.nio.file.Files.createTempDirectory("graft-curate-ss1").toString
+    val got2 = scala.collection.mutable.Map.empty[Long, Seq[Row4]]
+    mkGate(root2, got2)(all, 0L)
+    assert(got2(0L) == wantStrip, s"one-batch ${got2(0L)} vs $wantStrip")
+    // at-least-once replay of batch 1: same manifest re-delivered, the
+    // count index's own-partition exclusion stops self-flagging, and the
+    // dynamic partition overwrite leaves the index exactly as run-once
+    def idx(): Seq[(String, Long, String)] = spark.read.parquet(s"$root/ss")
+      .select(org.apache.spark.sql.functions.hex(org.apache.spark.sql.functions.col("m")),
+        org.apache.spark.sql.functions.col("cnt"),
+        org.apache.spark.sql.functions.col("batch_id").cast("string"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getString(2)))
+      .sorted.toSeq
+    val before = idx()
+    val g1 = got(1L)
+    gate(b1.toDF("doc_id", "text"), 1L)
+    assert(got(1L) == g1, s"replay must re-deliver identically: ${got(1L)}")
+    assert(idx() == before, "replayed append must be idempotent")
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
   test("streaming sequenceCount equals the batch fold, out-of-order arrivals included") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
