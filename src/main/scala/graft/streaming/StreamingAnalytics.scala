@@ -776,6 +776,90 @@ object StreamingAnalytics {
     }
   }
 
+  /** Vector-INGEST intake — the index-maintenance half of a production
+    * vector store ([[annSearchIntake]]/[[pqServeIntake]] are the
+    * serving half): each arriving (vec_id, embedding) micro-batch is
+    * assigned — and, with `codebooksPath`, PQ-encoded — MAP-SIDE
+    * against the pinned coarse quantizer (loaded once per query
+    * lifetime, the serve intakes' pinned-generation contract), and its
+    * slim list rows append to the persisted index as the batch's own
+    * `batch_id` partition: the standing-index discipline every other
+    * intake uses. Dynamic partition overwrite makes an at-least-once
+    * replay rewrite its own partition instead of double-inserting —
+    * the replay-safe sibling of the plain-append batch APIs
+    * ([[graft.operators.Similarity.ivfAppend]]/`pqAppend`; initialize a
+    * store by feeding the backfill through this intake as batch 0, not
+    * by writing an unpartitioned [[graft.operators.Similarity.ivfPrepare]]
+    * dump next to partitioned batches). Per-batch cost is one
+    * batch-sized assignment/encode scan against broadcast-sized model
+    * arrays plus a batch-sized columnar write — the index is never
+    * rebuilt and never shuffles, so ingest throughput is flat in index
+    * size at any corpus scale.
+    *
+    * Staleness is gated, not guessed: every `driftEvery` batches the
+    * incoming batch is probed against the STANDING index (own partition
+    * excluded, so a replayed batch never probes against itself) with
+    * [[graft.operators.Similarity.ivfDriftProbe]] — assignment-quality
+    * drop, cell skew, reassignment churn — and the report goes to
+    * `driftSink`; retrain-and-rebuild only when the frozen quantizer
+    * measurably no longer fits the arrivals.
+    * [[graft.operators.Similarity.ivfCellStats]] over the store stays
+    * the occupancy dashboard. The probe needs raw float lists, so in
+    * PQ mode (code rows only) point `driftListsPath` at the float IVF
+    * sibling store the same stream maintains under the shared coarse
+    * quantizer — the usual cells+codes(+floats) layering — or leave
+    * drift probing off and gate on occupancy alone.
+    *
+    * Serving composes directly: [[pqServeIntake]] re-lists the same
+    * path per batch, so ingested vectors serve at the NEXT micro-batch
+    * without a query restart, and ingest-then-serve ≡
+    * rebuild-then-serve bit-for-bit at the same pinned geometry
+    * (spec-pinned). Compact with [[compactVectorIndex]] on the usual
+    * committed-batches-only horizon.
+    *
+    * @param sink receives the batch's prepared list rows (lazy plan —
+    *             consuming it re-runs the batch-sized assignment scan) */
+  def vectorIngestIntake(listsPath: String, centroidsPath: String,
+                         codebooksPath: String = "",
+                         driftEvery: Long = 0,
+                         driftListsPath: String = "",
+                         driftSink: (graft.operators.Similarity.IvfDriftReport, Long) => Unit =
+                           (_, _) => (),
+                         sink: (DataFrame, Long) => Unit = (_, _) => ())
+      : (DataFrame, Long) => Unit = {
+    import graft.operators.{Artifacts, Similarity}
+    var quantizer: (Array[Long], Array[Array[Float]]) = null
+    var codebooks: Array[Array[Array[Float]]] = null
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      if (quantizer == null) {
+        quantizer = Artifacts.loadCentroids(spark, centroidsPath)
+        if (codebooksPath.nonEmpty)
+          codebooks = Artifacts.loadPqCodebooks(spark, codebooksPath)
+      }
+      if (driftEvery > 0 && batchId % driftEvery == 0) {
+        val driftPath = if (driftListsPath.nonEmpty) driftListsPath
+          else if (codebooksPath.isEmpty) listsPath
+          else throw new IllegalArgumentException(
+            "vectorIngestIntake: drift probing needs raw float lists — in " +
+              "PQ mode pass driftListsPath (the IVF sibling store under " +
+              "the same coarse quantizer)")
+        if (Artifacts.hasData(spark, driftPath))
+          driftSink(Similarity.ivfDriftProbe(
+            spark.read.parquet(driftPath)
+              .filter(col("batch_id") =!= lit(batchId)),
+            batch, quantizer), batchId)
+      }
+      val prepared = if (codebooks == null) Similarity.ivfPrepare(batch, quantizer)
+        else Similarity.pqPrepare(batch, quantizer, codebooks)
+      prepared.withColumn("batch_id", lit(batchId))
+        .write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").mode("overwrite").parquet(listsPath)
+      spark.catalog.refreshByPath(listsPath)
+      sink(prepared, batchId)
+    }
+  }
+
   /** Keyed state for [[uniformSampleUpdates]]: the group's current
     * top-k (priority, id) pairs — k rows, not the group's row count —
     * plus an observation counter. */
@@ -1284,6 +1368,36 @@ object StreamingAnalytics {
             .otherwise(col("batch_id")).as("batch_id"))
         .groupBy("m", "batch_id").agg(sum(col("cnt")).as("cnt"))
         .repartition(numFiles, col("m"))
+        .write.partitionBy("batch_id").mode("overwrite")
+        .parquet(staging)
+    }
+  }
+
+  /** Compaction for [[vectorIngestIntake]] list stores (IVF float
+    * lists or PQ code lists — schema-agnostic beyond the `cent_id` and
+    * `batch_id` columns): partitions below `belowBatchId` fold into
+    * `batch_id = -1`, files re-clustered by `cent_id` so a serving
+    * probe's cell join touches few files per cell. List rows are pure
+    * functions of (vector, pinned model), so a re-delivered batch whose
+    * only copy was already compacted re-admits byte-identical rows and
+    * `distinct()` collapses that bounded duplication at the fold —
+    * [[compactIndex]]'s argument verbatim. Same committed-batches-only
+    * horizon discipline, same [[swapInto]] rename-swap (the store never
+    * vanishes mid-crash). */
+  def compactVectorIndex(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, numFiles: Int = 32,
+                         belowBatchId: Long = Long.MaxValue): Unit = {
+    import graft.operators.Artifacts
+    require(numFiles >= 1, "numFiles must be >= 1")
+    if (!Artifacts.hasData(spark, indexPath)) return
+    swapInto(spark, indexPath) { staging =>
+      val df = spark.read.parquet(indexPath)
+      val dataCols = df.columns.filterNot(_ == "batch_id").map(col)
+      df.select(dataCols :+
+          when(col("batch_id") < lit(belowBatchId), lit(-1L))
+            .otherwise(col("batch_id").cast("long")).as("batch_id"): _*)
+        .distinct()
+        .repartition(numFiles, col("cent_id"))
         .write.partitionBy("batch_id").mode("overwrite")
         .parquet(staging)
     }

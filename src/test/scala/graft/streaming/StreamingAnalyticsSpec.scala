@@ -1434,4 +1434,94 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(got(1L) == Set((10L, 6L, 31L), (11L, 0L, 22L), (11L, 32L, 54L)))
     assert(got(2L) == Set((20L, 0L, 28L)))
   }
+  test("vector ingest intake: ingest-then-serve equals rebuild-then-serve, replay and compaction included") {
+    import spark.implicits._
+    import graft.operators.{Artifacts, Similarity}
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val b = (0 until 3).map(i => e.filter(col("vec_id") % 3 === i))
+    val quant = Similarity.trainCentroids(b(0), nlist = 8, trainIters = 3)
+    val root = java.nio.file.Files.createTempDirectory("graft-vecing").toString
+    Artifacts.saveCentroids(spark, s"$root/cents", quant._1, quant._2)
+    val queries = e.filter(col("vec_id") < 6)
+    val drifts = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Similarity.IvfDriftReport)]
+    val gate = StreamingAnalytics.vectorIngestIntake(s"$root/ivf", s"$root/cents",
+      driftEvery = 2, driftSink = (r, bid) => drifts += ((bid, r)))
+    b.zipWithIndex.foreach { case (df, i) => gate(df, i.toLong) }
+    def serve(lists: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      Similarity.ivfTopKPrepared(lists, queries, k = 3, quant, nprobe = 2)
+        .select("query_id", "cand_id", "sim", "rank").collect()
+        .map(_.toSeq)
+        .sortBy(r => (r(0).asInstanceOf[Long], r(3).asInstanceOf[Long])).toSeq
+    val rebuilt = Similarity.ivfPrepare(e, quant)
+    val servedIngest = serve(spark.read.parquet(s"$root/ivf"))
+    assert(servedIngest.nonEmpty &&
+      servedIngest == serve(rebuilt),
+      "ingested store must serve bit-identically to a full rebuild")
+    // at-least-once replay: dynamic overwrite of the batch's own
+    // partition leaves the store exactly as run-once
+    def store(): Seq[(Long, Long, String)] = spark.read.parquet(s"$root/ivf")
+      .select(col("cand_id"), col("cent_id"), col("batch_id").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    val before = store()
+    gate(b(1), 1L)
+    assert(store() == before,
+      "replayed ingest batch must overwrite its own partition only")
+    // compaction folds committed partitions into batch_id = -1 via the
+    // rename-swap; serving is unchanged
+    StreamingAnalytics.compactVectorIndex(spark, s"$root/ivf",
+      numFiles = 2, belowBatchId = 2L)
+    assert(spark.read.parquet(s"$root/ivf").select(col("batch_id").cast("long"))
+      .distinct().as[Long].collect().toSet == Set(-1L, 2L))
+    assert(serve(spark.read.parquet(s"$root/ivf")) == servedIngest,
+      "compaction must not change what the store serves")
+    // drift cadence: batch 0 has no standing index yet (skipped), batch
+    // 2 probes quiet on the in-distribution stream...
+    assert(drifts.map(_._1) == Seq(2L), s"drift probes at ${drifts.map(_._1)}")
+    assert(!drifts.head._2.drifted, s"in-distribution probe: ${drifts.head._2}")
+    // ...and fires on a genuinely shifted batch (mass far off every
+    // trained centroid: the assignment-quality symptom)
+    val dim = e.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    val shifted = (100000 until 100064).map(i =>
+        (i.toLong, Seq.tabulate(dim)(d => if (d == 0) 10f else 0.01f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    gate(shifted, 4L)
+    assert(drifts.map(_._1) == Seq(2L, 4L) && drifts.last._2.drifted,
+      s"shifted batch must trip the drift gate: ${drifts.last._2}")
+    // PQ twin: same partitioned-append discipline under the shared
+    // coarse quantizer, serve equality at the pinned geometry
+    val books = Similarity.trainPqCodebooks(b(0), m = 4, ksub = 16)
+    Artifacts.savePqCodebooks(spark, s"$root/books", books)
+    val pqGate = StreamingAnalytics.vectorIngestIntake(s"$root/pq",
+      s"$root/cents", codebooksPath = s"$root/books")
+    b.zipWithIndex.foreach { case (df, i) => pqGate(df, i.toLong) }
+    def pqServe(lists: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      Similarity.pqTopKFromGeom(lists,
+          Similarity.pqProbes(queries, quant, books, nprobe = 2),
+          queries, e, k = 3, rerank = 12)
+        .select("query_id", "cand_id", "sim", "rank").collect()
+        .map(_.toSeq)
+        .sortBy(r => (r(0).asInstanceOf[Long], r(3).asInstanceOf[Long])).toSeq
+    val pqIngest = pqServe(spark.read.parquet(s"$root/pq"))
+    assert(pqIngest.nonEmpty &&
+      pqIngest == pqServe(Similarity.pqPrepare(e, quant, books)),
+      "PQ ingested store must serve bit-identically to a full rebuild")
+    // PQ mode with drift probing but no float sibling must fail loudly
+    val badGate = StreamingAnalytics.vectorIngestIntake(s"$root/pq2",
+      s"$root/cents", codebooksPath = s"$root/books", driftEvery = 1)
+    intercept[IllegalArgumentException] { badGate(b(0), 0L) }
+    // ...and probes fine against the float sibling this stream maintains
+    val pqDrifts = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Similarity.IvfDriftReport)]
+    val sibGate = StreamingAnalytics.vectorIngestIntake(s"$root/pq3",
+      s"$root/cents", codebooksPath = s"$root/books", driftEvery = 1,
+      driftListsPath = s"$root/ivf",
+      driftSink = (r, bid) => pqDrifts += ((bid, r)))
+    sibGate(b(0), 9L)
+    assert(pqDrifts.map(_._1) == Seq(9L) && !pqDrifts.head._2.drifted)
+  }
 }
