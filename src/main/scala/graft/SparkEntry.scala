@@ -161,6 +161,9 @@ object SparkEntry {
     "multimodal_audio_stats" -> (ExtensionQueries.multimodalAudioStats _),
     "multimodal_ulaw_stats" -> (ExtensionQueries.multimodalUlawStats _),
     "multimodal_adpcm_stats" -> (ExtensionQueries.multimodalAdpcmStats _),
+    "multimodal_mjpeg_frames" -> (ExtensionQueries.multimodalMjpegFrames _),
+    "multimodal_mjpeg_decode_violations" ->
+      (ExtensionQueries.multimodalMjpegDecodeViolations _),
     "events_session_window" -> (AnalyticsQueries.eventsSessionWindow _),
     // -- spark.sql surface over registered views + custom SQL functions --
     "sql_events_arrayjoin" -> (PipelineQueries.sqlArrayJoin _),
@@ -235,6 +238,8 @@ object SparkEntry {
     "multimodal_audio_stats" -> ExtensionQueries.multimodalAudioStatsOracle,
     "multimodal_ulaw_stats" -> ExtensionQueries.multimodalUlawStatsOracle,
     "multimodal_adpcm_stats" -> ExtensionQueries.multimodalAdpcmStatsOracle,
+    "multimodal_mjpeg_frames" -> ExtensionQueries.multimodalMjpegFramesOracle,
+    "multimodal_mjpeg_decode_violations" -> ExtensionQueries.violationOracle,
     "events_session_window" -> AnalyticsQueries.eventsSessionWindowOracle,
     "sql_events_arrayjoin" -> PipelineQueries.sqlArrayJoinOracle,
     "sql_mime_decode" -> ExtensionQueries.sqlMimeDecodeOracle,

@@ -492,9 +492,103 @@ object Multimodal {
       }
     }
 
-    /** Positive-guard dispatch: WAV, MP4, WebM, else `none` (stub path). */
+    /** RIFF/AVI `avih` main header (reference container for MJPEG
+      * streams): kind="avi", duration_ms = µsPerFrame·totalFrames/1000;
+      * sample_rate/channels are -1 (video). Positive guard: RIFF form
+      * type 'AVI ' plus an `avih` inside the `hdrl` LIST. */
+    private[operators] def parseAvi(b: Array[Byte]): Option[ContainerMeta] = {
+      if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
+        return None
+      var off = 12L
+      while (off + 8 <= b.length) {
+        val sz = le32(b, off.toInt + 4)
+        if (fourcc(b, off.toInt) == "LIST" && off + 12 <= b.length &&
+            fourcc(b, off.toInt + 8) == "hdrl") {
+          var in = off + 12
+          val end = math.min(off + 8 + sz, b.length.toLong)
+          while (in + 8 <= end) {
+            val csz = le32(b, in.toInt + 4)
+            // avih: dwMicroSecPerFrame at +0, dwTotalFrames at +16
+            if (fourcc(b, in.toInt) == "avih" && in + 8 + 20 <= end)
+              return Some(ContainerMeta("avi",
+                le32(b, in.toInt + 8) * le32(b, in.toInt + 8 + 16) / 1000L,
+                -1, -1))
+            in += 8 + csz + (csz & 1)
+          }
+          return None
+        }
+        off += 8 + sz + (sz & 1)
+      }
+      None
+    }
+
+    /** Walk a RIFF/AVI `movi` LIST: absolute (payload offset, size) of
+      * every video frame chunk (`##dc` compressed / `##db` DIB), in
+      * stream order, honoring the word alignment of odd-sized chunks.
+      * Only fully-contained chunks are returned — a truncated tail is
+      * dropped, never guessed at; non-AVI payloads yield Nil. Pure
+      * header arithmetic: the frame bytes are never copied. */
+    private[operators] def aviFrames(b: Array[Byte]): Seq[(Long, Long)] = {
+      if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
+        return Nil
+      val out = Seq.newBuilder[(Long, Long)]
+      var off = 12L
+      while (off + 8 <= b.length) {
+        val sz = le32(b, off.toInt + 4)
+        if (fourcc(b, off.toInt) == "LIST" && off + 12 <= b.length &&
+            fourcc(b, off.toInt + 8) == "movi") {
+          var in = off + 12
+          val end = math.min(off + 8 + sz, b.length.toLong)
+          while (in + 8 <= end) {
+            val cid = fourcc(b, in.toInt)
+            val csz = le32(b, in.toInt + 4)
+            if ((cid.endsWith("dc") || cid.endsWith("db")) && in + 8 + csz <= end)
+              out += ((in + 8, csz))
+            in += 8 + csz + (csz & 1)
+          }
+        }
+        off += 8 + sz + (sz & 1)
+      }
+      out.result()
+    }
+
+    /** JPEG SOF dimension scan over `len` bytes at `from`: (width,
+      * height) from the first SOF frame header (C0-CF minus DHT/JPG/
+      * DAC), a pure marker walk that skips APPn/DQT/DHT via their
+      * declared lengths — no decoder, so it prices any encoder's
+      * output identically. None when the slice is not a JPEG or no SOF
+      * appears before SOS/EOI/end. */
+    private[operators] def jpegSofDims(b: Array[Byte], from: Long,
+                                       len: Long): Option[(Int, Int)] = {
+      val end = math.min(from + len, b.length.toLong)
+      if (from + 2 > end || u8(b, from.toInt) != 0xFF ||
+          u8(b, from.toInt + 1) != 0xD8) return None
+      var off = from + 2
+      while (off + 4 <= end) {
+        if (u8(b, off.toInt) != 0xFF) return None
+        val marker = u8(b, off.toInt + 1)
+        if (marker == 0xFF) off += 1 // fill byte
+        else if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) off += 2
+        else if (marker == 0xD9 || marker == 0xDA) return None // EOI/SOS first
+        else {
+          if (marker >= 0xC0 && marker <= 0xCF &&
+              marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
+            if (off + 9 > end) return None
+            return Some((
+              (u8(b, off.toInt + 7) << 8) | u8(b, off.toInt + 8),
+              (u8(b, off.toInt + 5) << 8) | u8(b, off.toInt + 6)))
+          }
+          off += 2 + ((u8(b, off.toInt + 2) << 8) | u8(b, off.toInt + 3))
+        }
+      }
+      None
+    }
+
+    /** Positive-guard dispatch: WAV, MP4, WebM, AVI, else `none` (stub
+      * path). */
     def meta(bytes: Array[Byte]): ContainerMeta =
       parseWav(bytes).orElse(parseMp4(bytes)).orElse(parseWebm(bytes))
+        .orElse(parseAvi(bytes))
         .getOrElse(ContainerMeta("none", -1L, -1, -1))
   }
 
@@ -553,6 +647,74 @@ object Multimodal {
       out.write(le16b(predictor & 0xFFFF)) // int16 LE
       out.write(stepIndex & 0xFF); out.write(0)
       out.write(nibbles)
+      out.toByteArray
+    }
+
+    /** Byte offset of the FIRST movi frame payload in an [[aviMjpeg]]
+      * fixture — a constant by construction (12-byte RIFF prefix +
+      * 200-byte hdrl LIST + 12-byte movi LIST header + 8-byte chunk
+      * header), so a relational oracle re-derives every later frame
+      * offset from the planted sizes alone. */
+    val AviMoviPayloadOffset: Long = 232L
+
+    /** Minimal spec-shaped MJPEG-in-AVI container: RIFF('AVI '){ LIST
+      * hdrl { avih(56), LIST strl { strh(56) 'vids'/'MJPG', strf(40)
+      * BITMAPINFOHEADER biCompression='MJPG' } }, LIST movi { '00dc'
+      * frame ... } } with spec word-alignment of odd-sized chunks.
+      * fps = 10^6 / usPerFrame (dwRate/dwScale). */
+    def aviMjpeg(usPerFrame: Long, width: Int, height: Int,
+                 frames: Seq[Array[Byte]]): Array[Byte] = {
+      def chunk(id: String, body: Array[Byte]): Array[Byte] =
+        cc(id) ++ le32b(body.length.toLong) ++ body ++
+          (if ((body.length & 1) == 1) Array[Byte](0) else Array.empty[Byte])
+      def list(kind: String, body: Array[Byte]): Array[Byte] =
+        cc("LIST") ++ le32b(4L + body.length) ++ cc(kind) ++ body
+      val avih = chunk("avih", le32b(usPerFrame) ++ le32b(0) ++ le32b(0) ++
+        le32b(0) ++ le32b(frames.length.toLong) ++ le32b(0) ++ le32b(1) ++
+        le32b(0) ++ le32b(width.toLong) ++ le32b(height.toLong) ++
+        le32b(0) ++ le32b(0) ++ le32b(0) ++ le32b(0))
+      val strh = chunk("strh", cc("vids") ++ cc("MJPG") ++ le32b(0) ++
+        le16b(0) ++ le16b(0) ++ le32b(0) ++ le32b(usPerFrame) ++
+        le32b(1000000L) ++ le32b(0) ++ le32b(frames.length.toLong) ++
+        le32b(0) ++ le32b(0) ++ le32b(0) ++
+        le16b(0) ++ le16b(0) ++ le16b(width) ++ le16b(height))
+      val strf = chunk("strf", le32b(40L) ++ le32b(width.toLong) ++
+        le32b(height.toLong) ++ le16b(1) ++ le16b(24) ++ cc("MJPG") ++
+        le32b(width.toLong * height * 3) ++ le32b(0) ++ le32b(0) ++
+        le32b(0) ++ le32b(0))
+      val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+      val movi = list("movi",
+        frames.iterator.flatMap(f => chunk("00dc", f)).toArray)
+      val body = cc("AVI ") ++ hdrl ++ movi
+      cc("RIFF") ++ le32b(body.length.toLong) ++ body
+    }
+
+    /** Total size of a [[synthJpegHeader]] frame beyond its filler. */
+    val SynthJpegOverhead: Int = 23
+
+    /** Synthetic JPEG-HEADED frame for the movi-walk gate: a real
+      * SOI+SOF0 header declaring (width, height), `fillerLen` zero
+      * bytes, EOI — [[ContainerCodec.jpegSofDims]] parses it exactly
+      * like an encoder's output, and the total size is the
+      * [[SynthJpegOverhead]]-plus-filler formula a relational oracle
+      * can state. NOT a decodable image (no tables, no scan); the
+      * decode tier is gated on real ImageIO output instead. */
+    def synthJpegHeader(width: Int, height: Int, fillerLen: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(SynthJpegOverhead + fillerLen)
+      out.write(0xFF); out.write(0xD8)       // SOI
+      out.write(0xFF); out.write(0xC0)       // SOF0
+      out.write(0); out.write(17)            // segment length: 8 + 3*3
+      out.write(8)                           // sample precision
+      out.write((height >> 8) & 0xFF); out.write(height & 0xFF)
+      out.write((width >> 8) & 0xFF); out.write(width & 0xFF)
+      out.write(3)                           // components
+      var c = 1
+      while (c <= 3) {
+        out.write(c); out.write(0x11); out.write(if (c == 1) 0 else 1)
+        c += 1
+      }
+      out.write(new Array[Byte](fillerLen))
+      out.write(0xFF); out.write(0xD9)       // EOI
       out.toByteArray
     }
 
@@ -728,6 +890,81 @@ object Multimodal {
       it.flatMap { r =>
         val (_, _, frames) = MediaCodec.dims(r.media)
         (0 until frames by everyN).iterator.map(i => FrameRef(r.doc_id, i, frames))
+      }
+    }
+  }
+
+  case class MjpegFrame(doc_id: Long, frame_idx: Int, frame_count: Int,
+                        byte_offset: Long, n_bytes: Long,
+                        width: Int, height: Int)
+
+  /** MJPEG-in-AVI frame walk — the hash-gated metadata tier, same
+    * discipline as the WAV/MP4/WebM header parses: one row per
+    * `##dc`/`##db` chunk of the `movi` LIST with its absolute payload
+    * offset, size, and the JPEG SOF dims parsed from the chunk bytes
+    * themselves ([[ContainerCodec.jpegSofDims]]). Integer-exact, no
+    * decoder, pure per-partition map (no shuffle; frame bytes are
+    * never copied). Non-AVI payloads yield no rows; chunks without a
+    * parseable SOF report -1×-1. */
+  def mjpegFrames(rows: Dataset[MediaRow]): Dataset[MjpegFrame] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        val fs = ContainerCodec.aviFrames(r.media)
+        fs.iterator.zipWithIndex.map { case ((off, len), i) =>
+          val (w, h) = ContainerCodec.jpegSofDims(r.media, off, len)
+            .getOrElse((-1, -1))
+          MjpegFrame(r.doc_id, i, fs.length, off, len, w, h)
+        }
+      }
+    }
+  }
+
+  case class MjpegFrameStats(doc_id: Long, frame_idx: Int, frame_count: Int,
+                             width: Int, height: Int,
+                             sum_r: Long, sum_g: Long, sum_b: Long, n_px: Long)
+
+  /** REAL JDK decode of every `everyN`-th MJPEG frame: ImageIO JPEG
+    * decode of the chunk payload in place, exact integer channel sums
+    * over the decoded pixels. JPEG is lossy and its decoded pixels are
+    * decoder-dependent, so these stats are gated by BOUNDS (a
+    * violations row against the planted frame colors) rather than
+    * value-pinning — the G.711/ADPCM discipline adapted to a lossy
+    * codec; the dims and frame count remain exact. Undecodable frames
+    * report the -1 sentinel row. */
+  def mjpegFrameStats(rows: Dataset[MediaRow],
+                      everyN: Int): Dataset[MjpegFrameStats] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        val fs = ContainerCodec.aviFrames(r.media)
+        fs.iterator.zipWithIndex
+          .filter { case (_, i) => i % everyN == 0 }
+          .map { case ((off, len), i) =>
+            val img =
+              try Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(r.media, off.toInt, len.toInt)))
+              catch { case _: Exception => None }
+            img match {
+              case Some(im) =>
+                var sr = 0L; var sg = 0L; var sb = 0L
+                var y = 0
+                while (y < im.getHeight) {
+                  var x = 0
+                  while (x < im.getWidth) {
+                    val p = im.getRGB(x, y)
+                    sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+                    x += 1
+                  }
+                  y += 1
+                }
+                MjpegFrameStats(r.doc_id, i, fs.length, im.getWidth,
+                  im.getHeight, sr, sg, sb,
+                  im.getWidth.toLong * im.getHeight)
+              case None =>
+                MjpegFrameStats(r.doc_id, i, fs.length, -1, -1, -1L, -1L, -1L, -1L)
+            }
+          }
       }
     }
   }

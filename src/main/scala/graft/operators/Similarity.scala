@@ -66,11 +66,13 @@ object Similarity {
     * (multi-probe is query-side only; the corpus still inserts once per
     * table). `n >> 12` lands at 488 ≈ the measured 1.00 point for 2M and
     * keeps every gate-scale corpus (n ≤ 131k) at the floor of 32 — the
-    * exact geometry the sf0.01 oracles replay. Clamped to 4096 beyond
-    * the measured range (≥16M vectors: sweep with AnnScaleProbe before
-    * trusting the extrapolation). Same discipline as the SimHash
-    * width derivation in [[Dedup]]: budgets derive from index size, not
-    * from a constant tuned at test scale. */
+    * exact geometry the sf0.01 oracles replay. Clamped to 4096 — and
+    * the clamp region is MEASURED, not extrapolated: at 20M vectors
+    * (r17 probe, target/ann_probe_r17_20M.txt) the clamped 4096 width
+    * recalls 1.000 at wall flat against the smaller budgets (the
+    * corpus-side candidate join dominates there). Same discipline as
+    * the SimHash width derivation in [[Dedup]]: budgets derive from
+    * index size, not from a constant tuned at test scale. */
   def autoLshProbes(n: Long): Int =
     math.max(32L, math.min(4096L, n >> 12)).toInt
 
@@ -86,8 +88,11 @@ object Similarity {
     * 0.94@400 / 0.96@1600 = the coarse-cell ceiling, 2-5 s wall for a
     * 10-query batch). √ is one of IEEE 754's correctly-rounded ops, so
     * ⌈√count⌉ derives the SAME integer in any engine — the DuckDB
-    * oracle replays it from count(*) over the list rows. Clamped at
-    * 16384 beyond the measured range. */
+    * oracle replays it from count(*) over the list rows. Re-measured at
+    * 20M vectors (r17 probe): AUTO = 4473 recalls 0.960, still the
+    * coarse-cell ceiling (400 already reaches it — √n is conservative
+    * above the ceiling). Clamped at 16384, unreachable below n = 268M;
+    * beyond that the formula is untested — sweep before trusting. */
   def autoPqRerank(n: Long, k: Int): Int =
     math.max(8L * k,
       math.min(16384L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt

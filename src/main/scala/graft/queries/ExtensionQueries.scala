@@ -3359,6 +3359,103 @@ SELECT doc_id,
        CAST(1 AS INTEGER) AS channels
 FROM rec GROUP BY doc_id ORDER BY doc_id"""
 
+  /** MJPEG-in-AVI movi walk under the hash gate: each doc gets a real
+    * RIFF/AVI container ([[Multimodal.ContainerFixtures.aviMjpeg]])
+    * whose `00dc` frames are synthetic-JPEG-headed payloads with
+    * formula dims and sizes; Spark walks the actual container bytes
+    * ([[Multimodal.mjpegFrames]] — chunk headers, word alignment, SOF
+    * scan) and DuckDB re-derives every offset/size/dim from the same
+    * integer formulas, so the byte-layout constants (the 232-byte
+    * prefix, 8-byte chunk headers, odd-size padding) all sit under the
+    * cross-engine gate. */
+  def multimodalMjpegFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"n_chars", $"source")
+      .as[(Long, Long, String)]
+      .map { case (id, nChars, src) =>
+        val n = (id % 3 + 1).toInt
+        val frames = (0 until n).map { j =>
+          Multimodal.ContainerFixtures.synthJpegHeader(
+            (16 + (id * 7 + j) % 48).toInt,
+            (12 + (id * 5 + j * 3) % 40).toInt,
+            ((nChars * (j + 1)) % 160).toInt)
+        }
+        Multimodal.MediaRow(id,
+          Multimodal.ContainerFixtures.aviMjpeg(40000L, 64, 48, frames),
+          "video/avi", src)
+      }
+    Multimodal.mjpegFrames(rows).toDF().orderBy("doc_id", "frame_idx")
+  }
+
+  val multimodalMjpegFramesOracle: String = """
+WITH d AS (SELECT doc_id, n_chars, doc_id % 3 + 1 AS nf FROM documents),
+u AS (SELECT doc_id, n_chars, nf, unnest(range(nf)) AS j FROM d),
+f AS (
+  SELECT doc_id, CAST(j AS INTEGER) AS frame_idx, CAST(nf AS INTEGER) AS frame_count,
+         23 + (n_chars * (j + 1)) % 160 AS sz,
+         CAST(16 + (doc_id * 7 + j) % 48 AS INTEGER) AS width,
+         CAST(12 + (doc_id * 5 + j * 3) % 40 AS INTEGER) AS height
+  FROM u)
+SELECT doc_id, frame_idx, frame_count,
+       CAST(232 + COALESCE(SUM(8 + sz + sz % 2) OVER (
+              PARTITION BY doc_id ORDER BY frame_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS byte_offset,
+       CAST(sz AS BIGINT) AS n_bytes, width, height
+FROM f ORDER BY doc_id, frame_idx"""
+
+  /** REAL JDK MJPEG decode under a BOUNDS gate: each doc's AVI holds
+    * ImageIO-encoded solid-color JPEG frames (color/dims pure formulas
+    * of (doc_id, frame)); every decoded frame must match the planted
+    * dims and frame count EXACTLY and each decoded mean channel must
+    * sit within ±12 of the planted value. JPEG is lossy, so the
+    * tolerance pins decoder-independent truth (near-DC content
+    * round-trips within a few LSBs) without value-pinning one
+    * libjpeg's rounding — the randomized-estimator policy adapted to a
+    * lossy codec; dims/count stay exact. Bounded to 64 docs: the gate
+    * prices the decoder, not a corpus-sized encode. */
+  def multimodalMjpegDecodeViolations(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") < 64)
+      .select($"doc_id", $"source").as[(Long, String)]
+      .map { case (id, src) =>
+        val frames = (0 until 2).map { j =>
+          val w = (16 * (1 + id % 3)).toInt
+          val h = (16 * (1 + (id + j) % 2)).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (((id * 37 + j * 11) % 256).toInt << 16) |
+            (((id * 59 + j * 23) % 256).toInt << 8) |
+            ((id * 83 + j * 5) % 256).toInt
+          val g = img.createGraphics()
+          try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+          finally g.dispose()
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", buf)
+          buf.toByteArray
+        }
+        Multimodal.MediaRow(id,
+          Multimodal.ContainerFixtures.aviMjpeg(40000L, 64, 48, frames),
+          "video/avi", src)
+      }
+    val stats = Multimodal.mjpegFrameStats(rows, everyN = 1).toDF()
+    val ew = lit(16) * (lit(1) + col("doc_id") % 3)
+    val eh = lit(16) * (lit(1) + (col("doc_id") + col("frame_idx")) % 2)
+    val er = (col("doc_id") * 37 + col("frame_idx") * 11) % 256
+    val eg = (col("doc_id") * 59 + col("frame_idx") * 23) % 256
+    val eb = (col("doc_id") * 83 + col("frame_idx") * 5) % 256
+    def meanOff(sum: Column, want: Column): Column =
+      abs(sum.cast("double") / col("n_px") - want.cast("double")) > lit(12.0)
+    violationSummary(stats,
+      col("frame_count") =!= lit(2) ||
+        col("width") =!= ew || col("height") =!= eh ||
+        col("n_px") =!= ew.cast("long") * eh.cast("long") ||
+        meanOff(col("sum_r"), er) || meanOff(col("sum_g"), eg) ||
+        meanOff(col("sum_b"), eb))
+  }
+
   val multimodalFeaturesOracle: String = """
 SELECT doc_id,
        'image/t' || (doc_id % 3) AS media_type,

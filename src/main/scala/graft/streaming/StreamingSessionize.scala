@@ -231,13 +231,16 @@ object StreamingSessionize {
       // enrichment is idempotent to duplicates), and the events write
       // runs first so the cache materializes inside it at the stateful
       // stage's full parallelism (coalesce only collapses the
-      // post-shuffle tail of the enrich plan). Replay caveat: the sink
-      // is append-mode, NOT idempotent — a crash between the events
-      // write and the store append duplicates ENRICHED EVENT rows when
-      // the batch replays (before r16's reorder the victim was store
-      // rows instead); consumers that need exactly-once should dedup on
-      // (queue_id, seq) or read through a batch_id-partitioned
-      // overwrite sink.
+      // post-shuffle tail of the enrich plan). The two SLIM sinks
+      // (actions store + faults, each a one-task job over the cache)
+      // then commit CONCURRENTLY — their wall cost is max, not sum;
+      // Spark's scheduler interleaves independent jobs from separate
+      // submitter threads. Replay caveat: the sink is append-mode, NOT
+      // idempotent — a crash while the events write or either
+      // concurrent slim write is in flight duplicates the landed
+      // rows when the batch replays (at-least-once); consumers that
+      // need exactly-once should dedup on (queue_id, seq) or read
+      // through a batch_id-partitioned overwrite sink.
       val cached = batch.toDF().persist()
       try {
         val newActs = cached.where(col("kind") === 1)
@@ -247,13 +250,22 @@ object StreamingSessionize {
           else newActs
         enrich(cached.where(col("kind") === 0).as[StreamOut], allActions)
           .toDF().coalesce(4).write.mode("append").parquet(s"$outDir/events")
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
         // one file per batch keeps the accumulated store's per-batch
         // re-list/re-scan at O(batches) files instead of
         // O(batches × shuffle partitions), and commits one task
-        newActs.coalesce(1).write.mode("append")
-          .parquet(s"$outDir/dovecot_actions")
-        cached.where(col("kind") === 2).select(col("fault.*"))
-          .coalesce(1).write.mode("append").parquet(s"$outDir/faults")
+        val actsJob = Future {
+          newActs.coalesce(1).write.mode("append")
+            .parquet(s"$outDir/dovecot_actions")
+        }
+        val faultsJob = Future {
+          cached.where(col("kind") === 2).select(col("fault.*"))
+            .coalesce(1).write.mode("append").parquet(s"$outDir/faults")
+        }
+        Await.result(actsJob, Duration.Inf)
+        Await.result(faultsJob, Duration.Inf)
       } finally { cached.unpersist(); () }
     }
   }

@@ -380,4 +380,82 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(1).duration_ms == 1000L)
     assert(got(2).duration_ms == -1L)
   }
+  private def jpegFill(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+    finally g.dispose()
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", buf)
+    buf.toByteArray
+  }
+
+  test("MJPEG-in-AVI: movi walk yields exact offsets, sizes and SOF dims") {
+    import spark.implicits._
+    import Multimodal.{ContainerCodec, ContainerFixtures}
+    val frames = Seq(jpegFill(32, 16, 0x804020), jpegFill(48, 32, 0x123456),
+      ContainerFixtures.synthJpegHeader(640, 480, 7)) // odd size -> padding
+    val avi = ContainerFixtures.aviMjpeg(40000L, 48, 32, frames)
+    assert(ContainerCodec.meta(avi).kind == "avi")
+    assert(ContainerCodec.meta(avi).duration_ms == 120L) // 3 frames at 25fps
+    val rows = Seq(Multimodal.MediaRow(7L, avi, "video/avi", "s")).toDS()
+    val got = Multimodal.mjpegFrames(rows).collect().sortBy(_.frame_idx)
+    assert(got.length == 3 && got.forall(_.frame_count == 3))
+    assert(got(0).byte_offset == ContainerFixtures.AviMoviPayloadOffset)
+    var expect = ContainerFixtures.AviMoviPayloadOffset
+    got.zip(frames).foreach { case (f, bytes) =>
+      assert(f.byte_offset == expect && f.n_bytes == bytes.length)
+      // the walked slice IS the planted frame, byte for byte
+      assert(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(avi, f.byte_offset.toInt,
+          (f.byte_offset + f.n_bytes).toInt), bytes))
+      expect += 8 + bytes.length + (bytes.length & 1)
+    }
+    // SOF dims from real encoder output AND from the synthetic header
+    assert((got(0).width, got(0).height) == (32, 16))
+    assert((got(1).width, got(1).height) == (48, 32))
+    assert((got(2).width, got(2).height) == (640, 480))
+  }
+
+  test("MJPEG refusals: non-AVI, truncated tail, non-JPEG chunk") {
+    import spark.implicits._
+    import Multimodal.{ContainerCodec, ContainerFixtures}
+    assert(ContainerCodec.aviFrames(
+      ContainerFixtures.wav(8000, 1, 16, new Array[Byte](64))).isEmpty)
+    assert(ContainerCodec.aviFrames("RIFFjunk".getBytes).isEmpty)
+    // truncation mid-frame drops ONLY the partial tail chunk
+    val frames = Seq(jpegFill(16, 16, 0xFF0000), jpegFill(16, 16, 0x00FF00))
+    val avi = ContainerFixtures.aviMjpeg(40000L, 16, 16, frames)
+    val cut = java.util.Arrays.copyOfRange(avi, 0, avi.length - 4)
+    assert(ContainerCodec.aviFrames(cut).length == 1)
+    // a frame that is not a JPEG reports -1 dims, never a crash
+    val bad = ContainerFixtures.aviMjpeg(40000L, 8, 8, Seq("not jpeg!!".getBytes))
+    val got = Multimodal.mjpegFrames(
+      Seq(Multimodal.MediaRow(1L, bad, "video/avi", "s")).toDS()).collect()
+    assert(got.length == 1 && got(0).width == -1 && got(0).height == -1)
+  }
+
+  test("MJPEG decode stats: solid frames round-trip within JPEG tolerance") {
+    import spark.implicits._
+    import Multimodal.ContainerFixtures
+    val (r, g, b) = (200, 64, 130)
+    val avi = ContainerFixtures.aviMjpeg(40000L, 32, 16,
+      Seq(jpegFill(32, 16, (r << 16) | (g << 8) | b), jpegFill(32, 16, 0)))
+    val got = Multimodal.mjpegFrameStats(
+        Seq(Multimodal.MediaRow(1L, avi, "video/avi", "s")).toDS(), everyN = 1)
+      .collect().sortBy(_.frame_idx)
+    assert(got.length == 2 && got.forall(_.frame_count == 2))
+    assert(got.forall(f => f.width == 32 && f.height == 16 && f.n_px == 512))
+    def mean(s: Long) = s.toDouble / 512
+    assert(math.abs(mean(got(0).sum_r) - r) <= 12 &&
+      math.abs(mean(got(0).sum_g) - g) <= 12 &&
+      math.abs(mean(got(0).sum_b) - b) <= 12, s"frame0 ${got(0)}")
+    assert(mean(got(1).sum_r) <= 12 && mean(got(1).sum_g) <= 12 &&
+      mean(got(1).sum_b) <= 12, s"frame1 ${got(1)}")
+    val sampled = Multimodal.mjpegFrameStats(
+      Seq(Multimodal.MediaRow(1L, avi, "video/avi", "s")).toDS(), everyN = 2)
+      .collect()
+    assert(sampled.map(_.frame_idx).toSeq == Seq(0))
+  }
 }
