@@ -1510,6 +1510,18 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(pqIngest.nonEmpty &&
       pqIngest == pqServe(Similarity.pqPrepare(e, quant, books)),
       "PQ ingested store must serve bit-identically to a full rebuild")
+    // composition: the SERVING intake reads the ingest-built partitioned
+    // store directly (batch_id partition column and all) and answers
+    // exactly like the batch geometry search over the same store
+    val served = scala.collection.mutable.Map.empty[Long, Seq[(Long, Long)]]
+    val serveGate = StreamingAnalytics.pqServeIntake(s"$root/pq", e,
+      s"$root/cents", s"$root/books", k = 3, nprobe = 2, rerank = 12,
+      sink = (df, bid) => served(bid) = df.select("query_id", "cand_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    serveGate(queries, 0L)
+    assert(served(0L) ==
+      pqIngest.map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long])).sorted,
+      "pqServeIntake over the ingest-built store must match the batch search")
     // PQ mode with drift probing but no float sibling must fail loudly
     val badGate = StreamingAnalytics.vectorIngestIntake(s"$root/pq2",
       s"$root/cents", codebooksPath = s"$root/books", driftEvery = 1)
