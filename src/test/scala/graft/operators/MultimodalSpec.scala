@@ -458,4 +458,24 @@ class MultimodalSpec extends AnyFunSuite {
       .collect()
     assert(sampled.map(_.frame_idx).toSeq == Seq(0))
   }
+  test("jpegSofDims matches ImageIO dimensions on random encoder output") {
+    val rnd = new scala.util.Random(12345)
+    (1 to 20).foreach { _ =>
+      val w = 1 + rnd.nextInt(200); val h = 1 + rnd.nextInt(120)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, rnd.nextInt() & 0xFFFFFF)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", buf)
+      val b = buf.toByteArray
+      assert(Multimodal.ContainerCodec.jpegSofDims(b, 0, b.length.toLong)
+        .contains((w, h)), s"dims mismatch at ${w}x$h")
+    }
+    // non-JPEG and truncated-before-SOF slices refuse, never guess
+    assert(Multimodal.ContainerCodec
+      .jpegSofDims("hello world bytes".getBytes, 0, 17).isEmpty)
+    assert(Multimodal.ContainerCodec
+      .jpegSofDims(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte), 0, 3).isEmpty)
+  }
 }
