@@ -154,6 +154,8 @@ object SparkEntry {
     "corpus_curate" -> (ExtensionQueries.corpusCurate _),
     "corpus_curate_summary" -> (ExtensionQueries.corpusCurateSummary _),
     "corpus_curate_substring" -> (ExtensionQueries.corpusCurateSubstring _),
+    "corpus_curate_substring_planted" ->
+      (ExtensionQueries.corpusCurateSubstringPlanted _),
     "multimodal_features" -> (ExtensionQueries.multimodalFeatures _),
     "multimodal_resize" -> (ExtensionQueries.multimodalResize _),
     "multimodal_frames" -> (ExtensionQueries.multimodalFrames _),
@@ -164,6 +166,7 @@ object SparkEntry {
     "multimodal_mjpeg_frames" -> (ExtensionQueries.multimodalMjpegFrames _),
     "multimodal_mjpeg_decode_violations" ->
       (ExtensionQueries.multimodalMjpegDecodeViolations _),
+    "multimodal_mp3_meta" -> (ExtensionQueries.multimodalMp3Meta _),
     "events_session_window" -> (AnalyticsQueries.eventsSessionWindow _),
     // -- spark.sql surface over registered views + custom SQL functions --
     "sql_events_arrayjoin" -> (PipelineQueries.sqlArrayJoin _),
@@ -219,6 +222,8 @@ object SparkEntry {
     "corpus_curate" -> ExtensionQueries.corpusCurateOracle,
     "corpus_curate_summary" -> ExtensionQueries.corpusCurateSummaryOracle,
     "corpus_curate_substring" -> ExtensionQueries.corpusCurateSubstringOracle,
+    "corpus_curate_substring_planted" ->
+      ExtensionQueries.corpusCurateSubstringPlantedOracle,
     "dedup_exact" -> ExtensionQueries.dedupExactOracle,
     "dedup_ngram_jaccard" -> ExtensionQueries.dedupNgramJaccardOracle,
     "dedup_components" -> ExtensionQueries.dedupComponentsOracle,
@@ -240,6 +245,7 @@ object SparkEntry {
     "multimodal_adpcm_stats" -> ExtensionQueries.multimodalAdpcmStatsOracle,
     "multimodal_mjpeg_frames" -> ExtensionQueries.multimodalMjpegFramesOracle,
     "multimodal_mjpeg_decode_violations" -> ExtensionQueries.violationOracle,
+    "multimodal_mp3_meta" -> ExtensionQueries.multimodalMp3MetaOracle,
     "events_session_window" -> AnalyticsQueries.eventsSessionWindowOracle,
     "sql_events_arrayjoin" -> PipelineQueries.sqlArrayJoinOracle,
     "sql_mime_decode" -> ExtensionQueries.sqlMimeDecodeOracle,

@@ -265,14 +265,27 @@ object TextExpressions {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[AnyRef, java.lang.Boolean]())
 
-  /** Register the SQL-facing function names. Idempotent per session. */
+  /** Register the SQL-facing function names. Idempotent per session.
+    * When the flag says "already registered" but a name has since been
+    * DROPPED from the registry (catalog.dropTempFunction, a registry
+    * reset), the existence re-check below restores it — the flag is a
+    * hot-path shortcut, not the source of truth. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (registeredSessions.putIfAbsent(reg, java.lang.Boolean.TRUE) == null) {
-      reg.createOrReplaceTempFunction("decode_mime_header",
-        exprs => DecodeMimeHeader(exprs.head), "scala_udf")
-      reg.createOrReplaceTempFunction("winnow_fingerprint",
-        exprs => WinnowFingerprint(exprs.head, 8, 4), "scala_udf")
-    }
+    val names = Seq(
+      "decode_mime_header" ->
+        ((exprs: Seq[Expression]) => DecodeMimeHeader(exprs.head)),
+      "winnow_fingerprint" ->
+        ((exprs: Seq[Expression]) => WinnowFingerprint(exprs.head, 8, 4)))
+    if (registeredSessions.putIfAbsent(reg, java.lang.Boolean.TRUE) == null)
+      names.foreach { case (n, b) =>
+        reg.createOrReplaceTempFunction(n, b, "scala_udf") }
+    else
+      // cheap in-memory lookups per micro-batch; only a dropped name
+      // pays the re-registration write (and its replace warning)
+      names.foreach { case (n, b) =>
+        if (!reg.functionExists(
+              org.apache.spark.sql.catalyst.FunctionIdentifier(n)))
+          reg.createOrReplaceTempFunction(n, b, "scala_udf") }
   }
 }

@@ -525,28 +525,40 @@ object Multimodal {
     /** Walk a RIFF/AVI `movi` LIST: absolute (payload offset, size) of
       * every video frame chunk (`##dc` compressed / `##db` DIB), in
       * stream order, honoring the word alignment of odd-sized chunks.
-      * Only fully-contained chunks are returned — a truncated tail is
+      * Interleaved AVIs group chunks of one interleave unit inside
+      * nested `LIST rec ` sub-lists (AVI RIFF spec) — those are
+      * descended into, recursively, so a standard-interleaved payload
+      * yields the same one-row-per-frame walk as a flat movi. Only
+      * fully-contained chunks are returned — a truncated tail is
       * dropped, never guessed at; non-AVI payloads yield Nil. Pure
       * header arithmetic: the frame bytes are never copied. */
     private[operators] def aviFrames(b: Array[Byte]): Seq[(Long, Long)] = {
       if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
         return Nil
       val out = Seq.newBuilder[(Long, Long)]
+      // one chunk span (movi body or a rec sub-list body); recursion
+      // depth is bounded by the nesting the header arithmetic admits
+      // (each level strictly shrinks the span)
+      def walk(from: Long, to: Long): Unit = {
+        var in = from
+        while (in + 8 <= to) {
+          val cid = fourcc(b, in.toInt)
+          val csz = le32(b, in.toInt + 4)
+          if (cid == "LIST" && in + 12 <= to &&
+              fourcc(b, in.toInt + 8) == "rec ")
+            walk(in + 12, math.min(in + 8 + csz, to))
+          else if ((cid.endsWith("dc") || cid.endsWith("db")) &&
+                   in + 8 + csz <= to)
+            out += ((in + 8, csz))
+          in += 8 + csz + (csz & 1)
+        }
+      }
       var off = 12L
       while (off + 8 <= b.length) {
         val sz = le32(b, off.toInt + 4)
         if (fourcc(b, off.toInt) == "LIST" && off + 12 <= b.length &&
-            fourcc(b, off.toInt + 8) == "movi") {
-          var in = off + 12
-          val end = math.min(off + 8 + sz, b.length.toLong)
-          while (in + 8 <= end) {
-            val cid = fourcc(b, in.toInt)
-            val csz = le32(b, in.toInt + 4)
-            if ((cid.endsWith("dc") || cid.endsWith("db")) && in + 8 + csz <= end)
-              out += ((in + 8, csz))
-            in += 8 + csz + (csz & 1)
-          }
-        }
+            fourcc(b, off.toInt + 8) == "movi")
+          walk(off + 12, math.min(off + 8 + sz, b.length.toLong))
         off += 8 + sz + (sz & 1)
       }
       out.result()
@@ -584,11 +596,86 @@ object Multimodal {
       None
     }
 
-    /** Positive-guard dispatch: WAV, MP4, WebM, AVI, else `none` (stub
-      * path). */
+    // MPEG audio Layer III published tables (ISO/IEC 11172-3 / 13818-3):
+    // bitrate kbps by index 1-14 (0 = free-format, 15 = invalid — both
+    // refused) for MPEG-1 and MPEG-2/2.5; sample rates by version.
+    private[operators] val Mp3BitrateV1: Array[Int] =
+      Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)
+    private[operators] val Mp3BitrateV2: Array[Int] =
+      Array(-1, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, -1)
+    private[operators] val Mp3Rates: Map[Int, Array[Int]] = Map(
+      3 -> Array(44100, 48000, 32000),  // MPEG-1
+      2 -> Array(22050, 24000, 16000),  // MPEG-2
+      0 -> Array(11025, 12000, 8000))   // MPEG-2.5
+
+    /** The per-frame walk behind [[parseMp3]]: (n_frames, total_samples,
+      * sample_rate, channels) summed over the fully-contained Layer III
+      * frame chain — the VBR-safe duration source (per-frame durations
+      * summed, never bitrate×size guessed). Pure integer arithmetic over
+      * the published tables; no codec library.
+      *
+      * Positive-signature guard: the chain must start EXACTLY at byte 0
+      * or immediately after a well-formed ID3v2 tag (10-byte header,
+      * synchsafe size, footer honored) — no sync-scanning, which would
+      * bless arbitrary binary as audio. The walk stops at the first
+      * header that is not a valid Layer III frame (reserved version or
+      * layer, free-format or invalid bitrate index, reserved sample-rate
+      * index, a sample-rate change mid-chain) and REFUSES a truncated
+      * tail — a frame extending past the buffer is dropped, never
+      * guessed at (the aviFrames discipline). None when no complete
+      * frame parses. */
+    private[operators] def mp3FrameChain(b: Array[Byte])
+        : Option[(Int, Long, Int, Int)] = {
+      var off = 0L
+      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+        // ID3v2: version(2) flags(1) synchsafe size(4); footer adds 10
+        val size = ((b(6) & 0x7F).toLong << 21) | ((b(7) & 0x7F) << 14) |
+          ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)
+        off = 10L + size + (if ((b(5) & 0x10) != 0) 10L else 0L)
+      }
+      var frames = 0; var samples = 0L; var rate = -1; var channels = -1
+      var done = false
+      while (!done && off + 4 <= b.length) {
+        val h = be32(b, off.toInt)
+        val version = ((h >> 19) & 3).toInt
+        val layer = ((h >> 17) & 3).toInt
+        val brIdx = ((h >> 12) & 15).toInt
+        val srIdx = ((h >> 10) & 3).toInt
+        val padding = ((h >> 9) & 1).toInt
+        val mode = ((h >> 6) & 3).toInt
+        if (((h >>> 21) & 0x7FF) != 0x7FF || version == 1 || layer != 1 ||
+            brIdx == 0 || brIdx == 15 || srIdx == 3) done = true
+        else {
+          val sr = Mp3Rates(version)(srIdx)
+          val br = (if (version == 3) Mp3BitrateV1 else Mp3BitrateV2)(brIdx) * 1000L
+          val spf = if (version == 3) 1152L else 576L
+          val frameLen = spf / 8L * br / sr + padding
+          if (off + frameLen > b.length || (rate != -1 && sr != rate)) done = true
+          else {
+            if (rate == -1) { rate = sr; channels = if (mode == 3) 1 else 2 }
+            frames += 1; samples += spf; off += frameLen
+          }
+        }
+      }
+      if (frames == 0) None else Some((frames, samples, rate, channels))
+    }
+
+    /** MP3 (MPEG audio Layer III) metadata from the frame-header chain:
+      * duration = Σ per-frame samples / rate (VBR-safe), sample rate and
+      * channel mode from the first frame. Same retreat discipline as
+      * the AVI/EBML walks — header arithmetic only, no codec library;
+      * Layer I/II and free-format streams are refused, not guessed. */
+    private[operators] def parseMp3(b: Array[Byte]): Option[ContainerMeta] =
+      mp3FrameChain(b).map { case (_, samples, rate, channels) =>
+        ContainerMeta("mp3", samples * 1000L / rate, rate, channels)
+      }
+
+    /** Positive-guard dispatch: WAV, MP4, WebM, AVI, MP3, else `none`
+      * (stub path). MP3 last — a frame-sync chain is the weakest magic
+      * of the five. */
     def meta(bytes: Array[Byte]): ContainerMeta =
       parseWav(bytes).orElse(parseMp4(bytes)).orElse(parseWebm(bytes))
-        .orElse(parseAvi(bytes))
+        .orElse(parseAvi(bytes)).orElse(parseMp3(bytes))
         .getOrElse(ContainerMeta("none", -1L, -1, -1))
   }
 
@@ -661,9 +748,13 @@ object Multimodal {
       * hdrl { avih(56), LIST strl { strh(56) 'vids'/'MJPG', strf(40)
       * BITMAPINFOHEADER biCompression='MJPG' } }, LIST movi { '00dc'
       * frame ... } } with spec word-alignment of odd-sized chunks.
-      * fps = 10^6 / usPerFrame (dwRate/dwScale). */
+      * fps = 10^6 / usPerFrame (dwRate/dwScale).
+      * @param recGroup when > 0, frames are grouped `recGroup`-at-a-time
+      *   inside nested `LIST rec ` sub-lists — the standard-interleave
+      *   layout [[ContainerCodec.aviFrames]] must descend into; 0 = the
+      *   flat movi layout. */
     def aviMjpeg(usPerFrame: Long, width: Int, height: Int,
-                 frames: Seq[Array[Byte]]): Array[Byte] = {
+                 frames: Seq[Array[Byte]], recGroup: Int = 0): Array[Byte] = {
       def chunk(id: String, body: Array[Byte]): Array[Byte] =
         cc(id) ++ le32b(body.length.toLong) ++ body ++
           (if ((body.length & 1) == 1) Array[Byte](0) else Array.empty[Byte])
@@ -683,8 +774,11 @@ object Multimodal {
         le32b(width.toLong * height * 3) ++ le32b(0) ++ le32b(0) ++
         le32b(0) ++ le32b(0))
       val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
-      val movi = list("movi",
-        frames.iterator.flatMap(f => chunk("00dc", f)).toArray)
+      val moviBody =
+        if (recGroup <= 0) frames.iterator.flatMap(f => chunk("00dc", f)).toArray
+        else frames.grouped(recGroup).flatMap(g =>
+          list("rec ", g.iterator.flatMap(f => chunk("00dc", f)).toArray)).toArray
+      val movi = list("movi", moviBody)
       val body = cc("AVI ") ++ hdrl ++ movi
       cc("RIFF") ++ le32b(body.length.toLong) ++ body
     }
@@ -715,6 +809,46 @@ object Multimodal {
       }
       out.write(new Array[Byte](fillerLen))
       out.write(0xFF); out.write(0xD9)       // EOI
+      out.toByteArray
+    }
+
+    /** MPEG-audio Layer III frame chain for the gate's planted-fixture
+      * loop: one 4-byte header per `brIdxs` entry (sync, version from
+      * `mpeg1`, Layer III, protection=1 i.e. no CRC, padding=0, the
+      * given bitrate/sample-rate indices and channel `mode`) followed by
+      * ZERO filler to the table-derived frame length — so a walker that
+      * mis-steps lands on non-sync bytes and stops, making the frame
+      * count itself gate the bitrate table. `id3Pad >= 0` prepends a
+      * well-formed ID3v2.4 tag with that many padding bytes (synchsafe
+      * size), exercising the tag skip. Every byte is a pure function of
+      * the parameters — a relational oracle can restate the expected
+      * frame count, duration, and total size from the published tables. */
+    def mp3(mpeg1: Boolean, srIdx: Int, brIdxs: Seq[Int], mode: Int,
+            id3Pad: Int = -1): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      if (id3Pad >= 0) {
+        out.write('I'); out.write('D'); out.write('3')
+        out.write(4); out.write(0)   // v2.4.0
+        out.write(0)                 // flags: no footer
+        out.write((id3Pad >> 21) & 0x7F); out.write((id3Pad >> 14) & 0x7F)
+        out.write((id3Pad >> 7) & 0x7F); out.write(id3Pad & 0x7F)
+        out.write(new Array[Byte](id3Pad))
+      }
+      val version = if (mpeg1) 3 else 2
+      val sr = ContainerCodec.Mp3Rates(version)(srIdx)
+      val brTable =
+        if (mpeg1) ContainerCodec.Mp3BitrateV1 else ContainerCodec.Mp3BitrateV2
+      val spf = if (mpeg1) 1152L else 576L
+      brIdxs.foreach { brIdx =>
+        require(brIdx >= 1 && brIdx <= 14, s"bitrate index $brIdx")
+        val h = (0x7FFL << 21) | (version.toLong << 19) | (1L << 17) |
+          (1L << 16) | (brIdx.toLong << 12) | (srIdx.toLong << 10) |
+          (mode.toLong << 6)
+        val frameLen = (spf / 8L * brTable(brIdx) * 1000L / sr).toInt
+        out.write(((h >> 24) & 0xFF).toInt); out.write(((h >> 16) & 0xFF).toInt)
+        out.write(((h >> 8) & 0xFF).toInt); out.write((h & 0xFF).toInt)
+        out.write(new Array[Byte](frameLen - 4))
+      }
       out.toByteArray
     }
 
@@ -854,6 +988,30 @@ object Multimodal {
     }
   }
 
+  case class Mp3Meta(doc_id: Long, kind: String, duration_ms: Long,
+                     sample_rate: Int, channels: Int, n_frames: Int,
+                     n_bytes: Long)
+
+  /** MP3 metadata incl. the walked frame COUNT — the count is what puts
+    * the bitrate-table stepping itself under the gate: a wrong table
+    * entry mis-steps the walk onto zero filler, fails the sync check,
+    * and shortens the chain. Non-MP3 payloads report the `none`
+    * sentinel row (walk refused), never a guess. */
+  def mp3Meta(rows: Dataset[MediaRow]): Dataset[Mp3Meta] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        ContainerCodec.mp3FrameChain(r.media) match {
+          case Some((frames, samples, rate, channels)) =>
+            Mp3Meta(r.doc_id, "mp3", samples * 1000L / rate, rate, channels,
+              frames, r.media.length.toLong)
+          case None =>
+            Mp3Meta(r.doc_id, "none", -1L, -1, -1, 0, r.media.length.toLong)
+        }
+      }
+    }
+  }
+
   case class ResizedMedia(doc_id: Long, width: Int, height: Int,
                           out_width: Int, out_height: Int, n_bytes_out: Long)
   case class FrameRef(doc_id: Long, frame_idx: Int, frame_count: Int)
@@ -934,6 +1092,7 @@ object Multimodal {
     * report the -1 sentinel row. */
   def mjpegFrameStats(rows: Dataset[MediaRow],
                       everyN: Int): Dataset[MjpegFrameStats] = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
       it.flatMap { r =>

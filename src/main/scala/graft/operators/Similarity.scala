@@ -79,23 +79,29 @@ object Similarity {
   /** Scale-aware PQ exact-rerank frontier: keepR grows with the corpus
     * because ADC quantization noise displaces true top-k items by a
     * rank margin that widens with the number of distractors inside the
-    * noise band. ⌈√n⌉ fits the measured recall plateaus across three
-    * decades (tools.AnnScaleProbe): n=500 plateaus at keepR ≤ 40 (the
-    * 8·k floor binds for n ≤ (8k)² — 1,600 at k=5 — which covers the
+    * noise band — but only until the displacement SATURATES; past that
+    * the binder is the IVF cell-recall ceiling, which no rerank budget
+    * can buy back. ⌈√n⌉ fits the measured sub-saturation plateaus
+    * (tools.AnnScaleProbe): n=500 plateaus at keepR ≤ 40 (the 8·k
+    * floor binds for n ≤ (8k)² — 1,600 at k=5 — which covers the
     * sf0.01 oracle corpus, so the gate replays the old fixed-40
-    * geometry), n=20k at ~100 (√n = 142; the constant-fraction rule
-    * n/1250 left 0.88 there), n=2M at ~1600 (√n = 1415; measured
-    * 0.94@400 / 0.96@1600 = the coarse-cell ceiling, 2-5 s wall for a
-    * 10-query batch). √ is one of IEEE 754's correctly-rounded ops, so
-    * ⌈√count⌉ derives the SAME integer in any engine — the DuckDB
-    * oracle replays it from count(*) over the list rows. Re-measured at
-    * 20M vectors (r17 probe): AUTO = 4473 recalls 0.960, still the
-    * coarse-cell ceiling (400 already reaches it — √n is conservative
-    * above the ceiling). Clamped at 16384, unreachable below n = 268M;
-    * beyond that the formula is untested — sweep before trusting. */
+    * geometry), n=20k at ~100 (√n = 142), n=200k at ~100 (√n = 448).
+    * The saturation cap is 160·k — 20× the floor — the measured point
+    * past which recall improves at NO decade up to 20M vectors:
+    * n=2M needs exactly 800 for the 0.960 cell ceiling (600→0.940,
+    * r18 sweep, target/ann_probe_r18_2M.txt), n=20M is at the ceiling
+    * from 400 (r17+r18 probes). The uncapped √n term overspent wall
+    * linearly past the ceiling — 161.4 s at AUTO=4473 vs 15.9 s at 400
+    * for identical 0.960 recall at 20M (r17 finding) — and would reach
+    * 31,623 per query at 1B vectors; the cap keeps per-query rerank
+    * O(k) at every scale beyond 2.56M·(k/5)². Every term is a pure
+    * integer function of count(*) and k (√ is IEEE-correctly-rounded
+    * in any engine), so the DuckDB oracle re-derives the same budget
+    * from the replayed list rows. Calibrated at k=5; the k-proportional
+    * cap extrapolates the floor's shape, not a measurement. */
   def autoPqRerank(n: Long, k: Int): Int =
     math.max(8L * k,
-      math.min(16384L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+      math.min(160L * k, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
 
   /** `nBits`-bit random-hyperplane signature of a float-array column:
     * bit p = sign of the dot product with a hyperplane whose components
@@ -1021,8 +1027,9 @@ object Similarity {
     * contract as [[ivfqTopKFromGeom]].
     *
     * @param rerank keepR frontier size; 0 = AUTO — derive from the
-    *   index size ([[autoPqRerank]]: max(8·k, ⌈√n⌉), the measured
-    *   plateau fit) with one count over the slim list rows.
+    *   index size ([[autoPqRerank]]: max(8·k, min(160·k, ⌈√n⌉)), the
+    *   measured plateau fit capped at the measured displacement
+    *   saturation) with one count over the slim list rows.
     *   Serve loops that hold a pinned index snapshot should resolve the
     *   budget once and pass it explicitly (see streaming
     *   pqSearchIntake) rather than pay the count per batch. */

@@ -235,14 +235,14 @@ ORDER BY d.doc_id"""
     * [[corpusCleanOracle]] fingerprint/quality stage, the
     * [[corpusDecontaminateOracle]] 5-gram sweep over stage-2 survivors,
     * and the keep-best closure + argmax over stage-3 survivors. */
-  val corpusCurateOracle: String = s"""
+  def corpusCurateOracleFrom(docs: String): String = s"""
 WITH RECURSIVE base AS (
   SELECT doc_id, text,
     md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
     $qualityScoreSql AS quality_score,
     row_number() OVER (PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
                        ORDER BY doc_id) AS rn
-  FROM documents),
+  FROM $docs),
 s2 AS (SELECT doc_id, text, quality_score FROM base
        WHERE rn = 1 AND quality_score >= 0.5),
 w5 AS (
@@ -265,7 +265,7 @@ capped5 AS (
 pw AS (
   SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS i,
          unnest(string_split(text,' ')) AS w
-  FROM documents WHERE doc_id < 100),
+  FROM $docs pdsrc WHERE doc_id < 100),
 pg0 AS (
   SELECT doc_id,
          w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i) || ' ' ||
@@ -338,6 +338,8 @@ LEFT JOIN contam ct ON ct.doc_id = b.doc_id
 LEFT JOIN kept k ON k.doc_id = b.doc_id
 ORDER BY b.doc_id"""
 
+  val corpusCurateOracle: String = corpusCurateOracleFrom("documents")
+
   /** Persisted curate manifest per corpus — the production shape for
     * READOUTS: the four-stage pipeline materializes once (the live
     * `corpus_curate` row keeps pricing the computation itself),
@@ -390,10 +392,10 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
     * docs — md5 shingle equality, gap-≤20 island merge, span mass
     * summed per doc. Non-kept docs carry NULL stage columns (the stage
     * never saw them); clean kept docs carry 0. */
-  val corpusCurateSubstringOracle: String = s"""
-WITH m AS ($corpusCurateOracle),
+  def corpusCurateSubstringOracleFrom(docs: String): String = s"""
+WITH m AS (${corpusCurateOracleFrom(docs)}),
 kd AS (SELECT d.doc_id, string_split(d.text, ' ') AS w
-       FROM documents d JOIN m ON m.doc_id = d.doc_id
+       FROM $docs d JOIN m ON m.doc_id = d.doc_id
        WHERE m.fate = 'kept'),
 sh AS (SELECT doc_id, CAST(i AS INTEGER) AS idx,
          md5(array_to_string(w[CAST(i+1 AS BIGINT):CAST(i+20 AS BIGINT)], ' ')) AS h
@@ -421,6 +423,49 @@ FROM m
 LEFT JOIN kd ON kd.doc_id = m.doc_id
 LEFT JOIN st ON st.doc_id = m.doc_id
 ORDER BY m.doc_id"""
+
+  val corpusCurateSubstringOracle: String =
+    corpusCurateSubstringOracleFrom("documents")
+
+  /** The planted firing fixture for the composed substring stage: the
+    * synthetic corpora are span-clean (the r17 probe measured ZERO
+    * shared ≥6-token spans among kept survivors at any width 6-20 —
+    * corpus-intrinsic), so this variant derives a corpus where a fixed
+    * [[PlantedSpan]] boilerplate tail (26 whitespace tokens ≥ the
+    * 20-token span width) is appended to every `doc_id % 7 = 3` doc
+    * OUTSIDE the probe set (`doc_id >= 100` — a planted probe would
+    * feed the tail's 5-grams to the contamination stage and eat every
+    * planted doc before the span stage sees it). Both engines derive
+    * the same corpus from the same CASE expression, so the composed
+    * manifest now prices NONZERO (n_tokens, n_dup_tokens) span mass
+    * through the exact pipeline the streaming curate intake runs —
+    * every kept planted doc shares the tail's 7 fully-interior
+    * 20-token shingles, one 26-token island each. */
+  private val PlantedSpan: String =
+    "large language models are trained on deduplicated corpora where " +
+    "repeated boilerplate passages are detected and stripped before " +
+    "tokenization to improve sample efficiency across every training shard"
+
+  private val plantedDocsSql: String =
+    s"(SELECT doc_id, CASE WHEN doc_id >= 100 AND doc_id % 7 = 3 " +
+    s"THEN text || ' $PlantedSpan' ELSE text END AS text FROM documents)"
+
+  private def plantedDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents").select(col("doc_id"),
+      when(col("doc_id") >= 100 && col("doc_id") % 7 === 3,
+        concat(col("text"), lit(" " + PlantedSpan)))
+        .otherwise(col("text")).as("text"))
+
+  def corpusCurateSubstringPlanted(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = plantedDocs(spark, sfDir)
+    graft.operators.Curate.manifestWithStrip(docs,
+        probes = docs.filter(col("doc_id") < 100), minQuality = 0.5,
+        spanTokens = 20)
+      .orderBy("doc_id")
+  }
+
+  val corpusCurateSubstringPlantedOracle: String =
+    corpusCurateSubstringOracleFrom(plantedDocsSql)
 
   /** Oracle: closure CTE + the [[textStatsOracle]] quality expression +
     * one argmax window — same verdict, derived relationally. */
@@ -1541,7 +1586,7 @@ front AS (
                             ORDER BY asim DESC, cand_id) AS arank
   FROM front0),
 cand AS (SELECT query_id, cand_id FROM front
-         WHERE arank <= (SELECT GREATEST(${8 * PqGateK}, LEAST(16384,
+         WHERE arank <= (SELECT GREATEST(${8 * PqGateK}, LEAST(${160 * PqGateK},
                            CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM il)),
 p AS (
   SELECT cand.query_id, cand.cand_id,
@@ -3404,6 +3449,78 @@ SELECT doc_id, frame_idx, frame_count,
          AS BIGINT) AS byte_offset,
        CAST(sz AS BIGINT) AS n_bytes, width, height
 FROM f ORDER BY doc_id, frame_idx"""
+
+  /** MP3 (MPEG audio Layer III) frame-header walk under the gate —
+    * the AVI/EBML retreat discipline applied to a raw frame chain:
+    * every doc gets a planted Layer III stream whose version, sample
+    * rate, channel mode, per-frame (VBR) bitrate indices, optional
+    * ID3v2 tag, and optional truncated tail are pure functions of
+    * (doc_id, n_chars); Spark walks the real bytes
+    * ([[Multimodal.ContainerCodec.mp3FrameChain]]) and DuckDB restates
+    * duration / rate / frame count / total size from the PUBLISHED
+    * bitrate and sample-rate tables written inline in the SQL — so a
+    * wrong table constant on the Scala side mis-steps the walk onto
+    * zero filler and diverges the frame count. Truncated docs
+    * (doc_id % 5 = 0) lose exactly their last frame: dropped, never
+    * guessed at. */
+  def multimodalMp3Meta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"n_chars", $"source")
+      .as[(Long, Long, String)]
+      .map { case (id, nChars, src) =>
+        val nframes = (2 + nChars % 6).toInt
+        val brIdxs = (0 until nframes).map(i => (1 + (id * 7 + i * 3) % 14).toInt)
+        val full = Multimodal.ContainerFixtures.mp3(
+          mpeg1 = id % 2 == 0, srIdx = (id % 3).toInt, brIdxs = brIdxs,
+          mode = (id % 4).toInt,
+          id3Pad = if (id % 3 == 0) (id % 7).toInt else -1)
+        val media = if (id % 5 == 0) full.dropRight(3) else full
+        Multimodal.MediaRow(id, media, "audio/mpeg", src)
+      }
+    Multimodal.mp3Meta(rows).toDF().orderBy("doc_id")
+  }
+
+  val multimodalMp3MetaOracle: String = """
+WITH d AS (SELECT doc_id, 2 + n_chars % 6 AS nf FROM documents),
+f AS (SELECT doc_id, nf, unnest(range(nf)) AS i FROM d),
+p AS (
+  SELECT doc_id, nf, doc_id % 2 = 0 AS v1,
+         1 + (doc_id * 7 + i * 3) % 14 AS bri, doc_id % 3 AS sri
+  FROM f),
+t AS (
+  SELECT doc_id, nf,
+    CASE WHEN v1 THEN
+      CASE sri WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
+    ELSE
+      CASE sri WHEN 0 THEN 22050 WHEN 1 THEN 24000 ELSE 16000 END
+    END AS sr,
+    CASE WHEN v1 THEN 1152 ELSE 576 END AS spf,
+    CASE WHEN v1 THEN
+      CASE bri WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48 WHEN 4 THEN 56
+               WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112
+               WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192
+               WHEN 12 THEN 224 WHEN 13 THEN 256 ELSE 320 END
+    ELSE
+      CASE bri WHEN 1 THEN 8 WHEN 2 THEN 16 WHEN 3 THEN 24 WHEN 4 THEN 32
+               WHEN 5 THEN 40 WHEN 6 THEN 48 WHEN 7 THEN 56 WHEN 8 THEN 64
+               WHEN 9 THEN 80 WHEN 10 THEN 96 WHEN 11 THEN 112
+               WHEN 12 THEN 128 WHEN 13 THEN 144 ELSE 160 END
+    END AS br
+  FROM p),
+g AS (
+  SELECT doc_id, max(nf) AS nf, max(sr) AS sr, max(spf) AS spf,
+         SUM(spf // 8 * br * 1000 // sr) AS body
+  FROM t GROUP BY doc_id)
+SELECT doc_id, 'mp3' AS kind,
+  CAST((nf - CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) * spf * 1000 // sr
+    AS BIGINT) AS duration_ms,
+  CAST(sr AS INTEGER) AS sample_rate,
+  CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END AS INTEGER) AS channels,
+  CAST(nf - CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INTEGER) AS n_frames,
+  CAST(body + CASE WHEN doc_id % 3 = 0 THEN 10 + doc_id % 7 ELSE 0 END
+       - CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 0 END AS BIGINT) AS n_bytes
+FROM g ORDER BY doc_id"""
 
   /** REAL JDK MJPEG decode under a BOUNDS gate: each doc's AVI holds
     * ImageIO-encoded solid-color JPEG frames (color/dims pure formulas

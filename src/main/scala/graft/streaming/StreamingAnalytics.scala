@@ -860,6 +860,85 @@ object StreamingAnalytics {
     }
   }
 
+  /** GENERATION-AWARE vector ingest — [[vectorIngestIntake]] lifted onto
+    * a [[graft.operators.VectorStore]] root, closing the
+    * drift→retrain→rollover→reclaim loop under LIVE ingest (the cutover
+    * contract, spelled out in [[graft.operators.VectorStore]]'s
+    * scaladoc): each micro-batch re-resolves the live generation (one
+    * filesystem listing — cheap next to the batch's encode scan); when
+    * a retrain has published a NEWER generation, the intake first
+    * replays every batch above the new generation's high water from the
+    * previously-pinned generation's raw floats onto the new one
+    * ([[graft.operators.VectorStore.catchUp]] — idempotent,
+    * batch_id-partition-overwrite), then re-pins models and appends the
+    * arriving batch there. A batch therefore serves from the new
+    * generation whether it landed before the publish snapshot (in the
+    * bulk), during the publish window (caught up), or after cutover
+    * (appended directly) — none is lost, none double-serves.
+    *
+    * Crash discipline: the FIRST batch after a (re)start also catches
+    * up from the newest predecessor generation still on disk, so a
+    * crash between a publish and its cutover replay cannot strand the
+    * in-window batches; the replay is idempotent, so repeating it after
+    * an at-least-once restart rewrites the same bytes. Reclaim retired
+    * generations only once their still-pinned readers are gone
+    * ([[graft.operators.VectorStore.dropGenerationsBelow]]) — the
+    * intake itself never deletes.
+    *
+    * Drift probes run against the pinned generation's float frame
+    * (`flists` for PQ stores, `lists` for IVF — no `driftListsPath`
+    * plumbing needed: the store layout carries the floats).
+    *
+    * @param cutoverSink observes each rollover: (new generation number,
+    *                    replayed batch ids) — wire it to the ops log
+    * @param sink        receives the batch's prepared code rows (lazy
+    *                    plan), after the generation write committed */
+  def vectorStoreIngestIntake(root: String,
+                              driftEvery: Long = 0,
+                              driftSink: (graft.operators.Similarity.IvfDriftReport, Long) => Unit =
+                                (_, _) => (),
+                              cutoverSink: (Long, Seq[Long]) => Unit = (_, _) => (),
+                              sink: (DataFrame, Long) => Unit = (_, _) => ())
+      : (DataFrame, Long) => Unit = {
+    import graft.operators.{Artifacts, Similarity, VectorStore}
+    var pinned: VectorStore.Generation = null
+    var models: VectorStore.Models = null
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      val cur = VectorStore.current(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"vectorStoreIngestIntake: no committed generation at $root — " +
+            "VectorStore.publish the bulk build before starting ingest"))
+      if (pinned == null) {
+        // (re)start: the previous process may have died between a
+        // publish and its cutover replay — catch up from the newest
+        // predecessor still on disk (no-op when already caught up)
+        VectorStore.generations(spark, root).filter(_ < cur.gen)
+          .lastOption.foreach { pred =>
+            val replayed = VectorStore.catchUp(spark,
+              VectorStore.Generation(pred, root), cur)
+            if (replayed.nonEmpty) cutoverSink(cur.gen, replayed)
+          }
+        pinned = cur
+        models = VectorStore.models(spark, cur)
+      } else if (cur.gen > pinned.gen) {
+        cutoverSink(cur.gen, VectorStore.catchUp(spark, pinned, cur))
+        pinned = cur
+        models = VectorStore.models(spark, cur)
+      }
+      if (driftEvery > 0 && batchId % driftEvery == 0) {
+        val driftPath = if (models.isPq) pinned.flists else pinned.lists
+        if (Artifacts.hasData(spark, driftPath))
+          driftSink(Similarity.ivfDriftProbe(
+            spark.read.parquet(driftPath)
+              .filter(col("batch_id") =!= lit(batchId)),
+            batch, models.quantizer), batchId)
+      }
+      sink(VectorStore.ingestBatch(spark, pinned, models, batch, batchId),
+        batchId)
+    }
+  }
+
   /** Keyed state for [[uniformSampleUpdates]]: the group's current
     * top-k (priority, id) pairs — k rows, not the group's row count —
     * plus an observation counter. */

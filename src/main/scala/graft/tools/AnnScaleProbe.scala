@@ -52,30 +52,67 @@ object AnnScaleProbe {
       println(f"[ann-probe] $label recall@$k=$r%.3f wall=${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
 
+    // Focused-run knobs (default = the standing full ladder recipe):
+    //   SPARK_GRAFT_ANN_RERANKS="400,800,1600"  PQ sweep points
+    //   SPARK_GRAFT_ANN_PROBES="32,512"         LSH sweep points
+    //   (an empty string skips that family entirely)
+    //   SPARK_GRAFT_ANN_REPEATS=2               timings per point
+    def sweep(env: String, default: Seq[Int]): Seq[Int] =
+      sys.env.get(env).map(_.split(",").filter(_.nonEmpty).toSeq
+        .map(_.trim.toInt)).getOrElse(default)
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_ANN_REPEATS", "1").toInt
+
     // PQ: one shared geometry (the gate's 16×256 grid over the shared
     // 16-cell coarse quantizer), swept over the exact-rerank frontier
-    val cents = Similarity.trainCentroids(e, nlist = 16, trainIters = 2)
-    val books = Similarity.trainPqCodebooks(e, m = 16, ksub = 256)
-    val pq = Similarity.pqGeomFrames(q, e, cents, books, nprobe = 12)
-    val lists = pq.lists.persist(); val nCorpus = lists.count()
-    val probes = pq.probes.persist(); probes.count()
-    val autoRerank = Similarity.autoPqRerank(nCorpus, k)
-    for (rerank <- (Seq(40, 100, 400, 1600) :+ autoRerank).distinct.sorted) {
-      val tag = if (rerank == autoRerank) s"$rerank(AUTO)" else rerank.toString
-      timed(s"pq rerank=$tag",
-        Similarity.pqTopKFromGeom(lists, probes, q, e, k, rerank = rerank))
+    val pqSweep = sweep("SPARK_GRAFT_ANN_RERANKS", Seq(40, 100, 400, 1600))
+    val lshSweep = sweep("SPARK_GRAFT_ANN_PROBES", Seq(32, 128, 512))
+    if (pqSweep.nonEmpty) {
+      val cents = Similarity.trainCentroids(e, nlist = 16, trainIters = 2)
+      val books = Similarity.trainPqCodebooks(e, m = 16, ksub = 256)
+      val pq = Similarity.pqGeomFrames(q, e, cents, books, nprobe = 12)
+      val lists = pq.lists.persist(); val nCorpus = lists.count()
+      val probes = pq.probes.persist(); probes.count()
+      val autoRerank = Similarity.autoPqRerank(nCorpus, k)
+      for (rerank <- (pqSweep :+ autoRerank).distinct.sorted; _ <- 1 to repeats) {
+        val tag = if (rerank == autoRerank) s"$rerank(AUTO)" else rerank.toString
+        timed(s"pq rerank=$tag",
+          Similarity.pqTopKFromGeom(lists, probes, q, e, k, rerank = rerank))
+      }
+      lists.unpersist(); probes.unpersist()
     }
-    lists.unpersist(); probes.unpersist()
 
     // LSH: the gate's scale-adaptive bucket depth (bitsPerTable=0),
     // swept over the query-side multi-probe budget incl. the
     // scale-aware AUTO width the defaults now derive
-    val autoProbes = Similarity.autoLshProbes(nCorpus)
-    for (p <- (Seq(32, 128, 512) :+ autoProbes).distinct.sorted) {
-      val tag = if (p == autoProbes) s"$p(AUTO)" else p.toString
-      val f = Similarity.lshProbeFrames(q, e,
-        tables = 24, bitsPerTable = 0, maxBucket = 64, probes = p)
-      timed(s"lsh probes=$tag", Similarity.lshRerankTopK(q, e, f.qProbes, f.cBuckets, k))
+    if (lshSweep.nonEmpty) {
+      val nCorpus = e.filter(Similarity.vecNorm(col("embedding")) > 0).count()
+      val autoProbes = Similarity.autoLshProbes(nCorpus)
+      // SPARK_GRAFT_ANN_DECOMPOSE=1: split each point's wall into the
+      // corpus-side geometry build (signature explode + block window —
+      // probe-count-independent) vs the probe-dependent candidate join
+      // + rerank, to locate where a flat-in-probes wall actually lands
+      val decompose = sys.env.get("SPARK_GRAFT_ANN_DECOMPOSE").contains("1")
+      for (p <- (lshSweep :+ autoProbes).distinct.sorted; _ <- 1 to repeats) {
+        val tag = if (p == autoProbes) s"$p(AUTO)" else p.toString
+        if (decompose) {
+          val t0 = System.nanoTime()
+          val f = Similarity.lshProbeFrames(q, e,
+            tables = 24, bitsPerTable = 0, maxBucket = 64, probes = p)
+          val nSig = f.cBuckets.count() // materialize the persisted geometry
+          val tGeom = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          val nProbes = f.qProbes.count()
+          val tProbes = (System.nanoTime() - t1) / 1e9
+          println(f"[ann-probe] lsh probes=$tag geom=$tGeom%.1fs" +
+            f" ($nSig sig rows) qprobes=$tProbes%.1fs ($nProbes rows)")
+          timed(s"lsh probes=$tag join+rerank",
+            Similarity.lshRerankTopK(q, e, f.qProbes, f.cBuckets, k))
+        } else {
+          val f = Similarity.lshProbeFrames(q, e,
+            tables = 24, bitsPerTable = 0, maxBucket = 64, probes = p)
+          timed(s"lsh probes=$tag", Similarity.lshRerankTopK(q, e, f.qProbes, f.cBuckets, k))
+        }
+      }
     }
     exact.unpersist()
     spark.stop()

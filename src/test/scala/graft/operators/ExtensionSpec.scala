@@ -505,12 +505,37 @@ class ExtensionSpec extends AnyFunSuite {
     assert(autoLshProbes(200000) == 48)   // sf10 — measured 0.960
     assert(autoLshProbes(2000000) == 488) // sf100 — measured 1.000
     assert(autoPqRerank(200000, 5) == 448)   // sf10 — measured 0.960
-    assert(autoPqRerank(2000000, 5) == 1415) // sf100 — measured 0.960
+    // the 160·k saturation cap: the r18 2M sweep measured 800 as the
+    // exact budget reaching the 0.960 cell ceiling (600 → 0.940), and
+    // NO measured decade up to 20M improves past it — √n's 1415 here
+    // (and 4473 at 20M) bought zero recall for linear wall
+    assert(autoPqRerank(2000000, 5) == 800)  // sf100 — measured ceiling
+    assert(autoPqRerank(20000000, 5) == 800) // 20M — ceiling from 400
     // clamps guard the unmeasured range
     assert(autoLshProbes(1L << 40) == 4096)
-    assert(autoPqRerank(1L << 40, 5) == 16384)
+    assert(autoPqRerank(1L << 40, 5) == 800)
     // degenerate inputs stay at the floors
     assert(autoLshProbes(0) == 32 && autoPqRerank(0, 5) == 40)
+  }
+
+  test("planted boilerplate tails FIRE the composed substring stage (nonzero span mass)") {
+    // the unplanted corpora are span-clean (r17 probe: zero shared
+    // >=6-token spans among kept survivors at any width) — the planted
+    // variant exists to price a nonzero path under the oracle gate
+    val out = graft.queries.ExtensionQueries
+      .corpusCurateSubstringPlanted(spark, sf)
+    val fired = out.filter(col("n_dup_tokens") > 0)
+      .select("doc_id", "n_dup_tokens").collect()
+    assert(fired.nonEmpty, "the planted stage must fire")
+    fired.foreach { r =>
+      assert(r.getLong(0) >= 100 && r.getLong(0) % 7 == 3,
+        s"only planted docs may carry span mass, got doc ${r.getLong(0)}")
+      // each kept planted doc's island covers at least the 26-token
+      // tail; a coinciding final body word between two planted docs
+      // legitimately extends the shared window a step left
+      assert(r.getLong(1) >= 26L && r.getLong(1) <= 40L,
+        s"doc ${r.getLong(0)}: island ${r.getLong(1)} vs the planted tail")
+    }
   }
 
   test("corpus_curate_substring prices dup spans over kept docs only") {

@@ -478,4 +478,83 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.ContainerCodec
       .jpegSofDims(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte), 0, 3).isEmpty)
   }
+
+  test("interleaved AVI: the movi walk descends into nested 'LIST rec ' groups") {
+    import Multimodal.{ContainerCodec, ContainerFixtures}
+    val frames = (0 until 5).map(i =>
+      ContainerFixtures.synthJpegHeader(16 + i, 12 + i, 10 + 3 * i))
+    val flat = ContainerFixtures.aviMjpeg(40000L, 16, 12, frames)
+    val rec = ContainerFixtures.aviMjpeg(40000L, 16, 12, frames, recGroup = 2)
+    val flatWalk = ContainerCodec.aviFrames(flat)
+    val recWalk = ContainerCodec.aviFrames(rec)
+    // same frames, same sizes, same stream order — only offsets shift
+    // by the rec-list headers
+    assert(recWalk.length == 5 && flatWalk.length == 5)
+    assert(recWalk.map(_._2) == flatWalk.map(_._2))
+    recWalk.zip(frames).foreach { case ((off, len), f) =>
+      assert(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(rec, off.toInt, (off + len).toInt), f))
+    }
+    // truncation inside a rec group still drops only the partial tail
+    val cut = java.util.Arrays.copyOfRange(rec, 0, rec.length - 4)
+    assert(ContainerCodec.aviFrames(cut).length == 4)
+  }
+
+  test("mjpegFrameStats rejects a non-positive sampling stride") {
+    import spark.implicits._
+    val rows = Seq(Multimodal.MediaRow(1L, Array[Byte](1, 2), "x", "s")).toDS()
+    intercept[IllegalArgumentException] { Multimodal.mjpegFrameStats(rows, 0) }
+    intercept[IllegalArgumentException] { Multimodal.mjpegFrameStats(rows, -3) }
+  }
+
+  test("MP3 frame chain: VBR Layer III walk over both version tables, ID3 skip") {
+    import Multimodal.{ContainerCodec, ContainerFixtures}
+    // MPEG-1, 44100 Hz, stereo, VBR 128/320/32 kbps + ID3v2 tag
+    val v1 = ContainerFixtures.mp3(mpeg1 = true, srIdx = 0,
+      brIdxs = Seq(9, 14, 1), mode = 0, id3Pad = 5)
+    // frame lengths: 144 * br / 44100 → 417, 1044, 104
+    assert(v1.length == 15 + 417 + 1044 + 104)
+    assert(ContainerCodec.mp3FrameChain(v1).contains((3, 3456L, 44100, 2)))
+    // duration: 3 frames × 1152 samples at 44.1 kHz = 78 ms
+    assert(ContainerCodec.parseMp3(v1).contains(
+      Multimodal.ContainerMeta("mp3", 78L, 44100, 2)))
+    // MPEG-2, 24000 Hz, mono (mode 3), 2 × 64 kbps, no tag:
+    // frame length 72 * 64000 / 24000 = 192; 2 × 576 samples = 48 ms
+    val v2 = ContainerFixtures.mp3(mpeg1 = false, srIdx = 1,
+      brIdxs = Seq(8, 8), mode = 3)
+    assert(v2.length == 384)
+    assert(ContainerCodec.mp3FrameChain(v2).contains((2, 1152L, 24000, 1)))
+    assert(ContainerCodec.parseMp3(v2).contains(
+      Multimodal.ContainerMeta("mp3", 48L, 24000, 1)))
+    // the dispatch picks it up, after the stronger-magic containers
+    assert(ContainerCodec.meta(v1).kind == "mp3")
+  }
+
+  test("MP3 refusals: truncation drops the tail frame; garbage and non-L3 refused") {
+    import Multimodal.{ContainerCodec, ContainerFixtures}
+    val m = ContainerFixtures.mp3(mpeg1 = true, srIdx = 2,
+      brIdxs = Seq(5, 5, 5), mode = 1)
+    // chop 3 bytes: the LAST frame is incomplete — dropped, never guessed
+    val cut = java.util.Arrays.copyOfRange(m, 0, m.length - 3)
+    assert(ContainerCodec.mp3FrameChain(cut).contains((2, 2304L, 32000, 2)))
+    // a chain that never completes one frame is refused outright
+    assert(ContainerCodec.mp3FrameChain(
+      java.util.Arrays.copyOfRange(m, 0, 10)).isEmpty)
+    // raw text, WAV bytes, and an ID3 tag followed by garbage all refuse
+    assert(ContainerCodec.parseMp3("plain text document".getBytes).isEmpty)
+    assert(ContainerCodec.parseMp3(
+      ContainerFixtures.wav(8000, 1, 16, new Array[Byte](32))).isEmpty)
+    val id3junk = "ID3".getBytes ++ Array[Byte](4, 0, 0, 0, 0, 0, 2) ++
+      "xxgarbage".getBytes
+    assert(ContainerCodec.parseMp3(id3junk).isEmpty)
+    // free-format (bitrate index 0) and invalid (15) headers stop the walk
+    def header(brIdx: Int): Array[Byte] = {
+      val h = (0x7FFL << 21) | (3L << 19) | (1L << 17) | (1L << 16) |
+        (brIdx.toLong << 12)
+      Array(((h >> 24) & 0xFF).toByte, ((h >> 16) & 0xFF).toByte,
+        ((h >> 8) & 0xFF).toByte, (h & 0xFF).toByte) ++ new Array[Byte](100)
+    }
+    assert(ContainerCodec.mp3FrameChain(header(0)).isEmpty)
+    assert(ContainerCodec.mp3FrameChain(header(15)).isEmpty)
+  }
 }

@@ -69,6 +69,73 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(serve(spark.read.parquet(g2.lists), quant2).nonEmpty)
   }
 
+  test("rollover under live ingest: batches landing mid-publish survive the cutover") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vstore-roll").toString
+    val intake = graft.streaming.StreamingAnalytics.vectorStoreIngestIntake(root)
+    // thirds of the corpus arrive as a bulk + two live batches
+    val bulk = e.filter(col("vec_id") % 4 === 0)
+    val b0 = e.filter(col("vec_id") % 4 === 1)
+    val b1 = e.filter(col("vec_id") % 4 === 2) // lands DURING the publish
+    val b2 = e.filter(col("vec_id") % 4 === 3) // lands AFTER the cutover
+    val g1 = VectorStore.publish(spark, root, bulk, nlist = 8, highWater = -1L)
+    intake(b0, 0L)
+    // the retrain snapshots as-of batch 0 (its high water) ...
+    val snapshot = VectorStore.corpusAsOf(spark, g1, highWater = 0L)
+    assert(snapshot.count() == bulk.count() + b0.count(),
+      "corpusAsOf must cover the bulk plus every batch <= the high water")
+    // ... and WHILE it runs, batch 1 lands in gen 1
+    intake(b1, 1L)
+    val g2 = VectorStore.publish(spark, root, snapshot, nlist = 8, highWater = 0L)
+    assert(VectorStore.highWater(spark, g2) == 0L)
+    // batch 1 is in gen 1's lists but NOT in gen 2's bulk — the r17 gap
+    assert(spark.read.parquet(g2.lists)
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet == Set(-1L))
+    // next arriving batch triggers the cutover: catch-up replays batch 1
+    // onto gen 2, then batch 2 appends there
+    var observed: (Long, Seq[Long]) = null
+    val intake2 = graft.streaming.StreamingAnalytics.vectorStoreIngestIntake(
+      root, cutoverSink = (gen, ids) => observed = (gen, ids))
+    intake2(b2, 2L)
+    assert(observed == ((2L, Seq(1L))),
+      "cutover must replay exactly the batches above the high water")
+    val served = spark.read.parquet(g2.lists)
+    // no vector lost, none double-served: gen 2 holds the whole corpus once
+    assert(served.count() == e.count())
+    assert(served.select("cand_id").distinct().count() == e.count())
+    assert(served.select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet == Set(-1L, 1L, 2L))
+    // and the caught-up rows are encoded under gen 2's model: serving
+    // the rolled-over store ≡ a from-scratch prepare of the full corpus
+    val quant2 = Artifacts.loadCentroids(spark, g2.centroids)
+    assert(serve(served, quant2) ==
+      serve(Similarity.ivfPrepare(e, quant2), quant2))
+    // catch-up replay is idempotent: re-running it rewrites the same rows
+    val before = served.orderBy("cand_id").collect().map(_.mkString(",")).toSeq
+    assert(VectorStore.catchUp(spark, g1, g2) == Seq(1L))
+    val after = spark.read.parquet(g2.lists)
+      .orderBy("cand_id").collect().map(_.mkString(",")).toSeq
+    assert(after == before)
+    // a restart mid-cutover cannot strand the window: a FRESH intake's
+    // first batch re-runs the predecessor catch-up (idempotent no-op here)
+    val intake3 = graft.streaming.StreamingAnalytics.vectorStoreIngestIntake(root)
+    intake3(b2, 2L)
+    assert(spark.read.parquet(g2.lists).count() == e.count())
+  }
+
+  test("concurrent publishers fail loudly instead of blessing an interleaved generation") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vstore-race").toString
+    VectorStore.publish(spark, root, e, nlist = 8)
+    // a second writer that raced to the same generation number dies on
+    // the overwrite=false marker create, not silently "succeeds"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    intercept[java.io.IOException] {
+      fs.create(new org.apache.hadoop.fs.Path(root, "_gen_1_READY"),
+        /*overwrite=*/ false).close()
+    }
+  }
+
   test("PQ generation: publish trains codebooks and serves at the pinned geometry") {
     val root = java.nio.file.Files.createTempDirectory("graft-vstore-pq").toString
     val g = VectorStore.publish(spark, root, e, nlist = 8, pqM = 4, pqKsub = 16)
@@ -83,5 +150,38 @@ class VectorStoreSpec extends AnyFunSuite {
         .map(_.mkString(",")).sorted.toSeq
     val got = rows(spark.read.parquet(g.lists))
     assert(got.nonEmpty && got == rows(Similarity.pqPrepare(e, quant, books)))
+  }
+
+  test("PQ rollover: catch-up re-encodes from the float sibling under the new codebooks") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vstore-pqroll").toString
+    val bulk = e.filter(col("vec_id") % 3 =!= 2)
+    val b0 = e.filter(col("vec_id") % 3 === 2) // lands during the publish
+    val g1 = VectorStore.publish(spark, root, bulk, nlist = 8,
+      pqM = 4, pqKsub = 16, highWater = -1L)
+    val intake = graft.streaming.StreamingAnalytics.vectorStoreIngestIntake(root)
+    intake(b0, 0L)
+    // the PQ store maintains BOTH frames per batch — codes and floats
+    assert(spark.read.parquet(g1.flists)
+      .filter(col("batch_id").cast("long") === 0L).count() == b0.count())
+    // retrain publishes gen 2 from the pre-batch snapshot; batch 0 is
+    // above its high water and must be re-ENCODED at cutover
+    val g2 = VectorStore.publish(spark, root,
+      VectorStore.corpusAsOf(spark, g1, highWater = -1L), nlist = 8,
+      pqM = 4, pqKsub = 16, highWater = -1L)
+    assert(VectorStore.catchUp(spark, g1, g2) == Seq(0L))
+    val quant2 = Artifacts.loadCentroids(spark, g2.centroids)
+    val books2 = Artifacts.loadPqCodebooks(spark, g2.codebooks)
+    val q = e.filter(col("vec_id") < 6)
+    def rows(lists: DataFrame): Seq[String] =
+      Similarity.pqTopKFromGeom(lists,
+          Similarity.pqProbes(q, quant2, books2, nprobe = 2), q, e,
+          k = 3, rerank = 12)
+        .select("query_id", "cand_id", "sim", "rank").collect()
+        .map(_.mkString(",")).sorted.toSeq
+    // rolled-over store ≡ from-scratch prepare of the full corpus under
+    // gen 2's models — i.e. the caught-up codes are gen-2 codes
+    assert(rows(spark.read.parquet(g2.lists)) ==
+      rows(Similarity.pqPrepare(e, quant2, books2)))
+    assert(spark.read.parquet(g2.flists).count() == e.count())
   }
 }
