@@ -144,7 +144,12 @@ object Bench {
     // *_violations / *_recall rows are correctness diagnostics (empty-set
     // and retrieval-quality proofs for the LSH family), not operators —
     // excluded so the headline total stays comparable across rounds and
-    // against BASELINE.md.
+    // against BASELINE.md. *_planted rows are the same class: derived-
+    // corpus fixture twins that give a stage's oracle a FIRING path the
+    // span-clean synthetic corpora can't (corpus_curate_substring_planted
+    // re-runs the whole curate+substring pipeline its unplanted sibling
+    // already prices — benching it would double-count ~8 s of identical
+    // work).
     // SPARK_GRAFT_BENCH_ONLY: comma-separated name filter (local iteration)
     // SPARK_GRAFT_BENCH_EXCLUDE: comma-separated names to drop — scale-probe
     // runs (ScaleUp corpora, sf1+) use it for the exact all-pairs oracle
@@ -157,7 +162,8 @@ object Bench {
     val excluded = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE")
       .map(_.split(",").toSet).getOrElse(Set.empty)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(n => n._1.endsWith("_violations") || n._1.endsWith("_recall"))
+      .filterNot(n => n._1.endsWith("_violations") || n._1.endsWith("_recall")
+        || n._1.endsWith("_planted"))
       .filterNot(n => excluded.contains(n._1))
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // SPARK_GRAFT_BENCH_VERBOSE: per-run times to stderr (regression
