@@ -1549,11 +1549,12 @@ ORDER BY query_id, rank"""
     val e = Tables(spark, sfDir, "embeddings")
     val f = pqFramesFor(spark, sfDir)
     // rerank = 0: scale-aware AUTO ([[Similarity.autoPqRerank]],
-    // max(8·k, ⌈√n⌉)) — the 8·k floor (= the old fixed 40) at every
-    // gate-scale corpus, the measured ~0.96-recall frontier (√2M =
-    // 1415) at the 2M-vector decade. The oracle re-derives the same
-    // integer from count(*) over the replayed list rows (√ is
-    // correctly-rounded IEEE in both engines).
+    // max(8·k, min(160·k, ⌈√n⌉))) — the 8·k floor (= the old fixed 40)
+    // at every gate-scale corpus, the measured saturation cap (800 at
+    // k=5 = the 0.960 cell-ceiling budget at both 2M and 20M) past the
+    // √n fit. The oracle re-derives the same integer from count(*)
+    // over the replayed list rows (√ is correctly-rounded IEEE in both
+    // engines).
     Similarity.pqTopKFromGeom(f.lists, f.probes,
         e.filter(col("vec_id") < 10), e, k = PqGateK, rerank = 0)
       .orderBy("query_id", "rank")
