@@ -167,6 +167,7 @@ object SparkEntry {
     "multimodal_mjpeg_decode_violations" ->
       (ExtensionQueries.multimodalMjpegDecodeViolations _),
     "multimodal_mp3_meta" -> (ExtensionQueries.multimodalMp3Meta _),
+    "multimodal_flac_meta" -> (ExtensionQueries.multimodalFlacMeta _),
     "events_session_window" -> (AnalyticsQueries.eventsSessionWindow _),
     // -- spark.sql surface over registered views + custom SQL functions --
     "sql_events_arrayjoin" -> (PipelineQueries.sqlArrayJoin _),
@@ -246,6 +247,7 @@ object SparkEntry {
     "multimodal_mjpeg_frames" -> ExtensionQueries.multimodalMjpegFramesOracle,
     "multimodal_mjpeg_decode_violations" -> ExtensionQueries.violationOracle,
     "multimodal_mp3_meta" -> ExtensionQueries.multimodalMp3MetaOracle,
+    "multimodal_flac_meta" -> ExtensionQueries.multimodalFlacMetaOracle,
     "events_session_window" -> AnalyticsQueries.eventsSessionWindowOracle,
     "sql_events_arrayjoin" -> PipelineQueries.sqlArrayJoinOracle,
     "sql_mime_decode" -> ExtensionQueries.sqlMimeDecodeOracle,

@@ -670,12 +670,33 @@ object Multimodal {
         ContainerMeta("mp3", samples * 1000L / rate, rate, channels)
       }
 
-    /** Positive-guard dispatch: WAV, MP4, WebM, AVI, MP3, else `none`
-      * (stub path). MP3 last — a frame-sync chain is the weakest magic
-      * of the five. */
+    /** FLAC STREAMINFO walk: `fLaC` magic, first metadata block MUST be
+      * STREAMINFO (type 0, 34 bytes — the spec mandates it), duration
+      * from the packed (sample rate: 20 bits, channels−1: 3,
+      * bits/sample−1: 5, total samples: 36) field. Pure bit
+      * arithmetic; a truncated header, a wrong first-block type, or a
+      * zero sample rate refuses — never guesses. */
+    private[operators] def parseFlac(b: Array[Byte]): Option[ContainerMeta] = {
+      if (b.length < 8 + 34 || fourcc(b, 0) != "fLaC") return None
+      if ((u8(b, 4) & 0x7F) != 0) return None // first block must be STREAMINFO
+      val len = (u8(b, 5) << 16) | (u8(b, 6) << 8) | u8(b, 7)
+      if (len != 34) return None
+      // 16+16+24+24 bits of block/frame sizes precede the packed field
+      val v = be64(b, 18)
+      val rate = (v >>> 44).toInt
+      if (rate == 0) return None
+      val channels = ((v >>> 41) & 7).toInt + 1
+      val samples = v & ((1L << 36) - 1)
+      Some(ContainerMeta("flac", samples * 1000L / rate, rate, channels))
+    }
+
+    /** Positive-guard dispatch: WAV, MP4, WebM, AVI, FLAC, MP3, else
+      * `none` (stub path). MP3 last — a frame-sync chain is the weakest
+      * magic of the six. */
     def meta(bytes: Array[Byte]): ContainerMeta =
       parseWav(bytes).orElse(parseMp4(bytes)).orElse(parseWebm(bytes))
-        .orElse(parseAvi(bytes)).orElse(parseMp3(bytes))
+        .orElse(parseAvi(bytes)).orElse(parseFlac(bytes))
+        .orElse(parseMp3(bytes))
         .getOrElse(ContainerMeta("none", -1L, -1, -1))
   }
 
@@ -809,6 +830,29 @@ object Multimodal {
       }
       out.write(new Array[Byte](fillerLen))
       out.write(0xFF); out.write(0xD9)       // EOI
+      out.toByteArray
+    }
+
+    /** Minimal spec-shaped FLAC: `fLaC` magic + a last-flagged
+      * STREAMINFO block (type 0, 34 bytes; block sizes 4096/4096, frame
+      * sizes 0 = unknown, the packed rate/channels/bps/total-samples
+      * field, zero md5) + `payload` standing in for the frame section.
+      * Every byte is a pure function of the parameters. */
+    def flac(sampleRate: Int, channels: Int, bitsPerSample: Int,
+             totalSamples: Long, payload: Array[Byte]): Array[Byte] = {
+      require(sampleRate > 0 && sampleRate < (1 << 20), s"rate $sampleRate")
+      require(channels >= 1 && channels <= 8, s"channels $channels")
+      require(totalSamples >= 0 && totalSamples < (1L << 36))
+      val out = new java.io.ByteArrayOutputStream(42 + payload.length)
+      out.write(cc("fLaC"))
+      out.write(0x80); out.write(0); out.write(0); out.write(34) // last, type 0, len 34
+      out.write(Array[Byte](0x10, 0, 0x10, 0))                  // min/max block 4096
+      out.write(new Array[Byte](6))                              // min/max frame unknown
+      val v = (sampleRate.toLong << 44) | ((channels - 1).toLong << 41) |
+        ((bitsPerSample - 1).toLong << 36) | totalSamples
+      (0 until 8).foreach(i => out.write(((v >>> (8 * (7 - i))) & 0xFF).toInt))
+      out.write(new Array[Byte](16))                             // md5 zero
+      out.write(payload)
       out.toByteArray
     }
 

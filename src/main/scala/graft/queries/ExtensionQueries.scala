@@ -3451,6 +3451,48 @@ SELECT doc_id, frame_idx, frame_count,
        CAST(sz AS BIGINT) AS n_bytes, width, height
 FROM f ORDER BY doc_id, frame_idx"""
 
+  /** FLAC STREAMINFO walk under the gate — the retreat discipline's
+    * cheapest member: duration/rate/channels from the spec-mandated
+    * first metadata block's packed bit field, refusal on truncation.
+    * Parameters (rate from a real-rate table, channels, total samples)
+    * are pure functions of (doc_id, n_chars); `doc_id % 6 = 0` docs are
+    * truncated to 20 bytes and must come back as the `none` sentinel —
+    * the refusal path is oracle-checked, not just unit-tested. */
+  def multimodalFlacMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text", $"n_chars", $"source")
+      .as[(Long, String, Long, String)]
+      .map { case (id, text, nChars, src) =>
+        val rate = (id % 5) match {
+          case 0 => 8000; case 1 => 22050; case 2 => 44100
+          case 3 => 48000; case _ => 96000
+        }
+        val full = Multimodal.ContainerFixtures.flac(rate,
+          channels = (1 + id % 2).toInt, bitsPerSample = 16,
+          totalSamples = nChars * 997 + id % 1000,
+          payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val media = if (id % 6 == 0) full.take(20) else full
+        Multimodal.MediaRow(id, media, "audio/flac", src)
+      }
+    Multimodal.containerMeta(rows).toDF().orderBy("doc_id")
+  }
+
+  val multimodalFlacMetaOracle: String = """
+WITH d AS (SELECT doc_id, n_chars, octet_length(encode(text)) AS nb FROM documents),
+p AS (SELECT doc_id,
+  CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 22050 WHEN 2 THEN 44100
+                  WHEN 3 THEN 48000 ELSE 96000 END AS sr,
+  1 + doc_id % 2 AS ch,
+  n_chars * 997 + doc_id % 1000 AS ts, nb FROM d)
+SELECT doc_id,
+  CASE WHEN doc_id % 6 = 0 THEN 'none' ELSE 'flac' END AS kind,
+  CAST(CASE WHEN doc_id % 6 = 0 THEN -1 ELSE ts * 1000 // sr END AS BIGINT) AS duration_ms,
+  CAST(CASE WHEN doc_id % 6 = 0 THEN -1 ELSE sr END AS INTEGER) AS sample_rate,
+  CAST(CASE WHEN doc_id % 6 = 0 THEN -1 ELSE ch END AS INTEGER) AS channels,
+  CAST(CASE WHEN doc_id % 6 = 0 THEN 20 ELSE 42 + nb END AS BIGINT) AS n_bytes
+FROM p ORDER BY doc_id"""
+
   /** MP3 (MPEG audio Layer III) frame-header walk under the gate —
     * the AVI/EBML retreat discipline applied to a raw frame chain:
     * every doc gets a planted Layer III stream whose version, sample

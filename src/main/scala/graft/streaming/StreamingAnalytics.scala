@@ -939,6 +939,66 @@ object StreamingAnalytics {
     }
   }
 
+  /** GENERATION-AWARE serving — the query half of the
+    * [[graft.operators.VectorStore]] lifecycle, completing what
+    * [[vectorStoreIngestIntake]] starts: each arriving (vec_id,
+    * embedding) QUERY batch is answered with exact-reranked top-k
+    * against the store's LIVE generation, re-resolved per micro-batch —
+    * so a retrain's rollover reaches serving at the NEXT batch with no
+    * query restart (the old pinned-path intakes needed one; this is
+    * the restart-free cutover). The pinned-generation contract still
+    * holds where it matters: resolution happens BETWEEN batches, and a
+    * batch is served entirely against one generation's (model, lists,
+    * floats) triple — codes encoded under model A are never scored
+    * through model B's LUTs. Batches appended by the ingest intake
+    * since the pin serve immediately (fresh list scan per batch, the
+    * [[pqServeIntake]] property); the AUTO rerank budget is re-derived
+    * once per GENERATION (one count), not per batch.
+    *
+    * Reclaim discipline: retire old generations only after this intake
+    * has observed the new one (`cutoverSink` fires with the new gen
+    * number) — a generation can be mid-batch until then.
+    *
+    * @param rerank PQ exact-rerank budget; 0 = AUTO per generation
+    * @param sink   receives (query_id, cand_id, sim, rank) per batch */
+  def vectorStoreServeIntake(root: String, k: Int, nprobe: Int = 4,
+                             rerank: Int = 0,
+                             cutoverSink: Long => Unit = _ => (),
+                             sink: (DataFrame, Long) => Unit = (_, _) => ())
+      : (DataFrame, Long) => Unit = {
+    import graft.operators.{Similarity, VectorStore}
+    var pinned: VectorStore.Generation = null
+    var models: VectorStore.Models = null
+    var rerankEff = rerank
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      val cur = VectorStore.current(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"vectorStoreServeIntake: no committed generation at $root — " +
+            "VectorStore.publish the bulk build before starting serving"))
+      if (pinned == null || cur.gen > pinned.gen) {
+        if (pinned != null) cutoverSink(cur.gen)
+        pinned = cur
+        models = VectorStore.models(spark, cur)
+        rerankEff = rerank // AUTO re-derives against the new generation
+      }
+      val lists = spark.read.parquet(pinned.lists)
+      models.codebooks match {
+        case Some(cb) =>
+          if (rerankEff <= 0)
+            rerankEff = Similarity.autoPqRerank(lists.count(), k)
+          val probes = Similarity.pqProbes(batch, models.quantizer, cb, nprobe)
+          val corpus = spark.read.parquet(pinned.flists)
+            .select(col("cand_id").as("vec_id"), col("candv").as("embedding"))
+          sink(Similarity.pqTopKFromGeom(lists, probes, batch, corpus, k,
+            rerankEff), batchId)
+        case None =>
+          sink(Similarity.ivfTopKPrepared(lists, batch, k, models.quantizer,
+            nprobe), batchId)
+      }
+    }
+  }
+
   /** Keyed state for [[uniformSampleUpdates]]: the group's current
     * top-k (priority, id) pairs — k rows, not the group's row count —
     * plus an observation counter. */

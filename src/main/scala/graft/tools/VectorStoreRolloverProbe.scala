@@ -77,12 +77,26 @@ object VectorStoreRolloverProbe {
     }
     println(s"[vstore-probe] $mode drift_probed=${drift != null}")
 
+    // serving starts BEFORE the rollover (pins gen 1) and must follow
+    // the cutover with no restart — per-batch wall printed around it
+    val q = e.filter(col("vec_id") < 10)
+    var servedRows = 0L
+    val serveIntake = StreamingAnalytics.vectorStoreServeIntake(root,
+      k = 5, nprobe = if (pq) 12 else 4,
+      cutoverSink = g => println(s"[vstore-probe] $mode serve_cutover_to_gen=$g"),
+      sink = (df, _) => servedRows = df.count())
+    timed("serve_batch_gen1")(serveIntake(q, 100L))
+
     // 3. retrain snapshots as-of batch 1, and batch 2 lands DURING the
     // publish window (it exists only in gen 1 afterwards)
     val snapshot = VectorStore.corpusAsOf(spark, g1, highWater = 1L)
     intake(liveBatches(2), 2L)
     val g2 = timed("publish_gen2")(VectorStore.publish(spark, root, snapshot,
       nlist = 16, pqM = pqM, highWater = 1L))
+    // the SAME serve closure's next batch lands on gen 2 (re-pin +
+    // AUTO-budget recount included in the wall)
+    timed("serve_batch_cutover")(serveIntake(q, 101L))
+    println(s"[vstore-probe] $mode serve_rows=$servedRows")
 
     // 4. the next batch triggers the cutover (catch-up + append)
     var replayed: Seq[Long] = Nil
@@ -97,7 +111,6 @@ object VectorStoreRolloverProbe {
     val nDistinct = served.select("cand_id").distinct().count()
     println(s"[vstore-probe] $mode gen2_rows=$nServed distinct=$nDistinct " +
       s"corpus=$nTotal complete=${nServed == nTotal && nDistinct == nTotal}")
-    val q = e.filter(col("vec_id") < 10)
     val m2 = VectorStore.models(spark, g2)
     def rows(df: DataFrame): Seq[String] =
       df.select("query_id", "cand_id", "sim", "rank").collect()

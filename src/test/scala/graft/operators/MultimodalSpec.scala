@@ -507,6 +507,32 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Multimodal.mjpegFrameStats(rows, -3) }
   }
 
+  test("FLAC STREAMINFO: packed-field roundtrip, truncation and type refusals") {
+    import Multimodal.{ContainerCodec, ContainerFixtures}
+    // 44.1 kHz stereo, 441,000 samples = exactly 10 s
+    val f = ContainerFixtures.flac(44100, 2, 16, 441000L, "frames!".getBytes)
+    assert(f.length == 42 + 7)
+    assert(ContainerCodec.parseFlac(f).contains(
+      Multimodal.ContainerMeta("flac", 10000L, 44100, 2)))
+    assert(ContainerCodec.meta(f).kind == "flac")
+    // 96 kHz mono, odd sample count floors the millisecond division
+    val g = ContainerFixtures.flac(96000, 1, 24, 96001L, Array.empty[Byte])
+    assert(ContainerCodec.parseFlac(g).contains(
+      Multimodal.ContainerMeta("flac", 1000L, 96000, 1)))
+    // refusals: truncated header, non-STREAMINFO first block, zero rate,
+    // wrong magic — None every time, never a guess
+    assert(ContainerCodec.parseFlac(java.util.Arrays.copyOfRange(f, 0, 20)).isEmpty)
+    val wrongType = f.clone(); wrongType(4) = (0x80 | 4).toByte // VORBIS_COMMENT
+    assert(ContainerCodec.parseFlac(wrongType).isEmpty)
+    val zeroRate = ContainerFixtures.flac(1, 2, 16, 100L, Array.empty[Byte])
+    // clear the whole 20-bit rate field (bytes 18-19 + byte 20's top nibble)
+    zeroRate(18) = 0; zeroRate(19) = 0
+    zeroRate(20) = (zeroRate(20) & 0x0F).toByte
+    assert(ContainerCodec.parseFlac(zeroRate).isEmpty,
+      "a zero rate must refuse, not divide")
+    assert(ContainerCodec.parseFlac("fLaX junk data junk data junk data junk data".getBytes).isEmpty)
+  }
+
   test("MP3 frame chain: VBR Layer III walk over both version tables, ID3 skip") {
     import Multimodal.{ContainerCodec, ContainerFixtures}
     // MPEG-1, 44100 Hz, stereo, VBR 128/320/32 kbps + ID3v2 tag

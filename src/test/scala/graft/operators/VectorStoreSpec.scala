@@ -123,6 +123,52 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(spark.read.parquet(g2.lists).count() == e.count())
   }
 
+  test("serve intake follows a rollover WITHOUT a query restart") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vstore-serve").toString
+    val half = e.filter(col("vec_id") % 2 === 0)
+    val g1 = VectorStore.publish(spark, root, half, nlist = 8)
+    var observedGen: Long = -1L
+    var out: Seq[String] = Nil
+    val intake = graft.streaming.StreamingAnalytics.vectorStoreServeIntake(
+      root, k = 3, nprobe = 2,
+      cutoverSink = g => observedGen = g,
+      sink = (df, _) => out = df.select("query_id", "cand_id", "sim", "rank")
+        .collect().map(_.mkString(",")).sorted.toSeq)
+    val q = e.filter(col("vec_id") < 6)
+    intake(q, 0L)
+    val quant1 = Artifacts.loadCentroids(spark, g1.centroids)
+    assert(out.nonEmpty && out == serve(Similarity.ivfPrepare(half, quant1), quant1),
+      "first batch must serve the live generation")
+    // a retrain publishes gen 2 over the FULL corpus; the SAME closure
+    // serves it at the very next batch — no restart
+    val g2 = VectorStore.publish(spark, root, e, nlist = 8)
+    intake(q, 1L)
+    assert(observedGen == g2.gen, "the cutover must be observable")
+    val quant2 = Artifacts.loadCentroids(spark, g2.centroids)
+    assert(out == serve(Similarity.ivfPrepare(e, quant2), quant2),
+      "post-rollover batches must serve the NEW generation's model+lists")
+    // PQ store: one serve through the code+float generation layout
+    val rootPq = java.nio.file.Files.createTempDirectory("graft-vstore-servepq").toString
+    VectorStore.publish(spark, rootPq, e, nlist = 8, pqM = 4, pqKsub = 16)
+    var outPq: Seq[String] = Nil
+    val intakePq = graft.streaming.StreamingAnalytics.vectorStoreServeIntake(
+      rootPq, k = 3, nprobe = 2, rerank = 12,
+      sink = (df, _) => outPq = df.select("query_id", "cand_id", "sim", "rank")
+        .collect().map(_.mkString(",")).sorted.toSeq)
+    intakePq(q, 0L)
+    val gPq = VectorStore.current(spark, rootPq).get
+    val quantPq = Artifacts.loadCentroids(spark, gPq.centroids)
+    val booksPq = Artifacts.loadPqCodebooks(spark, gPq.codebooks)
+    val want = Similarity.pqTopKFromGeom(
+        Similarity.pqPrepare(e, quantPq, booksPq),
+        Similarity.pqProbes(q, quantPq, booksPq, nprobe = 2), q, e,
+        k = 3, rerank = 12)
+      .select("query_id", "cand_id", "sim", "rank").collect()
+      .map(_.mkString(",")).sorted.toSeq
+    assert(outPq.nonEmpty && outPq == want,
+      "PQ serve through the store must equal a from-scratch prepare")
+  }
+
   test("concurrent publishers fail loudly instead of blessing an interleaved generation") {
     val root = java.nio.file.Files.createTempDirectory("graft-vstore-race").toString
     VectorStore.publish(spark, root, e, nlist = 8)
