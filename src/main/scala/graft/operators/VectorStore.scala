@@ -133,6 +133,21 @@ object VectorStore {
         Some(Artifacts.loadPqCodebooks(spark, g.codebooks))
       else None)
 
+  /** Advance a generation's recorded high water — used by compaction
+    * when batch partitions fold into the bulk (the bulk then "contains
+    * everything ≤ hw" again). Never moves backwards. */
+  private[graft] def recordHighWater(spark: SparkSession, g: Generation,
+                                     hw: Long): Unit = {
+    val prev = highWater(spark, g)
+    if (prev != Long.MaxValue && hw > prev) {
+      val (fs, _) = fileSystem(spark, g.root)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(g.dir, "_high_water"), /*overwrite=*/ true)
+      try out.write(s"$hw\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
   /** The high-water batch_id recorded at [[publish]] time:
     * every ingested batch with batch_id ≤ this value is already inside
     * the generation's bulk build; batches ABOVE it are the

@@ -1542,6 +1542,44 @@ object StreamingAnalytics {
     }
   }
 
+  /** Generation-aware compaction for a [[graft.operators.VectorStore]]:
+    * fold the LIVE generation's ingested batch partitions at or below
+    * `upTo` into its `batch_id = -1` bulk (both frames for PQ stores)
+    * and advance the recorded high water to the fold boundary — without
+    * this, continuous ingest accumulates one partition per micro-batch
+    * forever. The cutover contract SURVIVES compaction in either crash
+    * order because folding REMOVES the partitions it absorbs: a
+    * [[graft.operators.VectorStore.corpusAsOf]] snapshot taken at any
+    * hw ≥ the published high water stays exact (folded rows arrive via
+    * the bulk, unfolded ones via the ≤ hw partition filter), and
+    * [[graft.operators.VectorStore.catchUp]] replays exactly the
+    * partitions that still exist above the new generation's high water
+    * — a folded batch has nothing left to replay and is already inside
+    * every snapshot that could have seen it. Run it from the ops loop
+    * between publishes (the single-writer discipline — don't fold
+    * under a publisher's feet while its snapshot scan is mid-read; the
+    * swap is atomic but a concurrent reader can hit the rename
+    * window). `upTo` defaults to everything currently landed. */
+  def compactVectorStore(spark: org.apache.spark.sql.SparkSession,
+                         root: String, upTo: Long = Long.MaxValue - 1,
+                         numFiles: Int = 32): Unit = {
+    import graft.operators.{Artifacts, VectorStore}
+    val g = VectorStore.current(spark, root).getOrElse(return)
+    // the fold boundary must be read BEFORE folding (afterwards the
+    // absorbed ids are gone); null when no partition is in range
+    val boundary = spark.read.parquet(g.lists)
+      .filter(col("batch_id") =!= lit(-1L) && col("batch_id") <= lit(upTo))
+      .agg(max(col("batch_id").cast("long"))).head()
+    if (boundary.isNullAt(0)) return // nothing to fold
+    compactVectorIndex(spark, g.lists, numFiles, belowBatchId = upTo + 1)
+    if (Artifacts.exists(spark, g.flists))
+      compactVectorIndex(spark, g.flists, numFiles, belowBatchId = upTo + 1)
+    // partitions ≤ upTo are now inside the bulk — the recorded high
+    // water moves up so the contract's "bulk holds everything ≤ hw"
+    // reading stays literal
+    VectorStore.recordHighWater(spark, g, boundary.getLong(0))
+  }
+
   /** Write a replacement for `storePath` into a staging dir, then swap
     * it in with two renames (backup kept until the swap lands — the
     * store must never vanish, even mid-crash). Shared by the

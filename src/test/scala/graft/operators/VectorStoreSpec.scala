@@ -123,6 +123,37 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(spark.read.parquet(g2.lists).count() == e.count())
   }
 
+  test("generation compaction folds batches into the bulk and keeps the cutover contract") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vstore-compact").toString
+    val bulk = e.filter(col("vec_id") % 4 === 0)
+    VectorStore.publish(spark, root, bulk, nlist = 8, highWater = -1L)
+    val g1 = VectorStore.current(spark, root).get
+    val intake = graft.streaming.StreamingAnalytics.vectorStoreIngestIntake(root)
+    (1 to 3).foreach(i => intake(e.filter(col("vec_id") % 4 === i), (i - 1).toLong))
+    graft.streaming.StreamingAnalytics.compactVectorStore(spark, root, upTo = 1L)
+    // batches 0 and 1 folded into the bulk; batch 2 still addressable
+    assert(spark.read.parquet(g1.lists)
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet == Set(-1L, 2L))
+    assert(VectorStore.highWater(spark, g1) == 1L)
+    // the store still serves the complete corpus
+    val quant1 = Artifacts.loadCentroids(spark, g1.centroids)
+    assert(serve(spark.read.parquet(g1.lists), quant1) ==
+      serve(Similarity.ivfPrepare(e, quant1), quant1))
+    // and the cutover contract survives: a snapshot at hw=2 is the whole
+    // corpus (folded rows via the bulk, batch 2 via the partition
+    // filter), the rollover replays NOTHING, and gen 2 is complete
+    val snap = VectorStore.corpusAsOf(spark, g1, highWater = 2L)
+    assert(snap.count() == e.count())
+    val g2 = VectorStore.publish(spark, root, snap, nlist = 8, highWater = 2L)
+    assert(VectorStore.catchUp(spark, g1, g2).isEmpty)
+    val quant2 = Artifacts.loadCentroids(spark, g2.centroids)
+    assert(serve(spark.read.parquet(g2.lists), quant2) ==
+      serve(Similarity.ivfPrepare(e, quant2), quant2))
+    // compacting an already-folded range is a no-op, not an error
+    graft.streaming.StreamingAnalytics.compactVectorStore(spark, root, upTo = 1L)
+  }
+
   test("serve intake follows a rollover WITHOUT a query restart") {
     val root = java.nio.file.Files.createTempDirectory("graft-vstore-serve").toString
     val half = e.filter(col("vec_id") % 2 === 0)
