@@ -892,13 +892,24 @@ object StreamingAnalytics {
     * @param cutoverSink observes each rollover: (new generation number,
     *                    replayed batch ids) — wire it to the ops log
     * @param sink        receives the batch's prepared code rows (lazy
-    *                    plan), after the generation write committed */
+    *                    plan), after the generation write committed
+    * @param retrainOn   the AUTONOMOUS half of the drift gate: when a
+    *                    probed batch's report makes this true, the
+    *                    intake itself republishes the store (same
+    *                    hyperparameters, retrained on everything
+    *                    landed) and cuts over before appending — the
+    *                    full drift→retrain→rollover→catch-up loop with
+    *                    no external ops actor. Default never; classic
+    *                    choice `_.drifted`. While enabled the intake is
+    *                    the store's single writer. */
   def vectorStoreIngestIntake(root: String,
                               driftEvery: Long = 0,
                               driftSink: (graft.operators.Similarity.IvfDriftReport, Long) => Unit =
                                 (_, _) => (),
                               cutoverSink: (Long, Seq[Long]) => Unit = (_, _) => (),
-                              sink: (DataFrame, Long) => Unit = (_, _) => ())
+                              sink: (DataFrame, Long) => Unit = (_, _) => (),
+                              retrainOn: graft.operators.Similarity.IvfDriftReport => Boolean =
+                                _ => false)
       : (DataFrame, Long) => Unit = {
     import graft.operators.{Artifacts, Similarity, VectorStore}
     var pinned: VectorStore.Generation = null
@@ -928,11 +939,40 @@ object StreamingAnalytics {
       }
       if (driftEvery > 0 && batchId % driftEvery == 0) {
         val driftPath = if (models.isPq) pinned.flists else pinned.lists
-        if (Artifacts.hasData(spark, driftPath))
-          driftSink(Similarity.ivfDriftProbe(
+        if (Artifacts.hasData(spark, driftPath)) {
+          val report = Similarity.ivfDriftProbe(
             spark.read.parquet(driftPath)
               .filter(col("batch_id") =!= lit(batchId)),
-            batch, models.quantizer), batchId)
+            batch, models.quantizer)
+          driftSink(report, batchId)
+          // AUTONOMOUS retrain — the drift verdict acted on in-stream,
+          // closing drift→retrain→rollover→catch-up without an external
+          // ops loop: republish with the pinned generation's OWN
+          // hyperparameters (nlist from the quantizer, m/ksub from the
+          // codebooks), trained on everything the store has landed
+          // (high water = the largest landed batch id — this batch has
+          // NOT landed yet and stays above it, so the normal cutover
+          // path below replays nothing and appends it to the new
+          // generation directly). The intake is the single writer while
+          // retrainOn is enabled — do not run an external publisher
+          // concurrently. The publish stalls this micro-batch for one
+          // training + bulk-build pass; drift-gated, that is the rare
+          // batch, and index maintenance streams tolerate it.
+          if (retrainOn(report)) {
+            val hw = spark.read.parquet(
+                if (models.isPq) pinned.flists else pinned.lists)
+              .agg(max(col("batch_id").cast("long"))).head().getLong(0)
+            val next = VectorStore.publish(spark, root,
+              VectorStore.corpusAsOf(spark, pinned, hw),
+              nlist = models.quantizer._1.length,
+              pqM = models.codebooks.map(_.length).getOrElse(0),
+              pqKsub = models.codebooks.map(_.head.length).getOrElse(256),
+              highWater = hw)
+            cutoverSink(next.gen, VectorStore.catchUp(spark, pinned, next))
+            pinned = next
+            models = VectorStore.models(spark, next)
+          }
+        }
       }
       sink(VectorStore.ingestBatch(spark, pinned, models, batch, batchId),
         batchId)

@@ -154,6 +154,39 @@ class VectorStoreSpec extends AnyFunSuite {
     graft.streaming.StreamingAnalytics.compactVectorStore(spark, root, upTo = 1L)
   }
 
+  test("autonomous drift retrain: the intake republishes and cuts over in-stream") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vstore-auto").toString
+    VectorStore.publish(spark, root, e.filter(col("vec_id") % 3 === 0),
+      nlist = 8, highWater = -1L)
+    var cutovers = List.empty[(Long, Seq[Long])]
+    var probed = 0
+    // force the verdict: every probed batch "drifts" — the loop must
+    // retrain with the generation's own hyperparameters, publish, catch
+    // up (nothing to replay: high water = everything landed), and append
+    // the arriving batch to the NEW generation
+    val intake = graft.streaming.StreamingAnalytics.vectorStoreIngestIntake(
+      root, driftEvery = 2,
+      driftSink = (_, _) => probed += 1,
+      cutoverSink = (g, ids) => cutovers ::= (g, ids),
+      retrainOn = _ => true)
+    intake(e.filter(col("vec_id") % 3 === 1), 0L) // probed -> retrain -> gen 2
+    intake(e.filter(col("vec_id") % 3 === 2), 1L) // not probed (driftEvery=2)
+    assert(probed == 1)
+    assert(cutovers == List((2L, Nil)),
+      "the autonomous retrain must publish gen 2 and replay nothing")
+    val g2 = VectorStore.current(spark, root).get
+    assert(g2.gen == 2L && VectorStore.highWater(spark, g2) == -1L)
+    // batches 0 and 1 were appended to gen 2 (batch 0 AFTER its own
+    // retrain) — the store is complete and serves like a fresh prepare
+    assert(spark.read.parquet(g2.lists)
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet == Set(-1L, 0L, 1L))
+    val quant2 = Artifacts.loadCentroids(spark, g2.centroids)
+    assert(spark.read.parquet(g2.lists).count() == e.count())
+    assert(serve(spark.read.parquet(g2.lists), quant2) ==
+      serve(Similarity.ivfPrepare(e, quant2), quant2))
+  }
+
   test("serve intake follows a rollover WITHOUT a query restart") {
     val root = java.nio.file.Files.createTempDirectory("graft-vstore-serve").toString
     val half = e.filter(col("vec_id") % 2 === 0)
