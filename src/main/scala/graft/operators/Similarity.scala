@@ -617,14 +617,37 @@ object Similarity {
     } finally preparedBatch.unpersist()
   }
 
+  /** Probed-cell SCAN pruning for the prepared/serve paths: collect the
+    * probe frame's distinct cell ids — bounded by |queries| × nprobe,
+    * model-sized under the serve contract — and push them as an `In`
+    * filter on the lists side. Semantically a no-op (the cell equi-join
+    * already restricts to probed cells; results are bit-identical), but
+    * the predicate reaches a parquet-backed store as `PushedFilters`,
+    * so a cent_id-clustered layout ([[graft.streaming.StreamingAnalytics
+    * .compactVectorIndex]] sorts files by cell) skips every unprobed
+    * row group instead of scanning the whole index — at production cell
+    * counts (nlist ≫ nprobe) the serve scan reads a few percent of the
+    * store. Opt-in (`pruneCells`) because it costs one model-sized
+    * collect per call: the serve intakes enable it; one-shot in-memory
+    * paths keep the plain join. */
+  private def pruneToCells(lists: DataFrame, probes: DataFrame): DataFrame = {
+    val cells = probes.select("cent_id").distinct().collect().map(_.get(0))
+    if (cells.isEmpty) lists.filter(lit(false))
+    else lists.filter(col("cent_id").isin(cells: _*))
+  }
+
   /** Probe prepared inverted lists ([[ivfPrepare]]) with a query frame:
     * nprobe nearest cells per query, candidates joined cell-wise, exact
     * cosine, top-k per query. Bit-identical to [[ivfTopK]] with the same
-    * quantizer — the monolithic path delegates here. */
+    * quantizer — the monolithic path delegates here.
+    * @param pruneCells push the probed cell set down to the lists scan
+    *   ([[pruneToCells]]) — enable on persisted cent_id-clustered
+    *   stores (the serve intakes do) */
   def ivfTopKPrepared(lists: DataFrame, queries: DataFrame, k: Int,
                       quantizer: (Array[Long], Array[Array[Float]]),
                       nprobe: Int = 4,
-                      broadcastProbes: Boolean = true): DataFrame = {
+                      broadcastProbes: Boolean = true,
+                      pruneCells: Boolean = false): DataFrame = {
     val (centIds, cents) = quantizer
     val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("queryv"),
       vecNorm(col("embedding")).as("queryn"),
@@ -633,7 +656,8 @@ object Similarity {
     // cand appears in exactly one cell and probe cells are distinct per
     // query, so (query_id, cand_id) pairs are already unique — no dedup.
     val probesSide = if (broadcastProbes) broadcast(probes) else probes
-    val cands = lists.join(probesSide, Seq("cent_id"))
+    val listsSide = if (pruneCells) pruneToCells(lists, probes) else lists
+    val cands = listsSide.join(probesSide, Seq("cent_id"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("sim", vecDot(col("queryv"), col("candv")) / (col("queryn") * col("candn")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
@@ -1036,9 +1060,14 @@ object Similarity {
   def pqTopKFromGeom(lists: DataFrame, probes: DataFrame,
                      queries: DataFrame, corpus: DataFrame,
                      k: Int, rerank: Int = 0,
-                     broadcastProbes: Boolean = true): DataFrame = {
+                     broadcastProbes: Boolean = true,
+                     pruneCells: Boolean = false): DataFrame = {
     import graft.functions.VectorExpressions.pqAdc
+    // AUTO budget derives from the INDEX size — always the full lists,
+    // never the pruned subset
     val keepR = if (rerank > 0) rerank else autoPqRerank(lists.count(), k)
+    val listsSide = if (pruneCells)
+      pruneToCells(lists, probes.select("cent_id")) else lists
     val wApprox = Window.partitionBy("query_id")
       .orderBy(col("asim").desc, col("cand_id"))
     // PQ probes are the heaviest probe frame in the family — each row
@@ -1050,7 +1079,7 @@ object Similarity {
     // unconditional, matching the ivfq sibling: raw query floats are
     // ~two orders of magnitude lighter per row than the LUT.
     val probesSide = if (broadcastProbes) broadcast(probes) else probes
-    val frontier = lists.join(probesSide, Seq("cent_id"))
+    val frontier = listsSide.join(probesSide, Seq("cent_id"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("asim",
         pqAdc(col("lut"), col("codes")) / (col("qn") * col("rn")))

@@ -686,7 +686,8 @@ object StreamingAnalytics {
         quantizer = graft.operators.Artifacts
           .loadCentroids(batch.sparkSession, centroidsPath)
       sink(graft.operators.Similarity
-        .ivfTopKPrepared(lists, batch, k, quantizer, nprobe), batchId)
+        .ivfTopKPrepared(lists, batch, k, quantizer, nprobe,
+          pruneCells = true), batchId)
     }
   }
 
@@ -728,7 +729,8 @@ object StreamingAnalytics {
       val probes = graft.operators.Similarity
         .pqProbes(batch, quantizer, codebooks, nprobe)
       sink(graft.operators.Similarity
-        .pqTopKFromGeom(lists, probes, batch, corpus, k, rerankEff), batchId)
+        .pqTopKFromGeom(lists, probes, batch, corpus, k, rerankEff,
+          pruneCells = true), batchId)
     }
   }
 
@@ -772,7 +774,8 @@ object StreamingAnalytics {
       val probes = graft.operators.Similarity
         .pqProbes(batch, quantizer, codebooks, nprobe)
       sink(graft.operators.Similarity
-        .pqTopKFromGeom(lists, probes, batch, corpus, k, rerank), batchId)
+        .pqTopKFromGeom(lists, probes, batch, corpus, k, rerank,
+          pruneCells = true), batchId)
     }
   }
 
@@ -1031,10 +1034,10 @@ object StreamingAnalytics {
           val corpus = spark.read.parquet(pinned.flists)
             .select(col("cand_id").as("vec_id"), col("candv").as("embedding"))
           sink(Similarity.pqTopKFromGeom(lists, probes, batch, corpus, k,
-            rerankEff), batchId)
+            rerankEff, pruneCells = true), batchId)
         case None =>
           sink(Similarity.ivfTopKPrepared(lists, batch, k, models.quantizer,
-            nprobe), batchId)
+            nprobe, pruneCells = true), batchId)
       }
     }
   }
@@ -1577,6 +1580,10 @@ object StreamingAnalytics {
             .otherwise(col("batch_id").cast("long")).as("batch_id"): _*)
         .distinct()
         .repartition(numFiles, col("cent_id"))
+        // sort within files so parquet row-group min/max on cent_id are
+        // tight — the probed-cell pushdown (Similarity.pruneToCells)
+        // then SKIPS every unprobed row group at serve time
+        .sortWithinPartitions("cent_id")
         .write.partitionBy("batch_id").mode("overwrite")
         .parquet(staging)
     }
