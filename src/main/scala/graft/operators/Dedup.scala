@@ -392,6 +392,34 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Per-image 64-bit dHash fingerprints (id, sim) — the image
+    * counterpart of [[simhashDocs]]: one codegen'd decode+hash pass
+    * ([[graft.functions.ImageExpressions.dhashImage]]), refusals
+    * (non-images, decode failures, images smaller than the 9×8 grid)
+    * dropped. Downstream of this frame the operator is pure bit
+    * arithmetic over longs. */
+  def imagePhashDocs(df: DataFrame, idCol: String, mediaCol: String): DataFrame =
+    Par.widen(df)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.ImageExpressions.dhashImage(col(mediaCol)).as("sim"))
+      .filter(col("sim").isNotNull)
+
+  /** Near-duplicate IMAGES: 64-bit perceptual dHash per payload
+    * ([[imagePhashDocs]]), then the SAME scale-aware banded-Hamming
+    * pairing as [[simhashDups]] — candidates share one of 4 bands,
+    * verified by exact hamming ≤ maxHamming. A 100 TB multimodal
+    * corpus's image dedup is this one map pass (decode + 8-byte
+    * fingerprint) plus the text-SimHash exchange shape: only (id,
+    * 64-bit hash) longs ever shuffle, never pixels; with 4 disjoint
+    * 16-bit bands, any pair within hamming ≤ 3 shares a clean band by
+    * pigeonhole, so recall at the default radius is structural, not
+    * probabilistic. */
+  def imagePhashDups(df: DataFrame, idCol: String, mediaCol: String,
+                     maxHamming: Int = 3, maxBucket: Int = 64,
+                     bucketBits: Int = 0): DataFrame =
+    simhashPairsFrom(imagePhashDocs(df, idCol, mediaCol), maxHamming,
+      maxBucket, bucketBits)
+
   /** Connected components over an undirected duplicate-pair list —
     * the transitive-closure step that turns pairwise matches into
     * KEEP/DROP decisions (A≈B and B≈C must collapse into one cluster

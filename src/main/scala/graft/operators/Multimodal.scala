@@ -121,6 +121,72 @@ object Multimodal {
         (w, h, ow, oh, buf.size().toLong)
       }
     }
+
+    /** 64-bit perceptual difference hash (dHash) of a real image —
+      * the fingerprint half of near-duplicate IMAGE dedup
+      * ([[graft.operators.Dedup.imagePhashDups]] pairs these through
+      * the SimHash banded-Hamming kernel). INTEGER-EXACT by spec, so a
+      * relational oracle re-derives the hash from planted closed-form
+      * pixels:
+      *
+      *  1. decode via `javax.imageio` behind [[looksLikeImage]];
+      *  2. luminance per pixel `(77·R + 150·G + 29·B) >> 8` (BT.601
+      *     integer weights summing to 256, so a gray pixel R=G=B=v has
+      *     luminance EXACTLY v — which is what the planted BMP fixtures
+      *     exploit);
+      *  3. average into a 9-column × 8-row grid — pixel (x, y) belongs
+      *     to cell `(y·8/H, x·9/W)` (integer floor division; the
+      *     mapping is surjective for W ≥ 9, H ≥ 8, so no cell is
+      *     empty), cell value = `floor(sum / count)`;
+      *  4. bit `r·8 + c` is set iff `cell(r, c) > cell(r, c+1)` —
+      *     row-major brightness-falls-to-the-right, 8 comparisons per
+      *     row over 9 columns = 64 bits.
+      *
+      * The grid average IS the fixed small resize (area box filter):
+      * unlike `java.awt`'s opaque bilinear path it has a two-line
+      * integer spec both engines can state. Refusals return null: a
+      * payload that is not a recognized image, fails to decode, or is
+      * smaller than the 9×8 grid (a cell would be empty — there is no
+      * honest hash for it). */
+    def dhash64(bytes: Array[Byte]): java.lang.Long = {
+      if (!looksLikeImage(bytes)) return null
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null) return null
+      val w = img.getWidth; val h = img.getHeight
+      if (w < 9 || h < 8) return null
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      val sum = new Array[Long](72)
+      val cnt = new Array[Long](72)
+      var y = 0
+      while (y < h) {
+        val r = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val p = px(y * w + x)
+          val lum = (77 * ((p >> 16) & 0xFF) + 150 * ((p >> 8) & 0xFF) +
+            29 * (p & 0xFF)) >> 8
+          val i = r * 9 + x * 9 / w
+          sum(i) += lum; cnt(i) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (sum(r * 9 + c) / cnt(r * 9 + c) >
+              sum(r * 9 + c + 1) / cnt(r * 9 + c + 1))
+            hash |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      java.lang.Long.valueOf(hash)
+    }
   }
 
   /** Parsed audio/video container header metadata. `duration_ms`,
@@ -718,6 +784,45 @@ object Multimodal {
     def wav(sampleRate: Int, channels: Int, bitsPerSample: Int,
             data: Array[Byte]): Array[Byte] =
       wavFmt(1, sampleRate, channels, bitsPerSample, data)
+
+    /** Uncompressed 24-bit grayscale BMP with pixel value `gray(x, y)`
+      * (top-left origin, 0..255) in all three channels — the
+      * PIXEL-EXACT planted-image fixture for the dHash oracle loop:
+      * BMP is lossless, `javax.imageio` decodes it bit-for-bit, and a
+      * gray pixel's BT.601 luminance is exactly its value (the weights
+      * sum to 256), so DuckDB re-derives [[MediaCodec.dhash64]] from
+      * the same `gray` formula without touching bytes. Rows are stored
+      * bottom-up and padded to 4 bytes per the format; bfSize is
+      * exact, which the strict-BMP positive guard requires. */
+    def bmp(width: Int, height: Int, gray: (Int, Int) => Int): Array[Byte] = {
+      val rowSize = (width * 3 + 3) / 4 * 4
+      val total = 54 + rowSize * height
+      val out = new java.io.ByteArrayOutputStream(total)
+      out.write('B'); out.write('M')
+      out.write(le32b(total.toLong))            // bfSize == payload length
+      out.write(le32b(0L)); out.write(le32b(54L)) // reserved, bfOffBits
+      out.write(le32b(40L))                     // biSize
+      out.write(le32b(width.toLong)); out.write(le32b(height.toLong))
+      out.write(le16b(1)); out.write(le16b(24)) // planes, bpp
+      out.write(le32b(0L))                      // BI_RGB
+      out.write(le32b((rowSize * height).toLong))
+      out.write(le32b(2835L)); out.write(le32b(2835L))
+      out.write(le32b(0L)); out.write(le32b(0L))
+      val pad = rowSize - width * 3
+      var row = height - 1
+      while (row >= 0) { // bottom-up
+        var x = 0
+        while (x < width) {
+          val v = gray(x, row) & 0xFF
+          out.write(v); out.write(v); out.write(v) // B, G, R
+          x += 1
+        }
+        var p = 0
+        while (p < pad) { out.write(0); p += 1 }
+        row -= 1
+      }
+      out.toByteArray
+    }
 
     /** [[wav]] with an explicit format tag — fixtures for the companded
       * encodings (6 = G.711 A-law, 7 = G.711 µ-law, both 8 bits). */

@@ -133,19 +133,33 @@ object VectorStore {
         Some(Artifacts.loadPqCodebooks(spark, g.codebooks))
       else None)
 
+  /** Write the high-water record ATOMICALLY: to a temp sibling, then
+    * rename-with-overwrite into place — an in-place `fs.create` leaves
+    * a window where a concurrent reader (a serve-side [[highWater]] in
+    * another process, [[catchUp]]) observes an empty/partial file.
+    * Rename is atomic on HDFS and local filesystems; the reader
+    * additionally tolerates a blank read (see [[highWater]]). */
+  private def writeHighWater(spark: SparkSession, g: Generation,
+                             hw: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (fs, _) = fileSystem(spark, g.root)
+    val tmp = new org.apache.hadoop.fs.Path(g.dir, "_high_water._tmp")
+    val out = fs.create(tmp, /*overwrite=*/ true)
+    try out.write(s"$hw\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+    fc.rename(fs.makeQualified(tmp),
+      fs.makeQualified(new org.apache.hadoop.fs.Path(g.dir, "_high_water")),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   /** Advance a generation's recorded high water — used by compaction
     * when batch partitions fold into the bulk (the bulk then "contains
     * everything ≤ hw" again). Never moves backwards. */
   private[graft] def recordHighWater(spark: SparkSession, g: Generation,
                                      hw: Long): Unit = {
     val prev = highWater(spark, g)
-    if (prev != Long.MaxValue && hw > prev) {
-      val (fs, _) = fileSystem(spark, g.root)
-      val out = fs.create(
-        new org.apache.hadoop.fs.Path(g.dir, "_high_water"), /*overwrite=*/ true)
-      try out.write(s"$hw\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
+    if (prev != Long.MaxValue && hw > prev) writeHighWater(spark, g, hw)
   }
 
   /** The high-water batch_id recorded at [[publish]] time:
@@ -157,14 +171,32 @@ object VectorStore {
   def highWater(spark: SparkSession, g: Generation): Long = {
     val (fs, _) = fileSystem(spark, g.root)
     val p = new org.apache.hadoop.fs.Path(g.dir, "_high_water")
-    if (!fs.exists(p)) return Long.MaxValue
-    val in = fs.open(p)
-    try {
-      val line = new java.io.BufferedReader(
-        new java.io.InputStreamReader(in,
-          java.nio.charset.StandardCharsets.UTF_8)).readLine()
-      line.trim.toLong
-    } finally in.close()
+    // writes go through writeHighWater (temp + atomic rename), but
+    // tolerate a null/blank read anyway — on a filesystem without
+    // atomic rename a concurrent advance could still expose a partial
+    // file; retry briefly, then degrade to "no replay" with a warning
+    // instead of crashing the stream on an NPE
+    var attempt = 0
+    while (true) {
+      if (!fs.exists(p)) return Long.MaxValue
+      val in = fs.open(p)
+      val line =
+        try new java.io.BufferedReader(
+          new java.io.InputStreamReader(in,
+            java.nio.charset.StandardCharsets.UTF_8)).readLine()
+        finally in.close()
+      val trimmed = Option(line).map(_.trim).getOrElse("")
+      if (trimmed.nonEmpty) return trimmed.toLong
+      attempt += 1
+      if (attempt >= 3) {
+        System.err.println(
+          s"[VectorStore] WARN: $p read blank after $attempt attempts — " +
+            "treating as no-replay (Long.MaxValue)")
+        return Long.MaxValue
+      }
+      Thread.sleep(50L * attempt)
+    }
+    Long.MaxValue // unreachable
   }
 
   /** The generation's corpus as-of `highWater`: raw (vec_id, embedding)
@@ -243,12 +275,8 @@ object VectorStore {
       bulk(Similarity.pqPrepare(corpus, quant, cb), g.lists)
       bulk(Similarity.ivfPrepare(corpus, quant), g.flists)
     } else bulk(Similarity.ivfPrepare(corpus, quant), g.lists)
+    writeHighWater(spark, g, highWater)
     val (fs, _) = fileSystem(spark, root)
-    val hwOut = fs.create(
-      new org.apache.hadoop.fs.Path(g.dir, "_high_water"), /*overwrite=*/ true)
-    try hwOut.write(s"$highWater\n"
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally hwOut.close()
     // overwrite=false: under the single-writer contract this marker
     // cannot exist; a concurrent publisher that raced to the same gen
     // number fails HERE, loudly, instead of both "succeeding" over an

@@ -3184,6 +3184,189 @@ SELECT doc_id,
        CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS frame_count
 FROM documents ORDER BY doc_id, frame_idx"""
 
+  /** Planted BMP image per document — the dHash oracle-loop fixture
+    * ([[multimodalMediaMeta]]'s playbook for images): dimensions and
+    * every pixel's gray value are pure integer functions of doc_id, so
+    * DuckDB re-derives [[Multimodal.MediaCodec.dhash64]]'s exact output
+    * relationally while Spark walks the REAL decode path (hand-built
+    * 24-bit BMP bytes → `javax.imageio` → luminance → grid). Three
+    * planted populations:
+    *  - doc_id % 10 == 7: replicates its predecessor's image (base =
+    *    doc_id − 1) with the top-left grid cell's pixels shifted — a
+    *    NEAR-duplicate pair within hamming ≤ 1 (only bit 0's
+    *    comparison sees cell (0,0));
+    *  - doc_id % 10 == 9: an 8×8 image, below the 9-column grid — the
+    *    oracle-visible refusal path;
+    *  - everything else: a distinct full-size image (16..44 × 12..39,
+    *    deliberately NOT multiples of 9/8 so the integer cell mapping
+    *    is exercised off the uniform case). */
+  private def imageMediaRows(spark: SparkSession, sfDir: String) = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"source").as[(Long, String)]
+      .map { case (id, src) =>
+        val media =
+          if (id % 10 == 9)
+            Multimodal.ContainerFixtures.bmp(8, 8,
+              (x, y) => ((id * 37 + x * 11 + y * 23) % 251).toInt)
+          else {
+            val base = if (id % 10 == 7) id - 1 else id
+            val w = 16 + (base % 5).toInt * 7
+            val h = 12 + (base % 4).toInt * 9
+            Multimodal.ContainerFixtures.bmp(w, h, (x, y) => {
+              val g = (base * 37 + x * 11 + y * 23) % 251
+              (if (id % 10 == 7 && x * 9 / w == 0 && y * 8 / h == 0)
+                 (g + 128) % 251
+               else g).toInt
+            })
+          }
+        Multimodal.MediaRow(id, media, "image/bmp", src)
+      }
+  }
+
+  /** The shared hash-derivation CTE chain (no WITH keyword): DuckDB
+    * restates the full [[Multimodal.MediaCodec.dhash64]] spec over the
+    * planted pixel formula — luminance of a gray pixel is its value,
+    * cell of pixel (x,y) is (y·8//h, x·9//w), cell value is
+    * floor-average, bit r·8+c set iff cell(r,c) > cell(r,c+1); bit 63
+    * lands on the BIGINT sign, stated as the two's-complement literal.
+    * Covers exactly the non-refused docs. */
+  private val imageDhashCte: String = """
+p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 7 THEN doc_id - 1 ELSE doc_id END AS base
+  FROM documents WHERE doc_id % 10 <> 9),
+g AS (
+  SELECT doc_id, base,
+         16 + (base % 5) * 7 AS w, 12 + (base % 4) * 9 AS h
+  FROM p),
+xs AS (SELECT doc_id, base, w, h, unnest(range(w)) AS x FROM g),
+pxl AS (SELECT doc_id, base, w, h, x, unnest(range(h)) AS y FROM xs),
+lum AS (
+  SELECT doc_id, y * 8 // h AS r, x * 9 // w AS c,
+         CASE WHEN doc_id % 10 = 7 AND x * 9 // w = 0 AND y * 8 // h = 0
+              THEN ((base * 37 + x * 11 + y * 23) % 251 + 128) % 251
+              ELSE (base * 37 + x * 11 + y * 23) % 251 END AS v
+  FROM pxl),
+cell AS (
+  SELECT doc_id, r, c, sum(v) // count(*) AS v
+  FROM lum GROUP BY doc_id, r, c),
+bits AS (
+  SELECT l.doc_id, l.r * 8 + l.c AS b
+  FROM cell l
+  JOIN cell rt ON rt.doc_id = l.doc_id AND rt.r = l.r AND rt.c = l.c + 1
+  WHERE l.c < 8 AND l.v > rt.v),
+hash AS (
+  SELECT p.doc_id, CAST(coalesce(s.v, 0) AS BIGINT) AS sim
+  FROM p LEFT JOIN (
+    SELECT doc_id,
+           sum(CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                    ELSE 1::BIGINT << CAST(b AS INTEGER) END) AS v
+    FROM bits GROUP BY doc_id) s USING (doc_id))"""
+
+  /** Per-document dHash through the REAL decode path — the kernel gate:
+    * a wrong BT.601 weight, cell boundary, floor division, or bit order
+    * diverges the 64-bit value against DuckDB's relational restatement.
+    * Refusals surface as ok=false (hash stated as 0 so no NULL rides
+    * the cross-engine hash). */
+  def multimodalImageDhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.ImageExpressions.dhashImage
+    imageMediaRows(spark, sfDir).toDF()
+      .select(col("doc_id"), dhashImage(col("media")).as("sim"))
+      .select(col("doc_id"), col("sim").isNotNull.as("ok"),
+        coalesce(col("sim"), lit(0L)).as("sim0"))
+      .orderBy("doc_id")
+  }
+
+  val multimodalImageDhashOracle: String = s"""
+WITH $imageDhashCte
+SELECT d.doc_id, (d.doc_id % 10 <> 9) AS ok,
+       coalesce(h.sim, 0) AS sim0
+FROM documents d LEFT JOIN hash h USING (doc_id)
+ORDER BY doc_id"""
+
+  /** Near-duplicate image pairs ([[Dedup.imagePhashDups]]): dHash
+    * fingerprints through the real decode, then the scale-aware
+    * banded-Hamming kernel SimHash dedup already uses — the full SQL
+    * twin re-derives the hashes from the pixel formula AND replays the
+    * banding + span guard + hamming verify. */
+  def dedupImagePhash(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.imagePhashDups(imageMediaRows(spark, sfDir).toDF(),
+        "doc_id", "media", maxHamming = 3, maxBucket = 64)
+      .orderBy("id_a", "id_b")
+
+  val dedupImagePhashOracle: String = s"""
+WITH $imageDhashCte,
+wb AS (
+  SELECT least(32, greatest(16,
+    CASE WHEN cast(ceil(count(*)/8.0) AS BIGINT) <= 1 THEN 0
+         ELSE length(printf('%b', cast(ceil(count(*)/8.0) AS BIGINT) - 1))
+    END)) AS w
+  FROM hash),
+bnd AS (
+  SELECT doc_id, sim, t.band,
+         (sim >> least(t.band*16, 64 - wb.w)) & ((1::BIGINT << wb.w) - 1) AS bucket
+  FROM hash, (SELECT unnest(range(4)) AS band) t, wb),
+rnk AS (
+  SELECT band, bucket, doc_id, sim,
+         row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn
+  FROM bnd),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         x.sim AS sim_a, y.sim AS sim_b
+  FROM rnk x JOIN rnk y ON x.band = y.band AND x.bucket = y.bucket
+   AND y.rn > x.rn AND y.rn - x.rn <= 64)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+ORDER BY id_a, id_b"""
+
+  /** Brute-force exact twin of [[dedupImagePhash]] — all pairs within
+    * hamming ≤ 3 over the same fingerprints; the recall gate's truth
+    * set. */
+  private def dedupImagePhashExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = Dedup.imagePhashDocs(imageMediaRows(spark, sfDir).toDF(),
+      "doc_id", "media")
+    val a = h.select(col("doc_id").as("id_a"), col("sim").as("sim_a"))
+    val b = h.select(col("doc_id").as("id_b"), col("sim").as("sim_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= 3)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  private val dedupImagePhashExactOracle: String = s"""
+WITH $imageDhashCte
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+FROM hash a JOIN hash b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= 3"""
+
+  /** Recall gate: with 4 disjoint 16-bit bands at the gate scale, any
+    * pair within hamming ≤ 3 shares a clean band by pigeonhole and the
+    * planted pairs are doc-id-adjacent (span 1), so recall is exactly
+    * 1.0 — asserted, not approximated. */
+  def dedupImagePhashRecall(spark: SparkSession, sfDir: String): DataFrame =
+    pairRecall(dedupImagePhashExact(spark, sfDir),
+      dedupImagePhash(spark, sfDir), 1.0)
+
+  val dedupImagePhashRecallOracle: String =
+    pairRecallOracle(dedupImagePhashExactOracle)
+
+  /** Image-dedup precision contract ([[dedupSimhashViolations]]'s
+    * shape): every emitted pair's hamming matches a fresh fingerprint
+    * recomputation and respects the radius. */
+  def dedupImagePhashViolations(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = imageMediaRows(spark, sfDir).toDF()
+    val pairs = Dedup.imagePhashDups(rows, "doc_id", "media", maxHamming = 3)
+    val h = Dedup.imagePhashDocs(rows, "doc_id", "media")
+    val joined = pairs
+      .join(h.select(col("doc_id").as("id_a"), col("sim").as("sim_a")), "id_a")
+      .join(h.select(col("doc_id").as("id_b"), col("sim").as("sim_b")), "id_b")
+    val hamTrue = bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
+    violationSummary(joined, hamTrue =!= col("hamming") || hamTrue > 3)
+  }
+
   /** Real container-header parsing, oracle-checked end to end: wrap each
     * document's bytes in a WAV / MP4 / WebM container whose header fields
     * are pure functions of (doc_id, byte length), parse them back with

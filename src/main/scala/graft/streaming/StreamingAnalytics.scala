@@ -953,17 +953,25 @@ object StreamingAnalytics {
           // ops loop: republish with the pinned generation's OWN
           // hyperparameters (nlist from the quantizer, m/ksub from the
           // codebooks), trained on everything the store has landed
-          // (high water = the largest landed batch id — this batch has
-          // NOT landed yet and stays above it, so the normal cutover
-          // path below replays nothing and appends it to the new
-          // generation directly). The intake is the single writer while
-          // retrainOn is enabled — do not run an external publisher
-          // concurrently. The publish stalls this micro-batch for one
-          // training + bulk-build pass; drift-gated, that is the rare
-          // batch, and index maintenance streams tolerate it.
+          // (high water = the largest landed batch id EXCLUDING the
+          // in-flight one — on an at-least-once replay the current
+          // batch's partition may already be on disk from a crash
+          // between ingestBatch and the checkpoint commit; counting it
+          // into hw would fold those vectors into the new bulk AND
+          // re-append them below, double-serving within one
+          // generation. Excluded, the batch stays above the water in
+          // either history: the append below overwrites partition
+          // batchId idempotently, exactly once in the new generation —
+          // the same exclusion the drift probe applies two lines up).
+          // The intake is the single writer while retrainOn is enabled
+          // — do not run an external publisher concurrently. The
+          // publish stalls this micro-batch for one training +
+          // bulk-build pass; drift-gated, that is the rare batch, and
+          // index maintenance streams tolerate it.
           if (retrainOn(report)) {
             val hw = spark.read.parquet(
                 if (models.isPq) pinned.flists else pinned.lists)
+              .filter(col("batch_id") =!= lit(batchId))
               .agg(max(col("batch_id").cast("long"))).head().getLong(0)
             val next = VectorStore.publish(spark, root,
               VectorStore.corpusAsOf(spark, pinned, hw),

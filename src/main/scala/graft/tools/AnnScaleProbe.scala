@@ -62,14 +62,23 @@ object AnnScaleProbe {
         .map(_.trim.toInt)).getOrElse(default)
     val repeats = sys.env.getOrElse("SPARK_GRAFT_ANN_REPEATS", "1").toInt
 
-    // PQ: one shared geometry (the gate's 16×256 grid over the shared
-    // 16-cell coarse quantizer), swept over the exact-rerank frontier
+    // PQ: one shared geometry (default = the gate's 16×256 grid over
+    // the shared 16-cell coarse quantizer), swept over the exact-rerank
+    // frontier. SPARK_GRAFT_ANN_NLIST / SPARK_GRAFT_ANN_NPROBE override
+    // the coarse geometry — the r19 sweep re-validating the 160·k
+    // rerank saturation cap on a higher-nlist store shape (the serve
+    // intakes apply AUTO to arbitrary geometries; the cap must hold, or
+    // be documented per-geometry, where the cell-recall ceiling moves).
     val pqSweep = sweep("SPARK_GRAFT_ANN_RERANKS", Seq(40, 100, 400, 1600))
     val lshSweep = sweep("SPARK_GRAFT_ANN_PROBES", Seq(32, 128, 512))
+    val nlist = sys.env.getOrElse("SPARK_GRAFT_ANN_NLIST", "16").toInt
+    val nprobe = sys.env.getOrElse("SPARK_GRAFT_ANN_NPROBE", "12").toInt
     if (pqSweep.nonEmpty) {
-      val cents = Similarity.trainCentroids(e, nlist = 16, trainIters = 2)
+      if (nlist != 16 || nprobe != 12)
+        println(s"[ann-probe] pq geometry override: nlist=$nlist nprobe=$nprobe")
+      val cents = Similarity.trainCentroids(e, nlist = nlist, trainIters = 2)
       val books = Similarity.trainPqCodebooks(e, m = 16, ksub = 256)
-      val pq = Similarity.pqGeomFrames(q, e, cents, books, nprobe = 12)
+      val pq = Similarity.pqGeomFrames(q, e, cents, books, nprobe = nprobe)
       val lists = pq.lists.persist(); val nCorpus = lists.count()
       val probes = pq.probes.persist(); probes.count()
       val autoRerank = Similarity.autoPqRerank(nCorpus, k)

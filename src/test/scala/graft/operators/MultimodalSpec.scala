@@ -583,4 +583,70 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ContainerCodec.mp3FrameChain(header(0)).isEmpty)
     assert(ContainerCodec.mp3FrameChain(header(15)).isEmpty)
   }
+
+  // ------------------------------------------------- perceptual dHash ----
+
+  test("dhash64: monotone gradients hit the closed-form extremes") {
+    import Multimodal.{ContainerFixtures, MediaCodec}
+    // 9×8: every x is its own grid column; brightness RISES to the right
+    // → no cell is brighter than its right neighbor → hash 0
+    val rising = ContainerFixtures.bmp(9, 8, (x, _) => x * 10)
+    assert(MediaCodec.dhash64(rising) == 0L)
+    // FALLS to the right → every one of the 64 comparisons fires → all
+    // bits set (hash == -1 in two's complement, incl. the sign bit 63)
+    val falling = ContainerFixtures.bmp(9, 8, (x, _) => 80 - x * 10)
+    assert(MediaCodec.dhash64(falling) == -1L)
+  }
+
+  test("dhash64 is container-independent: BMP and PNG of the same pixels agree") {
+    import Multimodal.{ContainerFixtures, MediaCodec}
+    def gray(x: Int, y: Int): Int = (x * 53 + y * 29 + 7) % 251
+    val viaBmp = ContainerFixtures.bmp(23, 17, gray)
+    val img = new java.awt.image.BufferedImage(23, 17,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 23; y <- 0 until 17) {
+      val v = gray(x, y); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val a = MediaCodec.dhash64(viaBmp); val b = MediaCodec.dhash64(buf.toByteArray)
+    assert(a != null && a == b)
+  }
+
+  test("dhash64 refusals: below-grid images and non-images return null") {
+    import Multimodal.{ContainerFixtures, MediaCodec}
+    assert(MediaCodec.dhash64(ContainerFixtures.bmp(8, 8, (x, y) => x + y)) == null)
+    assert(MediaCodec.dhash64(ContainerFixtures.bmp(20, 7, (x, y) => x + y)) == null)
+    assert(MediaCodec.dhash64("not an image at all".getBytes) == null)
+    assert(MediaCodec.dhash64(
+      ContainerFixtures.wav(8000, 1, 16, new Array[Byte](64))) == null)
+  }
+
+  test("imagePhashDups finds the planted near-dup and not the inverse image") {
+    import spark.implicits._
+    import Multimodal.ContainerFixtures
+    def base(x: Int, y: Int): Int = (x * 37 + y * 23 + 11) % 251
+    val near = ContainerFixtures.bmp(27, 21, (x, y) =>
+      // brighten only grid cell (0,0) — flips at most bit 0's comparison
+      if (x * 9 / 27 == 0 && y * 8 / 21 == 0) (base(x, y) + 128) % 251
+      else base(x, y))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, ContainerFixtures.bmp(27, 21, base), "image/bmp", "t"),
+      Multimodal.MediaRow(2L, near, "image/bmp", "t"),
+      Multimodal.MediaRow(3L, ContainerFixtures.bmp(27, 21,
+        (x, y) => 250 - base(x, y)), "image/bmp", "t"),
+      Multimodal.MediaRow(4L, ContainerFixtures.bmp(8, 8, base), "image/bmp", "t")
+    ).toDS().toDF()
+    // pinned 16-bit bands: the scale-aware width needs no count at n=4
+    val pairs = Dedup.imagePhashDups(rows, "doc_id", "media",
+        maxHamming = 3, bucketBits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 <= 1)
+    // the inverse image is far from both in Hamming space
+    val h = Dedup.imagePhashDocs(rows, "doc_id", "media")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h.keySet == Set(1L, 2L, 3L)) // the 8×8 refusal row never hashes
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) > 3)
+  }
 }
