@@ -245,6 +245,159 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** Main-content extraction from HTML markup — the markup→text stage a
+    * real ingest pipeline runs before any of the text operators. One
+    * scan-speed pass (no DOM, no regex backtracking) with jusText-style
+    * literal thresholds:
+    *
+    *  - `<script>`/`<style>` element CONTENTS and `<!-- -->` comments
+    *    are skipped wholesale (raw `<`, `>`, `&` inside them included);
+    *  - BLOCK-level tags (open or close, case-insensitive) delimit
+    *    blocks; inline tags (`<a>`, `<b>`, `<span>`, …) do not;
+    *  - entities: the named five (`&amp; &lt; &gt; &quot; &apos;`) and
+    *    decimal `&#NNN;` (BMP only) decode; anything else stays literal;
+    *  - per block, whitespace-normalized text plus two integer
+    *    counters: visible non-space chars, and those inside `<a>`
+    *    elements;
+    *  - KEEP a block iff normalized length ≥ [[HtmlMinBlockChars]] AND
+    *    link chars · 4 ≤ total non-space chars (link density ≤ 0.25 —
+    *    navigation/footer link farms fail this, prose with a trailing
+    *    "more" link passes).
+    *
+    * Every rule is integer arithmetic over planted token groups, so the
+    * gate's DuckDB oracle re-derives the kept-block set relationally
+    * ([[graft.queries.ExtensionQueries.textHtmlExtract]]). */
+  val HtmlMinBlockChars = 25
+  private val HtmlBlockTags: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("html", "head", "body", "title", "p", "div", "h1", "h2", "h3",
+      "h4", "h5", "h6", "li", "ul", "ol", "dl", "dt", "dd", "table",
+      "tr", "td", "th", "thead", "tbody", "br", "hr", "section",
+      "article", "header", "footer", "nav", "aside", "blockquote",
+      "pre", "form", "main", "figure", "figcaption").foreach(s.add)
+    s
+  }
+
+  /** The scan kernel behind [[HtmlExtractBlocks]] — exposed for specs. */
+  def htmlBlocks(html: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val buf = new java.lang.StringBuilder
+    var total = 0; var link = 0; var linkDepth = 0
+    val n = html.length
+    def append(c: Char): Unit = {
+      buf.append(c)
+      if (!Character.isWhitespace(c)) {
+        total += 1
+        if (linkDepth > 0) link += 1
+      }
+    }
+    def flushBlock(): Unit = {
+      // whitespace-collapse without regex: single spaces between runs
+      val txt = new java.lang.StringBuilder(buf.length)
+      var i = 0; var pendingSpace = false
+      while (i < buf.length) {
+        val c = buf.charAt(i)
+        if (Character.isWhitespace(c)) { if (txt.length > 0) pendingSpace = true }
+        else { if (pendingSpace) { txt.append(' '); pendingSpace = false }; txt.append(c) }
+        i += 1
+      }
+      if (txt.length >= HtmlMinBlockChars && link * 4 <= total)
+        out += txt.toString
+      buf.setLength(0); total = 0; link = 0
+    }
+    var i = 0
+    while (i < n) {
+      val ch = html.charAt(i)
+      if (ch == '<') {
+        if (html.startsWith("<!--", i)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else {
+          var j = i + 1
+          var closing = false
+          if (j < n && html.charAt(j) == '/') { closing = true; j += 1 }
+          val s = j
+          while (j < n && (Character.isLetter(html.charAt(j)) ||
+            Character.isDigit(html.charAt(j)))) j += 1
+          val name = html.substring(s, j).toLowerCase(java.util.Locale.ROOT)
+          var k = j
+          while (k < n && html.charAt(k) != '>') k += 1
+          i = if (k < n) k + 1 else n
+          if (!closing && (name == "script" || name == "style")) {
+            // raw-text element: skip to the matching close tag
+            val close = "</" + name
+            var p = i; var found = -1
+            while (found < 0 && p <= n - close.length) {
+              if (html.regionMatches(true, p, close, 0, close.length)) found = p
+              p += 1
+            }
+            if (found < 0) i = n
+            else {
+              var q = found + close.length
+              while (q < n && html.charAt(q) != '>') q += 1
+              i = if (q < n) q + 1 else n
+            }
+          } else if (name == "a") {
+            if (closing) linkDepth = math.max(0, linkDepth - 1)
+            else linkDepth += 1
+          } else if (HtmlBlockTags.contains(name)) flushBlock()
+        }
+      } else if (ch == '&') {
+        val semi = html.indexOf(';', i + 1)
+        var decoded = -1
+        if (semi > i && semi - i <= 8) {
+          val ent = html.substring(i + 1, semi)
+          decoded = ent match {
+            case "amp" => '&'.toInt
+            case "lt" => '<'.toInt
+            case "gt" => '>'.toInt
+            case "quot" => '"'.toInt
+            case "apos" => '\''.toInt
+            case _ =>
+              if (ent.length > 1 && ent.charAt(0) == '#' &&
+                  ent.substring(1).forall(Character.isDigit)) {
+                try {
+                  val v = Integer.parseInt(ent.substring(1))
+                  if (v < 0x10000) v else -1
+                } catch { case _: NumberFormatException => -1 }
+              } else -1
+          }
+        }
+        if (decoded >= 0) { append(decoded.toChar); i = semi + 1 }
+        else { append('&'); i += 1 }
+      } else { append(ch); i += 1 }
+    }
+    flushBlock()
+    out.toArray
+  }
+
+  /** HTML → kept main-content blocks (see [[htmlBlocks]] for the spec).
+    * string → array<string>, empty array for markup with no block
+    * passing the thresholds. */
+  case class HtmlExtractBlocks(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "html_extract_blocks"
+
+    override def nullSafeEval(input: Any): Any =
+      new GenericArrayData(
+        htmlBlocks(input.asInstanceOf[UTF8String].toString)
+          .map(UTF8String.fromString): Array[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("htmlExtract", this,
+        classOf[HtmlExtractBlocks].getName)
+      nullSafeCodeGen(ctx, ev, a => {
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($a);"
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def htmlExtractBlocks(c: Column): Column =
+    GraftBridge.column(HtmlExtractBlocks(GraftBridge.expr(c)))
+
   def decodeMimeHeader(c: Column): Column =
     GraftBridge.column(DecodeMimeHeader(GraftBridge.expr(c)))
   def ngramTransitions(toks: Column, n: Int): Column =
@@ -276,7 +429,9 @@ object TextExpressions {
       "decode_mime_header" ->
         ((exprs: Seq[Expression]) => DecodeMimeHeader(exprs.head)),
       "winnow_fingerprint" ->
-        ((exprs: Seq[Expression]) => WinnowFingerprint(exprs.head, 8, 4)))
+        ((exprs: Seq[Expression]) => WinnowFingerprint(exprs.head, 8, 4)),
+      "html_extract_blocks" ->
+        ((exprs: Seq[Expression]) => HtmlExtractBlocks(exprs.head)))
     if (registeredSessions.putIfAbsent(reg, java.lang.Boolean.TRUE) == null)
       names.foreach { case (n, b) =>
         reg.createOrReplaceTempFunction(n, b, "scala_udf") }

@@ -3144,6 +3144,72 @@ SELECT doc_id,
 FROM t JOIN d USING (tok)
 GROUP BY doc_id ORDER BY doc_id"""
 
+  /** HTML main-content extraction under the gate — the markup→text
+    * ingest stage ([[graft.functions.TextExpressions.htmlBlocks]]).
+    * Planted-fixture oracle loop: each document's tokens are wrapped
+    * into a REAL page skeleton (head with title/style/script — the
+    * script body contains raw `<`, `>`, `&&` that a naive tag stripper
+    * would mangle — 6-token content/nav blocks, a link-farm footer)
+    * whose kept-block set is pure arithmetic over the token groups:
+    *  - chunk j % 4 == 1 → a nav `<div>` of per-token links (link
+    *    density 1, always dropped);
+    *  - chunk j % 4 == 3 → prose + a trailing `<a>more</a>` (kept iff
+    *    ≥ 25 normalized chars and 16 ≤ non-space chars + 4);
+    *  - other chunks → plain `<p>` prose (kept iff ≥ 25 chars);
+    * title and footer fail the thresholds by construction. DuckDB
+    * restates the slicing + thresholds; Spark walks the real scanner. */
+  def textHtmlExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextExpressions.htmlExtractBlocks
+    val html = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.split(" ")
+        val sb = new StringBuilder
+        sb ++= s"<html><head><title>T $id</title><style>p{color:red}</style>"
+        sb ++= "<script>var x = 1 < 2 && id > 0;</script></head><body>"
+        var j = 0
+        while (j * 6 < toks.length) {
+          val chunk = toks.slice(j * 6, j * 6 + 6).mkString(" ")
+          sb ++= ((j % 4) match {
+            case 1 => "<div>" + chunk.split(" ")
+              .map(t => s"""<a href="/x">$t</a>""").mkString(" ") + "</div>"
+            case 3 => s"""<p><b>$chunk</b> <a href="/y">more</a></p>"""
+            case _ => s"<p>$chunk</p>"
+          })
+          j += 1
+        }
+        sb ++= "<footer><a href=\"/h\">home</a> <a href=\"/c\">contact</a>"
+        sb ++= "</footer></body></html>"
+        (id, sb.toString)
+      }.toDF("doc_id", "html")
+    html.select(col("doc_id"), posexplode(htmlExtractBlocks(col("html"))))
+      .withColumnRenamed("pos", "block_idx")
+      .withColumnRenamed("col", "block_text")
+      .orderBy("doc_id", "block_idx")
+  }
+
+  val textHtmlExtractOracle: String = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (SELECT doc_id, toks, unnest(range((len(toks) + 5) // 6)) AS j FROM d),
+b AS (
+  SELECT doc_id, j,
+         array_to_string(list_slice(toks, j*6 + 1, j*6 + 6), ' ') AS chunk
+  FROM c),
+k AS (
+  SELECT doc_id, j,
+         CASE WHEN j % 4 = 3 THEN chunk || ' more' ELSE chunk END AS block_text
+  FROM b
+  WHERE CASE
+    WHEN j % 4 = 1 THEN FALSE
+    WHEN j % 4 = 3 THEN length(chunk) + 5 >= 25
+         AND 16 <= length(replace(chunk, ' ', '')) + 4
+    ELSE length(chunk) >= 25 END)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY j) - 1 AS INTEGER) AS block_idx,
+       block_text
+FROM k ORDER BY doc_id, block_idx"""
+
   // --------------------------------------------------------- multimodal ----
 
   def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame =

@@ -77,4 +77,53 @@ class TextExpressionsSpec extends AnyFunSuite {
       .collect().head.getSeq[Long](0)
     assert(fps.isEmpty)
   }
+
+  // ---------------------------------------------- HTML block extraction ----
+
+  test("htmlBlocks keeps prose, drops boilerplate/link farms/short blocks") {
+    val html =
+      "<html><head><title>Site</title><style>p { color: red }</style>" +
+      "<script>if (a < b && c > d) { var s = \"<p>fake</p>\"; }</script>" +
+      "</head><body>" +
+      "<p>this paragraph is long enough to pass the minimum length rule</p>" +
+      "<div><a href=\"/1\">home</a> <a href=\"/2\">products</a> " +
+      "<a href=\"/3\">about us page</a></div>" +   // link density 1 → drop
+      "<p>short one</p>" +                          // < 25 chars → drop
+      "<p>prose with a trailing <a href=\"/m\">link</a> stays because " +
+      "density is low</p>" +
+      "<footer><a href=\"/c\">contact</a></footer></body></html>"
+    val got = TextExpressions.htmlBlocks(html)
+    assert(got.toSeq == Seq(
+      "this paragraph is long enough to pass the minimum length rule",
+      "prose with a trailing link stays because density is low"))
+  }
+
+  test("htmlBlocks decodes entities, collapses whitespace, survives edge markup") {
+    // entities + multi-whitespace + inline tags not splitting blocks
+    val got = TextExpressions.htmlBlocks(
+      "<p>fish &amp; chips &lt;tag&gt;\n\t with   <b>bold &#65;</b> text</p>")
+    assert(got.toSeq == Seq("fish & chips <tag> with bold A text"))
+    // unknown/malformed entities stay literal
+    assert(TextExpressions.htmlBlocks(
+      "<p>a &nope; b &#999999; c & d literal ampersands pass through</p>")
+      .head == "a &nope; b &#999999; c & d literal ampersands pass through")
+    // unterminated comment and unclosed script do not hang or leak text
+    assert(TextExpressions.htmlBlocks("<p>before text that is long enough" +
+      " to keep</p><!-- never closed").toSeq ==
+      Seq("before text that is long enough to keep"))
+    assert(TextExpressions.htmlBlocks(
+      "<script>var x = 1; // never closed").isEmpty)
+    // case-insensitive tags; <BR/> splits blocks
+    assert(TextExpressions.htmlBlocks(
+      "<P>upper case paragraph long enough to keep<BR/>second half also" +
+      " long enough to keep</P>").length == 2)
+  }
+
+  test("html_extract_blocks registered SQL function works via spark.sql") {
+    TextExpressions.register(spark)
+    val r = spark.sql(
+      "SELECT html_extract_blocks('<p>a sql surface block long enough to" +
+      " pass the gate</p>') AS b").collect().head.getSeq[String](0)
+    assert(r == Seq("a sql surface block long enough to pass the gate"))
+  }
 }
