@@ -264,13 +264,33 @@ object VectorStore {
               trainIters: Int = 2,
               highWater: Long = Long.MaxValue): Generation = {
     val g = Generation(current(spark, root).map(_.gen + 1).getOrElse(1L), root)
-    val quant = Similarity.trainCentroids(corpus, nlist, trainIters)
+    // Clamp hyperparameters the corpus cannot TRAIN, loudly, instead of
+    // refusing: a small bootstrap (a 125-vector sf0.01 bulk) cannot
+    // fill 256-code codebooks — trainPqCodebooks fails, and an
+    // over-wide nlist under-fills the quantizer silently. ksub ≤ n/4
+    // and nlist ≤ n/8 keep a sane k-means sample-per-centroid ratio;
+    // the clamp only ever REDUCES, so explicit args stay authoritative
+    // whenever the corpus can honor them, and big-corpus publishes
+    // (where n/8 dwarfs any sane nlist) never change. The count is one
+    // column-pruned aggregate against passes publish already pays
+    // (train + per-frame prepare + write).
+    val n = corpus.count()
+    val nlistEff = math.max(1L, math.min(nlist.toLong, n / 8)).toInt
+    val ksubEff = math.max(1L, math.min(pqKsub.toLong, n / 4)).toInt
+    if (nlistEff != nlist || (pqM > 0 && ksubEff != pqKsub))
+      System.err.println(
+        s"[VectorStore] WARN: corpus n=$n cannot train nlist=$nlist" +
+          (if (pqM > 0) s", pqKsub=$pqKsub" else "") +
+          s" — clamped to nlist=$nlistEff" +
+          (if (pqM > 0) s", pqKsub=$ksubEff" else "") +
+          " (explicit smaller values are never raised)")
+    val quant = Similarity.trainCentroids(corpus, nlistEff, trainIters)
     Artifacts.saveCentroids(spark, g.centroids, quant._1, quant._2)
     def bulk(df: DataFrame, path: String): Unit =
       df.withColumn("batch_id", lit(-1L))
         .write.partitionBy("batch_id").mode("overwrite").parquet(path)
     if (pqM > 0) {
-      val cb = Similarity.trainPqCodebooks(corpus, pqM, pqKsub, trainIters)
+      val cb = Similarity.trainPqCodebooks(corpus, pqM, ksubEff, trainIters)
       Artifacts.savePqCodebooks(spark, g.codebooks, cb)
       bulk(Similarity.pqPrepare(corpus, quant, cb), g.lists)
       bulk(Similarity.ivfPrepare(corpus, quant), g.flists)

@@ -30,7 +30,9 @@ import org.apache.spark.sql.streaming.Trigger
   * Usage: StreamVectors <inputDir> <storeRoot>
   *          [--pq] [--bootstrap <parquet>] [--follow] [--retrain]
   * Env: SPARK_GRAFT_NLIST (default 16), SPARK_GRAFT_PQ_M (default 16),
-  * SPARK_GRAFT_PQ_KSUB (default 256 — needs ≥ ksub bootstrap vectors),
+  * SPARK_GRAFT_PQ_KSUB (default 256 — [[VectorStore.publish]] clamps
+  * ksub/nlist down to what the bootstrap corpus can train, loudly, so
+  * defaults work at any scale),
   * SPARK_GRAFT_DRIFT_EVERY (default 8 batches, 0 = off),
   * SPARK_GRAFT_COMPACT_EVERY (default 64 batches, 0 = off),
   * SPARK_GRAFT_MAX_FILES_PER_TRIGGER, SPARK_GRAFT_MASTER,

@@ -233,6 +233,32 @@ class VectorStoreSpec extends AnyFunSuite {
       "PQ serve through the store must equal a from-scratch prepare")
   }
 
+  test("publish clamps untrainable hyperparameters instead of requiring env surgery") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vstore-clamp").toString
+    // a 20-vector bootstrap cannot train the 16/256 defaults: publish
+    // must clamp (nlist <= n/8 = 2, ksub <= n/4 = 5), warn, and succeed
+    val tiny = e.filter(col("vec_id") < 20)
+    val g = VectorStore.publish(spark, root, tiny,
+      nlist = 16, pqM = 4, pqKsub = 256)
+    val quant = Artifacts.loadCentroids(spark, g.centroids)
+    assert(quant._1.length == 2, "nlist must clamp to n/8")
+    val books = Artifacts.loadPqCodebooks(spark, g.codebooks)
+    assert(books.length == 4 && books.forall(_.length == 5),
+      "ksub must clamp to n/4")
+    // the clamped store SERVES: codes decode through the clamped LUTs
+    val q = tiny.filter(col("vec_id") < 2)
+    val served = Similarity.pqTopKFromGeom(
+      spark.read.parquet(g.lists),
+      Similarity.pqProbes(q, quant, books, nprobe = 2), q, tiny,
+      k = 3, rerank = 12)
+    assert(served.count() > 0)
+    // explicit args the corpus CAN honor are never touched
+    val root2 = java.nio.file.Files.createTempDirectory("graft-vstore-noclamp").toString
+    val g2 = VectorStore.publish(spark, root2, tiny, nlist = 2, pqM = 4, pqKsub = 4)
+    assert(Artifacts.loadCentroids(spark, g2.centroids)._1.length == 2)
+    assert(Artifacts.loadPqCodebooks(spark, g2.codebooks).forall(_.length == 4))
+  }
+
   test("concurrent publishers fail loudly instead of blessing an interleaved generation") {
     val root = java.nio.file.Files.createTempDirectory("graft-vstore-race").toString
     VectorStore.publish(spark, root, e, nlist = 8)
