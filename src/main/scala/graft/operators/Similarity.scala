@@ -213,6 +213,16 @@ object Similarity {
     // rows, broadcast onto the query side to address a block
     val nBlks = cBuckets.groupBy("table", "bucket")
       .agg((max(col("blk")) + 1).as("nblk"))
+    LshFrames(lshQueryProbes(qBase, tables, bpt, probesEff, nBlks), cBuckets)
+  }
+
+  /** The QUERY side of the LSH probe geometry — per (query, table):
+    * probesEff buckets (multi-probe bit flips), each addressed to two
+    * rank blocks. Shared by the one-workload path ([[lshProbeFrames]])
+    * and the standing-index serve path ([[lshTopKPrepared]]); `qBase`
+    * is the (query_id, queryv, queryn)-shaped frame. */
+  private def lshQueryProbes(qBase: DataFrame, tables: Int, bpt: Int,
+                             probesEff: Int, nBlks: DataFrame): DataFrame = {
     val qBuckets =
       if (probesEff <= 1)
         slimBuckets(qBase, "query_id", "queryv", "query_id", tables, bpt)
@@ -225,13 +235,12 @@ object Similarity {
         // duplicate probe buckets appear when 2^bpt < probes (pad) — a
         // dup would double-join its bucket's rows
         .dropDuplicates("query_id", "table", "bucket")
-    val qProbes = qBuckets
+    qBuckets
       .join(broadcast(nBlks), Seq("table", "bucket"))
       .select(col("table"), col("bucket"), col("query_id"),
         explode(array(
           pmod(xxhash64(col("query_id")), col("nblk")),
           pmod(xxhash64(col("query_id")) + 1, col("nblk")))).as("blk"))
-    LshFrames(qProbes, cBuckets)
   }
 
   /** The candidate-join + exact-rerank stage of [[lshTopK]] over
@@ -261,6 +270,105 @@ object Similarity {
     cands.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
+  }
+
+  /** A STANDING LSH index — the escape hatch for the measured
+    * third-decade LSH wall (BASELINE.md): the corpus-side geometry
+    * build (signature explode ×tables + bucket rank window — 480M rows
+    * and 200-290 s at 20M vectors, the dominant term) is a pure
+    * function of (corpus, tables, bitsPerTable, maxBucket) and belongs
+    * in a persisted artifact like `ivfPrepare`'s lists, built once per
+    * corpus instead of once per workload. Serving against it pays only
+    * the query-side probes plus the candidate join + rerank floor.
+    *
+    *  - `cBuckets`: (table, bucket, cand_id, blk) — slim index rows
+    *    (the ×tables explosion holds 20 B/row, never the vectors);
+    *  - `nBlks`: (table, bucket, nblk) block counts — ≤ tables·2^bpt
+    *    rows, broadcast at serve so no per-serve aggregate rescans the
+    *    index;
+    *  - the frozen geometry (tables, bitsPerTable, maxBucket) and the
+    *    indexed-corpus count, from which the serve-side AUTO probe
+    *    budget re-derives ([[autoLshProbes]]).
+    *
+    * Guidance unchanged: for NEW stores beyond ~10M vectors prefer
+    * IVF/PQ — their candidate scan prunes by cent_id instead of
+    * scanning a ×tables-exploded index. The standing index is for
+    * corpora already committed to LSH geometry (repeated batch
+    * workloads over one corpus). */
+  final case class LshIndex(cBuckets: DataFrame, nBlks: DataFrame,
+                            tables: Int, bitsPerTable: Int,
+                            maxBucket: Int, nCorpus: Long)
+
+  /** Build the corpus side of the LSH geometry as reusable frames (the
+    * [[lshProbeFrames]] corpus half, without the per-workload persist).
+    * bitsPerTable 0 = AUTO from the corpus size, frozen into the
+    * index. */
+  def lshPrepare(corpus: DataFrame, tables: Int = 24,
+                 bitsPerTable: Int = 0, maxBucket: Int = 64): LshIndex = {
+    val cBase = Par.widen(corpus)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("candv"),
+        vecNorm(col("embedding")).as("candn")).filter(col("candn") > 0)
+    val n = cBase.count()
+    val bpt = if (bitsPerTable > 0) bitsPerTable
+      else math.max(1, math.ceil(math.log(
+        math.max(1.0, n.toDouble / math.max(1, maxBucket / 2)))
+        / math.log(2.0)).toInt)
+    val wBucket = Window.partitionBy("table", "bucket").orderBy("cand_id")
+    val cBuckets = slimBuckets(cBase, "cand_id", "candv", "cand_id", tables, bpt)
+      .withColumn("blk", floor((row_number().over(wBucket) - 1) / lit(maxBucket)))
+    val nBlks = cBuckets.groupBy("table", "bucket")
+      .agg((max(col("blk")) + 1).as("nblk"))
+    LshIndex(cBuckets, nBlks, tables, bpt, maxBucket, n)
+  }
+
+  /** Persist an LSH index: bucket rows first, block counts derived from
+    * the WRITTEN frame (the signature kernel runs exactly once), the
+    * one-row meta frame LAST as the completion marker — a crashed save
+    * never loads. */
+  def saveLshIndex(spark: SparkSession, path: String, corpus: DataFrame,
+                   tables: Int = 24, bitsPerTable: Int = 0,
+                   maxBucket: Int = 64): Unit = {
+    val idx = lshPrepare(corpus, tables, bitsPerTable, maxBucket)
+    idx.cBuckets.write.mode("overwrite").parquet(s"$path/buckets")
+    spark.read.parquet(s"$path/buckets").groupBy("table", "bucket")
+      .agg((max(col("blk")) + 1).as("nblk"))
+      .write.mode("overwrite").parquet(s"$path/blocks")
+    import spark.implicits._
+    Seq((idx.tables, idx.bitsPerTable, idx.maxBucket, idx.nCorpus))
+      .toDF("tables", "bits_per_table", "max_bucket", "n_corpus")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** True when a completed [[saveLshIndex]] artifact exists. */
+  def lshIndexExists(spark: SparkSession, path: String): Boolean =
+    Artifacts.exists(spark, s"$path/meta")
+
+  def loadLshIndex(spark: SparkSession, path: String): LshIndex = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    LshIndex(spark.read.parquet(s"$path/buckets"),
+      spark.read.parquet(s"$path/blocks"),
+      m.getAs[Int]("tables"), m.getAs[Int]("bits_per_table"),
+      m.getAs[Int]("max_bucket"), m.getAs[Long]("n_corpus"))
+  }
+
+  /** [[lshTopK]] against a standing index (the `ivfTopKPrepared`
+    * discipline): identical results to the monolithic call at the same
+    * geometry — the query side re-derives its AUTO probe budget from
+    * the INDEXED corpus count, so a pinned index serves the same
+    * geometry forever. `corpus` is the raw (vec_id, embedding) frame
+    * the index was built from (vectors live there, never in the
+    * index). */
+  def lshTopKPrepared(idx: LshIndex, queries: DataFrame, corpus: DataFrame,
+                      k: Int, probes: Int = 0): DataFrame = {
+    require(probes >= 0, "probes must be >= 0 (0 = AUTO)")
+    val probesEff = if (probes > 0) probes else autoLshProbes(idx.nCorpus)
+    val qBase = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("queryv"),
+      vecNorm(col("embedding")).as("queryn")).filter(col("queryn") > 0)
+    lshRerankTopK(queries, corpus,
+      lshQueryProbes(qBase, idx.tables, idx.bitsPerTable, probesEff,
+        idx.nBlks),
+      idx.cBuckets, k)
   }
 
   /** IVF (inverted-file) ANN: coarse-quantize the corpus into `nlist`

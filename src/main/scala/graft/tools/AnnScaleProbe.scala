@@ -96,6 +96,24 @@ object AnnScaleProbe {
     if (lshSweep.nonEmpty) {
       val nCorpus = e.filter(Similarity.vecNorm(col("embedding")) > 0).count()
       val autoProbes = Similarity.autoLshProbes(nCorpus)
+      // SPARK_GRAFT_ANN_LSH_INDEX=<path>: measure the STANDING-INDEX
+      // serve path — build+save the geometry once (timed separately:
+      // that is the 200-290 s per-workload wall the artifact
+      // amortizes), then pay only query probes + join/rerank per point.
+      sys.env.get("SPARK_GRAFT_ANN_LSH_INDEX").foreach { ipath =>
+        if (!Similarity.lshIndexExists(spark, ipath)) {
+          val t0 = System.nanoTime()
+          Similarity.saveLshIndex(spark, ipath, e,
+            tables = 24, bitsPerTable = 0, maxBucket = 64)
+          println(f"[ann-probe] lsh index build+save wall=${(System.nanoTime() - t0) / 1e9}%.1fs -> $ipath")
+        } else println(s"[ann-probe] lsh index reused at $ipath")
+        val idx = Similarity.loadLshIndex(spark, ipath)
+        for (p <- (lshSweep :+ autoProbes).distinct.sorted; _ <- 1 to repeats) {
+          val tag = if (p == autoProbes) s"$p(AUTO)" else p.toString
+          timed(s"lsh-prepared probes=$tag serve",
+            Similarity.lshTopKPrepared(idx, q, e, k, probes = p))
+        }
+      }
       // SPARK_GRAFT_ANN_DECOMPOSE=1: split each point's wall into the
       // corpus-side geometry build (signature explode + block window —
       // probe-count-independent) vs the probe-dependent candidate join

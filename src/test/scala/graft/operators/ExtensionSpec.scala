@@ -773,6 +773,38 @@ class ExtensionSpec extends AnyFunSuite {
     assert(canon(Similarity.ivfTopKPrepared(reloaded, q, k = 3, quant)) == mono)
   }
 
+  test("lshPrepare/saveLshIndex + lshTopKPrepared equals monolithic lshTopK") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 10)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "rank", "sim")
+        .collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+    // the gate geometry: AUTO bucket depth, AUTO probes
+    val mono = canon(Similarity.lshTopK(q, e, k = 3,
+      tables = 8, bitsPerTable = 0, maxBucket = 64, probes = 0))
+    // in-memory prepared
+    val idx = Similarity.lshPrepare(e, tables = 8, bitsPerTable = 0,
+      maxBucket = 64)
+    assert(canon(Similarity.lshTopKPrepared(idx, q, e, k = 3)) == mono)
+    // persisted + reloaded (the standing-artifact serve path): same
+    // frozen geometry, same AUTO probe budget from the stored count
+    val path = java.nio.file.Files
+      .createTempDirectory("lsh-index").toString + "/idx"
+    assert(!Similarity.lshIndexExists(spark, path))
+    Similarity.saveLshIndex(spark, path, e, tables = 8, bitsPerTable = 0,
+      maxBucket = 64)
+    assert(Similarity.lshIndexExists(spark, path))
+    val loaded = Similarity.loadLshIndex(spark, path)
+    assert(loaded.tables == 8 && loaded.maxBucket == 64 &&
+      loaded.bitsPerTable == idx.bitsPerTable &&
+      loaded.nCorpus == idx.nCorpus)
+    assert(canon(Similarity.lshTopKPrepared(loaded, q, e, k = 3)) == mono)
+    // a pinned explicit probe width also matches the monolithic call
+    assert(canon(Similarity.lshTopKPrepared(loaded, q, e, k = 3, probes = 4)) ==
+      canon(Similarity.lshTopK(q, e, k = 3, tables = 8, bitsPerTable = 0,
+        maxBucket = 64, probes = 4)))
+  }
+
   /** The r12 artifact-replay contract: each geometry-split path
     * (FromGeom/From) must equal its monolithic operator BIT-FOR-BIT —
     * the driver's DuckDB oracles replay the persisted geometry frames,
