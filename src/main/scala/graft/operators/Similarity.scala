@@ -97,8 +97,17 @@ object Similarity {
     * O(k) at every scale beyond 2.56M·(k/5)². Every term is a pure
     * integer function of count(*) and k (√ is IEEE-correctly-rounded
     * in any engine), so the DuckDB oracle re-derives the same budget
-    * from the replayed list rows. Calibrated at k=5; the k-proportional
-    * cap extrapolates the floor's shape, not a measurement. */
+    * from the replayed list rows. Calibrated at k=5 on nlist=16/
+    * nprobe=12, and RE-VALIDATED at nlist=64 in both ceiling regimes
+    * (r19, `target/ann_probe_r19_nlist64.txt`, 2M vectors): at
+    * nprobe=48 (75% of cells) recall saturates at exactly 160·k
+    * (0.920/0.940 below 800, 0.960 at it, flat to 8× beyond), and at
+    * nprobe=12 (18.75%) the cell ceiling binds at 0.600 with rerank
+    * flat 200→3200 — the saturation is a property of the ADC noise
+    * band (m/ksub), not the coarse geometry. The k-proportional shape
+    * of the cap extrapolates the floor's; callers whose store needs a
+    * larger budget pass `rerank` explicitly (every serve path treats
+    * rerank ≠ 0 as authoritative and skips AUTO). */
   def autoPqRerank(n: Long, k: Int): Int =
     math.max(8L * k,
       math.min(160L * k, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt

@@ -108,11 +108,14 @@ object StdinLogs {
     val listenPort = rest.sliding(2).collectFirst {
       case Array("--listen", p) => p.toInt
     }
+    // stdin spool batches are arrival-rate-sized (no directory to
+    // estimate from ahead of the stream) — measured-knee fallback, env
+    // override retained ([[graft.streaming.StreamWidth]])
+    val width = graft.streaming.StreamWidth.resolve(None)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
       .appName("graft-stdin-logs")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.shuffle.partitions", width.width.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -70,8 +70,6 @@ object StreamCorpus {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
       .appName("graft-stream-corpus")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -81,13 +79,17 @@ object StreamCorpus {
     val minQuality = sys.env.getOrElse("SPARK_GRAFT_MIN_QUALITY", "0.5").toDouble
     val threshold = sys.env.getOrElse("SPARK_GRAFT_ND_THRESHOLD", "0.7").toDouble
     val compactEvery = sys.env.getOrElse("SPARK_GRAFT_COMPACT_EVERY", "64").toInt
+    val maxFiles =
+      sys.env.get("SPARK_GRAFT_MAX_FILES_PER_TRIGGER").map(_.toInt)
+    // shuffle/state width sized to the micro-batch (env overrides)
+    graft.streaming.StreamWidth(spark, "stream-corpus", outDir,
+      graft.streaming.StreamWidth.estimateParquetDir(spark, inputDir, maxFiles))
 
     val done = StreamMeter.attach(spark, "stream-corpus", outDir)
     val reader = spark.readStream
       .schema(spark.read.parquet(inputDir).schema) // file source needs a fixed schema
     // batch-size sensitivity probes bound each micro-batch's file count
-    sys.env.get("SPARK_GRAFT_MAX_FILES_PER_TRIGGER")
-      .foreach(v => reader.option("maxFilesPerTrigger", v.toInt))
+    maxFiles.foreach(v => reader.option("maxFilesPerTrigger", v))
     val docs = reader.parquet(inputDir)
 
     val inner = StreamingAnalytics.nearDedupIntake(indexPath,

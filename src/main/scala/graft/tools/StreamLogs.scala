@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.streaming.StreamingSessionize
+import graft.streaming.{StreamWidth, StreamingSessionize}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -32,7 +32,10 @@ import org.apache.spark.sql.streaming.Trigger
   * store ([[StreamingSessionize.withRocksDbStateStore]] — the 100 TB
   * configuration: state spills to executor-local disk instead of heap);
   * SPARK_GRAFT_MAX_FILES_PER_TRIGGER bounds each micro-batch (batch-size
-  * sensitivity probes). Every run appends per-batch
+  * sensitivity probes). Shuffle/state width defaults to the micro-batch
+  * size ([[StreamWidth]] — the r18 ladder's measured knee: the state
+  * store pays ~400 ms of commit file ops per partition per batch);
+  * SPARK_GRAFT_SHUFFLE_PARTITIONS overrides. Every run appends per-batch
   * `StreamingQueryProgress` JSON to `<outDir>/progress.jsonl` and prints
   * a wall-clock lines/s summary ([[StreamMeter]]).
   */
@@ -44,9 +47,6 @@ object StreamLogs {
     val spark0 = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
       .appName("graft-stream-logs")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
-          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -58,12 +58,17 @@ object StreamLogs {
         StreamingSessionize.withRocksDbStateStore(spark0)
       else spark0
     import spark.implicits._
+    val maxFiles =
+      sys.env.get("SPARK_GRAFT_MAX_FILES_PER_TRIGGER").map(_.toInt)
+    // shuffle/state width sized to the micro-batch (env overrides);
+    // recorded on stdout + as the first progress.jsonl line
+    StreamWidth(spark, "stream-logs", outDir,
+      StreamWidth.estimateTextDir(inputDir, maxFiles))
     val done = StreamMeter.attach(spark, "stream-logs", outDir)
 
     val epoch2020s = 1577836800L
     val reader = spark.readStream
-    sys.env.get("SPARK_GRAFT_MAX_FILES_PER_TRIGGER")
-      .foreach(v => reader.option("maxFilesPerTrigger", v.toInt))
+    maxFiles.foreach(v => reader.option("maxFilesPerTrigger", v))
     val lines = reader.text(inputDir)
       .select(col("value"),
         unix_timestamp(col("_metadata.file_modification_time")).as("fsec"))

@@ -19,11 +19,13 @@ object StreamStats {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
       .appName("graft-stream-stats")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // shuffle/state width sized to the micro-batch (env overrides)
+    graft.streaming.StreamWidth(spark, "stream-stats", outDir,
+      graft.streaming.StreamWidth.estimateParquetDir(spark, inDir, None))
 
     val schema = spark.read.parquet(inDir).schema
     val events = spark.readStream.schema(schema).parquet(inDir)
