@@ -420,6 +420,32 @@ object Dedup {
     simhashPairsFrom(imagePhashDocs(df, idCol, mediaCol), maxHamming,
       maxBucket, bucketBits)
 
+  /** Per-clip 64-bit loudness-envelope fingerprints (id, sim) — the
+    * AUDIO counterpart of [[imagePhashDocs]]: one codegen'd decode+hash
+    * pass ([[graft.functions.AudioExpressions.audioEnvHash]] over the
+    * real PCM / G.711 / IMA-ADPCM dispatch), refusals (non-decodable
+    * payloads, clips shorter than the 65-segment envelope) dropped. */
+  def audioEnvDocs(df: DataFrame, idCol: String, mediaCol: String): DataFrame =
+    Par.widen(df)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.AudioExpressions.audioEnvHash(col(mediaCol)).as("sim"))
+      .filter(col("sim").isNotNull)
+
+  /** Near-duplicate AUDIO: 64-bit envelope hash per payload
+    * ([[audioEnvDocs]]), then the SAME scale-aware banded-Hamming
+    * pairing as [[simhashDups]]/[[imagePhashDups]] — candidates share
+    * one of 4 bands, verified by exact hamming ≤ maxHamming. The
+    * 100 TB shape is identical to image dedup: one map pass (decode +
+    * 8-byte fingerprint), then only (id, 64-bit hash) longs ever
+    * shuffle — never samples; with 4 disjoint 16-bit bands any pair
+    * within hamming ≤ 3 shares a clean band by pigeonhole, so recall
+    * at the default radius is structural, not probabilistic. */
+  def audioEnvDups(df: DataFrame, idCol: String, mediaCol: String,
+                   maxHamming: Int = 3, maxBucket: Int = 64,
+                   bucketBits: Int = 0): DataFrame =
+    simhashPairsFrom(audioEnvDocs(df, idCol, mediaCol), maxHamming,
+      maxBucket, bucketBits)
+
   /** Connected components over an undirected duplicate-pair list —
     * the transitive-closure step that turns pairwise matches into
     * KEEP/DROP decisions (A≈B and B≈C must collapse into one cluster

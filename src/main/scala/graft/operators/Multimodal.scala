@@ -187,6 +187,61 @@ object Multimodal {
       }
       java.lang.Long.valueOf(hash)
     }
+
+    /** 64-bit perceptual ENVELOPE hash of a decodable audio payload —
+      * [[dhash64]]'s audio counterpart (the fingerprint half of
+      * near-duplicate AUDIO dedup, paired by
+      * [[graft.operators.Dedup.audioEnvDups]]). INTEGER-EXACT by spec,
+      * so a relational oracle re-derives the hash from planted
+      * closed-form samples:
+      *
+      *  1. decode interleaved samples through the SAME dispatch as
+      *     [[graft.operators.Multimodal.audioStats]] — linear PCM
+      *     ([[ContainerCodec.decodeWavPcm]]), G.711
+      *     ([[ContainerCodec.decodeWavCompanded]]), IMA ADPCM
+      *     ([[ContainerCodec.decodeWavAdpcm]]);
+      *  2. bucket sample i into segment `i·65/n` (integer floor — 65
+      *     segments so 64 adjacent comparisons yield 64 bits, the
+      *     9-column/8-comparison trick in time; surjective for
+      *     n ≥ 65);
+      *  3. segment value = `floor(sum(|sample|) / count)` — the mean
+      *     absolute amplitude, i.e. the loudness envelope (abs, not
+      *     sample², keeps every intermediate far inside 63 bits at any
+      *     clip length);
+      *  4. bit s (0..63) is set iff `env(s) > env(s+1)` —
+      *     loudness-falls-to-the-right along time.
+      *
+      * The envelope shape survives amplitude-preserving re-encodes
+      * (G.711/ADPCM round trips, small noise), which is what makes the
+      * Hamming radius meaningful for near-dup audio. Refusals return
+      * null: a payload the decode dispatch rejects, or fewer than 65
+      * samples (a segment would be empty — no honest envelope). */
+    def audioEnvHash64(bytes: Array[Byte]): java.lang.Long = {
+      val dec = ContainerCodec.decodeWavPcm(bytes)
+        .orElse(ContainerCodec.decodeWavCompanded(bytes))
+        .orElse(ContainerCodec.decodeWavAdpcm(bytes))
+      dec match {
+        case Some((_, samples)) if samples.length >= 65 =>
+          val n = samples.length
+          val sum = new Array[Long](65)
+          val cnt = new Array[Long](65)
+          var i = 0
+          while (i < n) {
+            val s = (i.toLong * 65L / n).toInt
+            sum(s) += math.abs(samples(i).toLong); cnt(s) += 1
+            i += 1
+          }
+          var hash = 0L
+          var s = 0
+          while (s < 64) {
+            if (sum(s) / cnt(s) > sum(s + 1) / cnt(s + 1))
+              hash |= 1L << s
+            s += 1
+          }
+          java.lang.Long.valueOf(hash)
+        case _ => null
+      }
+    }
   }
 
   /** Parsed audio/video container header metadata. `duration_ms`,

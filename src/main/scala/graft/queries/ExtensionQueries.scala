@@ -3419,6 +3419,202 @@ WHERE bit_count(xor(a.sim, b.sim)) <= 3"""
   val dedupImagePhashRecallOracle: String =
     pairRecallOracle(dedupImagePhashExactOracle)
 
+  /** Planted PCM WAV per document — the audio-envelope oracle-loop
+    * fixture ([[imageMediaRows]]'s playbook for audio): every 16-bit
+    * sample is a pure integer function of doc_id, so DuckDB re-derives
+    * [[Multimodal.MediaCodec.audioEnvHash64]]'s exact output
+    * relationally while Spark walks the REAL decode path (RIFF bytes →
+    * PCM dispatch → 65-segment envelope). Samples go through a
+    * two-round xorshift-multiply mix (`h ^= h >> 16; h = h·48271 mod
+    * 2³¹−1`, twice) so DISTINCT docs' envelopes decorrelate. Both
+    * weaker choices fail empirically and are worth recording: a plain
+    * linear formula leaves |v| monotone over a short clip (450 docs →
+    * 2 distinct hashes, 30k false pairs), and a PURELY multiplicative
+    * mix (Lehmer ×48271² mod M, no xor) preserves additive input
+    * differences — doc gaps g where g·100003·48271² mod M is small
+    * produce clips whose samples differ by a CONSTANT, hence equal
+    * envelopes (450 docs → 357 distinct hashes, 357 false pairs). The
+    * xor between multiplications is what breaks constant-difference
+    * propagation; with it the planted twins are the ONLY pairs within
+    * the radius (verified: 50 pairs, all hamming ≤ 1). Three planted
+    * populations:
+    *  - doc_id % 10 == 7: replays its predecessor's signal (base =
+    *    doc_id − 1) with segment 0's samples perturbed — a
+    *    NEAR-duplicate pair within hamming ≤ 1 (env(0) participates
+    *    only in bit 0's comparison);
+    *  - doc_id % 10 == 9: a clip below the 65-sample envelope — the
+    *    oracle-visible refusal path;
+    *  - everything else: a distinct clip of 130..208 samples
+    *    (deliberately not a multiple of 65, so the integer segment
+    *    mapping is exercised off the uniform case). */
+  private def audioMediaRows(spark: SparkSession, sfDir: String) = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"source").as[(Long, String)]
+      .map { case (id, src) =>
+        val (base, n) =
+          if (id % 10 == 9) (id, (8 + id % 40).toInt)
+          else {
+            val b = if (id % 10 == 7) id - 1 else id
+            (b, (130 + (b % 7) * 13).toInt)
+          }
+        val data = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val bump =
+            if (id % 10 == 7 && i.toLong * 65L / n == 0L) 9973L else 0L
+          val x = base * 100003L + i.toLong * 37L + 11L + bump
+          var h = x % 2147483647L
+          h = (h ^ (h >> 16)) * 48271L % 2147483647L
+          h = (h ^ (h >> 16)) * 48271L % 2147483647L
+          val s = (h % 65536L - 32768L).toInt
+          data(2 * i) = (s & 0xFF).toByte
+          data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+          i += 1
+        }
+        Multimodal.MediaRow(id,
+          Multimodal.ContainerFixtures.wav(8000, 1, 16, data), "audio/wav", src)
+      }
+  }
+
+  /** The shared envelope-hash CTE chain (no WITH keyword): DuckDB
+    * restates the full [[Multimodal.MediaCodec.audioEnvHash64]] spec
+    * over the planted sample formula — segment of sample i is
+    * i·65//n, segment value is floor(sum(|v|)/count), bit s set iff
+    * env(s) > env(s+1); bit 63 lands on the BIGINT sign, stated as the
+    * two's-complement literal. Covers exactly the non-refused docs. */
+  private val audioEnvCte: String = """
+p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 7 THEN doc_id - 1 ELSE doc_id END AS base
+  FROM documents WHERE doc_id % 10 <> 9),
+g AS (SELECT doc_id, base, 130 + (base % 7) * 13 AS n FROM p),
+smp AS (SELECT doc_id, base, n, unnest(range(n)) AS i FROM g),
+h0 AS (
+  SELECT doc_id, i * 65 // n AS s,
+         (base * 100003 + i * 37 + 11 +
+          CASE WHEN doc_id % 10 = 7 AND i * 65 // n = 0
+               THEN 9973 ELSE 0 END) % 2147483647 AS h
+  FROM smp),
+h1 AS (SELECT doc_id, s, xor(h, h >> 16) * 48271 % 2147483647 AS h FROM h0),
+h2 AS (SELECT doc_id, s, xor(h, h >> 16) * 48271 % 2147483647 AS h FROM h1),
+sval AS (SELECT doc_id, s, abs(h % 65536 - 32768) AS v FROM h2),
+env AS (SELECT doc_id, s, sum(v) // count(*) AS v FROM sval GROUP BY doc_id, s),
+bits AS (
+  SELECT l.doc_id, l.s AS b
+  FROM env l JOIN env r ON r.doc_id = l.doc_id AND r.s = l.s + 1
+  WHERE l.s < 64 AND l.v > r.v),
+hash AS (
+  SELECT p.doc_id, CAST(coalesce(s.v, 0) AS BIGINT) AS sim
+  FROM p LEFT JOIN (
+    SELECT doc_id,
+           sum(CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                    ELSE 1::BIGINT << CAST(b AS INTEGER) END) AS v
+    FROM bits GROUP BY doc_id) s USING (doc_id))"""
+
+  /** Per-clip envelope hash through the REAL decode path — the kernel
+    * gate: a wrong segment boundary, floor division, abs, or bit order
+    * diverges the 64-bit value against DuckDB's relational restatement.
+    * Refusals surface as ok=false (hash stated as 0 so no NULL rides
+    * the cross-engine hash). */
+  def multimodalAudioEnvhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.AudioExpressions.audioEnvHash
+    audioMediaRows(spark, sfDir).toDF()
+      .select(col("doc_id"), audioEnvHash(col("media")).as("sim"))
+      .select(col("doc_id"), col("sim").isNotNull.as("ok"),
+        coalesce(col("sim"), lit(0L)).as("sim0"))
+      .orderBy("doc_id")
+  }
+
+  val multimodalAudioEnvhashOracle: String = s"""
+WITH $audioEnvCte
+SELECT d.doc_id, (d.doc_id % 10 <> 9) AS ok,
+       coalesce(h.sim, 0) AS sim0
+FROM documents d LEFT JOIN hash h USING (doc_id)
+ORDER BY doc_id"""
+
+  /** Near-duplicate audio pairs ([[Dedup.audioEnvDups]]): envelope
+    * fingerprints through the real decode, then the scale-aware
+    * banded-Hamming kernel SimHash/image dedup already use — the full
+    * SQL twin re-derives the hashes from the sample formula AND replays
+    * the banding + span guard + hamming verify. */
+  def dedupAudioEnv(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.audioEnvDups(audioMediaRows(spark, sfDir).toDF(),
+        "doc_id", "media", maxHamming = 3, maxBucket = 64)
+      .orderBy("id_a", "id_b")
+
+  val dedupAudioEnvOracle: String = s"""
+WITH $audioEnvCte,
+wb AS (
+  SELECT least(32, greatest(16,
+    CASE WHEN cast(ceil(count(*)/8.0) AS BIGINT) <= 1 THEN 0
+         ELSE length(printf('%b', cast(ceil(count(*)/8.0) AS BIGINT) - 1))
+    END)) AS w
+  FROM hash),
+bnd AS (
+  SELECT doc_id, sim, t.band,
+         (sim >> least(t.band*16, 64 - wb.w)) & ((1::BIGINT << wb.w) - 1) AS bucket
+  FROM hash, (SELECT unnest(range(4)) AS band) t, wb),
+rnk AS (
+  SELECT band, bucket, doc_id, sim,
+         row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn
+  FROM bnd),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         x.sim AS sim_a, y.sim AS sim_b
+  FROM rnk x JOIN rnk y ON x.band = y.band AND x.bucket = y.bucket
+   AND y.rn > x.rn AND y.rn - x.rn <= 64)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+ORDER BY id_a, id_b"""
+
+  /** Audio-dedup precision contract ([[dedupImagePhashViolations]]'s
+    * shape): every emitted pair's hamming matches a fresh fingerprint
+    * recomputation and respects the radius. */
+  def dedupAudioEnvViolations(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = audioMediaRows(spark, sfDir).toDF()
+    val pairs = Dedup.audioEnvDups(rows, "doc_id", "media", maxHamming = 3)
+    val h = Dedup.audioEnvDocs(rows, "doc_id", "media")
+    val joined = pairs
+      .join(h.select(col("doc_id").as("id_a"), col("sim").as("sim_a")), "id_a")
+      .join(h.select(col("doc_id").as("id_b"), col("sim").as("sim_b")), "id_b")
+    val hamTrue = bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
+    violationSummary(joined, hamTrue =!= col("hamming") || hamTrue > 3)
+  }
+
+  /** Brute-force exact twin of [[dedupAudioEnv]] — all pairs within
+    * hamming ≤ 3 over the same fingerprints; the recall gate's truth
+    * set. */
+  private def dedupAudioEnvExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = Dedup.audioEnvDocs(audioMediaRows(spark, sfDir).toDF(),
+      "doc_id", "media")
+    val a = h.select(col("doc_id").as("id_a"), col("sim").as("sim_a"))
+    val b = h.select(col("doc_id").as("id_b"), col("sim").as("sim_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= 3)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  private val dedupAudioEnvExactOracle: String = s"""
+WITH $audioEnvCte
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+FROM hash a JOIN hash b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= 3"""
+
+  /** Recall gate: with 4 disjoint 16-bit bands at the gate scale, any
+    * pair within hamming ≤ 3 shares a clean band by pigeonhole and the
+    * planted pairs are doc-id-adjacent (span 1), so recall is exactly
+    * 1.0 — asserted, not approximated. */
+  def dedupAudioEnvRecall(spark: SparkSession, sfDir: String): DataFrame =
+    pairRecall(dedupAudioEnvExact(spark, sfDir),
+      dedupAudioEnv(spark, sfDir), 1.0)
+
+  val dedupAudioEnvRecallOracle: String =
+    pairRecallOracle(dedupAudioEnvExactOracle)
+
   /** Image-dedup precision contract ([[dedupSimhashViolations]]'s
     * shape): every emitted pair's hamming matches a fresh fingerprint
     * recomputation and respects the radius. */

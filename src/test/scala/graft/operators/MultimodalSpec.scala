@@ -649,4 +649,80 @@ class MultimodalSpec extends AnyFunSuite {
     assert(h.keySet == Set(1L, 2L, 3L)) // the 8×8 refusal row never hashes
     assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) > 3)
   }
+
+  /** Pack closed-form 16-bit samples into a PCM WAV. */
+  private def pcmWav(n: Int, v: Int => Int): Array[Byte] = {
+    val data = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = v(i)
+      data(2 * i) = (s & 0xFF).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    Multimodal.ContainerFixtures.wav(8000, 1, 16, data)
+  }
+
+  test("audioEnvHash64: monotone envelopes hit the closed-form extremes") {
+    import Multimodal.MediaCodec
+    // 65 samples: each its own segment; |amplitude| RISES along time →
+    // no segment louder than its successor → hash 0
+    assert(MediaCodec.audioEnvHash64(pcmWav(65, i => i * 100)) == 0L)
+    // FALLS along time → all 64 comparisons fire → hash == -1
+    assert(MediaCodec.audioEnvHash64(pcmWav(65, i => 6500 - i * 100)) == -1L)
+    // abs() is part of the spec: a falling NEGATIVE ramp is a RISING
+    // envelope (|v| grows) → hash 0 again
+    assert(MediaCodec.audioEnvHash64(pcmWav(65, i => -i * 100)) == 0L)
+  }
+
+  test("audioEnvHash64 is codec-independent: the envelope survives a G.711 round trip") {
+    import Multimodal.{ContainerFixtures, MediaCodec}
+    // µ-law code bytes whose expanded loudness falls in clear steps:
+    // high-magnitude codes first (u-law 0x00 family is loudest)
+    val n = 130
+    val codes = Array.tabulate(n)(i => ((i * 130 / n) & 0x7F).toByte)
+    val ulaw = ContainerFixtures.wavFmt(7, 8000, 1, 8, codes)
+    val hUlaw = MediaCodec.audioEnvHash64(ulaw)
+    // the same EXPANDED samples as linear PCM must hash identically —
+    // the fingerprint sees samples, not the container encoding
+    val expanded = Multimodal.ContainerCodec.decodeWavCompanded(ulaw).get._2
+    val hPcm = MediaCodec.audioEnvHash64(pcmWav(n, expanded))
+    assert(hUlaw != null && hUlaw == hPcm)
+  }
+
+  test("audioEnvHash64 refusals: short clips and non-audio return null") {
+    import Multimodal.{ContainerFixtures, MediaCodec}
+    assert(MediaCodec.audioEnvHash64(pcmWav(64, i => i)) == null)
+    assert(MediaCodec.audioEnvHash64("not audio".getBytes) == null)
+    // a float-format WAV is outside the decodable family
+    assert(MediaCodec.audioEnvHash64(
+      ContainerFixtures.wavFmt(3, 8000, 1, 32, new Array[Byte](520))) == null)
+    // an image is not audio
+    assert(MediaCodec.audioEnvHash64(
+      ContainerFixtures.bmp(16, 12, (x, y) => x + y)) == null)
+  }
+
+  test("audioEnvDups finds the planted near-dup and not the inverted envelope") {
+    import spark.implicits._
+    def base(i: Int): Int = ((i * 7919 + 31) % 65536) - 32768
+    val n = 143 // not a multiple of 65 — exercises the uneven segments
+    val near = pcmWav(n, i =>
+      // perturb only segment 0's samples — flips at most bit 0
+      if (i.toLong * 65 / n == 0) ((base(i) + 9973) % 65536 + 65536) % 65536 - 32768
+      else base(i))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, pcmWav(n, base), "audio/wav", "t"),
+      Multimodal.MediaRow(2L, near, "audio/wav", "t"),
+      // time-reversed signal: the envelope reverses → far in Hamming
+      Multimodal.MediaRow(3L, pcmWav(n, i => base(n - 1 - i)), "audio/wav", "t"),
+      Multimodal.MediaRow(4L, pcmWav(64, base), "audio/wav", "t")
+    ).toDS().toDF()
+    val pairs = Dedup.audioEnvDups(rows, "doc_id", "media",
+        maxHamming = 3, bucketBits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 <= 1)
+    val h = Dedup.audioEnvDocs(rows, "doc_id", "media")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h.keySet == Set(1L, 2L, 3L)) // the 64-sample refusal row never hashes
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) > 3)
+  }
 }
