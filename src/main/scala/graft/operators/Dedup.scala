@@ -446,6 +446,65 @@ object Dedup {
     simhashPairsFrom(audioEnvDocs(df, idCol, mediaCol), maxHamming,
       maxBucket, bucketBits)
 
+  /** Bipartite banded-Hamming match: incoming fingerprints (doc_id,
+    * sim) against a STANDING index (id, sim) — the cross-batch half of
+    * incremental fingerprint dedup (SimHash text, image dHash, audio
+    * envelope — any 64-bit fingerprint), the
+    * [[minhashLshAgainstPrepared]] shape in Hamming space.
+    *
+    * Bands are [[simhashPairsFrom]]'s 4 windows at the same
+    * scale-derived width (derived from the INDEX side — the standing
+    * corpus is what grows); candidates share a (band, bucket). Skew
+    * discipline is [[minhashBipartiteFrames]]'s verbatim: index rows
+    * rank into blocks of `maxBucket` per bucket and each incoming doc
+    * probes 2 band-mixed hash-addressed blocks, so a degenerate flood
+    * bucket costs |incoming|×2·maxBucket candidates, not
+    * |incoming|×|bucket| — bounded COMPUTE, with the usual ANN-style
+    * contract (emitted matches exact, flood-bucket misses possible).
+    * Returns (index_id, incoming_id, hamming ≤ maxHamming), deduped. */
+  def hammingAgainst(index: DataFrame, incoming: DataFrame,
+                     maxHamming: Int = 3, maxBucket: Int = 64,
+                     bucketBits: Int = 0): DataFrame = {
+    val idx0 = index.select(col("id"), col("sim"))
+    val idx = if (bucketBits > 0) idx0 else {
+      val p = idx0.persist(); CacheRegistry.track(p); p
+    }
+    val w = if (bucketBits > 0) bucketBits else simhashBucketBits(idx.count())
+    require(w >= 1 && w <= 63, s"bucketBits must be in [1,63], got $w")
+    val mask = (1L << w) - 1
+    def bandRows(d: DataFrame, idIn: String, idOut: String): DataFrame =
+      d.select(col(idIn).as(idOut), col("sim"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          b => call_function("shiftright", col("sim"),
+            least(b * 16, lit(64 - w))).bitwiseAND(mask))))
+        .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "band")
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bucket").orderBy("index_id")
+    val idxB = bandRows(idx, "id", "index_id")
+      .withColumn("blk",
+        floor((row_number().over(wBucket) - 1) / lit(maxBucket)))
+      .persist()
+    CacheRegistry.track(idxB)
+    val nBlk = idxB.groupBy("band", "bucket")
+      .agg((max(col("blk")) + 1).as("nblk"))
+    val probes = bandRows(incoming, "doc_id", "incoming_id")
+      .withColumnRenamed("sim", "sim_in")
+      .join(nBlk, Seq("band", "bucket")) // bucket absent from index → no candidates
+      .select(col("band"), col("bucket"), col("incoming_id"), col("sim_in"),
+        explode(array(
+          pmod(xxhash64(col("incoming_id"), col("band")), col("nblk")),
+          pmod(xxhash64(col("incoming_id"), col("band")) + 1, col("nblk"))))
+          .as("blk"))
+    idxB.select(col("band"), col("bucket"), col("blk"),
+        col("index_id"), col("sim").as("sim_idx"))
+      .join(probes, Seq("band", "bucket", "blk"))
+      .select("index_id", "incoming_id", "sim_idx", "sim_in").distinct()
+      .withColumn("hamming",
+        bit_count(col("sim_idx").bitwiseXOR(col("sim_in"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("index_id", "incoming_id", "hamming")
+  }
+
   /** Connected components over an undirected duplicate-pair list —
     * the transitive-closure step that turns pairwise matches into
     * KEEP/DROP decisions (A≈B and B≈C must collapse into one cluster

@@ -221,6 +221,91 @@ object StreamingAnalytics {
     } finally graft.operators.CacheRegistry.releaseAll()
   }
 
+  /** Streaming FINGERPRINT dedup intake — continuous near-duplicate
+    * admission for any 64-bit perceptual fingerprint (image dHash via
+    * [[graft.functions.ImageExpressions.dhashImage]], audio envelopes
+    * via [[graft.functions.AudioExpressions.audioEnvHash]], text
+    * SimHash via the simhash kernel): each micro-batch fingerprints
+    * its payloads in one codegen'd map pass, dedups within the batch
+    * ([[graft.operators.Dedup.simhashPairsFrom]] — drop the larger id
+    * of any pair within `maxHamming`), then matches survivors against
+    * the STANDING index of every admitted fingerprint
+    * ([[graft.operators.Dedup.hammingAgainst]] — bounded bipartite
+    * banding, only (id, hash) longs ever shuffle, never pixels or
+    * samples) and admits what nothing matched. Admitted (id, sim) rows
+    * append as the batch's `batch_id` partition.
+    *
+    * At-least-once idempotency is [[nearDedupIntake]]'s discipline
+    * verbatim: the batch's own partition is excluded on read (a
+    * replayed batch cannot self-match) and the re-append overwrites its
+    * own partition dynamically. An id-equal match against another LIVE
+    * partition is a source re-delivering the same document and dedups
+    * the incoming copy. Mid-stream compaction of this index is not
+    * supported (compact offline between runs).
+    *
+    * REFUSALS (null fingerprint — undecodable payloads, clips/images
+    * below the kernel's floor) PASS THROUGH to the sink with `sim`
+    * null and are never indexed: an engine that silently dropped
+    * whatever it cannot fingerprint would be deleting data on decode
+    * bugs. The sink frame is the batch's surviving rows plus refusals,
+    * each with its fingerprint (or null), checkpointed BEFORE the
+    * index append (the survivors plan reads the path the append
+    * extends — the [[nearDedupIntake]] recache note).
+    *
+    * @param fingerprint payload column → nullable 64-bit fingerprint
+    *   (e.g. `ImageExpressions.dhashImage`,
+    *   `AudioExpressions.audioEnvHash`)
+    * @param bucketBits 0 derives the band width from the standing
+    *   index size per batch (scale-aware); pin for tiny-corpus specs */
+  def fingerprintDedupIntake(indexPath: String,
+                             fingerprint: Column => Column,
+                             mediaCol: String = "media",
+                             idCol: String = "doc_id",
+                             maxHamming: Int = 3, maxBucket: Int = 64,
+                             bucketBits: Int = 0,
+                             sink: (DataFrame, Long) => Unit = (_, _) => ())
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    import graft.operators.{Artifacts, Dedup}
+    val spark = batch.sparkSession
+    val hashed = batch.withColumn("sim", fingerprint(col(mediaCol)))
+    val refused = hashed.filter(col("sim").isNull)
+    val hashes = hashed.filter(col("sim").isNotNull).persist()
+    try {
+      // within-batch: drop the larger id of any qualifying pair
+      val innerPairs = Dedup.simhashPairsFrom(
+        hashes.select(col(idCol).as("doc_id"), col("sim")),
+        maxHamming, maxBucket, bucketBits)
+      val innerSurvivors = hashes.join(
+        innerPairs.select(col("id_b").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+      // cross-batch: the standing index, own partition excluded
+      val survivors =
+        if (Artifacts.hasData(spark, indexPath)) {
+          val index = spark.read.parquet(indexPath)
+            .filter(col("batch_id") =!= lit(batchId))
+            .select("id", "sim")
+          val matches = Dedup.hammingAgainst(index,
+            innerSurvivors.select(col(idCol).as("doc_id"), col("sim")),
+            maxHamming, maxBucket, bucketBits)
+          innerSurvivors.join(
+            matches.select(col("incoming_id").as(idCol)).distinct(),
+            Seq(idCol), "left_anti")
+        } else innerSurvivors
+      val out = survivors.unionByName(refused).localCheckpoint(true)
+      out.filter(col("sim").isNotNull)
+        .select(col(idCol).as("id"), col("sim"), lit(batchId).as("batch_id"))
+        .write
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .mode("overwrite")
+        .parquet(indexPath)
+      sink(out, batchId)
+    } finally {
+      hashes.unpersist()
+      graft.operators.CacheRegistry.releaseAll()
+    }
+  }
+
   def nearDedupIntake(indexPath: String, textCol: String = "text",
                       minQuality: Double = 0.5,
                       bands: Int = 16, rowsPerBand: Int = 4,

@@ -1536,4 +1536,108 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     sibGate(b(0), 9L)
     assert(pqDrifts.map(_._1) == Seq(9L) && !pqDrifts.head._2.drifted)
   }
+
+  test("fingerprintDedupIntake: image near-dups within and across batches, refusal pass-through, replay-idempotent") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Multimodal}
+    implicit val sqlCtx = spark.sqlContext
+    // planted BMPs, the MultimodalSpec scheme: near duplicates perturb
+    // only grid cell (0,0) -> hamming <= 1; distinct seeds decorrelate
+    def img(seed: Long, near: Boolean = false): Array[Byte] =
+      Multimodal.ContainerFixtures.bmp(27, 21, (x, y) => {
+        val g = (seed * 37 + x * 11 + y * 23) % 251
+        (if (near && x * 9 / 27 == 0 && y * 8 / 21 == 0) (g + 128) % 251
+         else g).toInt
+      })
+    val refusal = "not an image".getBytes
+    val indexPath = java.nio.file.Files
+      .createTempDirectory("graft-fpidx").toString + "/index"
+    val emitted = scala.collection.mutable.ArrayBuffer[(Long, Long, Boolean)]()
+    val gate = StreamingAnalytics.fingerprintDedupIntake(indexPath,
+      graft.functions.ImageExpressions.dhashImage, bucketBits = 16,
+      sink = (df, bid) => emitted ++= df.select("doc_id", "sim")
+        .collect().map(r => (bid, r.getLong(0), r.isNullAt(1))))
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = mem.toDF().toDF("doc_id", "media")
+      .writeStream.foreachBatch(gate).start()
+    try {
+      // batch 0: two distinct images + a within-batch near-dup of doc 1
+      mem.addData((1L, img(1)), (2L, img(2)), (3L, img(1, near = true)))
+      q.processAllAvailable()
+      // batch 1: cross-batch near-dup of doc 1, exact re-delivery of
+      // doc 2 under a new id, a refusal, and a fresh image
+      mem.addData((4L, img(1, near = true)), (5L, img(2)),
+        (6L, refusal), (7L, img(7)))
+      q.processAllAvailable()
+      // batch 2: near-dup of the image admitted in batch 1 — the index
+      // must have grown batch over batch
+      mem.addData((8L, img(7, near = true)))
+      q.processAllAvailable()
+      val byBatch = emitted.groupBy(_._1).view
+        .mapValues(_.map(e => (e._2, e._3)).toSet).toMap
+      assert(byBatch(0L) == Set((1L, false), (2L, false)))
+      // refusal 6 passes through with a null fingerprint; 4 and 5 drop
+      assert(byBatch(1L) == Set((6L, true), (7L, false)))
+      assert(byBatch.getOrElse(2L, Set.empty[(Long, Boolean)]).isEmpty)
+      // the standing index holds exactly the admitted fingerprints
+      val idx = spark.read.parquet(indexPath)
+      assert(idx.select("id").as[Long].collect().toSet == Set(1L, 2L, 7L))
+      // STREAMING ≡ BATCH: same corpus through the batch operator with
+      // keep-smallest-id (ids follow arrival)
+      val all = Seq(1L -> img(1), 2L -> img(2), 3L -> img(1, near = true),
+        4L -> img(1, near = true), 5L -> img(2), 7L -> img(7),
+        8L -> img(7, near = true)).toDF("doc_id", "media")
+      val dropped = Dedup.imagePhashDups(all, "doc_id", "media",
+        maxHamming = 3, bucketBits = 16)
+        .select("id_b").as[Long].collect().toSet
+      val batchKept = Seq(1L, 2L, 3L, 4L, 5L, 7L, 8L).filterNot(dropped).toSet
+      assert(batchKept == Set(1L, 2L, 7L),
+        s"batch operator must keep the same survivors: $batchKept")
+      // REPLAY idempotency: re-run batch 2 through the gate directly —
+      // the own-partition exclusion must keep doc 8 dropped (it matches
+      // doc 7 in a LIVE partition), and the index must not grow
+      emitted.clear()
+      gate(Seq(8L -> img(7, near = true)).toDF("doc_id", "media"), 2L)
+      assert(emitted.isEmpty)
+      assert(spark.read.parquet(indexPath)
+        .select("id").as[Long].collect().toSet == Set(1L, 2L, 7L))
+      // replay of batch 1 re-admits doc 7 into its own partition
+      // (dynamic overwrite -> still exactly one copy) and re-emits the
+      // refusal; 4/5 still drop against the other live partitions
+      emitted.clear()
+      gate(Seq(4L -> img(1, near = true), 5L -> img(2),
+        6L -> refusal, 7L -> img(7)).toDF("doc_id", "media"), 1L)
+      assert(emitted.map(e => (e._2, e._3)).toSet ==
+        Set((6L, true), (7L, false)))
+      assert(spark.read.parquet(indexPath).groupBy("id").count()
+        .filter(col("count") > 1).count() == 0L,
+        "replay must not duplicate index rows")
+    } finally q.stop()
+  }
+
+  test("hammingAgainst matches only within the radius and survives flood buckets") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val index = Seq((10L, 0x0F0FL), (11L, 0xFF00FF00L), (12L, -1L))
+      .toDF("id", "sim")
+    val incoming = Seq(
+      (1L, 0x0F0FL),            // exact: hamming 0 vs 10
+      (2L, 0x0F0EL),            // hamming 1 vs 10
+      (3L, 0x0FF0L),            // hamming 8 vs 10 -> no match
+      (4L, -2L)                 // hamming 1 vs 12
+    ).toDF("doc_id", "sim")
+    val m = Dedup.hammingAgainst(index, incoming, maxHamming = 3,
+        bucketBits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(m == Set((10L, 1L, 0), (10L, 2L, 1), (12L, 4L, 1)))
+    // flood bucket: many identical index fingerprints still match (the
+    // probe addresses 2 blocks; identical rows fill every block, so the
+    // match survives) and the candidate count stays bounded
+    val flood = (100L to 400L).map(i => (i, 0L)).toDF("id", "sim")
+    val probe = Seq((1L, 0L)).toDF("doc_id", "sim")
+    val fm = Dedup.hammingAgainst(flood, probe, maxHamming = 0,
+      maxBucket = 16, bucketBits = 16)
+    assert(fm.count() > 0 && fm.count() <= 4 * 2 * 16,
+      "flood-bucket candidates must stay within bands*probes*maxBucket")
+  }
 }
