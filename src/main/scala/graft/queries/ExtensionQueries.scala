@@ -3266,6 +3266,21 @@ FROM documents ORDER BY doc_id, frame_idx"""
     *  - everything else: a distinct full-size image (16..44 × 12..39,
     *    deliberately NOT multiples of 9/8 so the integer cell mapping
     *    is exercised off the uniform case). */
+  /** The per-pixel mix shared by [[imageMediaRows]] and its oracle CTE:
+    * the same two-round xorshift-multiply as [[audioMediaRows]], so
+    * DISTINCT docs' images are decorrelated noise. The r18 fixture's
+    * smooth `(base·37 + x·11 + y·23) % 251` formula made near-pair
+    * density grow with the corpus (450 docs → 191 pairs at the gate
+    * scale, 50k → 2.4M, 500k → 37M — the dup-graph densification the
+    * ScaleUp scaladoc warns scale probes against); with the mix the
+    * planted twins are the only pairs at every scale. */
+  private def pixelMix(x: Long): Long = {
+    var h = x % 2147483647L
+    h = (h ^ (h >> 16)) * 48271L % 2147483647L
+    h = (h ^ (h >> 16)) * 48271L % 2147483647L
+    h % 251L
+  }
+
   private def imageMediaRows(spark: SparkSession, sfDir: String) = {
     import spark.implicits._
     Tables(spark, sfDir, "documents")
@@ -3274,16 +3289,16 @@ FROM documents ORDER BY doc_id, frame_idx"""
         val media =
           if (id % 10 == 9)
             Multimodal.ContainerFixtures.bmp(8, 8,
-              (x, y) => ((id * 37 + x * 11 + y * 23) % 251).toInt)
+              (x, y) => pixelMix(id * 100003L + (y * 8 + x) * 37L + 5L).toInt)
           else {
             val base = if (id % 10 == 7) id - 1 else id
             val w = 16 + (base % 5).toInt * 7
             val h = 12 + (base % 4).toInt * 9
             Multimodal.ContainerFixtures.bmp(w, h, (x, y) => {
-              val g = (base * 37 + x * 11 + y * 23) % 251
-              (if (id % 10 == 7 && x * 9 / w == 0 && y * 8 / h == 0)
-                 (g + 128) % 251
-               else g).toInt
+              val bump =
+                if (id % 10 == 7 && x * 9 / w == 0 && y * 8 / h == 0) 9973L
+                else 0L
+              pixelMix(base * 100003L + (y.toLong * w + x) * 37L + 5L + bump).toInt
             })
           }
         Multimodal.MediaRow(id, media, "image/bmp", src)
@@ -3308,12 +3323,15 @@ g AS (
   FROM p),
 xs AS (SELECT doc_id, base, w, h, unnest(range(w)) AS x FROM g),
 pxl AS (SELECT doc_id, base, w, h, x, unnest(range(h)) AS y FROM xs),
-lum AS (
+px0 AS (
   SELECT doc_id, y * 8 // h AS r, x * 9 // w AS c,
-         CASE WHEN doc_id % 10 = 7 AND x * 9 // w = 0 AND y * 8 // h = 0
-              THEN ((base * 37 + x * 11 + y * 23) % 251 + 128) % 251
-              ELSE (base * 37 + x * 11 + y * 23) % 251 END AS v
+         (base * 100003 + (y * w + x) * 37 + 5 +
+          CASE WHEN doc_id % 10 = 7 AND x * 9 // w = 0 AND y * 8 // h = 0
+               THEN 9973 ELSE 0 END) % 2147483647 AS m
   FROM pxl),
+px1 AS (SELECT doc_id, r, c, xor(m, m >> 16) * 48271 % 2147483647 AS m FROM px0),
+px2 AS (SELECT doc_id, r, c, xor(m, m >> 16) * 48271 % 2147483647 AS m FROM px1),
+lum AS (SELECT doc_id, r, c, m % 251 AS v FROM px2),
 cell AS (
   SELECT doc_id, r, c, sum(v) // count(*) AS v
   FROM lum GROUP BY doc_id, r, c),
