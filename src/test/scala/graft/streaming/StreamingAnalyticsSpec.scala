@@ -1615,6 +1615,45 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("fingerprintDedupIntake covers text via the SimHash kernel (cross-batch)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // the scaladoc's third fingerprint family: same intake, text column,
+    // Dedup.simhash64 as the fingerprint — near-copy text dedups across
+    // batches against the standing index
+    def doc(topic: String): String =
+      (1 to 30).map(i => s"the $topic pipeline stage $i reads and writes rows").mkString(" ")
+    val indexPath = java.nio.file.Files
+      .createTempDirectory("graft-fptext").toString + "/index"
+    val emitted = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val gate = StreamingAnalytics.fingerprintDedupIntake(indexPath,
+      Dedup.simhash64, mediaCol = "text", bucketBits = 16,
+      sink = (df, bid) => emitted ++= df.select("doc_id")
+        .collect().map(r => (bid, r.getLong(0))))
+    val corpus = Seq(
+      (1L, doc("spark")), (2L, doc("flink")),
+      // exact re-delivery under a new id: hamming 0, must drop
+      (3L, doc("spark")),
+      // one-word variant: whether it is within the radius is the
+      // KERNEL's call — the stream must agree with the batch operator
+      (4L, doc("flink").replace("stage 7", "stage seven")),
+      (5L, doc("duckdb")))
+    gate(corpus.take(2).toDF("doc_id", "text"), 0L)
+    gate(corpus.drop(2).toDF("doc_id", "text"), 1L)
+    val byBatch = emitted.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byBatch(0L) == Set(1L, 2L))
+    // STREAM ≡ BATCH: survivors must match the batch operator's
+    // keep-smallest-id over the same corpus (ids follow arrival)
+    val droppedBatch = Dedup.simhashDups(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", maxHamming = 3, bucketBits = 16)
+      .select("id_b").as[Long].collect().toSet
+    assert(droppedBatch.contains(3L)) // the exact copy is always a pair
+    assert(byBatch(1L) == Set(3L, 4L, 5L).diff(droppedBatch),
+      s"stream survivors must equal batch survivors: $byBatch vs dropped=$droppedBatch")
+    assert(spark.read.parquet(indexPath).select("id").as[Long]
+      .collect().toSet == Set(1L, 2L, 4L, 5L).diff(droppedBatch))
+  }
+
   test("hammingAgainst matches only within the radius and survives flood buckets") {
     import spark.implicits._
     import graft.operators.Dedup
