@@ -811,12 +811,62 @@ object Multimodal {
       Some(ContainerMeta("flac", samples * 1000L / rate, rate, channels))
     }
 
-    /** Positive-guard dispatch: WAV, MP4, WebM, AVI, FLAC, MP3, else
-      * `none` (stub path). MP3 last — a frame-sync chain is the weakest
-      * magic of the six. */
+    private def be16(b: Array[Byte], i: Int): Int =
+      (u8(b, i) << 8) | u8(b, i + 1)
+
+    /** AIFF (Audio IFF 1.3 — the big-endian IFF sibling of RIFF/WAVE):
+      * `FORM<size>AIFF`, then 4cc+BE32-size chunks padded to even. The
+      * `COMM` chunk (spec size 18) carries numChannels (BE16),
+      * numSampleFrames (BE32), sampleSize (BE16), and the sample rate
+      * as an **80-bit IEEE 754 EXTENDED float** — 1 sign + 15-bit
+      * biased exponent + 64-bit mantissa with an EXPLICIT integer bit
+      * (bit 63), the format's one genuinely exotic field. Audio rates
+      * are integers, so the decode is EXACT integer arithmetic:
+      * `rate = mantissa >>> (63 − (exp − 16383))`, refusing anything a
+      * real rate cannot encode — negative sign, denormal/zero
+      * mantissa, unset integer bit, exponent outside [0, 62] unbiased,
+      * or fractional low bits. Refusals (missing/truncated COMM, bad
+      * rate) → None → the `none` sentinel, same retreat discipline as
+      * FLAC/MP3. */
+    private[operators] def parseAiff(b: Array[Byte]): Option[ContainerMeta] = {
+      if (b.length < 12 || fourcc(b, 0) != "FORM" ||
+          fourcc(b, 8) != "AIFF") return None
+      val end = math.min(b.length.toLong, 8L + be32(b, 4))
+      var off = 12L
+      while (off + 8 <= end) {
+        val id = fourcc(b, off.toInt)
+        val sz = be32(b, off.toInt + 4)
+        if (id == "COMM") {
+          if (sz < 18 || off + 8 + 18 > b.length) return None
+          val p = off.toInt + 8
+          val channels = be16(b, p)
+          val frames = be32(b, p + 2)
+          val se = be16(b, p + 8)
+          val mant = be64(b, p + 10)
+          if ((se & 0x8000) != 0) return None // negative rate
+          val exp = (se & 0x7FFF) - 16383
+          if (exp < 0 || exp > 62) return None // outside any audio rate
+          if ((mant >>> 63) != 1L) return None // unnormalized mantissa
+          val shift = 63 - exp
+          if (shift < 64 && (mant & ((1L << shift) - 1)) != 0L)
+            return None // fractional rate — no real audio container
+          val rate = mant >>> shift
+          if (rate <= 0 || rate > Int.MaxValue || channels <= 0) return None
+          return Some(
+            ContainerMeta("aiff", frames * 1000L / rate, rate.toInt, channels))
+        }
+        off += 8L + sz + (sz & 1L) // chunk bodies pad to even
+      }
+      None
+    }
+
+    /** Positive-guard dispatch: WAV, MP4, WebM, AVI, FLAC, AIFF, MP3,
+      * else `none` (stub path). MP3 last — a frame-sync chain is the
+      * weakest magic of the seven. */
     def meta(bytes: Array[Byte]): ContainerMeta =
       parseWav(bytes).orElse(parseMp4(bytes)).orElse(parseWebm(bytes))
         .orElse(parseAvi(bytes)).orElse(parseFlac(bytes))
+        .orElse(parseAiff(bytes))
         .orElse(parseMp3(bytes))
         .getOrElse(ContainerMeta("none", -1L, -1, -1))
   }
@@ -1014,6 +1064,32 @@ object Multimodal {
       out.write(new Array[Byte](16))                             // md5 zero
       out.write(payload)
       out.toByteArray
+    }
+
+    private def be16b(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    private def be64b(v: Long) = be32b(v >>> 32) ++ be32b(v & 0xFFFFFFFFL)
+
+    /** Minimal spec-shaped AIFF: `FORM { COMM(18), SSND(8+payload) }`
+      * with the sample rate ENCODED as the 80-bit IEEE extended float
+      * ([[ContainerCodec.parseAiff]] decodes it back): for an integer
+      * rate, exponent = floor(log₂ rate), mantissa = rate shifted so
+      * its msb sits at the explicit integer bit (bit 63). Declared
+      * fields are pure functions of the parameters — the planted
+      * fixture side of the oracle loop. */
+    def aiff(sampleRate: Int, channels: Int, bitsPerSample: Int,
+             totalFrames: Long, payload: Array[Byte]): Array[Byte] = {
+      require(sampleRate > 0, s"rate $sampleRate")
+      require(totalFrames >= 0 && totalFrames <= 0xFFFFFFFFL)
+      val exp = 63 - java.lang.Long.numberOfLeadingZeros(sampleRate.toLong)
+      val mant = sampleRate.toLong << (63 - exp)
+      val comm = cc("COMM") ++ be32b(18) ++ be16b(channels) ++
+        be32b(totalFrames) ++ be16b(bitsPerSample) ++
+        be16b(16383 + exp.toInt) ++ be64b(mant)
+      val pad = if (payload.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+      val ssnd = cc("SSND") ++ be32b(payload.length.toLong + 8) ++
+        be32b(0) ++ be32b(0) ++ payload ++ pad
+      val body = cc("AIFF") ++ comm ++ ssnd
+      cc("FORM") ++ be32b(body.length.toLong) ++ body
     }
 
     /** MPEG-audio Layer III frame chain for the gate's planted-fixture

@@ -3956,6 +3956,50 @@ SELECT doc_id,
   CAST(CASE WHEN doc_id % 6 = 0 THEN 20 ELSE 42 + nb END AS BIGINT) AS n_bytes
 FROM p ORDER BY doc_id"""
 
+  /** AIFF COMM walk under the gate — the FLAC retreat discipline for
+    * the big-endian IFF family, including the format's one exotic
+    * field: the sample rate as an 80-bit IEEE EXTENDED float, decoded
+    * back by exact integer arithmetic
+    * ([[Multimodal.ContainerCodec.parseAiff]]). Rate (from a real-rate
+    * table), channels, and frame count are pure functions of (doc_id,
+    * n_chars); `doc_id % 6 = 0` docs are truncated to 30 bytes (FORM
+    * magic intact, COMM incomplete) and must come back as the `none`
+    * sentinel — the refusal path is oracle-checked. */
+  def multimodalAiffMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text", $"n_chars", $"source")
+      .as[(Long, String, Long, String)]
+      .map { case (id, text, nChars, src) =>
+        val rate = (id % 5) match {
+          case 0 => 8000; case 1 => 11025; case 2 => 22050
+          case 3 => 44100; case _ => 48000
+        }
+        val full = Multimodal.ContainerFixtures.aiff(rate,
+          channels = (1 + id % 2).toInt, bitsPerSample = 16,
+          totalFrames = (nChars * 991 + id % 997) % 0x100000000L,
+          payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val media = if (id % 6 == 0) full.take(30) else full
+        Multimodal.MediaRow(id, media, "audio/aiff", src)
+      }
+    Multimodal.containerMeta(rows).toDF().orderBy("doc_id")
+  }
+
+  val multimodalAiffMetaOracle: String = """
+WITH d AS (SELECT doc_id, n_chars, octet_length(encode(text)) AS nb FROM documents),
+p AS (SELECT doc_id,
+  CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 11025 WHEN 2 THEN 22050
+                  WHEN 3 THEN 44100 ELSE 48000 END AS sr,
+  1 + doc_id % 2 AS ch,
+  (n_chars * 991 + doc_id % 997) % 4294967296 AS fr, nb FROM d)
+SELECT doc_id,
+  CASE WHEN doc_id % 6 = 0 THEN 'none' ELSE 'aiff' END AS kind,
+  CAST(CASE WHEN doc_id % 6 = 0 THEN -1 ELSE fr * 1000 // sr END AS BIGINT) AS duration_ms,
+  CAST(CASE WHEN doc_id % 6 = 0 THEN -1 ELSE sr END AS INTEGER) AS sample_rate,
+  CAST(CASE WHEN doc_id % 6 = 0 THEN -1 ELSE ch END AS INTEGER) AS channels,
+  CAST(CASE WHEN doc_id % 6 = 0 THEN 30 ELSE 54 + nb + nb % 2 END AS BIGINT) AS n_bytes
+FROM p ORDER BY doc_id"""
+
   /** MP3 (MPEG audio Layer III) frame-header walk under the gate —
     * the AVI/EBML retreat discipline applied to a raw frame chain:
     * every doc gets a planted Layer III stream whose version, sample

@@ -661,6 +661,35 @@ class MultimodalSpec extends AnyFunSuite {
     Multimodal.ContainerFixtures.wav(8000, 1, 16, data)
   }
 
+  test("AIFF COMM: 80-bit extended-float rate roundtrip, truncation and bad-rate refusals") {
+    import Multimodal.{ContainerCodec, ContainerFixtures}
+    // every real-rate table entry roundtrips exactly through the
+    // extended-float encode/decode (incl. the non-power-of-2 ones)
+    for (rate <- Seq(8000, 11025, 22050, 44100, 48000, 96000, 192000)) {
+      val m = ContainerCodec.parseAiff(
+        ContainerFixtures.aiff(rate, 2, 16, 12345L, "payload!".getBytes))
+      assert(m.exists(c => c.kind == "aiff" && c.sample_rate == rate &&
+        c.channels == 2 && c.duration_ms == 12345L * 1000 / rate), s"rate $rate: $m")
+    }
+    val full = ContainerFixtures.aiff(44100, 1, 16, 1000L, "x".getBytes)
+    // truncated COMM (FORM magic intact) refuses
+    assert(ContainerCodec.parseAiff(full.take(30)).isEmpty)
+    // negative-rate sign bit refuses (byte 20 is the exponent hi byte)
+    val neg = full.clone(); neg(20 + 8) = (neg(20 + 8) | 0x80).toByte
+    assert(ContainerCodec.parseAiff(neg).isEmpty)
+    // zeroed mantissa (unnormalized) refuses
+    val zm = full.clone(); for (i <- 0 until 8) zm(20 + 10 + i) = 0
+    assert(ContainerCodec.parseAiff(zm).isEmpty)
+    // fractional rate (a low mantissa bit set) refuses
+    val fr = full.clone(); fr(20 + 17) = (fr(20 + 17) | 1).toByte
+    assert(ContainerCodec.parseAiff(fr).isEmpty)
+    // dispatch: aiff recognized, wav not hijacked, garbage falls through
+    assert(ContainerCodec.meta(full).kind == "aiff")
+    assert(ContainerCodec.meta(
+      ContainerFixtures.wav(8000, 1, 16, new Array[Byte](64))).kind == "wav")
+    assert(ContainerCodec.meta("FORMxxxxJUNK".getBytes ++ full.drop(12)).kind == "none")
+  }
+
   test("audioEnvHash64: monotone envelopes hit the closed-form extremes") {
     import Multimodal.MediaCodec
     // 65 samples: each its own segment; |amplitude| RISES along time →
