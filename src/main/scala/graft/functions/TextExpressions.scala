@@ -254,8 +254,12 @@ object TextExpressions {
     *    are skipped wholesale (raw `<`, `>`, `&` inside them included);
     *  - BLOCK-level tags (open or close, case-insensitive) delimit
     *    blocks; inline tags (`<a>`, `<b>`, `<span>`, …) do not;
-    *  - entities: the named five (`&amp; &lt; &gt; &quot; &apos;`) and
-    *    decimal `&#NNN;` (BMP only) decode; anything else stays literal;
+    *  - entities: the named five (`&amp; &lt; &gt; &quot; &apos;`),
+    *    the common typographic ten (`&nbsp;` — decoded to a PLAIN
+    *    space, it is layout not content — `&ndash; &mdash; &lsquo;
+    *    &rsquo; &ldquo; &rdquo; &hellip; &copy; &deg; &times;`), and
+    *    numeric `&#NNN;` / hex `&#xHH;` (BMP only) decode; anything
+    *    else stays literal;
     *  - per block, whitespace-normalized text plus two integer
     *    counters: visible non-space chars, and those inside `<a>`
     *    elements;
@@ -353,13 +357,34 @@ object TextExpressions {
             case "gt" => '>'.toInt
             case "quot" => '"'.toInt
             case "apos" => '\''.toInt
+            // nbsp decodes to a PLAIN space by design: it is layout,
+            // not content, and extracted text feeding token stats must
+            // not carry U+00A0 lookalikes of the space it renders as
+            case "nbsp" => ' '.toInt
+            case "ndash" => 0x2013
+            case "mdash" => 0x2014
+            case "lsquo" => 0x2018
+            case "rsquo" => 0x2019
+            case "ldquo" => 0x201C
+            case "rdquo" => 0x201D
+            case "hellip" => 0x2026
+            case "copy" => 0x00A9
+            case "deg" => 0x00B0
+            case "times" => 0x00D7
             case _ =>
-              if (ent.length > 1 && ent.charAt(0) == '#' &&
-                  ent.substring(1).forall(Character.isDigit)) {
-                try {
-                  val v = Integer.parseInt(ent.substring(1))
-                  if (v < 0x10000) v else -1
-                } catch { case _: NumberFormatException => -1 }
+              // numeric: decimal &#NNN; or hex &#xHH;/&#XHH; (BMP only)
+              if (ent.length > 1 && ent.charAt(0) == '#') {
+                val hex = ent.length > 2 &&
+                  (ent.charAt(1) == 'x' || ent.charAt(1) == 'X')
+                val digits = ent.substring(if (hex) 2 else 1)
+                val radix = if (hex) 16 else 10
+                if (digits.nonEmpty &&
+                    digits.forall(c => Character.digit(c, radix) >= 0)) {
+                  try {
+                    val v = Integer.parseInt(digits, radix)
+                    if (v < 0x10000) v else -1
+                  } catch { case _: NumberFormatException => -1 }
+                } else -1
               } else -1
           }
         }

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Video-fingerprint Catalyst expressions.
+  *
+  *  - [[VideoSigHash]] — 64-bit perceptual clip signature of a video
+  *    payload (binary → nullable long). The kernel spec lives with the
+  *    decoder ([[graft.operators.Multimodal.MediaCodec.videoSigHash64]]):
+  *    the real AVI `movi` frame walk, the image dHash kernel per frame,
+  *    and a strict-majority vote per bit. NULL is the refusal path (no
+  *    walkable frames / any frame the image kernel refuses).
+  *
+  * Same codegen shape as [[ImageExpressions.DhashImage]]: the expression
+  * participates in whole-stage codegen via a bound reference to itself —
+  * the per-row work is the frame walk + per-frame ImageIO decode, which
+  * dwarfs any dispatch cost, but staying inside the generated loop
+  * avoids the UDF serialization/row-conversion detour.
+  */
+object VideoExpressions {
+
+  case class VideoSigHash(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "video_sig_hash"
+
+    override def nullSafeEval(input: Any): Any =
+      graft.operators.Multimodal.MediaCodec
+        .videoSigHash64(input.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("videoSig", this, classOf[VideoSigHash].getName)
+      val tmp = ctx.freshName("vsig")
+      nullSafeCodeGen(ctx, ev, a => {
+        s"""
+        Object $tmp = $ref.nullSafeEval($a);
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ((java.lang.Long) $tmp).longValue(); }
+        """
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column wrapper: 64-bit clip signature of a binary video column
+    * (null = refusal). */
+  def videoSigHash(c: Column): Column =
+    GraftBridge.column(VideoSigHash(GraftBridge.expr(c)))
+}

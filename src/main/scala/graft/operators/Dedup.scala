@@ -446,6 +446,35 @@ object Dedup {
     simhashPairsFrom(audioEnvDocs(df, idCol, mediaCol), maxHamming,
       maxBucket, bucketBits)
 
+  /** Per-clip 64-bit majority-vote signatures (id, sim) — the VIDEO
+    * counterpart of [[imagePhashDocs]], closing the fingerprint matrix
+    * (text SimHash / image dHash / audio envelope / video signature):
+    * one codegen'd walk+decode+hash pass
+    * ([[graft.functions.VideoExpressions.videoSigHash]] — the real AVI
+    * frame walk, the image dHash kernel per frame, strict-majority
+    * vote per bit), refusals (no walkable frames, any undecodable
+    * frame) dropped. */
+  def videoSigDocs(df: DataFrame, idCol: String, mediaCol: String): DataFrame =
+    Par.widen(df)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.VideoExpressions.videoSigHash(col(mediaCol)).as("sim"))
+      .filter(col("sim").isNotNull)
+
+  /** Near-duplicate VIDEO clips: 64-bit majority-vote signature per
+    * payload ([[videoSigDocs]]), then the SAME scale-aware
+    * banded-Hamming pairing as [[simhashDups]]/[[imagePhashDups]]/
+    * [[audioEnvDups]]. The 100 TB shape is unchanged from the image
+    * family: one map pass walks each container and decodes frames
+    * executor-local, then only (id, 64-bit hash) longs ever shuffle —
+    * never frames or pixels; with 4 disjoint 16-bit bands any pair
+    * within hamming ≤ 3 shares a clean band by pigeonhole, so recall
+    * at the default radius is structural, not probabilistic. */
+  def videoSigDups(df: DataFrame, idCol: String, mediaCol: String,
+                   maxHamming: Int = 3, maxBucket: Int = 64,
+                   bucketBits: Int = 0): DataFrame =
+    simhashPairsFrom(videoSigDocs(df, idCol, mediaCol), maxHamming,
+      maxBucket, bucketBits)
+
   /** Bipartite banded-Hamming match: incoming fingerprints (doc_id,
     * sim) against a STANDING index (id, sim) — the cross-batch half of
     * incremental fingerprint dedup (SimHash text, image dHash, audio
@@ -460,7 +489,20 @@ object Dedup {
     * probes 2 band-mixed hash-addressed blocks, so a degenerate flood
     * bucket costs |incoming|×2·maxBucket candidates, not
     * |incoming|×|bucket| — bounded COMPUTE, with the usual ANN-style
-    * contract (emitted matches exact, flood-bucket misses possible).
+    * contract (emitted matches exact, flood-bucket misses possible —
+    * for hamming ≥ 1 only, see below).
+    *
+    * EXACT re-deliveries (hamming 0) bypass the probe entirely: a plain
+    * sim-equality join emits one REPRESENTATIVE match per (incoming,
+    * fingerprint) — the smallest index id — so an identical payload can
+    * never be missed even when its fingerprint floods a bucket past
+    * what 2 blocks can cover. That matters precisely for the
+    * dedup-admission use: the payloads most likely to flood a bucket
+    * are degenerate COMMON fingerprints (silence, constant frames), and
+    * without the fast path the gate would preferentially re-admit
+    * duplicates of exactly the most frequent payloads as the index
+    * grows. The representative keeps output O(|incoming|) regardless of
+    * how many exact copies the index holds.
     * Returns (index_id, incoming_id, hamming ≤ maxHamming), deduped. */
   def hammingAgainst(index: DataFrame, incoming: DataFrame,
                      maxHamming: Int = 3, maxBucket: Int = 64,
@@ -495,7 +537,7 @@ object Dedup {
           pmod(xxhash64(col("incoming_id"), col("band")), col("nblk")),
           pmod(xxhash64(col("incoming_id"), col("band")) + 1, col("nblk"))))
           .as("blk"))
-    idxB.select(col("band"), col("bucket"), col("blk"),
+    val banded = idxB.select(col("band"), col("bucket"), col("blk"),
         col("index_id"), col("sim").as("sim_idx"))
       .join(probes, Seq("band", "bucket", "blk"))
       .select("index_id", "incoming_id", "sim_idx", "sim_in").distinct()
@@ -503,6 +545,15 @@ object Dedup {
         bit_count(col("sim_idx").bitwiseXOR(col("sim_in"))))
       .filter(col("hamming") <= maxHamming)
       .select("index_id", "incoming_id", "hamming")
+    // exact fast path (see scaladoc): sim-equality join, one
+    // representative (min index id) per (incoming, fingerprint), so a
+    // re-delivered payload can never vanish into a flood bucket
+    val exact = idx.join(
+        incoming.select(col("doc_id").as("incoming_id"), col("sim")),
+        Seq("sim"))
+      .groupBy("sim", "incoming_id").agg(min(col("id")).as("index_id"))
+      .select(col("index_id"), col("incoming_id"), lit(0).as("hamming"))
+    banded.unionByName(exact).distinct()
   }
 
   /** Connected components over an undirected duplicate-pair list —

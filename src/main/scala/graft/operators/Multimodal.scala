@@ -199,7 +199,10 @@ object Multimodal {
       *     [[graft.operators.Multimodal.audioStats]] — linear PCM
       *     ([[ContainerCodec.decodeWavPcm]]), G.711
       *     ([[ContainerCodec.decodeWavCompanded]]), IMA ADPCM
-      *     ([[ContainerCodec.decodeWavAdpcm]]);
+      *     ([[ContainerCodec.decodeWavAdpcm]]), AIFF big-endian PCM
+      *     ([[ContainerCodec.decodeAiffPcm]] — so a WAV and an AIFF
+      *     carrying identical samples fingerprint identically,
+      *     spec-pinned);
       *  2. bucket sample i into segment `i·65/n` (integer floor — 65
       *     segments so 64 adjacent comparisons yield 64 bits, the
       *     9-column/8-comparison trick in time; surjective for
@@ -220,6 +223,7 @@ object Multimodal {
       val dec = ContainerCodec.decodeWavPcm(bytes)
         .orElse(ContainerCodec.decodeWavCompanded(bytes))
         .orElse(ContainerCodec.decodeWavAdpcm(bytes))
+        .orElse(ContainerCodec.decodeAiffPcm(bytes))
       dec match {
         case Some((_, samples)) if samples.length >= 65 =>
           val n = samples.length
@@ -241,6 +245,61 @@ object Multimodal {
           java.lang.Long.valueOf(hash)
         case _ => null
       }
+    }
+
+    /** 64-bit perceptual CLIP signature of a decodable video payload —
+      * [[dhash64]]'s video counterpart (the fingerprint half of
+      * near-duplicate VIDEO dedup, paired by
+      * [[graft.operators.Dedup.videoSigDups]]), closing the
+      * text/image/audio/video fingerprint matrix. INTEGER-EXACT by
+      * spec, so a relational oracle re-derives the signature from
+      * planted closed-form frames:
+      *
+      *  1. walk the container's video frame chunks with the REAL
+      *     header arithmetic ([[ContainerCodec.aviFrames]] — `##dc`/
+      *     `##db` chunks of the `movi` LIST, flat or `rec `-interleaved,
+      *     word-aligned, truncation-refusing);
+      *  2. [[dhash64]] each frame payload through the real image decode
+      *     (the per-frame fingerprint IS the image kernel — one spec,
+      *     one oracle CTE, shared);
+      *  3. clip bit b is set iff a STRICT MAJORITY of frames set bit b
+      *     (`2·count > n_frames`; ties fall to 0) — the majority vote
+      *     keeps the signature stable under frame drops/inserts at
+      *     either end, which is what makes the Hamming radius
+      *     meaningful for re-encoded or trimmed clips.
+      *
+      * Refusals return null: a payload with no walkable video frames,
+      * or ANY frame the image kernel refuses (not a decodable image /
+      * below the 9×8 grid) — a clip whose frames cannot all be
+      * fingerprinted has no honest signature (the strict-all discipline
+      * keeps the spec one sentence; partially-decodable clips are a
+      * caller-side filter, not a silent guess here). */
+    def videoSigHash64(bytes: Array[Byte]): java.lang.Long = {
+      val frames = ContainerCodec.aviFrames(bytes)
+      if (frames.isEmpty) return null
+      val cnt = new Array[Int](64)
+      var nf = 0
+      val it = frames.iterator
+      while (it.hasNext) {
+        val (off, len) = it.next()
+        val h = dhash64(java.util.Arrays.copyOfRange(
+          bytes, off.toInt, (off + len).toInt))
+        if (h == null) return null
+        val hv = h.longValue()
+        var b = 0
+        while (b < 64) {
+          if (((hv >>> b) & 1L) != 0L) cnt(b) += 1
+          b += 1
+        }
+        nf += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) {
+        if (2 * cnt(b) > nf) sig |= 1L << b
+        b += 1
+      }
+      java.lang.Long.valueOf(sig)
     }
   }
 
@@ -860,6 +919,57 @@ object Multimodal {
       None
     }
 
+    /** REAL AIFF sample decode — the big-endian PCM the format's SSND
+      * chunk carries in plain sign-magnitude-free two's complement
+      * (AIFF-1.3 §SSND; AIFF 8-bit is SIGNED, unlike WAV's unsigned
+      * 8-bit). COMM supplies channels/frames/bits and the 80-bit
+      * extended-float rate (validated by [[parseAiff]] — this decoder
+      * refuses whatever that walk refuses); SSND supplies the payload
+      * behind its 8-byte offset/blockSize preamble, honoring a nonzero
+      * declared offset. Refusals (→ None → the sentinel path, the
+      * [[decodeWavPcm]] contract): bits other than 8/16, a missing
+      * SSND, or declared frames·channels·bytes that overrun the SSND
+      * data — a truncated payload is refused, never guessed at. */
+    private[operators] def decodeAiffPcm(b: Array[Byte])
+        : Option[(ContainerMeta, Array[Int])] = {
+      val meta = parseAiff(b) match {
+        case Some(m) => m
+        case None => return None
+      }
+      val end = math.min(b.length.toLong, 8L + be32(b, 4))
+      var off = 12L
+      var bits = -1; var frames = -1L
+      var dataOff = -1L; var dataLen = -1L
+      while (off + 8 <= end) {
+        val id = fourcc(b, off.toInt)
+        val sz = be32(b, off.toInt + 4)
+        if (id == "COMM" && sz >= 18 && off + 8 + 18 <= b.length) {
+          frames = be32(b, off.toInt + 10)
+          bits = be16(b, off.toInt + 14)
+        } else if (id == "SSND" && sz >= 8 && off + 8 + sz <= b.length) {
+          val o = be32(b, off.toInt + 8) // data offset within the chunk
+          dataOff = off + 16 + o
+          dataLen = sz - 8 - o
+        }
+        off += 8L + sz + (sz & 1L)
+      }
+      if ((bits != 8 && bits != 16) || frames < 0 || dataOff < 0 ||
+          dataLen < 0) return None
+      val n = frames * meta.channels
+      if (n > Int.MaxValue / 2 || n * (bits / 8) > dataLen) return None
+      val out = new Array[Int](n.toInt)
+      var i = 0
+      if (bits == 16)
+        while (i < out.length) {
+          val p = (dataOff + 2L * i).toInt
+          out(i) = (((b(p) << 8) | (b(p + 1) & 0xFF)).toShort).toInt
+          i += 1
+        }
+      else
+        while (i < out.length) { out(i) = b((dataOff + i).toInt).toInt; i += 1 }
+      Some((meta, out))
+    }
+
     /** Positive-guard dispatch: WAV, MP4, WebM, AVI, FLAC, AIFF, MP3,
       * else `none` (stub path). MP3 last — a frame-sync chain is the
       * weakest magic of the seven. */
@@ -1221,9 +1331,10 @@ object Multimodal {
     * ([[ContainerCodec.decodeWavPcm]]); G.711 companded payloads decode
     * through the real JDK codec ([[ContainerCodec.decodeWavCompanded]]);
     * IMA ADPCM blocks decode through the published step-table algorithm
-    * ([[ContainerCodec.decodeWavAdpcm]]). Non-decodable payloads (no
-    * WAV signature, unsupported compressed tag, float samples) get the
-    * -1 sentinel row. */
+    * ([[ContainerCodec.decodeWavAdpcm]]); AIFF SSND payloads decode as
+    * big-endian PCM ([[ContainerCodec.decodeAiffPcm]]). Non-decodable
+    * payloads (no WAV/AIFF signature, unsupported compressed tag, float
+    * samples) get the -1 sentinel row. */
   case class AudioStats(doc_id: Long, n_samples: Long, peak: Long,
                         sum_sq: Long, sample_rate: Int, channels: Int)
 
@@ -1236,7 +1347,8 @@ object Multimodal {
       it.map { r =>
         ContainerCodec.decodeWavPcm(r.media)
           .orElse(ContainerCodec.decodeWavCompanded(r.media))
-          .orElse(ContainerCodec.decodeWavAdpcm(r.media)) match {
+          .orElse(ContainerCodec.decodeWavAdpcm(r.media))
+          .orElse(ContainerCodec.decodeAiffPcm(r.media)) match {
           case Some((meta, samples)) =>
             var peak = 0L
             var sumSq = 0L

@@ -3153,6 +3153,13 @@ GROUP BY doc_id ORDER BY doc_id"""
     * whose kept-block set is pure arithmetic over the token groups:
     *  - chunk j % 4 == 1 → a nav `<div>` of per-token links (link
     *    density 1, always dropped);
+    *  - chunk j % 4 == 2 → prose wrapped in the full typographic
+    *    entity set (`&lsquo; &rsquo; &nbsp; &ndash; &ldquo; &times;`
+    *    hex `&#x3D;` `&rdquo; &deg; &copy; &mdash; &hellip;`) — the
+    *    kernel must decode every one (nbsp to a PLAIN space) for the
+    *    block text to match DuckDB's literal restatement, which
+    *    carries the decoded characters (kept iff chunk + the 19
+    *    decoded chars ≥ 25);
     *  - chunk j % 4 == 3 → prose + a trailing `<a>more</a>` (kept iff
     *    ≥ 25 normalized chars and 16 ≤ non-space chars + 4);
     *  - other chunks → plain `<p>` prose (kept iff ≥ 25 chars);
@@ -3174,6 +3181,8 @@ GROUP BY doc_id ORDER BY doc_id"""
           sb ++= ((j % 4) match {
             case 1 => "<div>" + chunk.split(" ")
               .map(t => s"""<a href="/x">$t</a>""").mkString(" ") + "</div>"
+            case 2 => s"<p>&lsquo;$chunk&rsquo;&nbsp;&ndash; " +
+              "&ldquo;3&times;4&#x3D;12&rdquo;&deg; &copy; &mdash;&hellip;</p>"
             case 3 => s"""<p><b>$chunk</b> <a href="/y">more</a></p>"""
             case _ => s"<p>$chunk</p>"
           })
@@ -3198,12 +3207,15 @@ b AS (
   FROM c),
 k AS (
   SELECT doc_id, j,
-         CASE WHEN j % 4 = 3 THEN chunk || ' more' ELSE chunk END AS block_text
+         CASE WHEN j % 4 = 3 THEN chunk || ' more'
+              WHEN j % 4 = 2 THEN '‘' || chunk || '’ – “3×4=12”° © —…'
+              ELSE chunk END AS block_text
   FROM b
   WHERE CASE
     WHEN j % 4 = 1 THEN FALSE
     WHEN j % 4 = 3 THEN length(chunk) + 5 >= 25
          AND 16 <= length(replace(chunk, ' ', '')) + 4
+    WHEN j % 4 = 2 THEN length(chunk) + 19 >= 25
     ELSE length(chunk) >= 25 END)
 SELECT doc_id,
        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY j) - 1 AS INTEGER) AS block_idx,
@@ -3436,6 +3448,216 @@ WHERE bit_count(xor(a.sim, b.sim)) <= 3"""
 
   val dedupImagePhashRecallOracle: String =
     pairRecallOracle(dedupImagePhashExactOracle)
+
+  /** Planted AVI clip per document — the video-signature oracle-loop
+    * fixture ([[imageMediaRows]]'s playbook one modality up): a real
+    * RIFF/AVI container ([[Multimodal.ContainerFixtures.aviMjpeg]] —
+    * hdrl + movi, some docs `rec `-interleaved so the gate also walks
+    * the nested-LIST layout) whose frames are pixel-exact BMPs, every
+    * pixel a pure integer function of (doc_id, frame, x, y) through
+    * [[pixelMix]], so DuckDB re-derives
+    * [[Multimodal.MediaCodec.videoSigHash64]]'s exact output
+    * relationally — per-frame dHash via the image CTE chain extended
+    * with a frame dimension, then the strict-majority vote — while
+    * Spark walks the REAL path (container walk → per-frame ImageIO
+    * decode → luminance grid → majority). Three planted populations:
+    *  - doc_id % 10 == 7: replays its predecessor's frames (base =
+    *    doc_id − 1) with every frame's grid cell (0,0) pixels
+    *    perturbed — each frame's dHash moves only in bit 0, so the
+    *    majority vote moves only in bit 0: a NEAR-duplicate clip
+    *    within hamming ≤ 1;
+    *  - doc_id % 10 == 9: a clip whose single frame is 8×8, below the
+    *    image kernel's 9×8 grid — the strict-all refusal path
+    *    (oracle-visible);
+    *  - everything else: a distinct clip of 3..6 frames at 16..32 ×
+    *    12..26 (dimensions deliberately off the uniform 9/8 grid
+    *    multiples; frame counts include even ones so the
+    *    ties-fall-to-0 majority rule is exercised). */
+  private def videoMediaRows(spark: SparkSession, sfDir: String) = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"source").as[(Long, String)]
+      .map { case (id, src) =>
+        val media =
+          if (id % 10 == 9)
+            Multimodal.ContainerFixtures.aviMjpeg(100000L, 8, 8,
+              Seq(Multimodal.ContainerFixtures.bmp(8, 8,
+                (x, y) => pixelMix(id * 100003L + (y * 8 + x) * 37L + 29L).toInt)))
+          else {
+            val base = if (id % 10 == 7) id - 1 else id
+            val w = 16 + (base % 5).toInt * 4
+            val h = 12 + (base % 3).toInt * 7
+            val nf = 3 + (base % 4).toInt
+            val frames = (0 until nf).map { f =>
+              Multimodal.ContainerFixtures.bmp(w, h, (x, y) => {
+                val bump =
+                  if (id % 10 == 7 && x * 9 / w == 0 && y * 8 / h == 0) 9973L
+                  else 0L
+                pixelMix(base * 100003L + f * 52883L +
+                  (y.toLong * w + x) * 37L + 29L + bump).toInt
+              })
+            }
+            Multimodal.ContainerFixtures.aviMjpeg(
+              40000L + (base % 3) * 20000L, w, h, frames,
+              recGroup = if (base % 5 == 0) 2 else 0)
+          }
+        Multimodal.MediaRow(id, media, "video/avi", src)
+      }
+  }
+
+  /** The shared clip-signature CTE chain (no WITH keyword): the
+    * [[imageDhashCte]] derivation extended with a frame dimension —
+    * per-(doc, frame) dHash bits, then clip bit b set iff a STRICT
+    * majority of frames set it (`2·count > nf`; ties drop). Bit 63
+    * lands on the BIGINT sign, stated as the two's-complement literal.
+    * Covers exactly the non-refused docs. */
+  private val videoSigCte: String = """
+p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 7 THEN doc_id - 1 ELSE doc_id END AS base
+  FROM documents WHERE doc_id % 10 <> 9),
+g AS (
+  SELECT doc_id, base,
+         16 + (base % 5) * 4 AS w, 12 + (base % 3) * 7 AS h,
+         3 + (base % 4) AS nf
+  FROM p),
+fr AS (SELECT doc_id, base, w, h, nf, unnest(range(nf)) AS f FROM g),
+xs AS (SELECT doc_id, base, w, h, nf, f, unnest(range(w)) AS x FROM fr),
+pxl AS (SELECT doc_id, base, w, h, nf, f, x, unnest(range(h)) AS y FROM xs),
+px0 AS (
+  SELECT doc_id, nf, f, y * 8 // h AS r, x * 9 // w AS c,
+         (base * 100003 + f * 52883 + (y * w + x) * 37 + 29 +
+          CASE WHEN doc_id % 10 = 7 AND x * 9 // w = 0 AND y * 8 // h = 0
+               THEN 9973 ELSE 0 END) % 2147483647 AS m
+  FROM pxl),
+px1 AS (SELECT doc_id, nf, f, r, c, xor(m, m >> 16) * 48271 % 2147483647 AS m FROM px0),
+px2 AS (SELECT doc_id, nf, f, r, c, xor(m, m >> 16) * 48271 % 2147483647 AS m FROM px1),
+lum AS (SELECT doc_id, nf, f, r, c, m % 251 AS v FROM px2),
+cell AS (
+  SELECT doc_id, nf, f, r, c, sum(v) // count(*) AS v
+  FROM lum GROUP BY doc_id, nf, f, r, c),
+fbit AS (
+  SELECT l.doc_id, l.nf, l.r * 8 + l.c AS b
+  FROM cell l
+  JOIN cell rt ON rt.doc_id = l.doc_id AND rt.f = l.f
+   AND rt.r = l.r AND rt.c = l.c + 1
+  WHERE l.c < 8 AND l.v > rt.v),
+maj AS (
+  SELECT doc_id, b
+  FROM (SELECT doc_id, nf, b, count(*) AS cnt FROM fbit GROUP BY doc_id, nf, b) t
+  WHERE 2 * cnt > nf),
+hash AS (
+  SELECT p.doc_id, CAST(coalesce(s.v, 0) AS BIGINT) AS sim
+  FROM p LEFT JOIN (
+    SELECT doc_id,
+           sum(CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                    ELSE 1::BIGINT << CAST(b AS INTEGER) END) AS v
+    FROM maj GROUP BY doc_id) s USING (doc_id))"""
+
+  /** Per-clip signature through the REAL path — the kernel gate: a
+    * wrong frame walk (offset, alignment, rec descent), per-frame
+    * dHash divergence, or majority/tie rule diverges the 64-bit value
+    * against DuckDB's relational restatement. Refusals surface as
+    * ok=false (hash stated as 0 so no NULL rides the cross-engine
+    * hash). */
+  def multimodalVideoSig(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VideoExpressions.videoSigHash
+    videoMediaRows(spark, sfDir).toDF()
+      .select(col("doc_id"), videoSigHash(col("media")).as("sim"))
+      .select(col("doc_id"), col("sim").isNotNull.as("ok"),
+        coalesce(col("sim"), lit(0L)).as("sim0"))
+      .orderBy("doc_id")
+  }
+
+  val multimodalVideoSigOracle: String = s"""
+WITH $videoSigCte
+SELECT d.doc_id, (d.doc_id % 10 <> 9) AS ok,
+       coalesce(h.sim, 0) AS sim0
+FROM documents d LEFT JOIN hash h USING (doc_id)
+ORDER BY doc_id"""
+
+  /** Near-duplicate video pairs ([[Dedup.videoSigDups]]): clip
+    * signatures through the real container walk + frame decode, then
+    * the scale-aware banded-Hamming kernel the text/image/audio
+    * families already use — the full SQL twin re-derives the
+    * signatures from the pixel formula AND replays the banding + span
+    * guard + hamming verify. */
+  def dedupVideoSig(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.videoSigDups(videoMediaRows(spark, sfDir).toDF(),
+        "doc_id", "media", maxHamming = 3, maxBucket = 64)
+      .orderBy("id_a", "id_b")
+
+  val dedupVideoSigOracle: String = s"""
+WITH $videoSigCte,
+wb AS (
+  SELECT least(32, greatest(16,
+    CASE WHEN cast(ceil(count(*)/8.0) AS BIGINT) <= 1 THEN 0
+         ELSE length(printf('%b', cast(ceil(count(*)/8.0) AS BIGINT) - 1))
+    END)) AS w
+  FROM hash),
+bnd AS (
+  SELECT doc_id, sim, t.band,
+         (sim >> least(t.band*16, 64 - wb.w)) & ((1::BIGINT << wb.w) - 1) AS bucket
+  FROM hash, (SELECT unnest(range(4)) AS band) t, wb),
+rnk AS (
+  SELECT band, bucket, doc_id, sim,
+         row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn
+  FROM bnd),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         x.sim AS sim_a, y.sim AS sim_b
+  FROM rnk x JOIN rnk y ON x.band = y.band AND x.bucket = y.bucket
+   AND y.rn > x.rn AND y.rn - x.rn <= 64)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+ORDER BY id_a, id_b"""
+
+  /** Video-dedup precision contract ([[dedupImagePhashViolations]]'s
+    * shape): every emitted pair's hamming matches a fresh fingerprint
+    * recomputation and respects the radius. */
+  def dedupVideoSigViolations(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = videoMediaRows(spark, sfDir).toDF()
+    val pairs = Dedup.videoSigDups(rows, "doc_id", "media", maxHamming = 3)
+    val h = Dedup.videoSigDocs(rows, "doc_id", "media")
+    val joined = pairs
+      .join(h.select(col("doc_id").as("id_a"), col("sim").as("sim_a")), "id_a")
+      .join(h.select(col("doc_id").as("id_b"), col("sim").as("sim_b")), "id_b")
+    val hamTrue = bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
+    violationSummary(joined, hamTrue =!= col("hamming") || hamTrue > 3)
+  }
+
+  /** Brute-force exact twin of [[dedupVideoSig]] — all pairs within
+    * hamming ≤ 3 over the same signatures; the recall gate's truth
+    * set. */
+  private def dedupVideoSigExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = Dedup.videoSigDocs(videoMediaRows(spark, sfDir).toDF(),
+      "doc_id", "media")
+    val a = h.select(col("doc_id").as("id_a"), col("sim").as("sim_a"))
+    val b = h.select(col("doc_id").as("id_b"), col("sim").as("sim_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= 3)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  private val dedupVideoSigExactOracle: String = s"""
+WITH $videoSigCte
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+FROM hash a JOIN hash b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= 3"""
+
+  /** Recall gate: with 4 disjoint 16-bit bands at the gate scale, any
+    * pair within hamming ≤ 3 shares a clean band by pigeonhole and the
+    * planted pairs are doc-id-adjacent (span 1), so recall is exactly
+    * 1.0 — asserted, not approximated. */
+  def dedupVideoSigRecall(spark: SparkSession, sfDir: String): DataFrame =
+    pairRecall(dedupVideoSigExact(spark, sfDir),
+      dedupVideoSig(spark, sfDir), 1.0)
+
+  val dedupVideoSigRecallOracle: String =
+    pairRecallOracle(dedupVideoSigExactOracle)
 
   /** Planted PCM WAV per document — the audio-envelope oracle-loop
     * fixture ([[imageMediaRows]]'s playbook for audio): every 16-bit
@@ -3732,6 +3954,39 @@ SELECT doc_id,
        CAST(8000 AS INTEGER) AS sample_rate,
        CAST(1 AS INTEGER) AS channels
 FROM s GROUP BY doc_id ORDER BY doc_id"""
+
+  /** REAL big-endian decode under the gate — [[multimodalAudioStats]]'s
+    * fixture carried by an AIFF instead of a WAV: the SAME (doc_id,
+    * position) sample formula, written as big-endian two's complement
+    * into an SSND chunk behind a COMM whose sample rate is the 80-bit
+    * IEEE extended float. Spark decodes through
+    * [[Multimodal.ContainerCodec.decodeAiffPcm]] (the dispatch's fourth
+    * arm), DuckDB recomputes the same integer statistics — so the BE
+    * sample path, the SSND offset arithmetic, AND the extended-float
+    * rate all sit under the cross-engine hash gate. */
+  def multimodalAiffStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"n_chars", $"source")
+      .as[(Long, Long, String)]
+      .map { case (id, nChars, src) =>
+        val n = (nChars % 200 + 8).toInt
+        val data = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = ((id * 31 + i.toLong * 7) % 65536L - 32768L).toInt
+          data(2 * i) = ((s >> 8) & 0xFF).toByte // big-endian
+          data(2 * i + 1) = (s & 0xFF).toByte
+          i += 1
+        }
+        Multimodal.MediaRow(id,
+          Multimodal.ContainerFixtures.aiff(8000, 1, 16, n.toLong, data),
+          "audio/aiff", src)
+      }
+    Multimodal.audioStats(rows).toDF().orderBy("doc_id")
+  }
+
+  val multimodalAiffStatsOracle: String = multimodalAudioStatsOracle
 
   /** REAL compressed-payload decode under the gate: each doc gets a
     * G.711 µ-LAW WAV (format tag 7 — an actual ITU companded codec, 2:1

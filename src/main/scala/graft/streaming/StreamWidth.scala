@@ -25,9 +25,11 @@ import org.apache.spark.sql.SparkSession
   * `spark.sql.shuffle.partitions` is runtime-settable, and a stateful
   * query pins its state partition count from it at FIRST start (new
   * checkpoint) — so [[apply]] sets it on the live session before the
-  * query starts and records the decision both on stdout and as the
-  * first line of `<outDir>/progress.jsonl` (the same artifact the
-  * throughput ladder reads). */
+  * query starts and records the decision on stdout, in
+  * `<outDir>/width.json` (truncate semantics — the authoritative
+  * consumer artifact), and as a `"graft":"stream_width"` record
+  * appended to `<outDir>/progress.jsonl` (scan for the record; its
+  * position is not guaranteed on re-runs). */
 object StreamWidth {
 
   /** The measured knee as a pure function of batch rows:
@@ -38,25 +40,43 @@ object StreamWidth {
       (math.max(estRowsPerTrigger, 1L) + 125000L - 1L) / 125000L)).toInt
 
   /** @param width  the width to set
-    * @param source "env" | "derived" | "fallback"
+    * @param source "env" | "env-cpus" | "derived" | "fallback"
     * @param estRowsPerTrigger the estimate the derivation saw (-1 = none) */
   final case class Resolved(width: Int, source: String, estRowsPerTrigger: Long)
 
-  /** env override → derived-from-batch → measured-knee fallback (8). */
-  def resolve(estRowsPerTrigger: Option[Long]): Resolved =
-    sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS") match {
+  /** env override → legacy `SPARK_GRAFT_CPUS` override →
+    * derived-from-batch → measured-knee fallback (8).
+    *
+    * `SPARK_GRAFT_CPUS` set shuffle width in every streaming CLI before
+    * the derived default existed; scripts that pin it must keep getting
+    * the width they pinned (one env contract across ALL CLIs), so it
+    * stays honored as a secondary override — with a stdout note, since
+    * the derived width is usually the better choice. */
+  def resolve(estRowsPerTrigger: Option[Long],
+              env: Map[String, String] = sys.env): Resolved =
+    env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS") match {
       case Some(v) =>
         Resolved(v.toInt, "env", estRowsPerTrigger.getOrElse(-1L))
-      case None => estRowsPerTrigger match {
-        case Some(n) => Resolved(derive(n), "derived", n)
-        case None    => Resolved(8, "fallback", -1L)
+      case None => env.get("SPARK_GRAFT_CPUS") match {
+        case Some(v) =>
+          Resolved(v.toInt, "env-cpus", estRowsPerTrigger.getOrElse(-1L))
+        case None => estRowsPerTrigger match {
+          case Some(n) => Resolved(derive(n), "derived", n)
+          case None    => Resolved(8, "fallback", -1L)
+        }
       }
     }
 
+  /** How many file heads [[estimateTextDir]] samples. */
+  val TextSampleFiles = 8
+
   /** Estimate rows per trigger for a TEXT directory stream: total bytes
     * of the data files present over a sampled average line length (the
-    * first 64 KiB of the largest file), scaled by `maxFilesPerTrigger`
-    * when it bounds the batch. Metadata-only — no Spark job; a missing
+    * first 64 KiB of each of the [[TextSampleFiles]] largest files,
+    * newline counts pooled — one dominant file's line length no longer
+    * speaks for a directory that mixes short-line and long-line files),
+    * scaled by `maxFilesPerTrigger` when it bounds the batch.
+    * Metadata-plus-bounded-head-reads only — no Spark job; a missing
     * or empty directory yields None (follow-mode cold start). */
   def estimateTextDir(dir: String,
                       maxFilesPerTrigger: Option[Int]): Option[Long] = {
@@ -71,14 +91,18 @@ object StreamWidth {
       .filter(_.getLen > 0L)
     if (files.isEmpty) return None
     val totalBytes = files.map(_.getLen).sum
-    val largest = files.maxBy(_.getLen)
-    val sampleLen = math.min(largest.getLen, 65536L).toInt
-    val buf = new Array[Byte](sampleLen)
-    val in = fs.open(largest.getPath)
-    try in.readFully(0L, buf) finally in.close()
-    val nl = buf.count(_ == '\n')
-    val avgLine = if (nl == 0) sampleLen.toDouble
-                  else sampleLen.toDouble / nl
+    var sampledBytes = 0L
+    var sampledLines = 0L
+    files.sortBy(-_.getLen).take(TextSampleFiles).foreach { st =>
+      val sampleLen = math.min(st.getLen, 65536L).toInt
+      val buf = new Array[Byte](sampleLen)
+      val in = fs.open(st.getPath)
+      try in.readFully(0L, buf) finally in.close()
+      sampledBytes += sampleLen
+      sampledLines += buf.count(_ == '\n')
+    }
+    val avgLine = if (sampledLines == 0) sampledBytes.toDouble
+                  else sampledBytes.toDouble / sampledLines
     val totalRows = math.max((totalBytes / avgLine).toLong, 1L)
     Some(scalePerTrigger(totalRows, files.length, maxFilesPerTrigger))
   }
@@ -114,20 +138,35 @@ object StreamWidth {
     }
 
   /** Resolve the width, set it on the live session (before the query
-    * starts), and record the decision: one stdout line + the first line
-    * of `<outDir>/progress.jsonl` so the ladder artifact carries the
-    * width that produced it. */
+    * starts), and record the decision three ways: one stdout line,
+    * `<outDir>/width.json` (TRUNCATED each run — the authoritative
+    * consumer artifact: on a re-run over an existing outDir an appended
+    * record would land mid-file behind prior progress rows, so
+    * position-based readers would see a stale width), and a
+    * `"graft":"stream_width"` record appended to
+    * `<outDir>/progress.jsonl` so the ladder artifact stays
+    * self-contained (consumers must scan for the record, not assume
+    * line 1). */
   def apply(spark: SparkSession, label: String, outDir: String,
             estRowsPerTrigger: Option[Long]): Resolved = {
     val r = resolve(estRowsPerTrigger)
     spark.conf.set("spark.sql.shuffle.partitions", r.width.toString)
     println(s"[$label] width=${r.width} source=${r.source} " +
       s"est_rows_per_trigger=${r.estRowsPerTrigger}")
-    val path = java.nio.file.Paths.get(outDir, "progress.jsonl")
-    java.nio.file.Files.createDirectories(path.getParent)
-    java.nio.file.Files.writeString(path,
+    if (r.source == "env-cpus")
+      println(s"[$label] note: width pinned by legacy SPARK_GRAFT_CPUS; " +
+        "unset it (or set SPARK_GRAFT_SHUFFLE_PARTITIONS) to use the " +
+        "micro-batch-derived width")
+    val record =
       s"""{"graft":"stream_width","label":"$label","width":${r.width},""" +
-        s""""source":"${r.source}","est_rows_per_trigger":${r.estRowsPerTrigger}}""" + "\n",
+        s""""source":"${r.source}","est_rows_per_trigger":${r.estRowsPerTrigger}}"""
+    val widthPath = java.nio.file.Paths.get(outDir, "width.json")
+    java.nio.file.Files.createDirectories(widthPath.getParent)
+    java.nio.file.Files.writeString(widthPath, record + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outDir, "progress.jsonl"), record + "\n",
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
     r

@@ -240,8 +240,11 @@ object StreamingAnalytics {
     * replayed batch cannot self-match) and the re-append overwrites its
     * own partition dynamically. An id-equal match against another LIVE
     * partition is a source re-delivering the same document and dedups
-    * the incoming copy. Mid-stream compaction of this index is not
-    * supported (compact offline between runs).
+    * the incoming copy. Mid-stream compaction is supported via
+    * [[compactFingerprintIndex]] at BATCH START (the [[compactIndex]]
+    * hook discipline: fold only batches below the one about to run, so
+    * a retried batch's own partition is never duplicated into the
+    * compacted generation).
     *
     * REFUSALS (null fingerprint — undecodable payloads, clips/images
     * below the kernel's floor) PASS THROUGH to the sink with `sim`
@@ -267,9 +270,13 @@ object StreamingAnalytics {
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
     import graft.operators.{Artifacts, Dedup}
     val spark = batch.sparkSession
-    val hashed = batch.withColumn("sim", fingerprint(col(mediaCol)))
+    // persist the FINGERPRINTED frame, not just its non-null slice: the
+    // refused branch and the admitted branch both read it, and without
+    // the cache each would re-run the decode-heavy fingerprint (image/
+    // audio/video decode) over the full batch payload
+    val hashed = batch.withColumn("sim", fingerprint(col(mediaCol))).persist()
     val refused = hashed.filter(col("sim").isNull)
-    val hashes = hashed.filter(col("sim").isNotNull).persist()
+    val hashes = hashed.filter(col("sim").isNotNull)
     try {
       // within-batch: drop the larger id of any qualifying pair
       val innerPairs = Dedup.simhashPairsFrom(
@@ -301,7 +308,7 @@ object StreamingAnalytics {
         .parquet(indexPath)
       sink(out, batchId)
     } finally {
-      hashes.unpersist()
+      hashed.unpersist()
       graft.operators.CacheRegistry.releaseAll()
     }
   }
@@ -1616,6 +1623,38 @@ object StreamingAnalytics {
         // once (see nearDedupIntake) — identical content under the same id
         // yields byte-identical (id, sh, sig) rows, so folding partitions is
         // the natural point to collapse that bounded duplication
+        .distinct()
+        .repartition(numFiles, col("id"))
+        .write.partitionBy("batch_id").mode("overwrite")
+        .parquet(staging)
+    }
+  }
+
+  /** Compact a [[fingerprintDedupIntake]] standing index ((id, sim,
+    * batch_id) — 64-bit perceptual fingerprints): partitions below
+    * `belowBatchId` fold into `batch_id = -1` as `numFiles` right-sized
+    * files, atomically via [[swapInto]]'s rename-swap. Long-running
+    * [[graft.tools.StreamMedia]] runs otherwise accumulate one parquet
+    * partition per micro-batch, and every later batch's index scan +
+    * [[graft.operators.Dedup.hammingAgainst]] banding pays the
+    * file-count tax. Same batch-START-only hook discipline as
+    * [[compactIndex]] (fold only committed batches — a retried batch's
+    * own partition must stay live so its dynamic-partition overwrite
+    * can't duplicate rows into `-1`), and the same bounded-duplication
+    * argument for `distinct()`: a re-delivery whose only copy was
+    * already compacted re-admits a byte-identical (id, sim) row, which
+    * the next fold collapses. */
+  def compactFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String, numFiles: Int = 32,
+                              belowBatchId: Long = Long.MaxValue): Unit = {
+    import graft.operators.Artifacts
+    require(numFiles >= 1, "numFiles must be >= 1")
+    if (!Artifacts.hasData(spark, indexPath)) return
+    swapInto(spark, indexPath) { staging =>
+      spark.read.parquet(indexPath)
+        .select(col("id"), col("sim"),
+          when(col("batch_id") < lit(belowBatchId), lit(-1L))
+            .otherwise(col("batch_id")).as("batch_id"))
         .distinct()
         .repartition(numFiles, col("id"))
         .write.partitionBy("batch_id").mode("overwrite")

@@ -61,7 +61,7 @@ object StreamLogs {
     val maxFiles =
       sys.env.get("SPARK_GRAFT_MAX_FILES_PER_TRIGGER").map(_.toInt)
     // shuffle/state width sized to the micro-batch (env overrides);
-    // recorded on stdout + as the first progress.jsonl line
+    // recorded on stdout + width.json (+ a progress.jsonl record)
     StreamWidth(spark, "stream-logs", outDir,
       StreamWidth.estimateTextDir(inputDir, maxFiles))
     val done = StreamMeter.attach(spark, "stream-logs", outDir)

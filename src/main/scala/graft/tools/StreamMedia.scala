@@ -16,28 +16,38 @@ import org.apache.spark.sql.streaming.Trigger
   * along with a null `sim` — an engine that silently dropped what it
   * cannot decode would be deleting data on decode bugs).
   *
-  * Usage: StreamMedia <inputDir> <outDir> [--audio|--image] [--follow]
+  * Usage: StreamMedia <inputDir> <outDir> [--audio|--video|--image]
+  *        [--follow]
   *   --image (default): 64-bit perceptual dHash
   *     ([[graft.functions.ImageExpressions.dhashImage]] — PNG/JPEG/
   *     GIF/BMP via the real `javax.imageio` decode)
   *   --audio: 64-bit loudness-envelope hash
   *     ([[graft.functions.AudioExpressions.audioEnvHash]] — PCM /
-  *     G.711 / IMA-ADPCM WAV via the real decode dispatch)
+  *     G.711 / IMA-ADPCM / AIFF via the real decode dispatch)
+  *   --video: 64-bit majority-vote clip signature
+  *     ([[graft.functions.VideoExpressions.videoSigHash]] — the real
+  *     AVI frame walk + per-frame dHash)
   *   default trigger: Trigger.AvailableNow; --follow: 5-second
   *   micro-batches until killed.
   *
   * Env: SPARK_GRAFT_MAX_FILES_PER_TRIGGER bounds each micro-batch;
   * SPARK_GRAFT_MAX_HAMMING (default 3) sets the near-dup radius;
   * SPARK_GRAFT_FP_INDEX_PATH (default `<outDir>/fp_index`) relocates
-  * the standing index. Shuffle/state width defaults to the micro-batch
-  * size ([[StreamWidth]]); SPARK_GRAFT_SHUFFLE_PARTITIONS overrides.
-  * Per-batch progress lands in `<outDir>/progress.jsonl`
-  * ([[StreamMeter]]). */
+  * the standing index; SPARK_GRAFT_COMPACT_EVERY (default 64 batches,
+  * 0 = off) folds committed index partitions into one compacted
+  * generation at batch start
+  * ([[StreamingAnalytics.compactFingerprintIndex]] — the per-batch
+  * partition growth is otherwise the small-files tax every later
+  * batch's index scan pays). Shuffle/state width defaults to the
+  * micro-batch size ([[StreamWidth]]);
+  * SPARK_GRAFT_SHUFFLE_PARTITIONS overrides. Per-batch progress lands
+  * in `<outDir>/progress.jsonl` ([[StreamMeter]]). */
 object StreamMedia {
   def main(args: Array[String]): Unit = {
     val inputDir = args(0)
     val outDir = args(1)
     val audio = args.contains("--audio")
+    val video = args.contains("--video")
     val follow = args.contains("--follow")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
@@ -56,7 +66,9 @@ object StreamMedia {
     val maxHamming = sys.env.getOrElse("SPARK_GRAFT_MAX_HAMMING", "3").toInt
     val fingerprint =
       if (audio) graft.functions.AudioExpressions.audioEnvHash _
+      else if (video) graft.functions.VideoExpressions.videoSigHash _
       else graft.functions.ImageExpressions.dhashImage _
+    val mode = if (audio) "audio" else if (video) "video" else "image"
 
     val done = StreamMeter.attach(spark, "stream-media", outDir)
     val reader = spark.readStream
@@ -64,7 +76,8 @@ object StreamMedia {
     maxFiles.foreach(v => reader.option("maxFilesPerTrigger", v))
     val docs = reader.parquet(inputDir)
 
-    val gate = StreamingAnalytics.fingerprintDedupIntake(indexPath,
+    val compactEvery = sys.env.getOrElse("SPARK_GRAFT_COMPACT_EVERY", "64").toInt
+    val intake = StreamingAnalytics.fingerprintDedupIntake(indexPath,
       fingerprint, maxHamming = maxHamming,
       sink = (survivors, batchId) => {
         val n = survivors.count()
@@ -73,6 +86,17 @@ object StreamMedia {
         println(s"[stream-media] batch=$batchId admitted=${n - refused} " +
           s"refused=$refused")
       })
+    // compaction hooks at batch START with belowBatchId = this batch:
+    // committed partitions fold; a retried batch's own stays live
+    // (the compactIndex discipline)
+    val gate: (org.apache.spark.sql.DataFrame, Long) => Unit = { (batch, batchId) =>
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+        StreamingAnalytics.compactFingerprintIndex(spark, indexPath,
+          belowBatchId = batchId)
+        println(s"[stream-media] batch=$batchId compacted fp_index (< $batchId)")
+      }
+      intake(batch, batchId)
+    }
     val writer = docs.writeStream
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .foreachBatch(gate)
@@ -81,8 +105,7 @@ object StreamMedia {
     q.awaitTermination()
     val wallS = done()
     val n = spark.read.parquet(s"$outDir/clean").count()
-    println(f"[stream-media] mode=${if (audio) "audio" else "image"} " +
-      f"kept=$n wall=$wallS%.1fs out=$outDir")
+    println(f"[stream-media] mode=$mode kept=$n wall=$wallS%.1fs out=$outDir")
     spark.stop()
   }
 }

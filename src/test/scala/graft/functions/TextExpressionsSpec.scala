@@ -119,6 +119,29 @@ class TextExpressionsSpec extends AnyFunSuite {
       " long enough to keep</P>").length == 2)
   }
 
+  test("htmlBlocks decodes the typographic entity set; nbsp becomes a plain space") {
+    val got = TextExpressions.htmlBlocks(
+      "<p>&lsquo;alpha beta gamma delta epsilon&rsquo;&nbsp;&ndash; " +
+      "&ldquo;3&times;4&#x3D;12&rdquo;&deg; &copy; &mdash;&hellip; &#X41;&#66;</p>")
+    assert(got.toSeq ==
+      Seq("‘alpha beta gamma delta epsilon’ – " +
+        "“3×4=12”° © —… AB"))
+    // nbsp decodes to U+0020, NOT U+00A0 — and as whitespace it
+    // collapses with adjacent spaces
+    assert(!got.head.contains('\u00a0'))
+    assert(TextExpressions.htmlBlocks(
+      "<p>word&nbsp; &nbsp;pair plus padding to pass the length gate</p>")
+      .head == "word pair plus padding to pass the length gate")
+    // hex numerics are case-insensitive in both prefix and digits;
+    // out-of-BMP and malformed hex stay literal
+    assert(TextExpressions.htmlBlocks(
+      "<p>hex &#x6d;&#X4D; pair padded out to pass the length gate</p>")
+      .head == "hex mM pair padded out to pass the length gate")
+    assert(TextExpressions.htmlBlocks(
+      "<p>a &#x110000; b &#xZZ; literal forms all pass through here</p>")
+      .head == "a &#x110000; b &#xZZ; literal forms all pass through here")
+  }
+
   test("html_extract_blocks registered SQL function works via spark.sql") {
     TextExpressions.register(spark)
     val r = spark.sql(

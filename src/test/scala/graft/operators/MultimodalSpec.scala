@@ -754,4 +754,134 @@ class MultimodalSpec extends AnyFunSuite {
     assert(h.keySet == Set(1L, 2L, 3L)) // the 64-sample refusal row never hashes
     assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) > 3)
   }
+
+  test("videoSigHash64: strict-majority vote over per-frame dHashes, ties fall to 0") {
+    import Multimodal.{ContainerFixtures, MediaCodec}
+    // frame hashes at the closed-form extremes (the dhash64 spec):
+    // rising gradient -> 0, falling gradient -> -1 (all 64 bits)
+    val rising = ContainerFixtures.bmp(9, 8, (x, _) => x * 10)
+    val falling = ContainerFixtures.bmp(9, 8, (x, _) => 80 - x * 10)
+    def clip(frames: Array[Byte]*): Array[Byte] =
+      ContainerFixtures.aviMjpeg(100000L, 9, 8, frames)
+    // 2-of-3 majority carries every bit
+    assert(MediaCodec.videoSigHash64(clip(rising, rising, falling)) == 0L)
+    assert(MediaCodec.videoSigHash64(clip(falling, falling, rising)) == -1L)
+    // 1-of-2 is NOT a strict majority: every tied bit drops to 0
+    assert(MediaCodec.videoSigHash64(clip(rising, falling)) == 0L)
+    // a single frame's signature IS its dHash
+    assert(MediaCodec.videoSigHash64(clip(falling)) == -1L)
+  }
+
+  test("videoSigHash64 walks flat and rec-interleaved movi layouts identically") {
+    import Multimodal.{ContainerFixtures, MediaCodec}
+    val frames = (0 until 5).map(f =>
+      ContainerFixtures.bmp(20, 15, (x, y) => (f * 41 + x * 13 + y * 29) % 251))
+    val flat = ContainerFixtures.aviMjpeg(40000L, 20, 15, frames)
+    val rec = ContainerFixtures.aviMjpeg(40000L, 20, 15, frames, recGroup = 2)
+    val a = MediaCodec.videoSigHash64(flat)
+    assert(a != null && a == MediaCodec.videoSigHash64(rec))
+  }
+
+  test("videoSigHash64 refusals: non-AVI, zero frames, any undecodable frame") {
+    import Multimodal.{ContainerFixtures, MediaCodec}
+    val good = ContainerFixtures.bmp(20, 15, (x, y) => (x * 13 + y * 29) % 251)
+    assert(MediaCodec.videoSigHash64("not a container".getBytes) == null)
+    assert(MediaCodec.videoSigHash64(
+      ContainerFixtures.wav(8000, 1, 16, new Array[Byte](64))) == null)
+    // an AVI with an empty movi has no honest signature
+    assert(MediaCodec.videoSigHash64(
+      ContainerFixtures.aviMjpeg(100000L, 20, 15, Seq.empty)) == null)
+    // strict-all: ONE below-grid frame refuses the whole clip
+    assert(MediaCodec.videoSigHash64(ContainerFixtures.aviMjpeg(100000L, 20, 15,
+      Seq(good, ContainerFixtures.bmp(8, 8, (x, y) => x + y)))) == null)
+    // a JPEG-headed but undecodable frame (no tables/scan) refuses too
+    assert(MediaCodec.videoSigHash64(ContainerFixtures.aviMjpeg(100000L, 20, 15,
+      Seq(good, ContainerFixtures.synthJpegHeader(20, 15, 32)))) == null)
+  }
+
+  test("videoSigDups finds the planted near-dup clip and not the inverse clip") {
+    import spark.implicits._
+    import Multimodal.ContainerFixtures
+    def base(f: Int)(x: Int, y: Int): Int = (f * 41 + x * 37 + y * 23 + 11) % 251
+    def clip(px: Int => (Int, Int) => Int): Array[Byte] =
+      ContainerFixtures.aviMjpeg(40000L, 27, 21,
+        (0 until 3).map(f => ContainerFixtures.bmp(27, 21, px(f))))
+    val nearPx: Int => (Int, Int) => Int = f => (x, y) =>
+      // brighten only grid cell (0,0) in EVERY frame — each frame's
+      // dHash moves at most in bit 0, so the majority moves at most in
+      // bit 0
+      if (x * 9 / 27 == 0 && y * 8 / 21 == 0) (base(f)(x, y) + 128) % 251
+      else base(f)(x, y)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, clip(f => base(f)), "video/avi", "t"),
+      Multimodal.MediaRow(2L, clip(nearPx), "video/avi", "t"),
+      Multimodal.MediaRow(3L, clip(f => (x, y) => 250 - base(f)(x, y)),
+        "video/avi", "t"),
+      Multimodal.MediaRow(4L, ContainerFixtures.aviMjpeg(40000L, 8, 8,
+        Seq(ContainerFixtures.bmp(8, 8, (x, y) => x + y))), "video/avi", "t")
+    ).toDS().toDF()
+    val pairs = Dedup.videoSigDups(rows, "doc_id", "media",
+        maxHamming = 3, bucketBits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 <= 1)
+    val h = Dedup.videoSigDocs(rows, "doc_id", "media")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h.keySet == Set(1L, 2L, 3L)) // the below-grid clip never hashes
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) > 3)
+  }
+
+  /** Pack closed-form 16-bit samples into an AIFF (big-endian SSND). */
+  private def pcmAiff(n: Int, v: Int => Int): Array[Byte] = {
+    val data = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = v(i)
+      data(2 * i) = ((s >> 8) & 0xFF).toByte
+      data(2 * i + 1) = (s & 0xFF).toByte
+    }
+    Multimodal.ContainerFixtures.aiff(8000, 1, 16, n.toLong, data)
+  }
+
+  test("AIFF SSND PCM decode: BE samples equal the WAV decode of the same signal") {
+    import Multimodal.ContainerCodec
+    def sig(i: Int): Int = ((i * 7919 + 31) % 65536) - 32768
+    val n = 130
+    val viaAiff = ContainerCodec.decodeAiffPcm(pcmAiff(n, sig))
+    val viaWav = ContainerCodec.decodeWavPcm(pcmWav(n, sig))
+    assert(viaAiff.isDefined && viaWav.isDefined)
+    assert(viaAiff.get._2.toSeq == viaWav.get._2.toSeq)
+    val m = viaAiff.get._1
+    assert(m.kind == "aiff" && m.sample_rate == 8000 && m.channels == 1)
+  }
+
+  test("AIFF 8-bit samples are SIGNED (unlike WAV's unsigned 8-bit)") {
+    import Multimodal.{ContainerCodec, ContainerFixtures}
+    val samples = Array[Byte](-128, -1, 0, 1, 127)
+    val a = ContainerFixtures.aiff(8000, 1, 8, samples.length.toLong, samples)
+    assert(ContainerCodec.decodeAiffPcm(a).get._2.toSeq ==
+      Seq(-128, -1, 0, 1, 127))
+  }
+
+  test("AIFF decode refusals: truncated SSND, unsupported bits, declared overrun") {
+    import Multimodal.{ContainerCodec, ContainerFixtures}
+    def sig(i: Int): Int = i * 100 - 3000
+    val full = pcmAiff(70, sig)
+    // COMM declares 70 frames but the SSND payload is cut short
+    assert(ContainerCodec.decodeAiffPcm(full.take(full.length - 20)).isEmpty)
+    // 12-bit samples are outside the decodable family
+    val odd = ContainerFixtures.aiff(8000, 1, 12, 4L, new Array[Byte](8))
+    assert(ContainerCodec.decodeAiffPcm(odd).isEmpty)
+    // non-AIFF containers refuse
+    assert(ContainerCodec.decodeAiffPcm(
+      ContainerFixtures.wav(8000, 1, 16, new Array[Byte](64))).isEmpty)
+  }
+
+  test("audioEnvHash64 is container-independent: WAV and AIFF of the same samples agree") {
+    import Multimodal.MediaCodec
+    def sig(i: Int): Int = ((i * 9173 + 77) % 65536) - 32768
+    val n = 143
+    val hWav = MediaCodec.audioEnvHash64(pcmWav(n, sig))
+    val hAiff = MediaCodec.audioEnvHash64(pcmAiff(n, sig))
+    assert(hWav != null && hWav == hAiff)
+  }
 }

@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * the derive formula reproduces every r18 ladder sweep optimum
   * (`target/stream_ladder_r18.txt`), the text/parquet estimators
   * recover planted row counts, and the resolution order is
-  * env → derived → fallback. */
+  * env → legacy env-cpus → derived → fallback. */
 class StreamWidthSpec extends AnyFunSuite {
 
   test("derive reproduces the measured knees: 500k→4, 1M→8, 10M→8") {
@@ -20,14 +20,40 @@ class StreamWidthSpec extends AnyFunSuite {
     assert(StreamWidth.derive(Long.MaxValue / 2) === 8) // cap, no overflow
   }
 
-  test("resolve: derived when an estimate exists, fallback 8 otherwise") {
-    // (the env-override arm needs SPARK_GRAFT_SHUFFLE_PARTITIONS in the
-    // JVM env — exercised by the ladder runs, not settable from a spec)
-    if (!sys.env.contains("SPARK_GRAFT_SHUFFLE_PARTITIONS")) {
-      assert(StreamWidth.resolve(Some(500000L)) ===
-        StreamWidth.Resolved(4, "derived", 500000L))
-      assert(StreamWidth.resolve(None) === StreamWidth.Resolved(8, "fallback", -1L))
-    }
+  test("resolve: env > legacy env-cpus > derived > fallback") {
+    assert(StreamWidth.resolve(Some(500000L), Map.empty) ===
+      StreamWidth.Resolved(4, "derived", 500000L))
+    assert(StreamWidth.resolve(None, Map.empty) ===
+      StreamWidth.Resolved(8, "fallback", -1L))
+    // the primary env override wins over everything
+    assert(StreamWidth.resolve(Some(500000L),
+      Map("SPARK_GRAFT_SHUFFLE_PARTITIONS" -> "12", "SPARK_GRAFT_CPUS" -> "16"))
+      === StreamWidth.Resolved(12, "env", 500000L))
+    // the legacy CPU pin keeps its historical meaning (one env contract
+    // across all CLIs) but yields to the explicit width env
+    assert(StreamWidth.resolve(Some(500000L), Map("SPARK_GRAFT_CPUS" -> "16"))
+      === StreamWidth.Resolved(16, "env-cpus", 500000L))
+    assert(StreamWidth.resolve(None, Map("SPARK_GRAFT_CPUS" -> "6"))
+      === StreamWidth.Resolved(6, "env-cpus", -1L))
+  }
+
+  test("estimateTextDir pools heads across files: mixed line lengths stay within a knee notch") {
+    val dir = java.nio.file.Files.createTempDirectory("swidth_mix")
+    // one LARGE long-line file (the old single-file sample would let its
+    // 300-char lines speak for the whole directory) + four short-line
+    // files holding most of the LINES
+    java.nio.file.Files.writeString(dir.resolve("big.log"),
+      ("y" * 299 + "\n") * 200) // 60 KB, 200 lines
+    for (i <- 0 until 4)
+      java.nio.file.Files.writeString(dir.resolve(s"small$i.log"),
+        ("x" * 19 + "\n") * 1000) // 20 KB, 1000 lines each
+    val est = StreamWidth.estimateTextDir(dir.toString, None).get
+    val truth = 200L + 4000L
+    // pooled sampling recovers the true count almost exactly (all heads
+    // fit in 64 KiB); the old estimator was ~9× under (≈ 466)
+    assert(math.abs(est - truth) <= truth / 10,
+      s"pooled estimate $est should be within 10% of $truth")
+    assert(StreamWidth.derive(est) === StreamWidth.derive(truth))
   }
 
   test("estimateTextDir recovers a planted line count and scales by maxFilesPerTrigger") {
@@ -48,6 +74,30 @@ class StreamWidthSpec extends AnyFunSuite {
     assert(StreamWidth.estimateTextDir(dir.toString + "_missing", None).isEmpty)
     val empty = java.nio.file.Files.createTempDirectory("swidth_empty")
     assert(StreamWidth.estimateTextDir(empty.toString, None).isEmpty)
+  }
+
+  test("apply records width.json with truncate semantics across re-runs") {
+    val spark = graft.SparkSpec.spark
+    val priorWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    val outDir = java.nio.file.Files.createTempDirectory("swidth_rec").toString
+    // a prior run's progress rows already occupy the file — the re-run's
+    // width must NOT be read positionally from progress.jsonl
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outDir, "progress.jsonl"),
+      "{\"batchId\":0}\n{\"batchId\":1}\n")
+    val r1 = StreamWidth(spark, "spec", outDir, Some(500000L))
+    val r2 = StreamWidth(spark, "spec", outDir, Some(1000000L))
+    spark.conf.set("spark.sql.shuffle.partitions", priorWidth) // shared session
+    val width = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(outDir, "width.json"))
+    // width.json holds EXACTLY the latest decision (truncated, 1 line)
+    assert(width.trim.linesIterator.size === 1)
+    assert(width.contains(s""""width":${r2.width}"""))
+    if (r1.width != r2.width) assert(!width.contains(s""""width":${r1.width}"""))
+    // progress.jsonl keeps every record appended behind the prior rows
+    val progress = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(outDir, "progress.jsonl"))
+    assert(progress.linesIterator.count(_.contains("\"graft\":\"stream_width\"")) === 2)
   }
 
   test("estimateParquetDir scales the largest file's exact count by bytes") {

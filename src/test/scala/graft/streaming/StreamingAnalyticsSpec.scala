@@ -1654,6 +1654,67 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       .collect().toSet == Set(1L, 2L, 4L, 5L).diff(droppedBatch))
   }
 
+  test("fingerprintDedupIntake: mid-stream compaction changes no admission, replay stays idempotent") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    def img(seed: Long, near: Boolean = false): Array[Byte] =
+      Multimodal.ContainerFixtures.bmp(27, 21, (x, y) => {
+        val g = (seed * 37 + x * 11 + y * 23) % 251
+        (if (near && x * 9 / 27 == 0 && y * 8 / 21 == 0) (g + 128) % 251
+         else g).toInt
+      })
+    val root = java.nio.file.Files.createTempDirectory("graft-fpcomp").toString
+    def run(indexPath: String, compactAt: Option[Long])
+        : Seq[(Long, Set[Long])] = {
+      val emitted = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      val gate = StreamingAnalytics.fingerprintDedupIntake(indexPath,
+        graft.functions.ImageExpressions.dhashImage, bucketBits = 16,
+        sink = (df, bid) => emitted ++= df.filter(col("sim").isNotNull)
+          .select("doc_id").collect().map(r => (bid, r.getLong(0))))
+      val batches = Seq(
+        0L -> Seq(1L -> img(1), 2L -> img(2)),
+        1L -> Seq(3L -> img(1, near = true), 4L -> img(4)),
+        // batch 2 probes BOTH generations: 5 exact-copies doc 2 (folded
+        // into -1 when compaction ran), 6 near-dups doc 4 (live), 7 fresh
+        2L -> Seq(5L -> img(2), 6L -> img(4, near = true), 7L -> img(7)))
+      batches.foreach { case (bid, docs) =>
+        // the StreamMedia hook shape: compact at BATCH START, folding
+        // only batches below the one about to run
+        if (compactAt.contains(bid))
+          StreamingAnalytics.compactFingerprintIndex(spark, indexPath,
+            numFiles = 2, belowBatchId = bid)
+        gate(docs.toDF("doc_id", "media"), bid)
+      }
+      emitted.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+        .toSeq.sortBy(_._1)
+    }
+    val compacted = run(s"$root/idx_c", compactAt = Some(2L))
+    val plain = run(s"$root/idx_p", compactAt = None)
+    assert(compacted == plain,
+      s"admissions must be identical across a mid-stream compaction: $compacted vs $plain")
+    assert(compacted.toMap.apply(2L) == Set(7L))
+    // the compacted generation really exists and holds the folded batches
+    val idx = spark.read.parquet(s"$root/idx_c")
+    assert(idx.select("batch_id").distinct().as[Long].collect().toSet
+      == Set(-1L, 2L))
+    assert(idx.filter(col("batch_id") === -1L).select("id").as[Long]
+      .collect().toSet == Set(1L, 2L, 4L))
+    // replay of the post-compaction batch: own-partition exclusion keeps
+    // it idempotent against BOTH generations — 7 re-admits into its own
+    // partition (one copy), 5 and 6 still drop
+    val emitted2 = scala.collection.mutable.ArrayBuffer[Long]()
+    val gate2 = StreamingAnalytics.fingerprintDedupIntake(s"$root/idx_c",
+      graft.functions.ImageExpressions.dhashImage, bucketBits = 16,
+      sink = (df, _) => emitted2 ++= df.filter(col("sim").isNotNull)
+        .select("doc_id").collect().map(_.getLong(0)))
+    gate2(Seq(5L -> img(2), 6L -> img(4, near = true), 7L -> img(7))
+      .toDF("doc_id", "media"), 2L)
+    assert(emitted2.toSet == Set(7L))
+    assert(spark.read.parquet(s"$root/idx_c").groupBy("id").count()
+      .filter(col("count") > 1).count() == 0L,
+      "replay after compaction must not duplicate index rows")
+  }
+
   test("hammingAgainst matches only within the radius and survives flood buckets") {
     import spark.implicits._
     import graft.operators.Dedup
@@ -1671,12 +1732,44 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(m == Set((10L, 1L, 0), (10L, 2L, 1), (12L, 4L, 1)))
     // flood bucket: many identical index fingerprints still match (the
     // probe addresses 2 blocks; identical rows fill every block, so the
-    // match survives) and the candidate count stays bounded
+    // match survives) and the candidate count stays bounded — banded
+    // candidates plus the exact fast path's one representative row
     val flood = (100L to 400L).map(i => (i, 0L)).toDF("id", "sim")
     val probe = Seq((1L, 0L)).toDF("doc_id", "sim")
     val fm = Dedup.hammingAgainst(flood, probe, maxHamming = 0,
       maxBucket = 16, bucketBits = 16)
-    assert(fm.count() > 0 && fm.count() <= 4 * 2 * 16,
-      "flood-bucket candidates must stay within bands*probes*maxBucket")
+    assert(fm.count() > 0 && fm.count() <= 4 * 2 * 16 + 1,
+      "flood-bucket candidates must stay within bands*probes*maxBucket + 1 exact rep")
+  }
+
+  test("hammingAgainst exact fast path surfaces a re-delivery buried in flood buckets") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // every band's bucket for the probe fingerprint is flooded by far
+    // more rows than 2 blocks cover, none within the radius, and the
+    // SINGLE exact copy hides among them: the sim-equality fast path
+    // must still surface it (the 2-block probe alone misses it with
+    // high probability — the advisor's re-admission hazard, where the
+    // gate would preferentially re-admit exactly the most frequent
+    // payloads as their buckets flood)
+    val target = 0x1234123412341234L
+    val crowd = (0 until 4).flatMap { b =>
+      (0 until 150).map { i =>
+        var s = 0L
+        for (w <- 0 until 4) {
+          val win = if (w == b) (target >> (b * 16)) & 0xFFFFL
+                    else (i + 1 + 97L * w + 1000L * b) & 0xFFFFL
+          s |= win << (w * 16)
+        }
+        (1000L + b * 1000L + i, s)
+      }
+    }
+    val idx = (crowd :+ ((999L, target))).toDF("id", "sim")
+    val probe = Seq((1L, target)).toDF("doc_id", "sim")
+    val m = Dedup.hammingAgainst(idx, probe, maxHamming = 0,
+        maxBucket = 4, bucketBits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(m == Set((999L, 1L, 0)),
+      s"the buried exact copy must be the one and only match: $m")
   }
 }
