@@ -27,6 +27,12 @@ object AudioExpressions {
     override def dataType: DataType = LongType
     override def nullable: Boolean = true
     override def prettyName: String = "audio_env_hash"
+    // Pure, but declared nondeterministic so the optimizer cannot
+    // substitute the decode-heavy call into both a pushed-down
+    // isnotnull Filter AND the Project that names it — that rewrite
+    // ran the PCM/G.711/ADPCM/AIFF decode twice per row (r20 PLANS.md
+    // audit; see VideoExpressions.VideoSigHash for the full note).
+    override lazy val deterministic: Boolean = false
 
     override def nullSafeEval(input: Any): Any =
       graft.operators.Multimodal.MediaCodec

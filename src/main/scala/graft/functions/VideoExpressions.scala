@@ -26,6 +26,15 @@ object VideoExpressions {
     override def dataType: DataType = LongType
     override def nullable: Boolean = true
     override def prettyName: String = "video_sig_hash"
+    // The function is pure, but advertising that lets the optimizer
+    // substitute it into every consumer: `select(sig as sim).filter
+    // (isNotNull)` rewrites to Filter(isnotnull(sig(media))) BELOW a
+    // Project(sig(media)) — the container walk + every frame decode
+    // runs TWICE per row (seen in the r20 PLANS.md audit). Declaring it
+    // nondeterministic pins evaluation to the one Project that names
+    // it; results are unchanged (it IS deterministic), only the
+    // duplicate-evaluation rewrites are disabled.
+    override lazy val deterministic: Boolean = false
 
     override def nullSafeEval(input: Any): Any =
       graft.operators.Multimodal.MediaCodec
