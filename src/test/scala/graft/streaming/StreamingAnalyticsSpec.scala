@@ -1654,6 +1654,48 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       .collect().toSet == Set(1L, 2L, 4L, 5L).diff(droppedBatch))
   }
 
+  test("fingerprintDedupIntake covers video via the clip-signature kernel (cross-batch)") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Multimodal}
+    // the fourth fingerprint family through the SAME intake: planted AVI
+    // clips (3 BMP frames), near-dups perturb cell (0,0) in every frame
+    def clip(seed: Long, near: Boolean = false): Array[Byte] =
+      Multimodal.ContainerFixtures.aviMjpeg(40000L, 27, 21,
+        (0 until 3).map { f =>
+          Multimodal.ContainerFixtures.bmp(27, 21, (x, y) => {
+            val g = (seed * 37 + f * 41 + x * 11 + y * 23) % 251
+            (if (near && x * 9 / 27 == 0 && y * 8 / 21 == 0) (g + 128) % 251
+             else g).toInt
+          })
+        })
+    val indexPath = java.nio.file.Files
+      .createTempDirectory("graft-fpvid").toString + "/index"
+    val emitted = scala.collection.mutable.ArrayBuffer[(Long, Long, Boolean)]()
+    val gate = StreamingAnalytics.fingerprintDedupIntake(indexPath,
+      graft.functions.VideoExpressions.videoSigHash, bucketBits = 16,
+      sink = (df, bid) => emitted ++= df.select("doc_id", "sim")
+        .collect().map(r => (bid, r.getLong(0), r.isNullAt(1))))
+    gate(Seq(1L -> clip(1), 2L -> clip(2)).toDF("doc_id", "media"), 0L)
+    // batch 1: cross-batch near-dup of 1, exact re-delivery of 2 under a
+    // new id, a refusal (non-AVI), and a fresh clip
+    gate(Seq(3L -> clip(1, near = true), 4L -> clip(2),
+      5L -> "not a clip".getBytes, 6L -> clip(6)).toDF("doc_id", "media"), 1L)
+    val byBatch = emitted.groupBy(_._1).view
+      .mapValues(_.map(e => (e._2, e._3)).toSet).toMap
+    assert(byBatch(0L) == Set((1L, false), (2L, false)))
+    assert(byBatch(1L) == Set((5L, true), (6L, false)))
+    // STREAM ≡ BATCH: survivors equal the batch operator's
+    // keep-smallest-id over the same corpus
+    val dropped = Dedup.videoSigDups(
+        Seq(1L -> clip(1), 2L -> clip(2), 3L -> clip(1, near = true),
+          4L -> clip(2), 6L -> clip(6)).toDF("doc_id", "media"),
+        "doc_id", "media", maxHamming = 3, bucketBits = 16)
+      .select("id_b").as[Long].collect().toSet
+    assert(dropped == Set(3L, 4L))
+    assert(spark.read.parquet(indexPath).select("id").as[Long]
+      .collect().toSet == Set(1L, 2L, 6L))
+  }
+
   test("fingerprintDedupIntake: mid-stream compaction changes no admission, replay stays idempotent") {
     import spark.implicits._
     import graft.operators.Multimodal
