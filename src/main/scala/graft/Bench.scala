@@ -161,9 +161,7 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val excluded = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE")
       .map(_.split(",").toSet).getOrElse(Set.empty)
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(n => n._1.endsWith("_violations") || n._1.endsWith("_recall")
-        || n._1.endsWith("_planted"))
+    val queries = SparkEntry.headlineQueries
       .filterNot(n => excluded.contains(n._1))
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // SPARK_GRAFT_BENCH_VERBOSE: per-run times to stderr (regression

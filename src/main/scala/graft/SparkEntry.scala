@@ -16,6 +16,20 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     PipelineQueries.e2e(spark, "/root/testdata/sf0.001")
 
+  /** The HEADLINE set: [[queries]] minus the `*_violations` /
+    * `*_recall` / `*_planted` diagnostics (correctness proofs for the
+    * operators the other rows already time — benching them would
+    * double-count identical work; see `Bench`'s scaladoc). The ONE
+    * definition both `graft.Bench` (timing) and `tools.Explain`
+    * (PLANS.md) consume, so the two can't drift and the round-close
+    * rule "PLANS.md section count == headline count" holds by
+    * construction. */
+  def headlineQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
+    queries.toSeq.sortBy(_._1).filterNot { case (n, _) =>
+      n.endsWith("_violations") || n.endsWith("_recall") ||
+        n.endsWith("_planted")
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- log pipeline (SURVEY §2.2-2.4: P1-P11, T1-T3, A1-A6, E2, S1) --
     "pipeline_e2e" -> (PipelineQueries.e2e _),

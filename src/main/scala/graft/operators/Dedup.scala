@@ -546,12 +546,15 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("index_id", "incoming_id", "hamming")
     // exact fast path (see scaladoc): sim-equality join, one
-    // representative (min index id) per (incoming, fingerprint), so a
-    // re-delivered payload can never vanish into a flood bucket
-    val exact = idx.join(
-        incoming.select(col("doc_id").as("incoming_id"), col("sim")),
+    // representative (min index id) per fingerprint, so a re-delivered
+    // payload can never vanish into a flood bucket. The index
+    // pre-aggregates BEFORE the join — an index holding K exact copies
+    // of a degenerate fingerprint (exactly the flood case this path
+    // exists for) joins as ONE row per sim, not K, keeping the work
+    // bounded the way the banded path's block discipline does
+    val exact = idx.groupBy("sim").agg(min(col("id")).as("index_id"))
+      .join(incoming.select(col("doc_id").as("incoming_id"), col("sim")),
         Seq("sim"))
-      .groupBy("sim", "incoming_id").agg(min(col("id")).as("index_id"))
       .select(col("index_id"), col("incoming_id"), lit(0).as("hamming"))
     banded.unionByName(exact).distinct()
   }

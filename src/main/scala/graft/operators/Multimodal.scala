@@ -943,10 +943,16 @@ object Multimodal {
       while (off + 8 <= end) {
         val id = fourcc(b, off.toInt)
         val sz = be32(b, off.toInt + 4)
-        if (id == "COMM" && sz >= 18 && off + 8 + 18 <= b.length) {
+        // FIRST chunk of each kind wins, matching [[parseAiff]] (which
+        // returns at the first COMM): a spurious second COMM must not
+        // overwrite the geometry the meta walk validated, or the decode
+        // would reinterpret the SSND payload against the wrong
+        // frames/bits and emit garbage instead of the first-COMM truth
+        if (id == "COMM" && bits < 0 && sz >= 18 && off + 8 + 18 <= b.length) {
           frames = be32(b, off.toInt + 10)
           bits = be16(b, off.toInt + 14)
-        } else if (id == "SSND" && sz >= 8 && off + 8 + sz <= b.length) {
+        } else if (id == "SSND" && dataOff < 0 && sz >= 8 &&
+                   off + 8 + sz <= b.length) {
           val o = be32(b, off.toInt + 8) // data offset within the chunk
           dataOff = off + 16 + o
           dataLen = sz - 8 - o

@@ -57,9 +57,14 @@ object StreamWidth {
     env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS") match {
       case Some(v) =>
         Resolved(v.toInt, "env", estRowsPerTrigger.getOrElse(-1L))
-      case None => env.get("SPARK_GRAFT_CPUS") match {
+      case None => env.get("SPARK_GRAFT_CPUS")
+          // the batch CLIs interpolate this into `local[...]`, where
+          // non-numeric values like "*" are legal — those cannot name a
+          // width, so they fall through to the derived default instead
+          // of crashing the streaming CLIs at startup
+          .flatMap(_.toIntOption) match {
         case Some(v) =>
-          Resolved(v.toInt, "env-cpus", estRowsPerTrigger.getOrElse(-1L))
+          Resolved(v, "env-cpus", estRowsPerTrigger.getOrElse(-1L))
         case None => estRowsPerTrigger match {
           case Some(n) => Resolved(derive(n), "derived", n)
           case None    => Resolved(8, "fallback", -1L)

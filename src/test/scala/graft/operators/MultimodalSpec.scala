@@ -862,6 +862,32 @@ class MultimodalSpec extends AnyFunSuite {
       Seq(-128, -1, 0, 1, 127))
   }
 
+  test("AIFF decode: a spurious second COMM cannot overwrite the first's geometry") {
+    import Multimodal.ContainerCodec
+    def sig(i: Int): Int = ((i * 7919 + 31) % 65536) - 32768
+    val clean = pcmAiff(70, sig)
+    // splice a second COMM (channels=1, frames=50, bits=8, rate 8000)
+    // between the real COMM and the SSND: first-COMM-wins means the
+    // decode is unchanged; last-wins would reinterpret the 16-bit
+    // payload one byte per sample
+    def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    def be32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    val exp = 63 - java.lang.Long.numberOfLeadingZeros(8000L)
+    val comm2 = "COMM".getBytes ++ be32(18) ++ be16(1) ++ be32(50L) ++
+      be16(8) ++ be16(16383 + exp.toInt) ++
+      be32(8000L << (31 - exp)) ++ be32(0L)
+    // clean = FORM(4) size(4) 'AIFF'(4) COMM chunk(8+18) SSND...
+    val insertAt = 12 + 8 + 18
+    val spliced = clean.take(insertAt) ++ comm2 ++ clean.drop(insertAt)
+    // patch the FORM size for the inserted bytes
+    val newSize = (((spliced.length - 8)).toLong)
+    System.arraycopy(be32(newSize), 0, spliced, 4, 4)
+    val a = ContainerCodec.decodeAiffPcm(spliced)
+    val b = ContainerCodec.decodeAiffPcm(clean)
+    assert(a.isDefined && a.get._2.toSeq == b.get._2.toSeq)
+  }
+
   test("AIFF decode refusals: truncated SSND, unsupported bits, declared overrun") {
     import Multimodal.{ContainerCodec, ContainerFixtures}
     def sig(i: Int): Int = i * 100 - 3000

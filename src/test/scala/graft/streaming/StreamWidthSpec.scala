@@ -35,6 +35,11 @@ class StreamWidthSpec extends AnyFunSuite {
       === StreamWidth.Resolved(16, "env-cpus", 500000L))
     assert(StreamWidth.resolve(None, Map("SPARK_GRAFT_CPUS" -> "6"))
       === StreamWidth.Resolved(6, "env-cpus", -1L))
+    // the batch CLIs accept non-numeric values ("*" -> local[*]) for
+    // this knob; those cannot name a width and must fall through to the
+    // derivation instead of crashing the streaming CLIs
+    assert(StreamWidth.resolve(Some(500000L), Map("SPARK_GRAFT_CPUS" -> "*"))
+      === StreamWidth.Resolved(4, "derived", 500000L))
   }
 
   test("estimateTextDir pools heads across files: mixed line lengths stay within a knee notch") {
