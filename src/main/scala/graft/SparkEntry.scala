@@ -200,6 +200,7 @@ object SparkEntry {
     "dedup_video_sig_violations" ->
       (ExtensionQueries.dedupVideoSigViolations _),
     "dedup_video_sig_recall" -> (ExtensionQueries.dedupVideoSigRecall _),
+    "dedup_video_containment" -> (ExtensionQueries.dedupVideoContainment _),
     "events_session_window" -> (AnalyticsQueries.eventsSessionWindow _),
     // -- spark.sql surface over registered views + custom SQL functions --
     "sql_events_arrayjoin" -> (PipelineQueries.sqlArrayJoin _),
@@ -295,6 +296,7 @@ object SparkEntry {
     "dedup_video_sig" -> ExtensionQueries.dedupVideoSigOracle,
     "dedup_video_sig_violations" -> ExtensionQueries.violationOracle,
     "dedup_video_sig_recall" -> ExtensionQueries.dedupVideoSigRecallOracle,
+    "dedup_video_containment" -> ExtensionQueries.dedupVideoContainmentOracle,
     "events_session_window" -> AnalyticsQueries.eventsSessionWindowOracle,
     "sql_events_arrayjoin" -> PipelineQueries.sqlArrayJoinOracle,
     "sql_mime_decode" -> ExtensionQueries.sqlMimeDecodeOracle,

@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Video-fingerprint Catalyst expressions.
   *
@@ -60,4 +61,45 @@ object VideoExpressions {
     * (null = refusal). */
   def videoSigHash(c: Column): Column =
     GraftBridge.column(VideoSigHash(GraftBridge.expr(c)))
+
+  /** [[VideoSigHash]]'s frame-SET sibling: DISTINCT per-frame dHashes
+    * (binary → nullable array<long>), the clip view
+    * [[graft.operators.Dedup.videoFrameContainment]] consumes for
+    * subclip/trim detection. Same refusal contract and the same
+    * nondeterministic declaration (see [[VideoSigHash]]'s note — the
+    * per-frame decode must not be substituted into duplicate
+    * evaluation sites). */
+  case class VideoFrameHashes(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "video_frame_hashes"
+    override lazy val deterministic: Boolean = false
+
+    override def nullSafeEval(input: Any): Any = {
+      val hs = graft.operators.Multimodal.MediaCodec
+        .videoFrameHashes64(input.asInstanceOf[Array[Byte]])
+      if (hs == null) null else new GenericArrayData(hs)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("videoFrames", this,
+        classOf[VideoFrameHashes].getName)
+      val tmp = ctx.freshName("vfh")
+      nullSafeCodeGen(ctx, ev, a => {
+        s"""
+        Object $tmp = $ref.nullSafeEval($a);
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $tmp; }
+        """
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column wrapper: distinct per-frame dHashes of a binary video
+    * column (null = refusal). */
+  def videoFrameHashes(c: Column): Column =
+    GraftBridge.column(VideoFrameHashes(GraftBridge.expr(c)))
 }

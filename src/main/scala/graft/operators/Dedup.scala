@@ -820,12 +820,52 @@ object Dedup {
     * before the pair exchange; containment passes None. */
   private def ngramSharedPairs(df: DataFrame, idCol: String,
                                textCol: String, n: Int, maxDocFreq: Int,
-                               sizeRatioPrefilter: Option[Double]): DataFrame = {
+                               sizeRatioPrefilter: Option[Double]): DataFrame =
+    hashSetSharedPairs(
+      Par.widen(df).select(col(idCol).as("doc_id"),
+        shingleHashes(col(textCol), n).as("grams")),
+      maxDocFreq, sizeRatioPrefilter)
+
+  /** Exact FRAME-SET containment for VIDEO clips — the subclip/trim
+    * detector [[videoSigDups]] structurally misses: the majority-vote
+    * signature is stable under small per-frame perturbations, but a
+    * TRIMMED clip (half the frames dropped) or a subclip spliced into
+    * a longer reel shares only part of the frame set and sits far
+    * outside any Hamming radius. Containment
+    * `c = |A∩B| / min(|A|,|B|)` of the smaller clip's DISTINCT
+    * per-frame dHashes in the larger one is ~1 for a verbatim subclip
+    * — [[ngramContainment]]'s signal one modality up, and the SAME
+    * packed inverted-index kernel ([[hashSetSharedPairs]]): frame
+    * hashes are the grams, one codegen'd walk+decode pass per clip
+    * ([[graft.functions.VideoExpressions.videoFrameHashes]]), then
+    * only (hash, packed-id) longs shuffle — frames never cross the
+    * wire. The df cap bounds degenerate common frames (solid-color
+    * intros) exactly as it bounds boilerplate n-grams; refusals (any
+    * undecodable frame) drop before the index. */
+  def videoFrameContainment(df: DataFrame, idCol: String, mediaCol: String,
+                            threshold: Double = 0.8,
+                            maxDocFreq: Int = 64): DataFrame =
+    hashSetSharedPairs(
+      Par.widen(df).select(col(idCol).as("doc_id"),
+        graft.functions.VideoExpressions.videoFrameHashes(col(mediaCol))
+          .as("grams")),
+      maxDocFreq, sizeRatioPrefilter = None)
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+
+  /** The hash-set half of [[ngramSharedPairs]], taking a prepared
+    * `(doc_id, grams array<long>)` frame — shared by the text n-gram
+    * families and [[videoFrameContainment]] (any per-document hash SET
+    * pairs through the same packed exchange). Null or empty sets drop
+    * here (refusal/empty docs can't pair). */
+  private def hashSetSharedPairs(hashed: DataFrame, maxDocFreq: Int,
+                                 sizeRatioPrefilter: Option[Double]): DataFrame = {
     // cached: consumed by the id-bounds probe, the inverted index, and
     // the final size lookups
-    val grams = Par.widen(df).select(col(idCol).as("doc_id"),
-        shingleHashes(col(textCol), n).as("grams"))
-      .filter(size(col("grams")) > 0)
+    val grams = hashed
+      .filter(col("grams").isNotNull && size(col("grams")) > 0)
       .persist()
     CacheRegistry.track(grams)
     val lo32 = 0xFFFFFFFFL

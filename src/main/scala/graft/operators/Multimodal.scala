@@ -274,6 +274,35 @@ object Multimodal {
       * fingerprinted has no honest signature (the strict-all discipline
       * keeps the spec one sentence; partially-decodable clips are a
       * caller-side filter, not a silent guess here). */
+    /** DISTINCT per-frame dHashes of a decodable video payload, in
+      * first-appearance order — the frame-SET view of a clip behind
+      * [[graft.operators.Dedup.videoFrameContainment]] (subclip/trim
+      * detection: [[videoSigHash64]]'s majority vote is stable under
+      * SMALL frame perturbations, but a clip sharing only half its
+      * frames sits far outside any Hamming radius — frame-set
+      * containment is the asymmetric signal for that, exactly as
+      * n-gram containment is for quoted text). Same walk + per-frame
+      * kernel + strict-all refusal contract as [[videoSigHash64]]:
+      * null when there are no walkable frames or ANY frame refuses. */
+    def videoFrameHashes64(bytes: Array[Byte]): Array[Long] = {
+      val frames = ContainerCodec.aviFrames(bytes)
+      if (frames.isEmpty) return null
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      val it = frames.iterator
+      while (it.hasNext) {
+        val (off, len) = it.next()
+        val h = dhash64(java.util.Arrays.copyOfRange(
+          bytes, off.toInt, (off + len).toInt))
+        if (h == null) return null
+        seen.add(h)
+      }
+      val out = new Array[Long](seen.size)
+      var i = 0
+      val si = seen.iterator()
+      while (si.hasNext) { out(i) = si.next().longValue(); i += 1 }
+      out
+    }
+
     def videoSigHash64(bytes: Array[Byte]): java.lang.Long = {
       val frames = ContainerCodec.aviFrames(bytes)
       if (frames.isEmpty) return null

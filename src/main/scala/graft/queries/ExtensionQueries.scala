@@ -3659,6 +3659,113 @@ WHERE bit_count(xor(a.sim, b.sim)) <= 3"""
   val dedupVideoSigRecallOracle: String =
     pairRecallOracle(dedupVideoSigExactOracle)
 
+  /** Planted AVI corpus for SUBCLIP detection ([[videoMediaRows]]'s
+    * playbook with a trim instead of a perturbation): doc_id % 10 == 3
+    * replays its predecessor's clip WITH FRAME 0 DROPPED — every
+    * remaining frame is a verbatim copy, so the frame-SET containment
+    * of the shorter clip in the longer is exactly 1.0 while the
+    * majority-vote signatures can differ in arbitrarily many bits (the
+    * vote denominators differ and frame 0's contribution vanishes) —
+    * the case [[Dedup.videoFrameContainment]] exists for. doc_id % 10
+    * == 9 is the strict-all refusal clip; everything else is a
+    * distinct decorrelated clip. */
+  private def videoContainMediaRows(spark: SparkSession, sfDir: String) = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"source").as[(Long, String)]
+      .map { case (id, src) =>
+        val media =
+          if (id % 10 == 9)
+            Multimodal.ContainerFixtures.aviMjpeg(100000L, 8, 8,
+              Seq(Multimodal.ContainerFixtures.bmp(8, 8,
+                (x, y) => pixelMix(id * 100003L + (y * 8 + x) * 37L + 29L).toInt)))
+          else {
+            val sub = id % 10 == 3
+            val base = if (sub) id - 1 else id
+            val w = 16 + (base % 5).toInt * 4
+            val h = 12 + (base % 3).toInt * 7
+            val nf = 3 + (base % 4).toInt - (if (sub) 1 else 0)
+            val frames = (0 until nf).map { f =>
+              val f0 = f + (if (sub) 1 else 0) // the trim: frame 0 dropped
+              Multimodal.ContainerFixtures.bmp(w, h, (x, y) =>
+                pixelMix(base * 100003L + f0 * 52883L +
+                  (y.toLong * w + x) * 37L + 29L).toInt)
+            }
+            Multimodal.ContainerFixtures.aviMjpeg(40000L, w, h, frames)
+          }
+        Multimodal.MediaRow(id, media, "video/avi", src)
+      }
+  }
+
+  /** Subclip detection under the gate: frame-set containment through
+    * the real walk+decode ([[Dedup.videoFrameContainment]] — the
+    * n-gram-containment kernel with per-frame dHashes as the grams),
+    * DuckDB re-deriving every frame hash from the planted pixel
+    * formula and replaying the distinct-set/df-cap/pair-count/
+    * containment arithmetic. The planted trimmed clips are the ONLY
+    * pairs at the 0.8 threshold. */
+  def dedupVideoContainment(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.videoFrameContainment(videoContainMediaRows(spark, sfDir).toDF(),
+        "doc_id", "media", threshold = 0.8, maxDocFreq = 64)
+      .orderBy("id_a", "id_b")
+
+  val dedupVideoContainmentOracle: String = """
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 3 THEN doc_id - 1 ELSE doc_id END AS base,
+         CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END AS foff
+  FROM documents WHERE doc_id % 10 <> 9),
+g AS (
+  SELECT doc_id, base, foff,
+         16 + (base % 5) * 4 AS w, 12 + (base % 3) * 7 AS h,
+         3 + (base % 4) - foff AS nf
+  FROM p),
+fr AS (SELECT doc_id, base, foff, w, h, unnest(range(nf)) AS f FROM g),
+xs AS (SELECT doc_id, base, foff, w, h, f, unnest(range(w)) AS x FROM fr),
+pxl AS (SELECT doc_id, base, foff, w, h, f, x, unnest(range(h)) AS y FROM xs),
+px0 AS (
+  SELECT doc_id, f, y * 8 // h AS r, x * 9 // w AS c,
+         (base * 100003 + (f + foff) * 52883 + (y * w + x) * 37 + 29)
+           % 2147483647 AS m
+  FROM pxl),
+px1 AS (SELECT doc_id, f, r, c, xor(m, m >> 16) * 48271 % 2147483647 AS m FROM px0),
+px2 AS (SELECT doc_id, f, r, c, xor(m, m >> 16) * 48271 % 2147483647 AS m FROM px1),
+lum AS (SELECT doc_id, f, r, c, m % 251 AS v FROM px2),
+cell AS (
+  SELECT doc_id, f, r, c, sum(v) // count(*) AS v
+  FROM lum GROUP BY doc_id, f, r, c),
+fbit AS (
+  SELECT l.doc_id, l.f, l.r * 8 + l.c AS b
+  FROM cell l
+  JOIN cell rt ON rt.doc_id = l.doc_id AND rt.f = l.f
+   AND rt.r = l.r AND rt.c = l.c + 1
+  WHERE l.c < 8 AND l.v > rt.v),
+fh AS (
+  SELECT DISTINCT doc_id, hs FROM (
+    SELECT fr2.doc_id, fr2.f, CAST(coalesce(s.v, 0) AS BIGINT) AS hs
+    FROM (SELECT DISTINCT doc_id, f FROM px0) fr2
+    LEFT JOIN (
+      SELECT doc_id, f,
+             sum(CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                      ELSE 1::BIGINT << CAST(b AS INTEGER) END) AS v
+      FROM fbit GROUP BY doc_id, f) s USING (doc_id, f)) t),
+sz AS (SELECT doc_id, count(*) AS n FROM fh GROUP BY doc_id),
+hot AS (
+  SELECT hs FROM (SELECT hs, count(*) AS df FROM fh GROUP BY hs) t
+  WHERE df > 64),
+cap AS (SELECT * FROM fh WHERE hs NOT IN (SELECT hs FROM hot)),
+shr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM cap a JOIN cap b ON a.hs = b.hs AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(shared AS DOUBLE) / least(sa.n, sb.n) AS containment
+FROM shr
+JOIN sz sa ON sa.doc_id = shr.id_a
+JOIN sz sb ON sb.doc_id = shr.id_b
+WHERE CAST(shared AS DOUBLE) / least(sa.n, sb.n) >= 0.8
+ORDER BY id_a, id_b"""
+
   /** Planted PCM WAV per document — the audio-envelope oracle-loop
     * fixture ([[imageMediaRows]]'s playbook for audio): every 16-bit
     * sample is a pure integer function of doc_id, so DuckDB re-derives

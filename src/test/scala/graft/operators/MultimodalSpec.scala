@@ -831,6 +831,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) > 3)
   }
 
+  test("videoFrameContainment catches a trimmed subclip; dedupes dup frames; refuses honestly") {
+    import spark.implicits._
+    import Multimodal.{ContainerFixtures, MediaCodec}
+    def frame(f: Int): Array[Byte] =
+      ContainerFixtures.bmp(20, 15, (x, y) => (f * 53 + x * 13 + y * 29) % 251)
+    def clip(fs: Int*): Array[Byte] =
+      ContainerFixtures.aviMjpeg(40000L, 20, 15, fs.map(frame))
+    // distinct per-frame hashes, duplicates collapsed, order of first
+    // appearance; strict-all refusal
+    val hs = MediaCodec.videoFrameHashes64(clip(1, 2, 1, 3))
+    assert(hs.length == 3 && hs.toSet ==
+      Seq(1, 2, 3).map(f => MediaCodec.dhash64(frame(f)).longValue()).toSet)
+    assert(MediaCodec.videoFrameHashes64(ContainerFixtures.aviMjpeg(
+      40000L, 20, 15, Seq(frame(1), ContainerFixtures.bmp(8, 8, (x, y) => x)))) == null)
+    // a 3-of-6 trim: containment of the short clip is 3/3 = 1.0, while
+    // the majority-vote signatures are far apart (different denominators
+    // and frame sets) — the case this operator exists for
+    val rows = Seq(
+      Multimodal.MediaRow(1L, clip(1, 2, 3, 4, 5, 6), "video/avi", "t"),
+      Multimodal.MediaRow(2L, clip(4, 5, 6), "video/avi", "t"),
+      Multimodal.MediaRow(3L, clip(7, 8, 9), "video/avi", "t")
+    ).toDS().toDF()
+    val pairs = Dedup.videoFrameContainment(rows, "doc_id", "media",
+        threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+    // the signature path must NOT pair them (it is the wrong tool here)
+    assert(Dedup.videoSigDups(rows, "doc_id", "media", maxHamming = 3,
+      bucketBits = 16).count() == 0L)
+  }
+
   /** Pack closed-form 16-bit samples into an AIFF (big-endian SSND). */
   private def pcmAiff(n: Int, v: Int => Int): Array[Byte] = {
     val data = new Array[Byte](n * 2)
