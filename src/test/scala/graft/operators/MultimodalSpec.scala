@@ -831,6 +831,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) > 3)
   }
 
+  test("media fingerprint kernels are registered SQL functions") {
+    import Multimodal.{ContainerFixtures, MediaCodec}
+    graft.functions.MediaExpressions.register(spark)
+    val img = ContainerFixtures.bmp(20, 15, (x, y) => (x * 13 + y * 29) % 251)
+    val wav = ContainerFixtures.wav(8000, 1, 16, Array.tabulate(260)(i =>
+      (if (i % 2 == 0) i else i >> 8).toByte))
+    val avi = ContainerFixtures.aviMjpeg(40000L, 20, 15, Seq(img, img))
+    import spark.implicits._
+    val df = Seq((img, wav, avi)).toDF("i", "a", "v")
+    df.createOrReplaceTempView("media_sql_spec")
+    val r = spark.sql(
+      "SELECT dhash_image(i), audio_env_hash(a), video_sig_hash(v), " +
+      "size(video_frame_hashes(v)) FROM media_sql_spec").collect().head
+    assert(r.getLong(0) == MediaCodec.dhash64(img).longValue())
+    assert(r.getLong(1) == MediaCodec.audioEnvHash64(wav).longValue())
+    assert(r.getLong(2) == MediaCodec.videoSigHash64(avi).longValue())
+    assert(r.getInt(3) == 1) // two identical frames -> one distinct hash
+    // refusal surfaces as SQL NULL
+    assert(spark.sql(
+      "SELECT dhash_image(cast('nope' AS BINARY))").collect().head.isNullAt(0))
+  }
+
   test("videoFrameContainment catches a trimmed subclip; dedupes dup frames; refuses honestly") {
     import spark.implicits._
     import Multimodal.{ContainerFixtures, MediaCodec}
