@@ -14,9 +14,21 @@ object Verify {
     val rest = args.filterNot(_ == "--analyze-only")
     val sfDir = rest(0)
     val outDir = if (rest.length > 1) rest(1) else "/tmp/graft-verify"
-    // optional 3rd arg: comma-separated query-name filter (local iteration)
+    // optional 3rd arg: comma-separated query-name filter (local iteration).
+    // Unknown names fail LOUDLY: a misspelled (or bracket-wrapped) name
+    // would otherwise silently run zero/partial queries with exit 0, and a
+    // builder could believe a query re-verified when it never ran.
     val only: Option[Set[String]] =
       if (rest.length > 2) Some(rest(2).split(",").toSet) else None
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty) {
+        System.err.println("[verify] unknown query name(s) in filter: " +
+          unknown.toSeq.sorted.mkString(", ") +
+          " — pass a bare comma-separated list of SparkEntry.queries keys")
+        sys.exit(3)
+      }
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // width ∝ input bytes like Bench (64 MB/partition, floor = cores),
     // so a Verify run against a scaled corpus gets a scaled shuffle too

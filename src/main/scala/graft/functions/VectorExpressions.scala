@@ -448,6 +448,46 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** POSITIONAL w-gram hashes from an array of per-word hashes: one
+    * 64-bit chained-XXH64 hash per token offset, IN OFFSET ORDER and
+    * with duplicates kept — the rolling-shingle sibling of
+    * [[HashShingles]] (which sorts and dedups for set semantics). Used
+    * as the cheap no-false-negative candidate key of the substring-dedup
+    * count pass: equal span text ⟹ equal token hashes ⟹ equal key, so a
+    * 64-bit count ≥ 2 over these keys is an exact superset of the md5
+    * duplicate set, without materializing a span STRING per offset. */
+  case class HashShinglesAll(child: Expression, w: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "hash_shingles_all"
+
+    override def nullSafeEval(input: Any): Any = {
+      val hs = input.asInstanceOf[ArrayData]
+      val n = hs.numElements() - w + 1
+      if (n <= 0) return new GenericArrayData(Array.empty[Long])
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        var h = XXH64.hashLong(hs.getLong(i), 42L)
+        var j = 1
+        while (j < w) { h = XXH64.hashLong(hs.getLong(i + j), h); j += 1 }
+        out(i) = h
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("hashShinglesAll", this, classOf[HashShinglesAll].getName)
+      nullSafeCodeGen(ctx, ev, a => {
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($a);"
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Top-`keep` nearest centroids (cosine, ties by centroid id) of a
     * float-vector column, computed MAP-SIDE against a driver-collected
     * centroid matrix — the IVF assignment step with zero shuffle (replaces
@@ -958,6 +998,8 @@ object VectorExpressions {
       bitsPerTable))
   def hashShingles(wordHashes: Column, w: Int): Column =
     GraftBridge.column(HashShingles(GraftBridge.expr(wordHashes), w))
+  def hashShinglesAll(wordHashes: Column, w: Int): Column =
+    GraftBridge.column(HashShinglesAll(GraftBridge.expr(wordHashes), w))
   def pqEncode(vec: Column, codebooks: Array[Array[Array[Float]]]): Column =
     GraftBridge.column(PqEncode(GraftBridge.expr(vec), codebooks))
   def pqLut(vec: Column, codebooks: Array[Array[Array[Float]]]): Column =

@@ -507,10 +507,12 @@ object Dedup {
   def hammingAgainst(index: DataFrame, incoming: DataFrame,
                      maxHamming: Int = 3, maxBucket: Int = 64,
                      bucketBits: Int = 0): DataFrame = {
-    val idx0 = index.select(col("id"), col("sim"))
-    val idx = if (bucketBits > 0) idx0 else {
-      val p = idx0.persist(); CacheRegistry.track(p); p
-    }
+    // persisted regardless of bucketBits: the banded path reads idx once
+    // (into idxB), but the exact fast path below ALWAYS scans it a second
+    // time for the per-sim groupBy — without the cache a caller-pinned
+    // width (streaming intake) re-reads the index parquet twice per batch
+    val idx = { val p = index.select(col("id"), col("sim")).persist()
+      CacheRegistry.track(p); p }
     val w = if (bucketBits > 0) bucketBits else simhashBucketBits(idx.count())
     require(w >= 1 && w <= 63, s"bucketBits must be in [1,63], got $w")
     val mask = (1L << w) - 1
@@ -875,7 +877,14 @@ object Dedup {
     // attached to the postings — broadcast while its HASHED relation
     // fits the heap budget ([[broadcastRowCutoff]]: ~56 B/doc hashed,
     // not the 16 B raw), shuffle join beyond.
-    val bounds = grams.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
+    // bounds over the PRE-FILTER input frame: column pruning reduces this
+    // probe to an id-only pass — the grams expression (shingle hashing /
+    // media decode) is never evaluated here and instead fills the cache
+    // under the first real consumer below. The id range of ALL rows is a
+    // superset of the non-empty subset's, so the direct-vs-surrogate
+    // decision it feeds is conservative (both branches are bit-identical
+    // in output; a superset can only push toward the surrogate branch).
+    val bounds = hashed.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
     val direct = bounds.isNullAt(0) ||
       (bounds.getLong(0) >= 0L && bounds.getLong(1) < (1L << 31))
     val nDocs = if (bounds.isNullAt(2)) 0L else bounds.getLong(2)
@@ -1058,36 +1067,52 @@ object Dedup {
     require(spanTokens >= 1, "spanTokens must be >= 1")
     val L = spanTokens
     val toks = split(col(textCol), " ")
-    val spanAt = (i: Column) => array_join(slice(toks, i + 1, lit(L)), " ")
-    // one shingle per token offset; docs shorter than L contribute none.
-    // The span TEXT stays inside the scan: pass 1 projects it down to a
-    // 64-bit key before its exchange, pass 2 drops it map-side right
-    // after the broadcast semi-join.
-    def shingles: DataFrame =
-      Par.widen(df).filter(size(toks) >= L)
-        .select(col(idCol).as("id"),
-          posexplode(transform(sequence(lit(0), size(toks) - L), spanAt)))
-        .select(xxhash64(col("col")).as("h"), col("col"),
-          col("id"), col("pos").as("idx"))
-    // pass 1: 64-bit candidate count (exact superset of the dup set)
-    val cand64 = shingles.select("h").groupBy("h")
-      .agg(count(lit(1)).as("c")).filter(col("c") > 1).select("h").persist()
+    // POSITIONAL 64-bit window hashes, one per token offset (docs shorter
+    // than L contribute none): chained XXH64 over the per-word hashes —
+    // a pure function of the span's token sequence, so equal span text
+    // implies equal key and a count ≥ 2 over these keys is an exact
+    // superset of the md5 duplicate set. Replaces xxhash64(span STRING):
+    // the old pass built an ~L-token string per token offset (O(tokens·L)
+    // chars per doc) in BOTH passes — the dominant map cost; the window
+    // hashes are O(tokens·L) long ops off one per-word hash array.
+    val winHashes = graft.functions.VectorExpressions.hashShinglesAll(
+      transform(toks, w => xxhash64(w)), L)
+    // pass 1: 64-bit candidate count (exact superset of the dup set) —
+    // keys only, no id/idx, no span strings
+    val cand64 = Par.widen(df)
+      .select(explode(winHashes).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("h").persist()
     CacheRegistry.track(cand64)
     // bounds probe (the ngramJaccard discipline): broadcast the candidate
     // key set only while its HASHED relation fits the memory budget
     // ([[broadcastRowCutoff]] — heap-derived, not a row constant); a
     // corpus whose duplicated-shingle set is larger falls back to a
-    // shuffle semi-join — the full stream pays one (h, id, idx)
-    // exchange, the spanDedup price, still exact
+    // shuffle semi-join — the full stream pays one exchange, the
+    // spanDedup price, still exact
     val nCand = cand64.count()
-    val candSide =
-      if (nCand <= broadcastRowCutoff(bytesPerRow = 48)) broadcast(cand64)
-      else cand64
-    // pass 2: md5 recheck of candidates only; in the broadcast regime the
-    // semi-join keeps the full stream map-side
-    val candRows = shingles
-      .join(candSide, Seq("h"), "left_semi")
-      .select(unhex(md5(col("col"))).as("m"), col("id"), col("idx"))
+    // pass 2: md5 recheck of candidates only. In the broadcast regime the
+    // window hashes explode first and the map-side semi-join filters
+    // BEFORE the span string is assembled, so only candidate offsets pay
+    // the array_join + md5 — all inside one codegen stage, the token
+    // array never crosses an exchange. The shuffle-fallback regime keeps
+    // the span-string-per-offset shape (the string, not the O(tokens)
+    // token array, is what may ride that exchange).
+    val candRows = (if (nCand <= broadcastRowCutoff(bytesPerRow = 48))
+        Par.widen(df)
+          .select(col(idCol).as("id"), toks.as("w"), posexplode(winHashes))
+          .withColumnRenamed("col", "h")
+          .join(broadcast(cand64), Seq("h"), "left_semi")
+          .select(col("id"), col("pos").as("idx"),
+            array_join(slice(col("w"), col("pos") + 1, lit(L)), " ").as("span"))
+      else
+        Par.widen(df)
+          .select(col(idCol).as("id"), toks.as("w"), posexplode(winHashes))
+          .withColumnRenamed("col", "h")
+          .select(col("h"), col("id"), col("pos").as("idx"),
+            array_join(slice(col("w"), col("pos") + 1, lit(L)), " ").as("span"))
+          .join(cand64, Seq("h"), "left_semi"))
+      .select(unhex(md5(col("span"))).as("m"), col("id"), col("idx"))
     val dupOff = candRows.join(
         candRows.groupBy("m").agg(count(lit(1)).as("c"))
           .filter(col("c") > 1).select("m"),
