@@ -877,14 +877,7 @@ object Dedup {
     // attached to the postings — broadcast while its HASHED relation
     // fits the heap budget ([[broadcastRowCutoff]]: ~56 B/doc hashed,
     // not the 16 B raw), shuffle join beyond.
-    // bounds over the PRE-FILTER input frame: column pruning reduces this
-    // probe to an id-only pass — the grams expression (shingle hashing /
-    // media decode) is never evaluated here and instead fills the cache
-    // under the first real consumer below. The id range of ALL rows is a
-    // superset of the non-empty subset's, so the direct-vs-surrogate
-    // decision it feeds is conservative (both branches are bit-identical
-    // in output; a superset can only push toward the surrogate branch).
-    val bounds = hashed.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
+    val bounds = grams.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
     val direct = bounds.isNullAt(0) ||
       (bounds.getLong(0) >= 0L && bounds.getLong(1) < (1L << 31))
     val nDocs = if (bounds.isNullAt(2)) 0L else bounds.getLong(2)
