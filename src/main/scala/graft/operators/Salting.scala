@@ -129,7 +129,17 @@ object Salting {
     * carries (key, value, partial sum) rows. Rows with NULL or
     * non-positive weight are ignored. */
   def exactPercentileWeighted(df: DataFrame, key: String, value: String,
-                              p: Double, weight: Option[String]): DataFrame = {
+                              p: Double, weight: Option[String]): DataFrame =
+    exactPercentileWeighted(df, key, value, p, weight, distributed = None)
+
+  /** @param distributed Some(true) forces the two-level distributed
+    *   cumulative sum, Some(false) the single per-key window; None (the
+    *   default) decides from the input's estimated size
+    *   ([[distributedCumThresholdBytes]]). Results are identical either
+    *   way (asserted differentially in SaltingSpec). */
+  def exactPercentileWeighted(df: DataFrame, key: String, value: String,
+                              p: Double, weight: Option[String],
+                              distributed: Option[Boolean]): DataFrame = {
     require(p >= 0.0 && p <= 1.0, s"percentile out of range: $p")
     val outCol = s"p${math.round(p * 100)}"
     val weighted = weight.fold(df.withColumn("_w", lit(1L))) { w =>
@@ -138,17 +148,76 @@ object Salting {
     val counts = weighted.filter(col(value).isNotNull)
       .groupBy(col(key), col(value).as("_v"))
       .agg(sum(col("_w")).as("_c"))
-    val wCum = Window.partitionBy(key).orderBy("_v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(key)
-    val rank = floor((sum(col("_c")).over(wAll) - 1) * lit(p)) + 1
-    counts
-      .withColumn("_cum", sum(col("_c")).over(wCum))
-      .withColumn("_rank", rank)
-      .filter(col("_cum") - col("_c") < col("_rank") &&
-        col("_rank") <= col("_cum"))
+    val rank = floor((col("_n") - 1) * lit(p)) + 1
+    cumFrame(counts, key, distributed.getOrElse(useDistributedCum(df)))
+      .filter(col("_cum") - col("_c") < rank && rank <= col("_cum"))
       .select(col(key), col("_v").as(outCol))
   }
+
+  /** Byte threshold above which the percentile family switches to the
+    * distributed cumulative sum. 4 GiB of input is far past anything the
+    * per-key window regime strains on, far under anything the
+    * distributed regime's extra exchange hurts; gate/bench scale dirs
+    * stay on the window plan, so driver measurements remain comparable.
+    * SPARK_GRAFT_PCT_DIST_BYTES overrides for probes. */
+  private def distributedCumThresholdBytes: Long =
+    sys.env.get("SPARK_GRAFT_PCT_DIST_BYTES").map(_.toLong).getOrElse(4L << 30)
+
+  private def useDistributedCum(df: DataFrame): Boolean =
+    try df.queryExecution.optimizedPlan.stats.sizeInBytes >
+      BigInt(distributedCumThresholdBytes)
+    catch { case _: Throwable => false }
+
+  /** Per-key cumulative weight over value order — the shared core of the
+    * exact-percentile family. Input: one row per (key, _v) with weight
+    * `_c`; output adds `_cum` (running sum of `_c` in `_v` order within
+    * the key) and `_n` (the key's total).
+    *
+    * The single-window form partitions by KEY: one task per key, whose
+    * sort state is the key's distinct-value count — fine until a key's
+    * value cardinality outgrows a task (the 100 TB straggler: 3 return
+    * flags over billions of distinct prices = 3 tasks doing everything).
+    * The distributed form range-partitions by (key, _v) so every task
+    * holds a bounded slice, computes per-slice prefix sums, and shifts
+    * each slice by the sum of its key's earlier slices — the offsets
+    * frame is O(slices + keys) rows and its own window state is bounded
+    * by the slice count. Bit-identical output: longs add associatively
+    * and the range order equals the window order. */
+  private def cumFrame(counts: DataFrame, key: String,
+                       distributed: Boolean): DataFrame =
+    if (!distributed) {
+      val wCum = Window.partitionBy(key).orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(key)
+      counts
+        .withColumn("_cum", sum(col("_c")).over(wCum))
+        .withColumn("_n", sum(col("_c")).over(wAll))
+    } else {
+      val spark = counts.sparkSession
+      val parts = spark.sessionState.conf.numShufflePartitions
+      // checkpoint BEFORE the range exchange: the range partitioner's
+      // sampling pass and the real pass must see one materialization of
+      // the aggregate (and identical boundaries), not recompute it
+      val ranged = counts.localCheckpoint()
+        .repartitionByRange(parts, col(key), col("_v"))
+        .withColumn("_pid", spark_partition_id())
+        .localCheckpoint()
+      val sliceTot = ranged.groupBy(col("_pid"), col(key))
+        .agg(sum(col("_c")).as("_st"))
+      val wOff = Window.partitionBy(key).orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = sliceTot
+        .withColumn("_off", coalesce(sum(col("_st")).over(wOff), lit(0L)))
+        .withColumn("_n", sum(col("_st")).over(Window.partitionBy(key)))
+        .drop("_st")
+      val wSlice = Window.partitionBy(col("_pid"), col(key)).orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ranged
+        .withColumn("_slicecum", sum(col("_c")).over(wSlice))
+        .join(offs, Seq("_pid", key))
+        .withColumn("_cum", col("_slicecum") + col("_off"))
+        .drop("_pid", "_slicecum", "_off")
+    }
 
   /** Multi-percentile sibling of [[exactPercentile]] (ClickHouse
     * `quantilesExact(p…)(x)`): ALL requested percentiles from the ONE
@@ -158,7 +227,13 @@ object Salting {
     * `p<pct>` column per requested percentile (lower-interpolation
     * discrete values, like the single-p operator). */
   def exactPercentiles(df: DataFrame, key: String, value: String,
-                       ps: Seq[Double]): DataFrame = {
+                       ps: Seq[Double]): DataFrame =
+    exactPercentiles(df, key, value, ps, distributed = None)
+
+  /** @param distributed see [[exactPercentileWeighted]]. */
+  def exactPercentiles(df: DataFrame, key: String, value: String,
+                       ps: Seq[Double],
+                       distributed: Option[Boolean]): DataFrame = {
     require(ps.nonEmpty, "need at least one percentile")
     require(ps.forall(p => p >= 0.0 && p <= 1.0), s"percentile out of range: $ps")
     val labels = ps.map(p => s"p${math.round(p * 100)}")
@@ -167,12 +242,7 @@ object Salting {
     val counts = df.filter(col(value).isNotNull)
       .groupBy(col(key), col(value).as("_v"))
       .agg(count(lit(1)).as("_c"))
-    val wCum = Window.partitionBy(key).orderBy("_v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(key)
-    val cum = counts
-      .withColumn("_cum", sum(col("_c")).over(wCum))
-      .withColumn("_n", sum(col("_c")).over(wAll))
+    val cum = cumFrame(counts, key, distributed.getOrElse(useDistributedCum(df)))
     val picks = ps.zip(labels).map { case (p, label) =>
       val rank = floor((col("_n") - 1) * lit(p)) + 1
       max(when(col("_cum") - col("_c") < rank && rank <= col("_cum"),

@@ -96,6 +96,33 @@ class SaltingSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed cumulative-sum percentile path equals the window path") {
+    import spark.implicits._
+    // enough distinct values per key that the range partitioner actually
+    // slices each key across several partitions
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 5000).map(_ =>
+      (s"k${rnd.nextInt(3)}", rnd.nextInt(900).toDouble, 1L + rnd.nextInt(5)))
+    val df = rows.toDF("k", "v", "w")
+    for (p <- Seq(0.0, 0.25, 0.5, 0.9, 1.0)) {
+      val win = Salting.exactPercentileWeighted(df, "k", "v", p, Some("w"),
+        distributed = Some(false)).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val dist = Salting.exactPercentileWeighted(df, "k", "v", p, Some("w"),
+        distributed = Some(true)).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(dist == win, s"weighted p=$p")
+    }
+    val ps = Seq(0.1, 0.5, 0.75, 0.99)
+    val win = Salting.exactPercentiles(df, "k", "v", ps,
+      distributed = Some(false)).collect()
+      .map(r => r.getString(0) -> (1 to ps.size).map(r.getDouble)).toMap
+    val dist = Salting.exactPercentiles(df, "k", "v", ps,
+      distributed = Some(true)).collect()
+      .map(r => r.getString(0) -> (1 to ps.size).map(r.getDouble)).toMap
+    assert(dist == win)
+  }
+
   test("exact percentile ignores nulls and emits one row per key") {
     import spark.implicits._
     val df = Seq(("a", Some(3.0)), ("a", None), ("a", Some(1.0)), ("b", None))
