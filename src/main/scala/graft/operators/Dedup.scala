@@ -617,12 +617,23 @@ object Dedup {
     // uncached) pair pipeline once per branch — at the 100×-rows probe
     // that silently doubled the ngram pair kernel under every
     // components/keep-best/curate run
+    // Pre-partitioned by dst ONCE: every round's relax join is keyed on
+    // dst, so materializing the checkpoint in that layout means the
+    // edge set — the frame that dwarfs the node-sized label frames —
+    // never crosses an exchange again (localCheckpoint preserves the
+    // physical partitioning; the planner satisfies the join's
+    // distribution from it). The old `.distinct()` is gone: every
+    // caller feeds (id_a < id_b)-ordered deduplicated pairs, so the
+    // two-direction explode cannot produce duplicates, and min-label
+    // propagation is multiset-invariant anyway — the distinct was a
+    // full extra exchange + aggregate of the edge set for nothing.
+    val p = pairs.sparkSession.sessionState.conf.numShufflePartitions
     val edges = pairs
       .select(explode(array(
         struct(col(aCol).as("src"), col(bCol).as("dst")),
         struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct().localCheckpoint()
+      .repartition(p, col("dst")).localCheckpoint()
     CacheRegistry.track(edges)
     def labelSum(df: DataFrame): (java.math.BigDecimal, Long) = {
       val r = df.agg(sum(col("label").cast("decimal(38,0)")).as("s"),
