@@ -23,21 +23,36 @@ object MediaExpressions {
     val reg = spark.sessionState.functionRegistry
     def once(name: String)(body: => Unit): Unit =
       if (!reg.functionExists(FunctionIdentifier(name))) body
+    // arity validated like Spark's builtins: SELECT dhash_image() must
+    // raise a named error, not a bare NoSuchElementException, and extra
+    // arguments must not be silently ignored
+    def one(name: String,
+            exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+        : org.apache.spark.sql.catalyst.expressions.Expression = {
+      if (exprs.length != 1) throw new IllegalArgumentException(
+        s"Invalid number of arguments for function $name: " +
+          s"expected 1, got ${exprs.length}")
+      exprs.head
+    }
     once("dhash_image") {
       reg.createOrReplaceTempFunction("dhash_image",
-        exprs => ImageExpressions.DhashImage(exprs.head), "scala_udf")
+        exprs => ImageExpressions.DhashImage(one("dhash_image", exprs)),
+        "scala_udf")
     }
     once("audio_env_hash") {
       reg.createOrReplaceTempFunction("audio_env_hash",
-        exprs => AudioExpressions.AudioEnvHash(exprs.head), "scala_udf")
+        exprs => AudioExpressions.AudioEnvHash(one("audio_env_hash", exprs)),
+        "scala_udf")
     }
     once("video_sig_hash") {
       reg.createOrReplaceTempFunction("video_sig_hash",
-        exprs => VideoExpressions.VideoSigHash(exprs.head), "scala_udf")
+        exprs => VideoExpressions.VideoSigHash(one("video_sig_hash", exprs)),
+        "scala_udf")
     }
     once("video_frame_hashes") {
       reg.createOrReplaceTempFunction("video_frame_hashes",
-        exprs => VideoExpressions.VideoFrameHashes(exprs.head), "scala_udf")
+        exprs => VideoExpressions.VideoFrameHashes(one("video_frame_hashes", exprs)),
+        "scala_udf")
     }
   }
 }

@@ -54,9 +54,17 @@ object StreamWidth {
     * the derived width is usually the better choice. */
   def resolve(estRowsPerTrigger: Option[Long],
               env: Map[String, String] = sys.env): Resolved =
-    env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS") match {
+    env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").flatMap { v =>
+      // same graceful contract as the legacy SPARK_GRAFT_CPUS arm: a
+      // non-numeric value cannot name a width, so it falls through to
+      // the derived default (with a note) instead of crashing the CLI
+      val n = v.toIntOption
+      if (n.isEmpty) println(
+        s"[stream-width] note: ignoring non-numeric SPARK_GRAFT_SHUFFLE_PARTITIONS='$v'")
+      n
+    } match {
       case Some(v) =>
-        Resolved(v.toInt, "env", estRowsPerTrigger.getOrElse(-1L))
+        Resolved(v, "env", estRowsPerTrigger.getOrElse(-1L))
       case None => env.get("SPARK_GRAFT_CPUS")
           // the batch CLIs interpolate this into `local[...]`, where
           // non-numeric values like "*" are legal — those cannot name a

@@ -48,6 +48,8 @@ object StreamMedia {
     val outDir = args(1)
     val audio = args.contains("--audio")
     val video = args.contains("--video")
+    require(!(audio && video),
+      "pass at most one of --audio / --video (image mode is the default)")
     val follow = args.contains("--follow")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))

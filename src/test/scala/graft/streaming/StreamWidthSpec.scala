@@ -40,6 +40,11 @@ class StreamWidthSpec extends AnyFunSuite {
     // derivation instead of crashing the streaming CLIs
     assert(StreamWidth.resolve(Some(500000L), Map("SPARK_GRAFT_CPUS" -> "*"))
       === StreamWidth.Resolved(4, "derived", 500000L))
+    // the PRIMARY width env gets the same graceful contract: a
+    // non-numeric value falls through (with a note) instead of crashing
+    assert(StreamWidth.resolve(Some(500000L),
+      Map("SPARK_GRAFT_SHUFFLE_PARTITIONS" -> "lots"))
+      === StreamWidth.Resolved(4, "derived", 500000L))
   }
 
   test("estimateTextDir pools heads across files: mixed line lengths stay within a knee notch") {
