@@ -23,6 +23,26 @@ def norm(v):
         return norm(v.item())
     return v
 
+def stale_warning(out_dir, name):
+    """Warn when a query dump predates the newest Verify run's _manifest.json
+    (a leftover from an older HEAD in a reused out-dir — oracle_check would
+    otherwise happily 'check' it)."""
+    import os
+    manifest = os.path.join(out_dir, "_manifest.json")
+    if not os.path.exists(manifest):
+        return None
+    qdir = os.path.join(out_dir, name)
+    try:
+        newest = max(os.path.getmtime(os.path.join(qdir, f))
+                     for f in os.listdir(qdir)
+                     if f.endswith(".parquet") and not f.startswith("."))
+    except (FileNotFoundError, ValueError):
+        return None
+    if newest < os.path.getmtime(manifest):
+        return (f"WARN {name}: dump is OLDER than the newest Verify run "
+                f"(_manifest.json) — stale leftover from a previous HEAD?")
+    return None
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -30,6 +50,9 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        w = stale_warning(out_dir, name)
+        if w:
+            print(w)
         try:
             exp = con.execute(sql).fetch_df()
             got = con.execute(
