@@ -924,24 +924,33 @@ object Dedup {
               broadcast(slim)
             else slim, "doc_id")
           .select("g", "sn")
-      }).persist()
-    CacheRegistry.track(capped)
-    // SHUFFLE_HASH: without the hint AQE picks a sort-merge self-join,
-    // which SORTS the exploded index twice on top of the two exchanges —
-    // measured 3.5-4× slower at 10× rows (17.8 s vs 4.3 s at sf1) and
-    // strictly worse at every scale. Hash build per partition is safe
-    // here: build-side partitions are df-cap-bounded posting groups of
-    // slim (g, sn) rows, not corpus-sized.
+      })
+    // GROUPED pair generation: one groupBy(g) exchange of the postings,
+    // then the per-gram pair set is generated MAP-SIDE by a nested
+    // higher-order transform over the collected (df-cap-bounded, ≤
+    // maxDocFreq-long) posting array. The previous shuffle-hash self-join
+    // exchanged the SAME cached posting frame twice (the planner does not
+    // reuse the exchange across the x/y aliases) and built a hash table
+    // per partition on top; keyed the same way, the groupBy produces the
+    // bit-identical candidate pair stream from ONE exchange (guide §2.4),
+    // and `capped` becomes single-consumer so it no longer persists.
+    // Safe by the same argument as the old hash build: the anti-join
+    // above has already dropped every gram with df > maxDocFreq, so a
+    // collected array is ≤ maxDocFreq longs — bounded, never corpus-sized.
     def su(c: Column) = call_function("shiftright", c, lit(32)).bitwiseAND(lo32)
-    val nx = col("x.sn").bitwiseAND(lo32)
-    val ny = col("y.sn").bitwiseAND(lo32)
-    val ordered = su(col("x.sn")) < su(col("y.sn"))
-    val pairCond = sizeRatioPrefilter.fold(ordered)(t =>
-      ordered && least(nx, ny).cast("double") >= lit(t) * greatest(nx, ny))
-    val shared = capped.as("x").hint("shuffle_hash")
-      .join(capped.as("y"), col("x.g") === col("y.g"))
-      .filter(pairCond)
-      .groupBy(shiftleft(su(col("x.sn")), 32).bitwiseOR(su(col("y.sn"))).as("p"))
+    def pairOk(x: Column, y: Column): Column = {
+      val ordered = su(x) < su(y)
+      sizeRatioPrefilter.fold(ordered) { t =>
+        val nx = x.bitwiseAND(lo32)
+        val ny = y.bitwiseAND(lo32)
+        ordered && least(nx, ny).cast("double") >= lit(t) * greatest(nx, ny)
+      }
+    }
+    val shared = capped.groupBy("g").agg(collect_list(col("sn")).as("lst"))
+      .select(explode(flatten(transform(col("lst"), x =>
+        transform(filter(col("lst"), y => pairOk(x, y)), y =>
+          shiftleft(su(x), 32).bitwiseOR(su(y)))))).as("p"))
+      .groupBy("p")
       .agg(count(lit(1)).as("shared"))
     shared
       .join(docsMeta.select(col("s").as("sa"),
