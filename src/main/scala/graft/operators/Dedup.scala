@@ -658,25 +658,41 @@ object Dedup {
         .select(col("src").as("id"), col("label"))
         .unionAll(current)
         .groupBy("id").agg(min("label").as("label"))
-        .persist() // both jump sides read it within the one checkpoint action
-      // jump: label = label(label) — labels are always ids of nodes in the
-      // frame (mins over node-id sets), so the lookup is total; left+
-      // coalesce only defends the invariant rather than relying on it
-      val next = relaxed
-        .join(relaxed.select(col("id").as("label"), col("label").as("label2")),
-          Seq("label"), "left_outer")
-        .select(col("id"), coalesce(col("label2"), col("label")).as("label"))
-        .localCheckpoint()
-      relaxed.unpersist(false)
-      val s = labelSum(next)
-      current.unpersist(false)
-      current = next
-      done = s == prevSum
-      prevSum = s
+        .persist() // sum materializes it; the jump's two sides read cache
+      // Convergence is checked on the RELAXED frame, before the jump:
+      // relax is per-node non-increasing, so an unchanged Σlabel means
+      // relax was the identity — every neighbor pair already shares a
+      // label, each component carries exactly one label, and that label
+      // is the component minimum (it is a member id, and every member's
+      // label bounds its own id from below). The jump is then the
+      // identity too, so the final round — in the common dedup graph,
+      // round 2, or round 1's confirmation — skips the jump self-join
+      // and the label checkpoint entirely. Non-final rounds pay one
+      // extra cache-resident aggregate.
+      val sRelax = labelSum(relaxed)
+      if (sRelax == prevSum) {
+        relaxed.unpersist(false)
+        done = true
+      } else {
+        // jump: label = label(label) — labels are always ids of nodes in
+        // the frame (mins over node-id sets), so the lookup is total;
+        // left+coalesce only defends the invariant rather than relying
+        // on it
+        val next = relaxed
+          .join(relaxed.select(col("id").as("label"), col("label").as("label2")),
+            Seq("label"), "left_outer")
+          .select(col("id"), coalesce(col("label2"), col("label")).as("label"))
+          .localCheckpoint()
+        relaxed.unpersist(false)
+        val s = labelSum(next)
+        current.unpersist(false)
+        current = next
+        prevSum = s // relax moved labels this round ⟹ not converged yet
+      }
       it += 1
       if (debug)
         System.err.println(f"[graft-cc] round $it: ${(System.nanoTime() - t0) / 1e9}%.2f s" +
-          s" (nodes=${s._2}, converged=$done)")
+          s" (nodes=${prevSum._2}, converged=$done)")
     }
     if (!done)
       System.err.println(s"[graft] connectedComponents: NOT converged after " +
