@@ -812,8 +812,28 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxDocFreq: Int = 100): DataFrame =
+    ngramJaccardPairs(df, idCol, textCol, n, threshold, maxDocFreq,
+      crossSplit = None)
+
+  /** [[ngramJaccard]] restricted to CROSS pairs `id_a < split ≤ id_b` —
+    * the incremental-exact shape (index docs below the split, incoming
+    * at or above). Bit-identical to
+    * `ngramJaccard(...).filter(id_a < split && id_b >= split)`: the
+    * predicate is a function of the pair key, so it commutes with the
+    * shared-count aggregation — pushed into pair emission it prunes the
+    * within-side pair stream before the pair exchange instead of after
+    * the full kernel. */
+  def ngramJaccardAcross(df: DataFrame, idCol: String, textCol: String,
+                         split: Long, n: Int = 3, threshold: Double = 0.5,
+                         maxDocFreq: Int = 100): DataFrame =
+    ngramJaccardPairs(df, idCol, textCol, n, threshold, maxDocFreq,
+      crossSplit = Some(split))
+
+  private def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                                n: Int, threshold: Double, maxDocFreq: Int,
+                                crossSplit: Option[Long]): DataFrame =
     ngramSharedPairs(df, idCol, textCol, n, maxDocFreq,
-        sizeRatioPrefilter = Some(threshold))
+        sizeRatioPrefilter = Some(threshold), crossSplit = crossSplit)
       .withColumn("jaccard",
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .filter(col("jaccard") >= threshold)
@@ -849,11 +869,12 @@ object Dedup {
     * before the pair exchange; containment passes None. */
   private def ngramSharedPairs(df: DataFrame, idCol: String,
                                textCol: String, n: Int, maxDocFreq: Int,
-                               sizeRatioPrefilter: Option[Double]): DataFrame =
+                               sizeRatioPrefilter: Option[Double],
+                               crossSplit: Option[Long] = None): DataFrame =
     hashSetSharedPairs(
       Par.widen(df).select(col(idCol).as("doc_id"),
         shingleHashes(col(textCol), n).as("grams")),
-      maxDocFreq, sizeRatioPrefilter)
+      maxDocFreq, sizeRatioPrefilter, crossSplit)
 
   /** Exact FRAME-SET containment for VIDEO clips — the subclip/trim
     * detector [[videoSigDups]] structurally misses: the majority-vote
@@ -890,7 +911,8 @@ object Dedup {
     * pairs through the same packed exchange). Null or empty sets drop
     * here (refusal/empty docs can't pair). */
   private def hashSetSharedPairs(hashed: DataFrame, maxDocFreq: Int,
-                                 sizeRatioPrefilter: Option[Double]): DataFrame = {
+                                 sizeRatioPrefilter: Option[Double],
+                                 crossSplit: Option[Long] = None): DataFrame = {
     // cached: consumed by the id-bounds probe, the inverted index, and
     // the final size lookups
     val grams = hashed
@@ -954,13 +976,25 @@ object Dedup {
     // above has already dropped every gram with df > maxDocFreq, so a
     // collected array is ≤ maxDocFreq longs — bounded, never corpus-sized.
     def su(c: Column) = call_function("shiftright", c, lit(32)).bitwiseAND(lo32)
+    // crossSplit: restrict emission to pairs with id_a < split ≤ id_b —
+    // the incremental-exact shape. A predicate on the PAIR KEY commutes
+    // with the shared-count aggregation, so pushing it below the pair
+    // exchange prunes the within-side pair stream (the dominant volume)
+    // with bit-identical surviving rows. The doc-id threshold translates
+    // to surrogate space through monotonicity: rank(split) = #docs below
+    // it (one count over the cached meta frame in the surrogate regime).
+    val sSplit: Option[Long] = crossSplit.map { sp =>
+      if (direct) sp
+      else docsMeta.filter(col("doc_id") < sp).count()
+    }
     def pairOk(x: Column, y: Column): Column = {
       val ordered = su(x) < su(y)
-      sizeRatioPrefilter.fold(ordered) { t =>
+      val base = sizeRatioPrefilter.fold(ordered) { t =>
         val nx = x.bitwiseAND(lo32)
         val ny = y.bitwiseAND(lo32)
         ordered && least(nx, ny).cast("double") >= lit(t) * greatest(nx, ny)
       }
+      sSplit.fold(base)(s => base && su(x) < lit(s) && su(y) >= lit(s))
     }
     val shared = capped.groupBy("g").agg(collect_list(col("sn")).as("lst"))
       .select(explode(flatten(transform(col("lst"), x =>

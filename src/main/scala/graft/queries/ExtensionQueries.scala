@@ -825,8 +825,12 @@ ORDER BY incoming_id, index_id"""
     * DuckDB can recompute it independently (hash-green recall floor for
     * the LSH path). */
   def dedupIncrementalExact(spark: SparkSession, sfDir: String): DataFrame =
-    ngramPairs(Tables(spark, sfDir, "documents"))
-      .filter(col("id_a") < IncrementalSplit && col("id_b") >= IncrementalSplit)
+    // cross-split pushed into the pair kernel: bit-identical to
+    // ngramPairs(...).filter(id_a < split && id_b >= split), but the
+    // within-side pair stream is pruned before the pair exchange
+    Dedup.ngramJaccardAcross(Tables(spark, sfDir, "documents"),
+        "doc_id", "text", split = IncrementalSplit,
+        n = 3, threshold = 0.5, maxDocFreq = 100)
       .select(col("id_a").as("index_id"), col("id_b").as("incoming_id"), col("jaccard"))
       .orderBy("incoming_id", "index_id")
 
