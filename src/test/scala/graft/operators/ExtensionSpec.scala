@@ -1052,6 +1052,25 @@ class ExtensionSpec extends AnyFunSuite {
     assert(big == small)
   }
 
+  test("ngramJaccardAcross equals filter-after-the-fact in both id regimes") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val split = 400L
+    def cross(d: org.apache.spark.sql.DataFrame, sp: Long): Set[(Long, Long, Double)] =
+      Dedup.ngramJaccardAcross(d, "doc_id", "text", split = sp,
+          n = 3, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .filter(col("id_a") < split && col("id_b") >= split)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty)
+    assert(cross(docs, split) == expected) // direct regime: ids < 2^31
+    val shift = 5000000000000L // forces the dense-rank surrogate path
+    val big = cross(docs.withColumn("doc_id", col("doc_id") + shift), split + shift)
+      .map { case (a, b, j) => (a - shift, b - shift, j) }
+    assert(big == expected) // surrogate regime: id threshold → rank space
+  }
+
   test("ngram containment catches a quoted short doc that jaccard misses") {
     import spark.implicits._
     val quote = (1 to 12).map(i => s"q$i").mkString(" ")      // 10 3-grams
