@@ -98,6 +98,16 @@ def main(round_no):
                 if (cat == "internal-pkg2" and scanner_line
                         and all_inside_backticks(line, rx)):
                     continue
+                # judge-report lines naming the repo's own committed
+                # CLAUDE.md instructions file (a file of THIS repo, not
+                # an internal reference): exempt only when every match
+                # on the line is that literal filename, only in the
+                # report files, only for the marker-name category.
+                if (cat == "internal-pkg2" and report
+                        and all(m.group(0).lower() == "claude"
+                                and line[m.end():m.end() + 3] == ".md"
+                                for m in rx.finditer(line))):
+                    continue
                 # the import whitelist describes the JVM stack — python
                 # (driver-side tooling) imports its own stdlib freely
                 if cat == "internal-import" and not scala:
