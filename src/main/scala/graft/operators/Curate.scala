@@ -54,7 +54,10 @@ object Curate {
       .withColumn("rn", row_number().over(
         Window.partitionBy("fingerprint").orderBy("doc_id")))
       .select("doc_id", "rn")
-    val labeled = base.join(rnSlim, "doc_id").persist()
+    // fingerprint is consumed by rnSlim only — past this join the fate
+    // logic needs just rn; dropping it keeps the 32-char hex string out
+    // of the multi-consumer cache and the id join
+    val labeled = base.drop("fingerprint").join(rnSlim, "doc_id").persist()
     CacheRegistry.track(labeled)
     val s2 = labeled.filter(col("rn") === 1 &&
       col("quality_score") >= minQuality)
@@ -68,7 +71,11 @@ object Curate {
       .withColumn("is_cont", lit(1))
       .persist()
     CacheRegistry.track(contaminated)
-    val s3 = s2.join(contaminated, Seq("doc_id"), "left_anti").persist()
+    // s3's two consumers need only (doc_id, text, quality_score) — the
+    // pair kernel the text, the keep-best window the score; rn rides no
+    // further, so the survivor cache stays three columns
+    val s3 = s2.select("doc_id", "text", "quality_score")
+      .join(contaminated, Seq("doc_id"), "left_anti").persist()
     CacheRegistry.track(s3)
     val clusters = Dedup.connectedComponents(
       Dedup.ngramJaccard(s3, "doc_id", "text",
