@@ -942,25 +942,37 @@ object Dedup {
       }
     val inverted = grams.select(col("doc_id"),
       size(col("grams")).as("n_grams"), explode(col("grams")).as("g"))
-    // df cap as a broadcast anti-join against the (tiny) hot-gram set:
-    // the groupBy shuffles only (gram, partial count) pairs, and the
-    // inverted index itself never shuffles for the cap — a window
-    // (count OVER partition by g) here would shuffle AND sort every
-    // (doc, gram) row just to drop the few above the cap.
-    val hotGrams = inverted.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDocFreq)
-      .select("g")
-    val dfCapped = inverted.join(broadcast(hotGrams), Seq("g"), "left_anti")
+    // df cap enforced INSIDE the pair-grouping aggregate (r22): the
+    // bounded collect below keeps at most maxDocFreq+1 postings per gram
+    // — every partial buffer, shuffled block and merged group is capped,
+    // so a boilerplate gram present in every document costs O(cap)
+    // memory and O(map-partitions · cap) shuffle bytes — and groups that
+    // hit the limit are exactly the df > maxDocFreq grams. Filtering
+    // them after the aggregate is relationally identical to the old
+    // broadcast anti-join against a separately aggregated hot-gram set,
+    // which cost a SECOND full pass over the postings (explode + count
+    // aggregate + broadcast build) per kernel invocation.
+    //
+    // The one regime that still pre-drops hot postings: surrogate ids
+    // too numerous to broadcast, where the postings must SHUFFLE by
+    // doc_id to pick up `s` before the pair grouping — without the
+    // pre-cap, every posting of every boilerplate gram would ride that
+    // exchange just to be dropped at the group filter.
+    val surrogateShuffle = !direct && nDocs > broadcastRowCutoff(bytesPerRow = 56)
+    val preCapped = if (surrogateShuffle) {
+      val hotGrams = inverted.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDocFreq)
+        .select("g")
+      inverted.join(broadcast(hotGrams), Seq("g"), "left_anti")
+    } else inverted
     val capped = (if (direct)
-        dfCapped.select(col("g"), shiftleft(col("doc_id"), 32)
+        preCapped.select(col("g"), shiftleft(col("doc_id"), 32)
           .bitwiseOR(col("n_grams").cast("long")).as("sn"))
       else {
         val sn = shiftleft(col("s"), 32).bitwiseOR(col("n_grams").cast("long"))
         val slim = docsMeta.select(col("doc_id"), sn.as("sn"))
-        dfCapped.drop("n_grams")
-          .join(if (nDocs <= broadcastRowCutoff(bytesPerRow = 56))
-              broadcast(slim)
-            else slim, "doc_id")
+        preCapped.drop("n_grams")
+          .join(if (surrogateShuffle) slim else broadcast(slim), "doc_id")
           .select("g", "sn")
       })
     // GROUPED pair generation: one groupBy(g) exchange of the postings,
@@ -972,9 +984,10 @@ object Dedup {
     // per partition on top; keyed the same way, the groupBy produces the
     // bit-identical candidate pair stream from ONE exchange (guide §2.4),
     // and `capped` becomes single-consumer so it no longer persists.
-    // Safe by the same argument as the old hash build: the anti-join
-    // above has already dropped every gram with df > maxDocFreq, so a
-    // collected array is ≤ maxDocFreq longs — bounded, never corpus-sized.
+    // Boundedness: the bounded collect in the aggregate itself caps every
+    // buffer at maxDocFreq+1 longs (see CollectUpToLongs), so a collected
+    // array is never corpus-sized even for boilerplate grams; the size
+    // filter then drops the df > maxDocFreq groups exactly.
     def su(c: Column) = call_function("shiftright", c, lit(32)).bitwiseAND(lo32)
     // crossSplit: restrict emission to pairs with id_a < split ≤ id_b —
     // the incremental-exact shape. A predicate on the PAIR KEY commutes
@@ -996,7 +1009,10 @@ object Dedup {
       }
       sSplit.fold(base)(s => base && su(x) < lit(s) && su(y) >= lit(s))
     }
-    val shared = capped.groupBy("g").agg(collect_list(col("sn")).as("lst"))
+    val shared = capped.groupBy("g")
+      .agg(graft.functions.AggregateExpressions
+        .collectUpToLongs(col("sn"), maxDocFreq + 1).as("lst"))
+      .filter(size(col("lst")) <= maxDocFreq)
       .select(explode(flatten(transform(col("lst"), x =>
         transform(filter(col("lst"), y => pairOk(x, y)), y =>
           shiftleft(su(x), 32).bitwiseOR(su(y)))))).as("p"))
