@@ -106,6 +106,10 @@ def main(round_no):
                 if (cat == "internal-pkg2" and report
                         and all(m.group(0).lower() == "claude"
                                 and line[m.end():m.end() + 3] == ".md"
+                                # word boundary after ".md": don't let
+                                # "claude.mdx" etc. ride the exemption
+                                and (len(line) == m.end() + 3
+                                     or not line[m.end() + 3].isalnum())
                                 for m in rx.finditer(line))):
                     continue
                 # the import whitelist describes the JVM stack — python

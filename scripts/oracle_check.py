@@ -26,17 +26,27 @@ def norm(v):
 def stale_warning(out_dir, name):
     """Warn when a query dump predates the newest Verify run's _manifest.json
     (a leftover from an older HEAD in a reused out-dir — oracle_check would
-    otherwise happily 'check' it)."""
+    otherwise happily 'check' it). After a FILTERED Verify run the manifest
+    records the filter; queries outside it are legitimately older than the
+    manifest, so the warning is scoped to the names the run re-dumped."""
     import os
     manifest = os.path.join(out_dir, "_manifest.json")
     if not os.path.exists(manifest):
+        return None
+    try:
+        run_filter = json.load(open(manifest)).get("filter")
+    except (OSError, ValueError):
+        run_filter = None
+    if run_filter is not None and name not in run_filter:
         return None
     qdir = os.path.join(out_dir, name)
     try:
         newest = max(os.path.getmtime(os.path.join(qdir, f))
                      for f in os.listdir(qdir)
                      if f.endswith(".parquet") and not f.startswith("."))
-    except (FileNotFoundError, ValueError):
+    # OSError covers FileNotFoundError AND NotADirectoryError (a dump
+    # that is a single parquet file rather than a directory)
+    except (OSError, ValueError):
         return None
     if newest < os.path.getmtime(manifest):
         return (f"WARN {name}: dump is OLDER than the newest Verify run "

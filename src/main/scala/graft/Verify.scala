@@ -60,8 +60,15 @@ object Verify {
         val out = new String(p.getInputStream.readAllBytes()).trim
         if (p.waitFor() == 0) out else "unknown"
       } catch { case _: Throwable => "unknown" }
+      // the run's query filter rides along so oracle_check can scope the
+      // stale warning to queries THIS run actually (re-)dumped — after a
+      // filtered run every other dump is legitimately older than the
+      // manifest, and warning on all of them trained users to ignore
+      // the guard (r21 advice)
+      val filterJson = only.fold("null")(
+        _.toSeq.sorted.mkString("[\"", "\",\"", "\"]"))
       Files.writeString(Paths.get(s"$outDir/_manifest.json"),
-        s"""{"git_head":"$head","started_utc":"${java.time.Instant.now()}"}""")
+        s"""{"git_head":"$head","started_utc":"${java.time.Instant.now()}","filter":$filterJson}""")
     }
     if (analyzeOnly) {
       val failures = SparkEntry.queries.toSeq.sortBy(_._1)

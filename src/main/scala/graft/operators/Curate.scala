@@ -61,14 +61,14 @@ object Curate {
     CacheRegistry.track(labeled)
     val s2 = labeled.filter(col("rn") === 1 &&
       col("quality_score") >= minQuality)
-    // persisted: consumed by BOTH the stage-3 anti-join and the final
-    // manifest join — without the cache the whole 5-gram sweep
-    // (df-cap anti-join, probe join, shared-ngram aggregate) runs twice
+    // persisted: consumed by BOTH the stage-3 anti-join and the
+    // contaminated fate branch — without the cache the whole 5-gram
+    // sweep (df-cap anti-join, probe join, shared-ngram aggregate) runs
+    // twice
     val contaminated = Dedup.crossNgramOverlap(
         s2, probes, "doc_id", "text",
         n = 5, minShared = 3, maxDocFreq = 100)
       .select("doc_id").distinct()
-      .withColumn("is_cont", lit(1))
       .persist()
     CacheRegistry.track(contaminated)
     // s3's two consumers need only (doc_id, text, quality_score) — the
@@ -82,21 +82,32 @@ object Curate {
         n = 3, threshold = 0.5, maxDocFreq = 100))
     val wBest = Window.partitionBy("component")
       .orderBy(col("quality_score").desc, col("doc_id").asc)
-    val kept = s3.select(col("doc_id"), col("quality_score"))
+    // UNION-WITH-PRIORITY fate assembly (r22): the old when-chain
+    // re-joined the keep-best verdict and the contamination set onto the
+    // FULL labeled frame by doc_id (one broadcast + one sort-merge join
+    // over every input doc). But the stage filters already partition the
+    // corpus exactly — rn > 1 ∨ q < min (stage-1/2 rejects), the
+    // contaminated set (⊆ s2 by construction), and s3 (everything else)
+    // — so each branch can emit its fate rows directly where its verdict
+    // is computed and the manifest is their disjoint union: the same
+    // (doc_id, fate, quality_score) row set with ZERO final joins.
+    val fate12 = labeled
+      .filter(col("rn") > 1 || col("quality_score") < minQuality)
+      .select(col("doc_id"),
+        when(col("rn") > 1, "exact_dup").otherwise("low_quality").as("fate"),
+        col("quality_score"))
+    val fateCont = s2.select("doc_id", "quality_score")
+      .join(contaminated, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), lit("contaminated").as("fate"),
+        col("quality_score"))
+    val fateNear = s3.select(col("doc_id"), col("quality_score"))
       .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_outer")
       .withColumn("component", coalesce(col("label"), col("doc_id")))
       .select(col("doc_id"),
-        (row_number().over(wBest) === 1).cast("int").as("keep"))
-    labeled
-      .join(contaminated, Seq("doc_id"), "left_outer")
-      .join(kept, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"),
-        when(col("rn") > 1, "exact_dup")
-          .when(col("quality_score") < minQuality, "low_quality")
-          .when(col("is_cont") === 1, "contaminated")
-          .when(col("keep") === 0, "near_dup")
-          .otherwise("kept").as("fate"),
+        when(row_number().over(wBest) === 1, "kept")
+          .otherwise("near_dup").as("fate"),
         col("quality_score"))
+    fate12.unionByName(fateCont).unionByName(fateNear)
   }
 
   /** [[manifest]] plus the substring-dedup stage a production curation

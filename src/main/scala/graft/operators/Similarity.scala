@@ -649,6 +649,11 @@ object Similarity {
         vecDot(col("candv"), col("centv")) / (col("candn") * col("centn")))
     withSim.groupBy(col("cent_id"))
       .agg(count(lit(1)).as("n"), avg(col("sim")).as("mean_sim"))
+      // grand total via an unpartitioned window — the frame here is the
+      // POST-AGGREGATION per-centroid stats (≤ nlist rows, model-sized),
+      // so the single-partition WindowExec the driver log warns about is
+      // deliberate and scale-safe; a driver-collected total would
+      // re-execute the join+aggregate a second time instead
       .withColumn("share", col("n") / sum(col("n")).over(Window.partitionBy()))
   }
 
